@@ -1,0 +1,102 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.schemas.Schemas
+
+/** The reference's entire streaming computation, as declarative Spark
+  * transforms over a change-record DataFrame.
+  *
+  * Input contract: a DataFrame with a nullable string column `value` —
+  * exactly the shape of a Kafka record value (batch or `readStream`, the
+  * same functions apply to both since they are plan fragments).
+  *
+  * Semantics reproduced exactly from the reference consumer
+  * (reference queue/cdc.go:153-223):
+  *  - Kafka tombstone (`value IS NULL`) → skipped before parsing (cdc.go:170-173)
+  *  - malformed JSON → skipped, pipeline continues (cdc.go:175-179);
+  *    `from_json` is PERMISSIVE so a bad document yields a null struct
+  *  - `payload.before IS NULL` (insert `c` / snapshot `r`) → NO invalidation
+  *    (cdc.go:181-186)
+  *  - otherwise emit `CAST(before.code AS STRING)` as the key to invalidate
+  *    (cdc.go:188-195). Dispatch is *solely* on `before` nullity; `op` is
+  *    parsed but never consulted (cdc.go:34) — we reproduce that precisely.
+  *
+  * Everything is built from codegen'd built-ins (`from_json`, `filter`,
+  * nested-field `select`) so Catalyst prunes the envelope to the fields
+  * actually read — the declarative form of the reference's
+  * "decode only `before.code`" schema trick (cdc.go:57-59).
+  */
+object Envelope {
+
+  /** O-11 tombstone filter + O-10 envelope parse + O-12 malformed filter.
+    * Output: the full typed envelope (column `payload`), bad records dropped.
+    */
+  def parse(records: DataFrame): DataFrame =
+    records
+      .filter(col("value").isNotNull)                     // O-11 tombstone skip
+      .withColumn("payload",
+        from_json(col("value").cast("string"), Schemas.ENVELOPE)("payload"))
+      .filter(col("payload").isNotNull)                   // O-12 malformed skip
+      .drop("value")
+
+  /** O-13 + O-14: the consumer's whole continuous query. Null-`before`
+    * events (insert/snapshot) produce nothing; everything else produces the
+    * stringified pre-image key (O-5 int→string cast parity).
+    */
+  def invalidationKeys(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("payload.before").isNotNull)            // O-13
+      .select(col("payload.before.code").cast("string").as("invalidate_key")) // O-14
+
+  /** End-to-end: raw records → distinct keys to invalidate. Distinct is safe
+    * (and required for deterministic output) because DEL is idempotent —
+    * the reference delivers at-least-once into an idempotent sink.
+    */
+  def invalidationSet(records: DataFrame): DataFrame =
+    invalidationKeys(parse(records)).distinct()
+
+  /** E-1 generalization (SURVEY §2.5): latest-state materialized view.
+    * Per-key arg-max by `(source.lsn, ts_ms)`; a key whose latest event has
+    * null `after` (delete) disappears from the view. This strictly subsumes
+    * the reference's delete-only invalidation: the view IS the cache, kept
+    * consistent instead of evicted.
+    *
+    * `max_by` over a struct gives a single hash-aggregate with map-side
+    * partial aggregation — one shuffle on the key, no window sort. At 100 TB
+    * the shuffle is keyed by primary key, which is exactly how the Kafka
+    * topic is already partitioned, so a co-partitioned source makes this
+    * shuffle-free.
+    */
+  def latestState(parsed: DataFrame): DataFrame = {
+    val ordKey = struct(
+      coalesce(col("payload.source.lsn"), lit(Long.MinValue)),
+      coalesce(col("payload.ts_ms"), lit(Long.MinValue)))
+    parsed
+      .select(
+        coalesce(col("payload.after.code"), col("payload.before.code")).as("k"),
+        col("payload.after").as("after"),
+        ordKey.as("ord"))
+      .groupBy(col("k"))
+      .agg(max_by(col("after"), col("ord")).as("latest"))
+      .filter(col("latest").isNotNull)                    // last op was a delete
+      .select(
+        col("latest.code").as("code"),
+        col("latest.name").as("name"),
+        col("latest.class").as("class"),
+        col("latest.libram").as("libram"),
+        col("latest.tendency").as("tendency"),
+        // Debezium serializes TIMESTAMP as epoch micros; materialize as NTZ.
+        timestamp_micros(col("latest.created_at")).cast("timestamp_ntz").as("created_at"),
+        timestamp_micros(col("latest.updated_at")).cast("timestamp_ntz").as("updated_at"))
+  }
+
+  /** Count of malformed/tombstone records dropped, as an observable metric —
+    * parity with the reference's log-and-continue (cdc.go:171, :176) without
+    * a second pass over the data.
+    */
+  def parseWithMetrics(records: DataFrame): DataFrame =
+    parse(records.observe("cdc_parse",
+      count(lit(1)).as("records"),
+      count(when(col("value").isNull, 1)).as("tombstones")))
+}
