@@ -91,12 +91,15 @@ object Envelope {
         timestamp_micros(col("latest.updated_at")).cast("timestamp_ntz").as("updated_at"))
   }
 
-  /** Count of malformed/tombstone records dropped, as an observable metric —
-    * parity with the reference's log-and-continue (cdc.go:171, :176) without
-    * a second pass over the data.
+  /** Observable metrics for the drop paths — parity with the reference's
+    * log-and-continue (cdc.go:171, :176) without a second pass over the data.
+    * Emits `records` (total input), `tombstones` (null values, O-11) and
+    * `passed` (rows surviving the malformed filter, O-12), so
+    * malformed = records - tombstones - passed is derivable from the metrics.
     */
   def parseWithMetrics(records: DataFrame): DataFrame =
     parse(records.observe("cdc_parse",
       count(lit(1)).as("records"),
       count(when(col("value").isNull, 1)).as("tombstones")))
+      .observe("cdc_passed", count(lit(1)).as("passed"))
 }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-provided Parquet fixture tables
-  * (/root/testdata/sf*/; see TESTDATA.md / FIXTURES.md §4).
+  * (the `sf&lt;N&gt;` dirs under /root/testdata; see TESTDATA.md / FIXTURES.md s4).
   *
   * All loads are plain `spark.read.parquet` — declarative scans that keep
   * Catalyst free to push filters and prune columns into the Parquet reader.
