@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cdc.CdcQueries
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md s7 + the builder prompt.
+  *
+  * `queries` is the full declared operator surface (SURVEY.md s2.6 Q1-Q20
+  * plus the LLM-pipeline extensions); `oracleSql` carries the DuckDB twin
+  * for every deterministic query. Queries without an oracle entry
+  * (approximate sketches, engine-native hashes) get the driver's rows-only
+  * check and are asserted in ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the customer->orders->lineitem revenue rollup (Q10).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.queries("q10_segment_revenue")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md s2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcQueries.queries ++ Relational.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    CdcQueries.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Multimodal.oracleSql
 }

@@ -1,0 +1,159 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reference-parity queries Q1-Q7 (SURVEY.md s2.6) with their DuckDB oracle
+  * twins. These run over the golden CDC fixtures (self-contained literal
+  * data), so the oracle SQL rebuilds the same rows from VALUES CTEs and
+  * performs the SAME relational computation — filters, unions, window
+  * arg-max — that the Spark side performs. Inputs are literal; computations
+  * are not.
+  *
+  * Semantics per the reference:
+  *  - Q1/Q2: scan + point lookup (controllers.go:38-46, :48-73)
+  *  - Q3/Q4/Q5: insert / overlay-update / delete applied as batch relations
+  *    (controllers.go:24-36, :75-98, :100-119)
+  *  - Q6: the consumer's entire continuous computation — tombstone filter,
+  *    permissive parse, null-`before` dispatch, key projection
+  *    (queue/cdc.go:153-223)
+  *  - Q7: latest-state materialized view generalization (E-1).
+  *
+  * Timestamps are emitted as formatted strings ('yyyy-MM-dd HH:mm:ss') on
+  * both sides so no engine-specific timestamp physical type reaches the
+  * hash comparison.
+  */
+object CdcQueries {
+
+  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  private def fmtSinners(df: DataFrame): DataFrame =
+    df.select(col("code"), col("name"), col("class"), col("libram"),
+      col("tendency"), fmt(col("created_at")).as("created_at"),
+      fmt(col("updated_at")).as("updated_at"))
+
+  // Literal timestamps used by the fixtures (Fixtures.T0 + n*100s), as the
+  // strings both engines must produce.
+  private val T0 = "2025-01-01 00:00:00"
+  private val T1 = "2025-01-01 00:01:40"
+  private val T2 = "2025-01-01 00:03:20"
+  private val T3 = "2025-01-01 00:05:00"
+
+  // VALUES fragments shared by several oracle queries.
+  private val baseValues =
+    s"""(CAST(14 AS BIGINT), 'Deren', 'S', 'Fraud', 'Fury', '$T0', '$T0'),
+       |    (CAST(17 AS BIGINT), 'Shalom', 'S', 'Sloth', 'Reticle', '$T0', '$T0')""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 (O-1): full scan, deterministic order.
+    "q01_scan" -> ((s, _) => fmtSinners(Fixtures.sinners(s)).orderBy("code")),
+
+    // Q2 (O-2/O-3): point lookup by primary key. Catalyst pushes the
+    // equality predicate into the scan; at scale this is a single-partition
+    // pruned read, not a full scan.
+    "q02_point" -> ((s, _) =>
+      fmtSinners(Fixtures.sinners(s).filter(col("code") === lit(14L)))),
+
+    // Q3 (O-6): insert = append-union.
+    "q03_insert" -> ((s, _) =>
+      fmtSinners(Fixtures.sinners(s).unionByName(Fixtures.newRows(s)))
+        .orderBy("code")),
+
+    // Q4 (O-7): last-writer-wins upsert — per-key arg-max by updated_at
+    // over base UNION updates. One shuffle on the key; map-side partial
+    // aggregation via max_by would also work, window keeps the whole row.
+    "q04_update" -> ((s, _) => {
+      val all = Fixtures.sinners(s).unionByName(Fixtures.updatedRows(s))
+      val w = Window.partitionBy("code").orderBy(col("updated_at").desc)
+      fmtSinners(all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")).orderBy("code")
+    }),
+
+    // Q5 (O-8): delete by key = anti-join against the delete set.
+    "q05_delete" -> ((s, _) =>
+      fmtSinners(Fixtures.sinners(s)
+        .join(Fixtures.deletedKeys(s), Seq("code"), "left_anti"))
+        .orderBy("code")),
+
+    // Q6 (O-11..O-14): the consumer's whole computation over the golden
+    // change log — tombstone skip, permissive parse, before-nullity
+    // dispatch, stringified key projection, idempotent distinct.
+    "q06_invalidation" -> ((s, _) =>
+      Envelope.invalidationSet(Fixtures.changeRecords(s))
+        .orderBy("invalidate_key")),
+
+    // Q7 (E-1): latest-state materialized view — per-key arg-max by LSN,
+    // deletes drop out.
+    "q07_latest_state" -> ((s, _) =>
+      fmtSinners(Envelope.latestState(Envelope.parse(Fixtures.changeRecords(s))))
+        .orderBy("code"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan" ->
+      s"""WITH sinners(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
+         |    $baseValues)
+         |SELECT * FROM sinners ORDER BY code""".stripMargin,
+
+    "q02_point" ->
+      s"""WITH sinners(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
+         |    $baseValues)
+         |SELECT * FROM sinners WHERE code = 14""".stripMargin,
+
+    "q03_insert" ->
+      s"""WITH sinners(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
+         |    $baseValues),
+         |new_rows(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
+         |    (CAST(5 AS BIGINT), 'Augustus', 'S', 'War', 'Reticle', '$T1', '$T1'))
+         |SELECT * FROM (SELECT * FROM sinners UNION ALL SELECT * FROM new_rows) ORDER BY code""".stripMargin,
+
+    "q04_update" ->
+      s"""WITH sinners(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
+         |    $baseValues),
+         |updates(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
+         |    (CAST(14 AS BIGINT), 'Deren', 'S', 'Fraud', 'Wrath', '$T0', '$T3')),
+         |all_rows AS (SELECT * FROM sinners UNION ALL SELECT * FROM updates),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY code ORDER BY updated_at DESC) AS rn FROM all_rows)
+         |SELECT code, name, "class", libram, tendency, created_at, updated_at
+         |FROM ranked WHERE rn = 1 ORDER BY code""".stripMargin,
+
+    "q05_delete" ->
+      s"""WITH sinners(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
+         |    $baseValues),
+         |deletes(code) AS (VALUES (CAST(17 AS BIGINT)))
+         |SELECT * FROM sinners WHERE code NOT IN (SELECT code FROM deletes) ORDER BY code""".stripMargin,
+
+    // The change log's consumer-visible shape: one row per Kafka record.
+    // (is_tombstone, payload_valid, before_code) is exactly what the
+    // dispatch reads; the oracle applies the same three filters.
+    "q06_invalidation" ->
+      """WITH changes(is_tombstone, is_valid, before_code) AS (VALUES
+        |    (FALSE, TRUE, CAST(NULL AS BIGINT)),
+        |    (FALSE, TRUE, CAST(NULL AS BIGINT)),
+        |    (FALSE, TRUE, CAST(NULL AS BIGINT)),
+        |    (FALSE, TRUE, CAST(5 AS BIGINT)),
+        |    (FALSE, TRUE, CAST(14 AS BIGINT)),
+        |    (FALSE, TRUE, CAST(17 AS BIGINT)),
+        |    (TRUE,  FALSE, CAST(NULL AS BIGINT)),
+        |    (FALSE, FALSE, CAST(NULL AS BIGINT)))
+        |SELECT DISTINCT CAST(before_code AS VARCHAR) AS invalidate_key
+        |FROM changes
+        |WHERE NOT is_tombstone AND is_valid AND before_code IS NOT NULL
+        |ORDER BY invalidate_key""".stripMargin,
+
+    "q07_latest_state" ->
+      """WITH ch(k, code, name, "class", libram, tendency, created_us, updated_us, lsn) AS (VALUES
+        |    (14, CAST(14 AS BIGINT), 'Deren', 'S', 'Fraud', 'Fury', 1735689600000000, 1735689600000000, 100000),
+        |    (17, CAST(17 AS BIGINT), 'Shalom', 'S', 'Sloth', 'Reticle', 1735689600000000, 1735689600000000, 100001),
+        |    (5,  CAST(5 AS BIGINT), 'Augustus', 'S', 'War', 'Reticle', 1735689700000000, 1735689700000000, 100002),
+        |    (5,  CAST(5 AS BIGINT), 'Augustus', 'A', 'War', 'Reticle', 1735689700000000, 1735689800000000, 100003),
+        |    (14, CAST(14 AS BIGINT), 'Deren', 'S', 'Fraud', 'Wrath', 1735689600000000, 1735689900000000, 100004),
+        |    (17, CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 100005)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn FROM ch)
+        |SELECT code, name, "class", libram, tendency,
+        |       strftime(make_timestamp(created_us), '%Y-%m-%d %H:%M:%S') AS created_at,
+        |       strftime(make_timestamp(updated_us), '%Y-%m-%d %H:%M:%S') AS updated_at
+        |FROM ranked WHERE rn = 1 AND code IS NOT NULL ORDER BY code""".stripMargin
+  )
+}

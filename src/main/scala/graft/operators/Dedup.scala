@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table (LLM-pipeline surface,
+  * SURVEY.md s2.5 E-9 plus the training-data-pipeline extensions):
+  *
+  *  - q18: exact dedup by content hash (group on sha2, keep min doc_id).
+  *  - q21: exact n-gram Jaccard near-dup pairs via a shingle inverted-index
+  *    self-join — the exact-but-quadratic-in-collisions baseline, and the
+  *    oracle for the approximate methods.
+  *  - q22: MinHash + LSH banding — the 100 TB path. Signature computation is
+  *    a single hash-aggregate per document (64 mins in one pass); banding
+  *    turns the pair search into an equi-join on (band, band-hash), so the
+  *    shuffle carries doc->bucket rows, never candidate cross-products.
+  *  - q23: SimHash signatures + Hamming-distance pairs via 16-bit block
+  *    pigeonhole blocking (4 blocks: any pair with Hamming distance <= 3
+  *    shares at least one exact block, so blocking loses nothing).
+  *
+  * q22/q23 use xxhash64 (Spark-native, codegen'd, seed-stable) which has no
+  * DuckDB twin, so they are declared without oracle SQL — the driver records
+  * a rows-only check and ScalaTest asserts containment against the exact
+  * q21 pairs.
+  */
+object Dedup {
+
+  /** Distinct token 3-gram shingles per document. transform/sequence stay
+    * inside codegen; explode is the only generator.
+    */
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - 3), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))).as("shingle"))
+
+  private val N_HASHES = 64
+  private val N_BANDS = 16
+  private val ROWS_PER_BAND = N_HASHES / N_BANDS
+
+  /** MinHash signature: one row per doc, columns mh0..mh63. Single
+    * hash-aggregate — at scale this is one shuffle keyed by doc_id with
+    * map-side partial mins.
+    */
+  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val mins = (0 until N_HASHES).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs with their minhash-estimated Jaccard (fraction of
+    * equal signature components, scaled x1e3).
+    */
+  private[operators] def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bandCols = (0 until N_BANDS).map { b =>
+      val cols = (0 until ROWS_PER_BAND).map(r => col(s"mh${b * ROWS_PER_BAND + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val nEqual = (0 until N_HASHES)
+      .map(i => when(col(s"s1.mh$i") === col(s"s2.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(minhashSignatures(docs).as("s1"), col("d1") === col("s1.doc_id"))
+      .join(minhashSignatures(docs).as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        floor(nEqual.cast("double") * lit(1000.0) / N_HASHES + lit(0.5))
+          .cast("long").as("est_jaccard_x1e3"))
+  }
+
+  /** 64-bit SimHash per document from token-frequency-weighted xxhash64 bit
+    * votes. One explode + two hash-aggregates; everything else is codegen'd
+    * bit arithmetic.
+    */
+  private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("th").bitwiseAND(lit(1L << i)) =!= 0L, col("w"))
+        .otherwise(-col("w"))).as(s"b$i")
+    }
+    val agg = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    agg.select(col("doc_id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q18 (E-9): exact content-hash dedup. Grouping on the 32-byte hash
+    // instead of the full text means the shuffle carries hashes, not
+    // documents — the difference between feasible and not at 100 TB.
+    "q18_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")),
+
+    // Q21: exact trigram-Jaccard near-dup pairs (threshold 0.6). The
+    // inverted-index join is exact; at 100 TB the q22 LSH pass prunes the
+    // candidate space first and this join runs only on candidates.
+    "q21_jaccard_pairs" -> ((s, d) => {
+      val sh = shingles(Tables.documents(s, d))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("nboth"))
+      val jac = floor(col("nboth") * lit(1000.0) /
+        (col("c1.n") + col("c2.n") - col("nboth")) + lit(0.5)).cast("long")
+      inter
+        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .select(col("d1"), col("d2"), jac.as("jaccard_x1e3"))
+        .filter(col("jaccard_x1e3") >= 600)
+        .orderBy("d1", "d2")
+    }),
+
+    // Q22: MinHash-LSH near-dup candidates (est. Jaccard >= 0.5). No oracle
+    // (xxhash64); verified by spec against q21.
+    "q22_minhash_lsh" -> ((s, d) =>
+      minhashCandidates(Tables.documents(s, d))
+        .filter(col("est_jaccard_x1e3") >= 500)
+        .orderBy("d1", "d2")),
+
+    // Q23: SimHash near-dup pairs, Hamming <= 3, found via block-equality
+    // blocking (pigeonhole-complete for <= 3 over 4 blocks). No oracle.
+    "q23_simhash_pairs" -> ((s, d) => {
+      val sim = simhashSignatures(Tables.documents(s, d))
+      val blockCols = (0 until 4).map(b => struct(lit(b).as("blk"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv")))
+      val blocks = sim.select(col("doc_id"), col("simhash"),
+          explode(array(blockCols: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+      blocks.as("a")
+        .join(blocks.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("d1", "d2")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q18_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY sha256(text)
+        |ORDER BY keep_id""".stripMargin,
+
+    "q21_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+        |       WHERE len(l) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |       CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) AS jaccard_x1e3
+        |FROM inter
+        |JOIN cnt c1 ON c1.doc_id = d1
+        |JOIN cnt c2 ON c2.doc_id = d2
+        |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 600
+        |ORDER BY d1, d2""".stripMargin
+  )
+}

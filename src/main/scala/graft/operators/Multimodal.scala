@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column handling (training-data-pipeline surface): media as
+  * opaque `binary` columns with typed metadata, decoded/feature-extracted in
+  * batches per partition.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * deterministic fake standing in for a real decoder (STUB — swap for e.g.
+  * a JNI/FFM codec binding in production). Everything around it — the
+  * schema, the typed Dataset plumbing, the per-partition batching (one
+  * decoder initialization per partition, the reason this is mapPartitions
+  * and not a per-row UDF), the balanced repartition before the CPU-heavy
+  * stage — is the real 100 TB shape.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                           feature: Array[Float])
+
+  /** Attach a binary media column. In production this is the raw bytes
+    * column of an image/audio table; here it is synthesized from `text` so
+    * the plumbing is exercised with real data flow.
+    */
+  def withMediaColumn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** STUB decoder: deterministic fake "decode" of a byte payload into
+    * (width, height, 8-dim feature). Replace with a real codec; the
+    * signature (bytes in, fixed-shape features out) is the contract.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = bytes.length
+    val width = 1 + (n % 64)
+    val height = 1 + (n / 64)
+    val feature = new Array[Float](8)
+    var i = 0
+    while (i < n) { feature(i % 8) += (bytes(i) & 0xFF).toFloat / 255f; i += 1 }
+    (width, height, feature)
+  }
+
+  /** Per-partition batched decode. `repartition` first: decode cost is
+    * proportional to payload bytes, not row count, so balance by shuffling
+    * on doc_id before the expensive stage.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      partitions: Int = 0): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val balanced =
+      if (partitions > 0) media.repartition(partitions, col("doc_id")) else media
+    balanced.as[MediaRecord].mapPartitions { it =>
+      // one decoder init per partition would go here
+      it.map { rec =>
+        val (w, h, f) = decodeStub(rec.content)
+        MediaFeatures(rec.doc_id, rec.content.length, w, h, f)
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q29: the SQL-expressible slice of the media pipeline — byte length and
+    // content digest of the binary column (deterministic; the decode stub's
+    // outputs are asserted in ScalaTest instead, since a fake decoder has no
+    // oracle).
+    "q29_multimodal_meta" -> ((s, d) => {
+      val media = withMediaColumn(Tables.documents(s, d))
+      media.select(col("doc_id"), col("media_type"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        sha2(col("content"), 256).as("content_sha256"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q29_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS content_sha256
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

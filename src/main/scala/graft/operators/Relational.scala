@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Analytics operators over the driver fixtures (SURVEY.md s2.5 E-2..E-8,
+  * s2.6 Q8-Q17): filter/project, hash aggregation, join chains, broadcast
+  * joins, semi/anti joins, window functions, rollup, set ops, distinct
+  * counting, and time-bucketed event aggregation.
+  *
+  * Determinism policy for the DuckDB oracle gate: computed doubles never
+  * reach the output raw. Row-level monetary expressions are converted to
+  * scaled BIGINTs with floor(x*10^s + 0.5) — floor is IEEE-exact and
+  * bit-identical across engines, unlike ROUND, whose tie-breaking on binary
+  * doubles differs between Spark (decimal-string HALF_UP) and DuckDB.
+  * Aggregates sum those exact integers (deterministic in any order), and
+  * only then optionally divide back to double (exact ints < 2^53 divide
+  * deterministically). Raw column pass-throughs (same parquet value in both
+  * engines) are emitted freely.
+  *
+  * Scale notes are on each operator: all aggregations are declarative
+  * groupBy/agg so Catalyst plans partial (map-side) aggregation before the
+  * shuffle; dimension joins are explicitly broadcast; fact-fact joins
+  * shuffle on the join key and benefit from AQE skew handling.
+  */
+object Relational {
+
+  /** floor(c * 10^scale + 0.5) as BIGINT — deterministic scaled fixed-point. */
+  private def scaled(c: Column, pow10: Double): Column =
+    floor(c * lit(pow10) + lit(0.5)).cast("long")
+
+  private val revenue: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q8 (E-2): filter + project + arithmetic. The shipdate range and
+    // discount predicates are pushed into the parquet scan (PushedFilters);
+    // only 3 of 11 lineitem columns are read (ReadSchema pruning).
+    "q08_filter_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+                col("l_shipdate") < lit("1996-01-01") &&
+                col("l_discount") > lit(0.05))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          scaled(revenue, 1e4).as("revenue_x1e4"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Q9 (E-4): TPC-H Q1 shape — hash aggregation with map-side partial
+    // aggregation; the only shuffle carries 4 groups, not 600k rows.
+    "q09_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(scaled(col("l_quantity"), 100)).as("qty_x100"),
+          sum(scaled(col("l_extendedprice"), 100)).as("base_x100"),
+          sum(scaled(revenue, 1e4)).as("disc_x1e4"),
+          sum(scaled(revenue * (lit(1.0) + col("l_tax")), 1e4)).as("charge_x1e4"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("qty_x100").cast("double") / 100).as("sum_qty"),
+          (col("base_x100").cast("double") / 100).as("sum_base_price"),
+          (col("disc_x1e4").cast("double") / 10000).as("sum_disc_price"),
+          (col("charge_x1e4").cast("double") / 10000).as("sum_charge"),
+          (col("qty_x100").cast("double") / (lit(100.0) * col("count_order"))).as("avg_qty"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q10 (E-3): join chain customer >< orders >< lineitem. Both joins
+    // shuffle on their keys (fact-fact); at cluster scale bucketing
+    // orders/lineitem by orderkey makes the second join co-partitioned.
+    "q10_segment_revenue" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(scaled(revenue, 1e4)).as("rev_x1e4"),
+             count(lit(1)).as("n_items"))
+        .select(col("c_mktsegment"),
+          (col("rev_x1e4").cast("double") / 10000).as("revenue"),
+          col("n_items"))
+        .orderBy("c_mktsegment")),
+
+    // Q11 (E-3): star-schema dims — region and nation are tiny, broadcast
+    // both so the customer scan never shuffles.
+    "q11_region_customers" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_name")),
+
+    // Q12 (E-3): existence joins. Semi/anti never materialize the right
+    // side's columns — the build side is just a key set.
+    "q12_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    "q12_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    // Q13 (E-5/E-6): top-k per group via row_number window — one shuffle on
+    // the partition key, sort within partitions only.
+    "q13_top_orders" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          scaled(col("o_totalprice"), 100).as("price_x100"),
+          row_number().over(w).cast("int").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // Q14 (E-4): rollup with pinned NULL handling — GROUPING() markers and
+    // COALESCE'd names keep subtotal rows unambiguous and orderable.
+    "q14_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             grouping(col("o_orderpriority")).cast("int").as("g1"),
+             grouping(col("o_orderstatus")).cast("int").as("g2"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("g1"), col("g2"), col("n"))
+        .orderBy("g1", "g2", "priority", "status")),
+
+    // Q15 (E-7): set difference. EXCEPT is set-distinct in both engines.
+    "q15_except" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"))
+        .except(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey")))
+        .orderBy("o_orderkey")),
+
+    // Q16 (E-4): exact distinct count — expands to a two-phase aggregate
+    // (partial distinct per partition, then merge).
+    "q16_distinct_users" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events"))),
+
+    // Q16b: HLL sketch variant — the 100 TB path, where an exact distinct
+    // would shuffle every key. Approximate, so no hash oracle (rows-only).
+    "q16b_hll_users" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))),
+
+    // Q17 (E-8 batch form): tumbling 1-hour buckets. date_trunc keeps the
+    // grouping key computable inside codegen; the streaming twin uses
+    // window()+watermark (graft.streaming.EventPipelines).
+    "q17_hourly_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+        .agg(count(lit(1)).as("n"),
+             sum(scaled(col("value"), 1e4)).as("value_x1e4"))
+        .select(col("event_type"), col("hour_start"), col("n"),
+          (col("value_x1e4").cast("double") / 10000).as("sum_value"))
+        .orderBy("event_type", "hour_start"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q08_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT) AS revenue_x1e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q09_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_charge,
+        |       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q11_region_customers" ->
+      """SELECT r_name, COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "q12_semi" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_top_orders" ->
+      """SELECT o_custkey, o_orderkey, price_x100, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_x100,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q14_rollup" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COALESCE(o_orderstatus, 'ALL') AS status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g1,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g2,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY g1, g2, priority, status""".stripMargin,
+
+    "q15_except" ->
+      """SELECT o_orderkey FROM orders
+        |EXCEPT
+        |SELECT l_orderkey AS o_orderkey FROM lineitem
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_distinct_users" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events""".stripMargin,
+
+    "q17_hourly_events" ->
+      """SELECT event_type,
+        |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
+        |FROM events
+        |GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY event_type, hour_start""".stripMargin
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over `embeddings.embedding: array<float>` (SURVEY.md
+  * s2.5 E-10 and the training-data-pipeline extensions).
+  *
+  *  - q20: brute-force cosine top-k for a single query vector — the exact
+  *    baseline. The query side is a broadcast (one row), so the corpus scan
+  *    is a single shuffle-free stage.
+  *  - q20b: batched top-k for a query SET via one corpus pass + a window —
+  *    the shape you actually run at scale (broadcast the query block,
+  *    never the corpus).
+  *  - q24: random-hyperplane LSH bucketing — the approximate scale path.
+  *    Bucket assignment is a per-row codegen'd expression; the join is an
+  *    equi-join on the bucket id, so candidate generation shuffles
+  *    doc->bucket rows instead of forming a cross product.
+  *
+  * All dot products fold left-to-right over doubles (elements cast from
+  * float32 exactly), so both engines produce bit-identical doubles; final
+  * scores are emitted as floor-scaled BIGINTs (see Relational's determinism
+  * note).
+  */
+object Similarity {
+
+  /** Sequential fold dot product in doubles: aggregate(zip_with(a,b,*)). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+
+  /** Deterministic +-1 hyperplanes from a fixed LCG (no runtime randomness —
+    * the planes are part of the operator definition, as they must be for a
+    * reproducible index).
+    */
+  private[operators] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var st = 0x9E3779B97F4A7C15L
+    def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+    Array.fill(nPlanes)(Array.fill(dim)(if (next() > 0) 1.0 else -1.0))
+  }
+
+  /** Sign-bit bucket id under `nPlanes` fixed hyperplanes. */
+  private[operators] def bucketExpr(emb: Column, nPlanes: Int, dim: Int): Column = {
+    val ps = planes(nPlanes, dim)
+    (0 until nPlanes).map { p =>
+      val plane = array(ps(p).map(lit).toIndexedSeq: _*)
+      when(dot(emb, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  private val DIM = 64
+  private val N_PLANES = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q20 (E-10): exact cosine top-5 of vec_id=0.
+    "q20_cosine_topk" -> ((s, d) => {
+      val e = asDouble(Tables.embeddings(s, d))
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          floor(cosine(col("emb"), col("qe")) * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
+        .orderBy(col("cos_x1e4").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // Q20b: top-3 neighbors for every query in vec_id < 10, one corpus pass.
+    "q20b_batch_topk" -> ((s, d) => {
+      val e = asDouble(Tables.embeddings(s, d))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_x1e4").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          floor(cosine(col("emb"), col("qe")) * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Q24: LSH-bucketed approximate NN — candidates share a sign-bucket, so
+    // the search is an equi-join, not a cross join. No oracle (approximate);
+    // the spec checks bucket containment and exactness within buckets.
+    "q24_ann_lsh" -> ((s, d) => {
+      val e = asDouble(Tables.embeddings(s, d))
+        .withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("bucket"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_x1e4").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          floor(cosine(col("emb"), col("qe")) * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |scored AS (SELECT vec_id,
+        |       list_dot_product(emb, qe) /
+        |         (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))) AS cos
+        |       FROM e, q WHERE vec_id <> 0)
+        |SELECT vec_id, CAST(FLOOR(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+        |FROM scored
+        |ORDER BY cos_x1e4 DESC, vec_id
+        |LIMIT 5""".stripMargin,
+
+    "q20b_batch_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q_id, vec_id,
+        |       CAST(FLOOR(list_dot_product(emb, qe) /
+        |         (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))) * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+        |       FROM e, q WHERE vec_id <> q_id),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rnk
+        |           FROM scored)
+        |SELECT q_id, vec_id, cos_x1e4, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (training-data-pipeline surface:
+  * token statistics, quality scoring, language identification, document
+  * fingerprinting; SURVEY.md s2.5 E-11).
+  *
+  * Everything is built from codegen'd higher-order functions (split /
+  * transform / filter / aggregate) — no UDFs — so token work happens inside
+  * whole-stage codegen and the only generators are explicit explodes for
+  * the term-frequency aggregations.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** floor-scaled ratio of two exact longs — deterministic across engines. */
+  private def ratioX(num: Column, den: Column, scale: Double): Column =
+    floor(num.cast("double") * lit(scale) / den + lit(0.5)).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q19 (E-11): per-language top-10 token frequency. Two hash aggregates
+    // plus a small window over 5 langs x vocab.
+    "q19_token_top10" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+      tf.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+        .select("lang", "token", "cnt", "rank")
+        .orderBy("lang", "rank")
+    }),
+
+    // Q25: language ID by n-gram (token) frequency profile. Profiles are the
+    // top-10 tokens per language (built from the labeled corpus); a document
+    // scores each language by the total count of its tokens that appear in
+    // that profile, argmax with deterministic tie-break. The profile table is
+    // tiny -> broadcast; the doc-side is one explode + hash aggregate.
+    "q25_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tokens = docs.select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      val prof = tokens.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+        .filter(col("rn") <= 10)
+        .select(col("lang").as("p_lang"), col("tok"))
+      val dt = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("dc"))
+      val best = dt.join(broadcast(prof), Seq("tok"))
+        .groupBy("doc_id", "p_lang").agg(sum("dc").as("s"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("s").desc, col("p_lang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("p_lang"))
+      docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("p_lang"), lit("unknown")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Q26: quality scoring — type/token ratio and stopword ratio combined.
+    // Pure per-row expression work, no shuffle at all.
+    "q26_quality" -> ((s, d) => {
+      val nTokens = size(toks).cast("long")
+      val nTypes = size(array_distinct(toks)).cast("long")
+      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+      // score = 500*ttr + 500*(1 - stopword_ratio), from exact ints
+      val quality = floor(
+        nTypes.cast("double") * lit(500.0) / nTokens +
+          (nTokens - nStop).cast("double") * lit(500.0) / nTokens +
+          lit(0.5)).cast("long")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        nTypes.as("n_types"),
+        ratioX(nTypes, nTokens, 1000.0).as("ttr_x1e3"),
+        ratioX(nStop, nTokens, 1000.0).as("stop_x1e3"),
+        quality.as("quality_x1e3"))
+        .orderBy("doc_id")
+    }),
+
+    // Q27: token counting — whitespace tokens, regex word extraction (the
+    // BPE-ish pre-tokenizer shape), character totals.
+    "q27_token_stats" -> ((s, d) => {
+      val nWs = size(toks).cast("long")
+      val nAlpha = size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+      val tokChars = length(regexp_replace(col("text"), " ", "")).cast("long")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nWs.as("n_ws_tokens"),
+        nAlpha.as("n_alpha_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        col("n_chars"),
+        ratioX(tokChars, nWs, 100.0).as("avg_tok_len_x100"))
+        .orderBy("doc_id")
+    }),
+
+    // Q28: document fingerprint — rolling polynomial hash over the token
+    // stream (length*128 + first-char code per token), mod 1e9+7. A pure
+    // fold inside codegen; the portable arithmetic makes it oracle-checkable.
+    "q28_fingerprint" -> ((s, d) => {
+      val fp = aggregate(toks, lit(0L), (acc, t) =>
+        pmod(acc * lit(31L) +
+          (length(t).cast("long") * lit(128L) + ascii(t).cast("long")),
+          lit(1000000007L)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q19_token_top10" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT lang, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS INT) AS rank FROM tf)
+        |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
+
+    "q25_langid" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |prof AS (SELECT lang AS p_lang, tok FROM (
+        |    SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn FROM tf)
+        |    WHERE rn <= 10),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS dc FROM t GROUP BY 1, 2),
+        |score AS (SELECT doc_id, p_lang, SUM(dc) AS s FROM dt JOIN prof USING (tok) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, p_lang FROM (
+        |    SELECT doc_id, p_lang, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, p_lang) AS rn FROM score)
+        |    WHERE rn = 1)
+        |SELECT d.doc_id, d.lang, COALESCE(b.p_lang, 'unknown') AS pred_lang
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q26_quality" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_types,
+        |    CAST(FLOOR(n_types * 1000.0 / n_tokens + 0.5) AS BIGINT) AS ttr_x1e3,
+        |    CAST(FLOOR(n_stop * 1000.0 / n_tokens + 0.5) AS BIGINT) AS stop_x1e3,
+        |    CAST(FLOOR(n_types * 500.0 / n_tokens + (n_tokens - n_stop) * 500.0 / n_tokens + 0.5) AS BIGINT) AS quality_x1e3
+        |FROM q
+        |ORDER BY doc_id""".stripMargin,
+
+    "q27_token_stats" ->
+      """SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_text,
+        |    n_chars,
+        |    CAST(FLOOR(length(replace(text, ' ', '')) * 100.0 / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS avg_tok_len_x100
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ' '),
+        |          t -> CAST(length(t) * 128 + ascii(t) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

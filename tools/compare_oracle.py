@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
+
+Loads each <name>.parquet the Verify main dumped, runs the matching oracle
+SQL from oracle_sql.json in DuckDB (with the fixture tables registered as
+views), sorts columns by name, and compares row-by-row.
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}.parquet/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        g = got.reindex(sorted(got.columns), axis=1)
+        e = exp.reindex(sorted(exp.columns), axis=1)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+            continue
+        gv = [[canon(v) for v in row] for row in g.itertuples(index=False)]
+        ev = [[canon(v) for v in row] for row in e.itertuples(index=False)]
+        if gv != ev:
+            bad = next(i for i in range(len(gv)) if gv[i] != ev[i])
+            print(f"FAIL {name}: first diff at row {bad}:")
+            print(f"   spark:  {gv[bad]}")
+            print(f"   duckdb: {ev[bad]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(g)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
