@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.api.{CdcEngine, SinnerPatch}
+import graft.cdc.Envelope
+import graft.store.InMemoryStore
+
+/** Usage example + smoke driver for the engine API surface: the reference's
+  * four sequence-flow scenarios (cache miss/hit, CDC invalidation, rebuild)
+  * followed by the latest-state view over the emitted change log. Run:
+  * `sbt "runMain graft.Demo"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val store = new InMemoryStore
+    val engine = new CdcEngine(store)
+
+    engine.createOne(14, "Deren", "S", Some("Fraud"), Some("Fury"))
+    engine.createOne(17, "Shalom", "S", Some("Sloth"), Some("Reticle"))
+
+    println(s"[1] cache miss -> read-through: ${engine.readOne(14)}")
+    println(s"    cache now: ${store.size} entries")
+    println(s"[2] cache hit: ${engine.readOne(14)}")
+
+    engine.updateOne(14, SinnerPatch(tendency = Some("Wrath")))
+    val n = engine.processCdc(spark)
+    println(s"[3] CDC pass invalidated $n key(s); cache has ${store.size} entries")
+
+    println(s"[4] rebuild on read: ${engine.readOne(14)}")
+
+    engine.deleteOne(17)
+    engine.processCdc(spark)
+    println(s"[5] after delete+CDC: readOne(17) = ${engine.readOne(17)}")
+
+    println("[6] latest-state view from the change log:")
+    Envelope.latestState(Envelope.parse(engine.changeRecords(spark)))
+      .orderBy("code").show(truncate = false)
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over the `events` shape (SURVEY.md s2.5 E-8):
+  * watermarked tumbling/sliding/session windows and streaming dedup. All
+  * are DataFrame => DataFrame plan fragments — the same code path serves
+  * readStream (tests use MemoryStream) and batch DataFrames.
+  *
+  * Watermarks bound state: a 10-minute watermark on event time means
+  * window state older than that is evicted and later data is dropped —
+  * the explicit late-data policy the reference never needed (its only
+  * "stream op" was idempotent DEL, SURVEY.md s2.4).
+  */
+object EventPipelines {
+
+  /** Tumbling 1-hour counts/sums per event type. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows: 1 hour every 15 minutes. */
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * state is one entry per id seen, bounded by the watermark.
+    */
+  def dedupById(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+
+  /** Per-user session windows with a 30-minute gap. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+}

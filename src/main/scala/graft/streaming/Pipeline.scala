@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.cdc.Envelope
+import graft.store.KeyValueStore
+
+/** The continuous form of the reference's CDC consumer (SURVEY.md s3.3):
+  * one Structured Streaming query per concern, built from the SAME plan
+  * fragments as the batch path (Envelope.parse / invalidationKeys are
+  * DataFrame => DataFrame, so they compose with readStream unchanged).
+  *
+  * Delivery semantics: checkpointed offsets + idempotent sinks give
+  * effectively-once, strictly stronger than the reference's at-least-once
+  * mark/commit protocol (queue/cdc.go:196, :212-220) but only because the
+  * sinks stay idempotent — DEL and keyed upsert both are.
+  *
+  * In production the source is `spark.readStream.format("kafka")...` with
+  * `maxOffsetsPerTrigger=100` for O-15 poll-cap parity; tests use
+  * MemoryStream with the same `value: string` contract.
+  */
+object Pipeline {
+
+  /** Kafka wiring (behind a flag since no broker exists in tests). */
+  def kafkaRecords(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", 100)
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  /** The invalidation consumer: records -> parse -> keys -> DEL. The
+    * foreachBatch body runs on the driver per micro-batch; invalidation-key
+    * batches are tiny projections (one string per change), and DEL replay
+    * is idempotent, so failure mid-batch is safe.
+    */
+  def invalidationQuery(records: DataFrame, store: KeyValueStore,
+                        checkpoint: String): StreamingQuery =
+    Envelope.invalidationKeys(Envelope.parse(records))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => store.del(r.getString(0)))
+      }
+      .start()
+
+  /** Streaming latest-state view (E-1) via typed keyed state: per key, keep
+    * the highest-LSN row image; a delete (null after) tombstones the key.
+    * State is the (lsn, row-json) pair only — O(keys), spill-safe in the
+    * state store, checkpointed exactly-once.
+    */
+  case class KeyedChange(code: Long, lsn: Long, after_json: String)
+  case class KeyLatest(code: Long, lsn: Long, after_json: String, deleted: Boolean)
+
+  def keyedChanges(spark: SparkSession, records: DataFrame): Dataset[KeyedChange] = {
+    import spark.implicits._
+    Envelope.parse(records)
+      .select(
+        coalesce(col("payload.after.code"), col("payload.before.code")).as("code"),
+        coalesce(col("payload.source.lsn"), lit(Long.MinValue)).as("lsn"),
+        to_json(col("payload.after")).as("after_json"))
+      .filter(col("code").isNotNull)
+      .as[KeyedChange]
+  }
+
+  def latestStateQuery(spark: SparkSession, records: DataFrame,
+                       checkpoint: String, queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val updater: (Long, Iterator[KeyedChange], GroupState[KeyLatest]) => KeyLatest =
+      (code, changes, state) => {
+        val prev = state.getOption
+        val top = changes.maxBy(_.lsn)
+        val next =
+          if (prev.exists(_.lsn >= top.lsn)) prev.get
+          else KeyLatest(code, top.lsn, top.after_json, top.after_json == null)
+        state.update(next)
+        next
+      }
+    keyedChanges(spark, records)
+      .groupByKey(_.code)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updater)
+      .writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .format("memory")
+      .start()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantics of the CDC dataflow (reference queue/cdc.go:153-223), including
+  * the edge dispatch rules SURVEY.md s7.6 flags as easy to get wrong.
+  */
+class EnvelopeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tombstone (null value) and malformed JSON are skipped, not fatal") {
+    val parsed = Envelope.parse(Fixtures.changeRecords(spark))
+    // 8 records: 6 valid envelopes, 1 tombstone, 1 malformed
+    assert(parsed.count() === 6)
+  }
+
+  test("invalidation dispatch is on before-nullity: inserts/snapshots never invalidate") {
+    val keys = Envelope.invalidationSet(Fixtures.changeRecords(spark))
+      .as[String].collect().sorted
+    assert(keys.toSeq === Seq("14", "17", "5"))
+  }
+
+  test("dispatch ignores op entirely: op='c' with non-null before DOES invalidate") {
+    // Theoretically impossible from Debezium, but the reference would
+    // invalidate it (cdc.go:181-195 never reads op) — so must we.
+    val weird =
+      """{"payload":{"before":{"code":99},"after":{"code":99},"op":"c",
+        |"source":{"lsn":1},"ts_ms":1}}""".stripMargin.replace("\n", " ")
+    val keys = Envelope.invalidationSet(Seq(weird).toDF("value"))
+      .as[String].collect()
+    assert(keys.toSeq === Seq("99"))
+  }
+
+  test("replay (at-least-once) is idempotent: processing the log twice = once") {
+    val once = Envelope.invalidationSet(Fixtures.changeRecords(spark))
+      .as[String].collect().sorted.toSeq
+    val twice = Envelope.invalidationSet(
+      Fixtures.changeRecords(spark).union(Fixtures.changeRecords(spark)))
+      .as[String].collect().sorted.toSeq
+    assert(once === twice)
+  }
+
+  test("latest-state view folds by lsn; deleted keys drop out") {
+    val state = Envelope.latestState(Envelope.parse(Fixtures.changeRecords(spark)))
+      .orderBy("code")
+      .select("code", "class", "tendency")
+      .as[(Long, String, String)].collect().toSeq
+    // 5: inserted then updated (class S->A); 14: updated (Fury->Wrath);
+    // 17: deleted, gone.
+    assert(state === Seq((5L, "A", "Reticle"), (14L, "S", "Wrath")))
+  }
+
+  test("latest-state replay is idempotent") {
+    val doubled = Fixtures.changeRecords(spark).union(Fixtures.changeRecords(spark))
+    val state = Envelope.latestState(Envelope.parse(doubled))
+      .orderBy("code").select("code").as[Long].collect().toSeq
+    assert(state === Seq(5L, 14L))
+  }
+
+  test("parse projects only the fields read downstream (nested pruning)") {
+    val plan = Envelope.invalidationKeys(Envelope.parse(Fixtures.changeRecords(spark)))
+      .queryExecution.optimizedPlan.toString
+    // from_json should be schema-pruned to before.code, not the full envelope
+    assert(!plan.contains("tendency"), "envelope parse was not pruned:\n" + plan)
+  }
+}

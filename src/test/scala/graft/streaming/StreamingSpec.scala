@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.cdc.Fixtures
+import graft.store.InMemoryStore
+
+/** Structured Streaming parity (SURVEY.md s3.3, s2.5 E-8): the continuous
+  * invalidation consumer, the keyed latest-state view, and watermarked
+  * event analytics — all through MemoryStream, no broker.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ckpt() = Files.createTempDirectory("graft-ckpt").toString
+
+  test("streaming invalidation query DELs exactly the changed keys") {
+    import spark.implicits._
+    val store = new InMemoryStore
+    Seq("5", "14", "17", "99").foreach(k => store.put(k, s"row-$k"))
+
+    val in = MemoryStream[String](spark)
+    val q = Pipeline.invalidationQuery(in.toDF().toDF("value"), store, ckpt())
+    try {
+      in.addData(Fixtures.changeLog.map(_.orNull).filter(_ != null))
+      q.processAllAvailable()
+      // tombstone/malformed skipped; inserts don't invalidate; 5/14/17 DEL'd
+      assert(store.get("5").isEmpty && store.get("14").isEmpty && store.get("17").isEmpty)
+      assert(store.get("99").isDefined)
+    } finally q.stop()
+  }
+
+  test("keyed latest-state stream: max-lsn row wins, delete tombstones") {
+    import spark.implicits._
+    val in = MemoryStream[String](spark)
+    val q = Pipeline.latestStateQuery(spark, in.toDF().toDF("value"), ckpt(), "latest_state_t")
+    try {
+      in.addData(Fixtures.changeLog.map(_.orNull).filter(_ != null))
+      q.processAllAvailable()
+      val rows = spark.table("latest_state_t")
+        .select("code", "lsn", "deleted").as[(Long, Long, Boolean)]
+        .collect().groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+      assert(rows(5L)._3 === false)   // insert+update, alive
+      assert(rows(14L)._3 === false)  // update, alive
+      assert(rows(17L)._3 === true)   // deleted
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window aggregates by hour and drops late data") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventPipelines.hourlyByType(events)
+      .writeStream.format("memory").queryName("hourly_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      in.addData((t("2024-01-01 10:05:00"), "click", 1.0),
+                 (t("2024-01-01 10:55:00"), "click", 2.0),
+                 (t("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far past 10:00-11:00 so that window closes
+      in.addData((t("2024-01-01 13:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      // late arrival for the closed 10:00 window must be dropped
+      in.addData((t("2024-01-01 10:30:00"), "click", 99.0))
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 15:00:00"), "click", 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("hourly_t")
+        .filter(col("window_start") === t("2024-01-01 10:00:00"))
+        .select("event_type", "n", "sum_value")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(closed === Seq(("click", 2L, 3.0)), s"late row leaked: $closed")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops re-delivered event ids") {
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp, Double)](spark)
+    val events = in.toDF().toDF("event_id", "ts", "value")
+    val q = EventPipelines.dedupById(events)
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      val e1 = (1L, t("2024-01-01 10:00:00"), 1.0)
+      in.addData(e1, (2L, t("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      in.addData(e1) // exact re-delivery
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").count() === 2)
+    } finally q.stop()
+  }
+}
