@@ -43,44 +43,53 @@ object Dedup {
   private val N_BANDS = 16
   private val ROWS_PER_BAND = N_HASHES / N_BANDS
 
-  /** MinHash signature: one row per doc, columns mh0..mh63. Single
-    * hash-aggregate — at scale this is one shuffle keyed by doc_id with
-    * map-side partial mins.
+  /** MinHash signature as ONE array column: `(doc_id, sig: array<long>)`.
+    * A single hash-aggregate (map-side partial mins, one shuffle keyed by
+    * doc_id); packing into an array lets the candidate join carry the
+    * signature along instead of re-joining the aggregate — the plan computes
+    * signatures exactly once.
     */
   private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
     val mins = (0 until N_HASHES).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until N_HASHES).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs with their minhash-estimated Jaccard (fraction of
-    * equal signature components, scaled x1e3).
+    * equal signature components, scaled x1e3). The equi-join key is
+    * (band, band-hash); signatures ride along, so the estimate is a
+    * codegen'd zip_with over the joined rows — no third pass.
     */
   private[operators] def minhashCandidates(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
     val bandCols = (0 until N_BANDS).map { b =>
-      val cols = (0 until ROWS_PER_BAND).map(r => col(s"mh${b * ROWS_PER_BAND + r}"))
+      val cols = (0 until ROWS_PER_BAND).map(r =>
+        element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = buckets.as("a")
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val nEqual = aggregate(
+      zip_with(col("s1"), col("s2"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val nEqual = (0 until N_HASHES)
-      .map(i => when(col(s"s1.mh$i") === col(s"s2.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(minhashSignatures(docs).as("s1"), col("d1") === col("s1.doc_id"))
-      .join(minhashSignatures(docs).as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+      // estimate BEFORE dedup: a pair colliding in k bands recomputes the
+      // (cheap, codegen'd) estimate k times, but the distinct exchange then
+      // carries 24-byte rows instead of two 512-byte signature arrays.
       .select(col("d1"), col("d2"),
         floor(nEqual.cast("double") * lit(1000.0) / N_HASHES + lit(0.5))
           .cast("long").as("est_jaccard_x1e3"))
+      .distinct()
   }
 
   /** 64-bit SimHash per document from token-frequency-weighted xxhash64 bit
@@ -118,8 +127,12 @@ object Dedup {
     // Q21: exact trigram-Jaccard near-dup pairs (threshold 0.6). The
     // inverted-index join is exact; at 100 TB the q22 LSH pass prunes the
     // candidate space first and this join runs only on candidates.
+    // Shingles are hashed to 64-bit before the self-join so the shuffle
+    // carries 8-byte keys instead of strings (collision odds over the
+    // shingle space are ~1e-11 — far below any other source of error).
     "q21_jaccard_pairs" -> ((s, d) => {
       val sh = shingles(Tables.documents(s, d))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"),
