@@ -169,6 +169,21 @@ final class CdcEngine(val store: KeyValueStore,
       }
     }
 
+  // --- O-4 parity: raw path-param entry points. The reference's handlers
+  // take the key as a URL string and strconv.Atoi it — failure is a 400
+  // BEFORE any lookup (controllers.go:51-54, :78-81, :103-106).
+  private def parseKey(param: String): Either[ApiError, Long] =
+    param.toLongOption.toRight(BadRequest)
+
+  def readOneParam(param: String): Either[ApiError, Sinner] =
+    parseKey(param).flatMap(readOne)
+
+  def updateOneParam(param: String, patch: SinnerPatch): Either[ApiError, Sinner] =
+    parseKey(param).flatMap(updateOne(_, patch))
+
+  def deleteOneParam(param: String): Either[ApiError, Sinner] =
+    parseKey(param).flatMap(deleteOne)
+
   /** The change log as a Kafka-value-shaped DataFrame (S-2 stand-in). */
   def changeRecords(spark: SparkSession): DataFrame = {
     import spark.implicits._

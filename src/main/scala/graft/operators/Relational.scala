@@ -162,7 +162,56 @@ object Relational {
              sum(scaled(col("value"), 1e4)).as("value_x1e4"))
         .select(col("event_type"), col("hour_start"), col("n"),
           (col("value_x1e4").cast("double") / 10000).as("sum_value"))
-        .orderBy("event_type", "hour_start"))
+        .orderBy("event_type", "hour_start")),
+
+    // Q30 (E-2): semi-structured access — events.props is a JSON string;
+    // parse with an explicit schema (never inference) and aggregate on the
+    // extracted field. from_json is codegen'd and prunes to the one field.
+    "q30_props_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+             sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // Q31 (E-5): window frames — lag and a running range/rows frame per
+    // customer ordered by date. One shuffle on the partition key.
+    "q31_window_frames" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          scaled(col("o_totalprice"), 100).as("price_x100"),
+          sum(scaled(col("o_totalprice"), 100)).over(running).as("run_x100"),
+          lag(scaled(col("o_totalprice"), 100), 1).over(byCust).as("prev_x100"),
+          row_number().over(byCust).cast("int").as("seq"))
+        .orderBy("o_custkey", "seq")
+    }),
+
+    // Q14b (E-4): full cube over the same keys as the rollup.
+    "q14b_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             grouping(col("o_orderpriority")).cast("int").as("g1"),
+             grouping(col("o_orderstatus")).cast("int").as("g2"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("g1"), col("g2"), col("n"))
+        .orderBy("g1", "g2", "priority", "status")),
+
+    // Q15b (E-7): set intersection (order keys present in both relations).
+    "q15b_intersect" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"))
+        .intersect(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey")))
+        .orderBy("o_orderkey"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -249,6 +298,45 @@ object Relational {
         |       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
         |FROM events
         |GROUP BY event_type, date_trunc('hour', ts)
-        |ORDER BY event_type, hour_start""".stripMargin
+        |ORDER BY event_type, hour_start""".stripMargin,
+
+    "q30_props_json" ->
+      """SELECT event_type,
+        |       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q31_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_x100,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_x100,
+        |       LAG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 1) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_x100,
+        |       CAST(row_number() OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS seq
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, seq""".stripMargin,
+
+    "q14b_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COALESCE(o_orderstatus, 'ALL') AS status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g1,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g2,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY g1, g2, priority, status""".stripMargin,
+
+    "q15b_intersect" ->
+      """SELECT o_orderkey FROM orders
+        |INTERSECT
+        |SELECT l_orderkey AS o_orderkey FROM lineitem
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

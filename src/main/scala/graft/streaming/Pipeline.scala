@@ -48,6 +48,39 @@ object Pipeline {
       }
       .start()
 
+  /** O-16 parity: the reference's supervisor loop (queue/runner.go:11-35)
+    * restarts the consumer on any non-cancel error after a pause. Here a
+    * failed query restarts FROM ITS CHECKPOINT, so no records are lost or
+    * re-invalidated beyond the failed micro-batch (which replays into
+    * idempotent sinks). Returns the terminal query handle once one run
+    * terminates cleanly; rethrows after `maxRestarts` consecutive failures.
+    */
+  def supervise(start: () => StreamingQuery,
+                maxRestarts: Int = 5, pauseMs: Long = 100): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val q = start()
+      try {
+        q.awaitTermination()
+        done = true // clean stop (O-17 path)
+      } catch {
+        case e: Throwable =>
+          attempts += 1
+          if (attempts > maxRestarts) throw e
+          Thread.sleep(pauseMs)
+      }
+    }
+  }
+
+  /** O-17 parity: graceful shutdown — stop consuming, let the in-flight
+    * micro-batch finish, offsets already durable in the checkpoint.
+    */
+  def stopGracefully(q: StreamingQuery, timeoutMs: Long = 5000): Boolean = {
+    q.stop()
+    q.awaitTermination(timeoutMs)
+  }
+
   /** Streaming latest-state view (E-1) via typed keyed state: per key, keep
     * the highest-LSN row image; a delete (null after) tombstones the key.
     * State is the (lsn, row-json) pair only — O(keys), spill-safe in the
