@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** Native codegen'd cosine similarity over two `array<float|double>`
+  * columns.
+  *
+  * This is the E-10 v2 upgrade from SURVEY.md s7.4: the v1 form composes
+  * `aggregate(zip_with(...))`, which is correct but allocates an
+  * intermediate array and evaluates three lambda folds per row; this
+  * expression fuses dot product and both norms into ONE branch-free loop
+  * inside whole-stage codegen — no allocation, no virtual dispatch. The
+  * accumulation order (index 0..n-1, independent accumulators, doubles)
+  * is identical to the fold form, so results are bit-equal and the DuckDB
+  * oracle continues to hold.
+  *
+  * Element types are resolved statically per side (float reads widen to
+  * double, exactly); `ExpectsInputTypes` is `private[sql]` so mixed other
+  * types surface at runtime rather than analysis — the public helpers in
+  * [[GraftFunctions]] insert explicit casts.
+  *
+  * Null semantics: null if either side is null (BinaryExpression default)
+  * or if lengths differ.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_cosine expects array<float|double>, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getX = if (isFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double xi = $getX;
+         |    double yi = $getY;
+         |    dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |  }
+         |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration surface for the engine's native functions. */
+object GraftFunctions {
+
+  /** Idempotent per-session registration — usable on ANY session (the
+    * driver's included), no extensions config required.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+
+  /** Column-API form (register first). Casts keep the expression's static
+    * element-type resolution honest for any numeric array input.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine",
+      a.cast("array<double>"), b.cast("array<double>"))
+}
+
+/** `SparkSessionExtensions` hook: sessions built with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * get `graft_cosine` in SQL from the start.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+}

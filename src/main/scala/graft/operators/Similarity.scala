@@ -73,6 +73,23 @@ object Similarity {
         .limit(5)
     }),
 
+    // Q20c: same computation through the native codegen'd Expression
+    // (graft.functions.CosineSimilarity) instead of aggregate/zip_with —
+    // identical accumulation order, so identical results; one fused loop
+    // per row instead of three lambda folds and an intermediate array.
+    "q20c_cosine_native" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = asDouble(Tables.embeddings(s, d))
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          floor(graft.functions.GraftFunctions.cosine(col("emb"), col("qe")) * 10000 + lit(0.5))
+            .cast("long").as("cos_x1e4"))
+        .orderBy(col("cos_x1e4").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // Q20b: top-3 neighbors for every query in vec_id < 10, one corpus pass.
     "q20b_batch_topk" -> ((s, d) => {
       val e = asDouble(Tables.embeddings(s, d))
@@ -111,6 +128,18 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q20_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |scored AS (SELECT vec_id,
+        |       list_dot_product(emb, qe) /
+        |         (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))) AS cos
+        |       FROM e, q WHERE vec_id <> 0)
+        |SELECT vec_id, CAST(FLOOR(cos * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+        |FROM scored
+        |ORDER BY cos_x1e4 DESC, vec_id
+        |LIMIT 5""".stripMargin,
+
+    "q20c_cosine_native" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
         |scored AS (SELECT vec_id,

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** The native codegen'd cosine Expression: bit-equality with the
+  * higher-order-function form, SQL registration paths, and null semantics.
+  */
+class CosineSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  test("native expression is bit-identical to the aggregate/zip_with form") {
+    val viaFold = Similarity.queries("q20_cosine_topk")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaNative = Similarity.queries("q20c_cosine_native")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaNative === viaFold)
+  }
+
+  test("registered in SQL via GraftFunctions.register on any session") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, D).limit(5).createOrReplaceTempView("emb_t")
+    val rows = spark.sql(
+      """SELECT vec_id,
+        |       graft_cosine(CAST(embedding AS ARRAY<DOUBLE>),
+        |                    CAST(embedding AS ARRAY<DOUBLE>)) AS c
+        |FROM emb_t""".stripMargin).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("implicit cast accepts float arrays directly") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, D).limit(3).createOrReplaceTempView("emb_t2")
+    val rows = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_t2").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("SparkSessionExtensions wiring registers the function at session build") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql("SELECT graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c")
+        .collect().head.getDouble(0)
+      assert(r === 0.0)
+    } finally () // shared context; do not stop
+  }
+
+  test("null semantics: null input or length mismatch yields null") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS a,
+        |       graft_cosine(array(1.0d, 2.0d), array(1.0d)) AS b""".stripMargin)
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("interpreted (non-codegen) eval agrees with codegen") {
+    val e = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0, 2.0, 1.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    val interp = e.eval(null).asInstanceOf[Double]
+    val expected = (3.0 + 4.0 + 3.0) / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(interp - expected) < 1e-15)
+  }
+}
