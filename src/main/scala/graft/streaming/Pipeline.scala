@@ -48,6 +48,17 @@ object Pipeline {
       }
       .start()
 
+  /** File-based change-record stream (offline/test mode): a directory of
+    * text files, one Kafka-value JSON document per line. Same `value`
+    * contract as the Kafka source, so the downstream plan is identical;
+    * `maxFilesPerTrigger` bounds micro-batch size like the poll cap.
+    */
+  def fileRecords(spark: SparkSession, dir: String,
+                  maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
   /** O-16 parity: the reference's supervisor loop (queue/runner.go:11-35)
     * restarts the consumer on any non-cancel error after a pause. Here a
     * failed query restarts FROM ITS CHECKPOINT, so no records are lost or

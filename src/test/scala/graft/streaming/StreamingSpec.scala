@@ -79,6 +79,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source mode drives the same invalidation plan (offline S-2 stand-in)") {
+    val store = new InMemoryStore
+    Seq("5", "14", "17", "99").foreach(k => store.put(k, s"row-$k"))
+    val dir = Files.createTempDirectory("graft-cdc-files")
+    Files.writeString(dir.resolve("batch-0.jsonl"),
+      Fixtures.changeLog.flatten.mkString("", "\n", "\n"))
+    val q = Pipeline.invalidationQuery(
+      Pipeline.fileRecords(spark, dir.toString), store, ckpt())
+    try {
+      q.processAllAvailable()
+      assert(store.get("5").isEmpty && store.get("14").isEmpty && store.get("17").isEmpty)
+      assert(store.get("99").isDefined)
+    } finally q.stop()
+  }
+
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("session windows close after the 30-minute gap") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)](spark)
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = EventPipelines.userSessions(events)
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // user 1: two bursts separated by > 30 min -> two sessions
+      in.addData((t("2024-01-01 10:00:00"), 1L, 1.0),
+                 (t("2024-01-01 10:10:00"), 1L, 2.0),
+                 (t("2024-01-01 11:30:00"), 1L, 3.0))
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 15:00:00"), 2L, 9.0)) // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_t")
+        .filter(col("user_id") === 1L)
+        .select("n_events", "session_value")
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(sessions === Seq((1L, 3.0), (2L, 3.0)),
+        s"expected two closed sessions, got $sessions")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     import spark.implicits._
     val in = MemoryStream[(Long, Timestamp, Double)](spark)
