@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cdc.CdcQueries
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md s7 + the builder prompt.
   *
@@ -23,12 +23,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md s2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ Relational.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Multimodal.oracleSql
+      Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Multimodal.oracleSql ++
+      Curation.oracleSql
 }

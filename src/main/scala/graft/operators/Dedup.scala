@@ -112,6 +112,29 @@ object Dedup {
         .reduce(_ bitwiseOR _).as("simhash"))
   }
 
+  /** Exact trigram-Jaccard near-dup pairs over any (doc_id, text) relation,
+    * scaled-integer threshold (x1e3). Shingles are hashed to 64-bit before
+    * the self-join so the inverted-index shuffle carries 8-byte keys
+    * instead of strings (collision odds over the shingle space ~1e-11).
+    */
+  def jaccardPairs(docs: DataFrame, thresholdX1e3: Int): DataFrame = {
+    val sh = shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("nboth"))
+    val jac = floor(col("nboth") * lit(1000.0) /
+      (col("c1.n") + col("c2.n") - col("nboth")) + lit(0.5)).cast("long")
+    inter
+      .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"), jac.as("jaccard_x1e3"))
+      .filter(col("jaccard_x1e3") >= thresholdX1e3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q18 (E-9): exact content-hash dedup. Grouping on the 32-byte hash
@@ -127,27 +150,8 @@ object Dedup {
     // Q21: exact trigram-Jaccard near-dup pairs (threshold 0.6). The
     // inverted-index join is exact; at 100 TB the q22 LSH pass prunes the
     // candidate space first and this join runs only on candidates.
-    // Shingles are hashed to 64-bit before the self-join so the shuffle
-    // carries 8-byte keys instead of strings (collision odds over the
-    // shingle space are ~1e-11 — far below any other source of error).
-    "q21_jaccard_pairs" -> ((s, d) => {
-      val sh = shingles(Tables.documents(s, d))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("nboth"))
-      val jac = floor(col("nboth") * lit(1000.0) /
-        (col("c1.n") + col("c2.n") - col("nboth")) + lit(0.5)).cast("long")
-      inter
-        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
-        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
-        .select(col("d1"), col("d2"), jac.as("jaccard_x1e3"))
-        .filter(col("jaccard_x1e3") >= 600)
-        .orderBy("d1", "d2")
-    }),
+    "q21_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(Tables.documents(s, d), 600).orderBy("d1", "d2")),
 
     // Q22: MinHash-LSH near-dup candidates (est. Jaccard >= 0.5). No oracle
     // (xxhash64); verified by spec against q21.
