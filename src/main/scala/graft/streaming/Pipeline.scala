@@ -111,8 +111,8 @@ object Pipeline {
       .as[KeyedChange]
   }
 
-  def latestStateQuery(spark: SparkSession, records: DataFrame,
-                       checkpoint: String, queryName: String): StreamingQuery = {
+  /** The per-key max-LSN fold as a typed stateful stream. */
+  def latestStateStream(spark: SparkSession, records: DataFrame): Dataset[KeyLatest] = {
     import spark.implicits._
     val updater: (Long, Iterator[KeyedChange], GroupState[KeyLatest]) => KeyLatest =
       (code, changes, state) => {
@@ -127,11 +127,37 @@ object Pipeline {
     keyedChanges(spark, records)
       .groupByKey(_.code)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updater)
+  }
+
+  def latestStateQuery(spark: SparkSession, records: DataFrame,
+                       checkpoint: String, queryName: String): StreamingQuery =
+    latestStateStream(spark, records)
       .writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .format("memory")
+      .start()
+
+  /** E-1's MERGE variant (SURVEY.md s1.4 A3 option a): instead of evicting
+    * on change, the stream maintains the cache itself — upsert the latest
+    * row image, delete on tombstone. The store ends every micro-batch
+    * holding exactly the latest-state view, so reads never miss. Both
+    * operations are idempotent, so checkpoint replay is safe.
+    */
+  def materializeQuery(spark: SparkSession, records: DataFrame,
+                       store: KeyValueStore, checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    latestStateStream(spark, records)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[KeyLatest], _: Long) =>
+        batch.collect().foreach { kl =>
+          if (kl.deleted) store.del(kl.code.toString)
+          else store.put(kl.code.toString, kl.after_json)
+        }
+      }
       .start()
   }
 }
