@@ -87,7 +87,25 @@ object CdcQueries {
     // deletes drop out.
     "q07_latest_state" -> ((s, _) =>
       fmtSinners(Envelope.latestState(Envelope.parse(Fixtures.changeRecords(s))))
-        .orderBy("code"))
+        .orderBy("code")),
+
+    // Q33: the consumer pipeline under load — 100k synthetic envelopes
+    // generated distributively (spark.range, codegen'd format_string; no
+    // driver-side data), pushed through the full parse->dispatch->project
+    // dataflow. The oracle recomputes the expected key set arithmetically,
+    // so JSON parsing, tombstone-free dispatch, and dedup are all checked
+    // at throughput scale, not just on golden fixtures.
+    "q33_cdc_synthetic" -> ((s, _) => {
+      val vals = s.range(100000).select(
+        format_string(
+          """{"payload": {"before": %s, "after": {"code": %d}, "op": "%s", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
+          when(col("id") % 3 === 0, lit("null"))
+            .otherwise(format_string("""{"code": %d}""", col("id") % 1000)),
+          col("id") % 1000,
+          element_at(array(lit("c"), lit("u"), lit("d")), (col("id") % 3 + 1).cast("int")),
+          col("id") + 100000).as("value"))
+      Envelope.invalidationSet(vals).orderBy("invalidate_key")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -154,6 +172,12 @@ object CdcQueries {
         |SELECT code, name, "class", libram, tendency,
         |       strftime(make_timestamp(created_us), '%Y-%m-%d %H:%M:%S') AS created_at,
         |       strftime(make_timestamp(updated_us), '%Y-%m-%d %H:%M:%S') AS updated_at
-        |FROM ranked WHERE rn = 1 AND code IS NOT NULL ORDER BY code""".stripMargin
+        |FROM ranked WHERE rn = 1 AND code IS NOT NULL ORDER BY code""".stripMargin,
+
+    "q33_cdc_synthetic" ->
+      """SELECT DISTINCT CAST(i % 1000 AS VARCHAR) AS invalidate_key
+        |FROM range(100000) t(i)
+        |WHERE i % 3 <> 0
+        |ORDER BY invalidate_key""".stripMargin
   )
 }

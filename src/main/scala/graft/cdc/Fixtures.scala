@@ -83,6 +83,11 @@ object Fixtures {
     Seq(17L).toDF("code")
   }
 
+  /** Arbitrary extra SINNER-schema rows (timestamps pinned to T0). */
+  def sinnersLike(spark: SparkSession,
+                  rows: Seq[(Long, String, String, String, String)]): DataFrame =
+    sinnersFrom(spark, rows.map(r => (r._1, r._2, r._3, r._4, r._5, T0, T0)))
+
   private def sinnersFrom(spark: SparkSession,
                           rows: Seq[(Long, String, String, String, String, Long, Long)]): DataFrame = {
     import spark.implicits._
