@@ -106,6 +106,41 @@ object Similarity {
         .orderBy("q_id", "rnk")
     }),
 
+    // Q24b: IVF-style approximate NN — a fixed set of coarse centroids
+    // (deterministically the first 16 corpus vectors), every vector assigned
+    // to its nearest centroid (one broadcast pass), queries probe their 2
+    // nearest cells. Candidate generation is an equi-join on the cell id;
+    // recall/probes is the standard IVF tradeoff. No oracle (approximate);
+    // the spec measures recall against brute force.
+    "q24b_ann_ivf" -> ((s, d) => {
+      val e = asDouble(Tables.embeddings(s, d))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+      def bestCells(v: DataFrame, probes: Int, outCol: String): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("cent_id"))
+        v.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("emb"), col("cent_id"),
+            cosine(col("emb"), col("cent")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= probes)
+          .select(col("vec_id"), col("emb"), col("cent_id").as(outCol))
+      }
+      val assigned = bestCells(e, 1, "cell")
+      val queries = bestCells(e.filter(col("vec_id") < 5), 2, "cell")
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("cell"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_x1e4").desc, col("vec_id"))
+      assigned.join(broadcast(queries), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          floor(cosine(col("emb"), col("qe")) * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
+        .distinct() // a candidate can appear via both probed cells
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }),
+
     // Q24: LSH-bucketed approximate NN — candidates share a sign-bucket, so
     // the search is an equi-join, not a cross join. No oracle (approximate);
     // the spec checks bucket containment and exactness within buckets.

@@ -45,12 +45,15 @@ object TextAnalysis {
     "q25_langid" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tokens = docs.select(col("doc_id"), col("lang"), explode(toks).as("tok"))
-      val prof = tokens.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      // one explode + one (doc, tok) aggregate; corpus-level term counts
+      // derive from it (sum of per-doc counts), so the corpus is tokenized
+      // exactly once
+      val dt = tokens.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("dc"))
+      val prof = dt.groupBy("lang", "tok").agg(sum("dc").as("c"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
         .filter(col("rn") <= 10)
         .select(col("lang").as("p_lang"), col("tok"))
-      val dt = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("dc"))
       val best = dt.join(broadcast(prof), Seq("tok"))
         .groupBy("doc_id", "p_lang").agg(sum("dc").as("s"))
         .withColumn("rn", row_number().over(

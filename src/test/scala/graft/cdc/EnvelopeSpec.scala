@@ -60,6 +60,19 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(state === Seq(5L, 14L))
   }
 
+  test("unknown JSON fields are silently dropped (schema-evolution tolerance)") {
+    // parity with encoding/json's unknown-field behavior (cdc.go:175):
+    // an envelope with extra fields at every level still parses
+    val extra =
+      """{"payload":{"before":{"code":7,"brand_new_col":"x"},"after":null,
+        |"op":"d","source":{"lsn":5,"new_source_field":1},"ts_ms":1,
+        |"totally_new_block":{"a":1}},"another_top":true}"""
+        .stripMargin.replace("\n", " ")
+    val keys = Envelope.invalidationSet(Seq(extra).toDF("value"))
+      .as[String].collect()
+    assert(keys.toSeq === Seq("7"))
+  }
+
   test("parse projects only the fields read downstream (nested pruning)") {
     val plan = Envelope.invalidationKeys(Envelope.parse(Fixtures.changeRecords(spark)))
       .queryExecution.optimizedPlan.toString

@@ -90,6 +90,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recall: probed-cell candidates score identically to brute force") {
+    val ivf = Similarity.queries("q24b_ann_ivf")(spark, D).collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.queries("q20b_batch_topk")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c === r.getLong(2)))
+    }
+    // every query id produced results
+    assert(ivf.map(_.getLong(0)).distinct.length === 5)
+  }
+
   // --- Multimodal plumbing.
 
   test("media feature extraction is deterministic and shaped correctly") {
