@@ -31,7 +31,7 @@ def main(out_dir, sf_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}.parquet/*.parquet'").fetchdf()
+                f"SELECT * FROM '{out_dir}/{name}.parquet'").fetchdf()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
