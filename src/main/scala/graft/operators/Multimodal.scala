@@ -63,6 +63,51 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte-level downsample standing in for an
+    * image resize (real impl: decode -> scale -> re-encode). The contract —
+    * bytes in, bounded-size bytes out, run per partition — is what matters
+    * for the pipeline shape: output payloads shrink to <= maxBytes, so the
+    * downstream shuffle carries thumbnails, never originals.
+    */
+  def resizeStub(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
+    if (bytes.length <= maxBytes) bytes
+    else {
+      val out = new Array[Byte](maxBytes)
+      val stride = bytes.length.toDouble / maxBytes
+      var i = 0
+      while (i < maxBytes) { out(i) = bytes((i * stride).toInt); i += 1 }
+      out
+    }
+
+  case class MediaThumb(doc_id: Long, n_bytes_in: Int, n_bytes_out: Int,
+                        thumb: Array[Byte])
+
+  def resizeAll(spark: SparkSession, media: DataFrame,
+                maxBytes: Int): Dataset[MediaThumb] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { rec =>
+      val t = resizeStub(rec.content, maxBytes)
+      MediaThumb(rec.doc_id, rec.content.length, t.length, t)
+    })
+  }
+
+  /** STUB frame sampling: every-k-th fixed-size window of the payload
+    * stands in for video frame extraction. One input row explodes to
+    * `n_frames` rows — the generator shape (flatMap, not map) is the real
+    * plumbing: frame rows inherit the parent key for downstream grouping.
+    */
+  case class MediaFrame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int, everyKth: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { rec =>
+      rec.content.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % everyKth == 0 }
+        .map { case (chunk, i) => MediaFrame(rec.doc_id, i, chunk) }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q29: the SQL-expressible slice of the media pipeline — byte length and
     // content digest of the binary column (deterministic; the decode stub's

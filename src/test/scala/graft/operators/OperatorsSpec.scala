@@ -120,6 +120,25 @@ class OperatorsSpec extends AnyFunSuite {
       again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("resize bounds payloads; frame sampling explodes with parent keys") {
+    val media = Multimodal.withMediaColumn(Tables.documents(spark, D).limit(10))
+    val thumbs = Multimodal.resizeAll(spark, media, maxBytes = 64).collect()
+    assert(thumbs.length === 10)
+    thumbs.foreach { t =>
+      assert(t.n_bytes_out <= 64)
+      assert(t.n_bytes_out === math.min(t.n_bytes_in, 64))
+    }
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 32, everyKth = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_no % 2 === 0)
+      assert(f.frame.length <= 32)
+    }
+    // frames regroup to their parents
+    assert(frames.map(_.doc_id).distinct.sorted.toSeq ===
+      media.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   // --- Text: fingerprint against an independent driver-side fold.
 
   test("rolling-hash fingerprint matches a driver-side recomputation") {
