@@ -45,6 +45,7 @@ final class CdcEngine(val store: KeyValueStore,
   private val table = mutable.LinkedHashMap[Long, Sinner]()
   private val log = mutable.Buffer[String]()
   private var lsn: Long = 100000L
+  private var consumedOffset: Int = 0 // CDC consumer position (Kafka-offset parity)
 
   // Micro precision: a cache hit must serve the same instant the table
   // row carries (the reference marshals time.Time at full precision).
@@ -72,8 +73,27 @@ final class CdcEngine(val store: KeyValueStore,
       """"libram":(null|"(?:[^"\\]|\\.)*"),"tendency":(null|"(?:[^"\\]|\\.)*"),""" +
       """"created_at":"([^"]*)","updated_at":"([^"]*)"\}""").r
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+  // single-pass decoder: order-safe (a literal backslash-n survives) and
+  // covers the \uXXXX forms jstr emits for control characters
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private[api] def fromJson(j: String): Option[Sinner] = j match {
     case jsonRe(code, name, clazz, libram, tendency, ca, ua) =>
@@ -191,14 +211,22 @@ final class CdcEngine(val store: KeyValueStore,
   }
 
   /** Scenario-3 consumer (SURVEY.md s3.3): run the O-11..O-14 dataflow over
-    * the accumulated change log and DEL each key. Idempotent — replaying the
-    * whole log yields the same store state (at-least-once parity).
+    * the change log SINCE THE LAST PASS and DEL each key — incremental
+    * consumption from a committed offset, exactly like the reference's
+    * Kafka mark/commit protocol (each pass is O(new records), and a key
+    * re-cached after its last change is not spuriously re-evicted).
+    * Re-running after a partial failure replays the same slice; DEL is
+    * idempotent, so at-least-once holds.
     */
   def processCdc(spark: SparkSession): Long = {
+    import spark.implicits._
+    val (slice, upTo) = synchronized((log.drop(consumedOffset).toSeq, log.length))
+    if (slice.isEmpty) { return 0L }
     val keys = graft.cdc.Envelope
-      .invalidationKeys(graft.cdc.Envelope.parse(changeRecords(spark)))
+      .invalidationKeys(graft.cdc.Envelope.parse(slice.toDF("value")))
       .collect()
     keys.foreach(r => store.del(r.getString(0)))
+    synchronized { consumedOffset = math.max(consumedOffset, upTo) } // commit
     keys.length.toLong
   }
 }

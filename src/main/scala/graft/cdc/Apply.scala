@@ -19,8 +19,11 @@ object Apply {
     * batch. Returns the next snapshot with the same schema.
     */
   def applyChanges(spark: SparkSession, base: DataFrame, records: DataFrame): DataFrame = {
-    val latest = Envelope.latestState(Envelope.parse(records))
-    val changedKeys = Envelope.parse(records)
+    // parse once for both consumers (fold + changed-key set) — Spark does
+    // not deduplicate common subplans across a union's branches
+    val parsed = Envelope.parse(records).localCheckpoint()
+    val latest = Envelope.latestState(parsed)
+    val changedKeys = parsed
       .select(coalesce(col("payload.after.code"), col("payload.before.code")).as("code"))
       .filter(col("code").isNotNull).distinct()
     // rows whose key saw any change are replaced by the fold result

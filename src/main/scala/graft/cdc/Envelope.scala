@@ -43,11 +43,18 @@ object Envelope {
   /** O-13 + O-14: the consumer's whole continuous query. Null-`before`
     * events (insert/snapshot) produce nothing; everything else produces the
     * stringified pre-image key (O-5 int→string cast parity).
+    *
+    * A non-null `before` struct whose `code` is null/absent (schema drift)
+    * yields key "0" — exactly what the reference does: Go's encoding/json
+    * leaves `Code int` at its zero value and the consumer DELs "0"
+    * (cdc.go:57-59, :188). Emitting NULL here would instead poison every
+    * downstream `store.del`.
     */
   def invalidationKeys(parsed: DataFrame): DataFrame =
     parsed
       .filter(col("payload.before").isNotNull)            // O-13
-      .select(col("payload.before.code").cast("string").as("invalidate_key")) // O-14
+      .select(coalesce(col("payload.before.code"), lit(0L))
+        .cast("string").as("invalidate_key"))             // O-14
 
   /** End-to-end: raw records → distinct keys to invalidate. Distinct is safe
     * (and required for deterministic output) because DEL is idempotent —
@@ -77,6 +84,7 @@ object Envelope {
         coalesce(col("payload.after.code"), col("payload.before.code")).as("k"),
         col("payload.after").as("after"),
         ordKey.as("ord"))
+      .filter(col("k").isNotNull) // keyless events (schema drift) can't fold
       .groupBy(col("k"))
       .agg(max_by(col("after"), col("ord")).as("latest"))
       .filter(col("latest").isNotNull)                    // last op was a delete

@@ -51,6 +51,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        // null element => null result, matching the zip_with/aggregate fold
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
         val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
         dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -70,12 +72,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  boolean anyNull = false;
          |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
          |    double xi = $getX;
          |    double yi = $getY;
          |    dot += xi * yi; na += xi * xi; nb += yi * yi;
          |  }
-         |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  if (anyNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -23,19 +23,14 @@ object Curation {
   private val QUALITY_MIN = 700L
   private val JACCARD_MIN = 800
 
-  /** Quality-scored corpus: doc_id, lang, n_tokens, quality_x1e3, text. */
-  def scored(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTokens = size(toks).cast("long")
-    val nTypes = size(array_distinct(toks)).cast("long")
-    val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
-    val quality = floor(
-      nTypes.cast("double") * lit(500.0) / nTokens +
-        (nTokens - nStop).cast("double") * lit(500.0) / nTokens +
-        lit(0.5)).cast("long")
+  /** Quality-scored corpus: doc_id, lang, n_tokens, quality_x1e3, text.
+    * The score expressions are TextAnalysis's — one definition, one oracle
+    * twin, shared with q26.
+    */
+  def scored(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
-      nTokens.as("n_tokens"), quality.as("quality_x1e3"), col("text"))
-  }
+      TextAnalysis.nTokensCol.as("n_tokens"),
+      TextAnalysis.qualityCol.as("quality_x1e3"), col("text"))
 
   /** The full curation plan over any (doc_id, lang, text) relation. */
   def curate(docs: DataFrame): DataFrame = {
@@ -54,15 +49,10 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "q32_curation" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
         |  SELECT doc_id, lang,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |         CAST(FLOOR(
-        |           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 500.0
-        |             / len(string_split(text, ' ')) +
-        |           (CAST(len(string_split(text, ' ')) AS BIGINT)
-        |             - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT)) * 500.0
-        |             / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS quality_x1e3,
+        |         ${TextAnalysis.QUALITY_SQL} AS quality_x1e3,
         |         text
         |  FROM documents),
         |qualified AS (SELECT * FROM scored WHERE quality_x1e3 >= 700),

@@ -22,6 +22,28 @@ object TextAnalysis {
   private def ratioX(num: Column, den: Column, scale: Double): Column =
     floor(num.cast("double") * lit(scale) / den + lit(0.5)).cast("long")
 
+  // Quality-score building blocks, shared with the Curation pipeline so the
+  // two can never desynchronize (single definition, single oracle twin).
+  private[operators] def nTokensCol: Column = size(toks).cast("long")
+  private[operators] def nTypesCol: Column = size(array_distinct(toks)).cast("long")
+  private[operators] def nStopCol: Column =
+    size(filter(toks, t => t.isin("the", "a"))).cast("long")
+
+  /** score = 500*type-token-ratio + 500*(1 - stopword-ratio), from exact ints. */
+  private[operators] def qualityCol: Column = floor(
+    nTypesCol.cast("double") * lit(500.0) / nTokensCol +
+      (nTokensCol - nStopCol).cast("double") * lit(500.0) / nTokensCol +
+      lit(0.5)).cast("long")
+
+  /** The DuckDB twin of [[qualityCol]] as an expression over `text`. */
+  private[operators] val QUALITY_SQL: String =
+    """CAST(FLOOR(
+      |           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 500.0
+      |             / len(string_split(text, ' ')) +
+      |           (CAST(len(string_split(text, ' ')) AS BIGINT)
+      |             - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT)) * 500.0
+      |             / len(string_split(text, ' ')) + 0.5) AS BIGINT)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q19 (E-11): per-language top-10 token frequency. Two hash aggregates
@@ -68,24 +90,15 @@ object TextAnalysis {
 
     // Q26: quality scoring — type/token ratio and stopword ratio combined.
     // Pure per-row expression work, no shuffle at all.
-    "q26_quality" -> ((s, d) => {
-      val nTokens = size(toks).cast("long")
-      val nTypes = size(array_distinct(toks)).cast("long")
-      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
-      // score = 500*ttr + 500*(1 - stopword_ratio), from exact ints
-      val quality = floor(
-        nTypes.cast("double") * lit(500.0) / nTokens +
-          (nTokens - nStop).cast("double") * lit(500.0) / nTokens +
-          lit(0.5)).cast("long")
+    "q26_quality" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        nTokens.as("n_tokens"),
-        nTypes.as("n_types"),
-        ratioX(nTypes, nTokens, 1000.0).as("ttr_x1e3"),
-        ratioX(nStop, nTokens, 1000.0).as("stop_x1e3"),
-        quality.as("quality_x1e3"))
-        .orderBy("doc_id")
-    }),
+        nTokensCol.as("n_tokens"),
+        nTypesCol.as("n_types"),
+        ratioX(nTypesCol, nTokensCol, 1000.0).as("ttr_x1e3"),
+        ratioX(nStopCol, nTokensCol, 1000.0).as("stop_x1e3"),
+        qualityCol.as("quality_x1e3"))
+        .orderBy("doc_id")),
 
     // Q27: token counting — whitespace tokens, regex word extraction (the
     // BPE-ish pre-tokenizer shape), character totals.
@@ -141,17 +154,16 @@ object TextAnalysis {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q26_quality" ->
-      """WITH q AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
-        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
-        |  FROM documents)
-        |SELECT doc_id, n_tokens, n_types,
-        |    CAST(FLOOR(n_types * 1000.0 / n_tokens + 0.5) AS BIGINT) AS ttr_x1e3,
-        |    CAST(FLOOR(n_stop * 1000.0 / n_tokens + 0.5) AS BIGINT) AS stop_x1e3,
-        |    CAST(FLOOR(n_types * 500.0 / n_tokens + (n_tokens - n_stop) * 500.0 / n_tokens + 0.5) AS BIGINT) AS quality_x1e3
-        |FROM q
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+         |    CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000.0
+         |      / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS ttr_x1e3,
+         |    CAST(FLOOR(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) * 1000.0
+         |      / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS stop_x1e3,
+         |    $QUALITY_SQL AS quality_x1e3
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
 
     "q27_token_stats" ->
       """SELECT doc_id,

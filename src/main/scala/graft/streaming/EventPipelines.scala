@@ -32,13 +32,14 @@ object EventPipelines {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
-  /** Streaming exact dedup by event_id within the watermark horizon —
-    * state is one entry per id seen, bounded by the watermark.
+  /** Streaming exact dedup by event_id alone within the watermark horizon —
+    * a redelivery with a re-stamped event time is still dropped; state is
+    * one entry per id, evicted once the watermark passes.
     */
   def dedupById(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Per-user session windows with a 30-minute gap. */
   def userSessions(events: DataFrame): DataFrame =

@@ -45,7 +45,9 @@ class CdcEnginePropertySpec extends AnyFunSuite {
       type V = (String, Option[String]) // (name, tendency)
       val table = scala.collection.mutable.Map[Long, V]()
       val cache = scala.collection.mutable.Map[Long, V]()
-      val dirty = scala.collection.mutable.Set[Long]() // keys with any u/d in the log
+      // keys with a u/d event NOT yet consumed by a CDC pass (the engine
+      // consumes incrementally from a committed offset)
+      val dirty = scala.collection.mutable.Set[Long]()
 
       def checkRead(c: Long): Unit = {
         val r = engine.readOne(c)
@@ -81,12 +83,14 @@ class CdcEnginePropertySpec extends AnyFunSuite {
         case Read(c) => checkRead(c)
         case RunCdc =>
           engine.processCdc(spark)
-          dirty.foreach(cache.remove) // whole-log replay evicts all ever-dirty keys
+          dirty.foreach(cache.remove) // evicts keys changed since last pass
+          dirty.clear()               // offset committed
       }
 
       // final CDC pass + sweep: with a clean cache, reads equal the table
       engine.processCdc(spark)
       dirty.foreach(cache.remove)
+      dirty.clear()
       (1L to 6L).foreach(checkRead)
     }
   }

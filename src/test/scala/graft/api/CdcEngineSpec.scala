@@ -109,4 +109,22 @@ class CdcEngineSpec extends AnyFunSuite {
       LocalDateTime.of(2025, 6, 1, 12, 0, 0), LocalDateTime.of(2025, 6, 1, 12, 0, 0))
     assert(e.fromJson(e.toJson(s)) === Some(s))
   }
+
+  test("S-8: codec round-trips adversarial escapes (literal backslash-n, tab, CR)") {
+    val (e, _) = freshEngine()
+    val t = LocalDateTime.of(2025, 6, 1, 12, 0, 0)
+    // "x\n" as TWO characters (backslash + n), a real tab, a real CR,
+    // and a backslash immediately before a quote-escape trigger
+    Seq("x\\n", "a\tb", "c\rd", "e\\\"f", "\\\\", "ctl").foreach { name =>
+      val s = Sinner(2, name, "S", Some(name), None, t, t)
+      assert(e.fromJson(e.toJson(s)) === Some(s), s"name=<$name>")
+    }
+  }
+
+  test("cache hit serves adversarial names byte-identical (end-to-end)") {
+    val (e, _) = freshEngine()
+    e.createOne(55, "x\\n\ttail", "S", None, None)
+    e.readOne(55) // miss -> fill
+    assert(e.readOne(55).map(_.name) === Right("x\\n\ttail")) // hit -> decode
+  }
 }

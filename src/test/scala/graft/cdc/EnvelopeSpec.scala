@@ -60,6 +60,25 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(state === Seq(5L, 14L))
   }
 
+  test("non-null before with null/missing code invalidates key \"0\" (Go zero-value parity)") {
+    // encoding/json leaves Code at 0 when absent; the reference DELs "0",
+    // never a null key that would poison store.del
+    val drifted =
+      """{"payload":{"before":{"id":7},"after":null,"op":"d",
+        |"source":{"lsn":5},"ts_ms":1}}""".stripMargin.replace("\n", " ")
+    val keys = Envelope.invalidationSet(Seq(drifted).toDF("value"))
+      .as[String].collect()
+    assert(keys.toSeq === Seq("0"))
+  }
+
+  test("keyless events (schema drift) are excluded from the latest-state fold") {
+    val drifted =
+      """{"payload":{"before":{"id":7},"after":{"id":7},"op":"u",
+        |"source":{"lsn":5},"ts_ms":1}}""".stripMargin.replace("\n", " ")
+    val state = Envelope.latestState(Envelope.parse(Seq(drifted).toDF("value")))
+    assert(state.count() === 0)
+  }
+
   test("unknown JSON fields are silently dropped (schema-evolution tolerance)") {
     // parity with encoding/json's unknown-field behavior (cdc.go:175):
     // an envelope with extra fields at every level still parses

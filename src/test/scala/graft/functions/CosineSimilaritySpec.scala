@@ -41,18 +41,34 @@ class CosineSimilaritySpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
-  test("SparkSessionExtensions wiring registers the function at session build") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val r = s2.sql("SELECT graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c")
-        .collect().head.getDouble(0)
-      assert(r === 0.0)
-    } finally () // shared context; do not stop
+  test("GraftExtensions applies its injection cleanly") {
+    // getOrCreate() in this suite would return the shared session (extensions
+    // only apply at FIRST session construction), so end-to-end coverage of
+    // the config path lives in the Verify/Bench mains, which set
+    // spark.sql.extensions as the first session of their JVMs. Here: the
+    // injection itself must apply without error on a fresh extensions bag.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+
+  test("null array element yields null (matches the fold form), both eval paths") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS a,
+        |       aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d),
+        |                          (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) AS fold_ref
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0), "native must be null on null element")
+    assert(r.isNullAt(1), "fold form is null on null element (the contract)")
+    val interp = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[java.lang.Double](1.0, null),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[java.lang.Double](1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      .eval(null)
+    assert(interp === null)
   }
 
   test("null semantics: null input or length mismatch yields null") {

@@ -137,6 +137,8 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       in.addData(e1) // exact re-delivery
       q.processAllAvailable()
+      in.addData((1L, t("2024-01-01 10:02:00"), 1.0)) // re-stamped re-delivery
+      q.processAllAvailable()
       assert(spark.table("dedup_t").count() === 2)
     } finally q.stop()
   }
