@@ -211,8 +211,76 @@ object Relational {
     "q15b_intersect" -> ((s, d) =>
       Tables.orders(s, d).select(col("o_orderkey"))
         .intersect(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey")))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // Q34 (E-4): exact continuous median (single-pass sort-based
+    // aggregate). Inputs are pre-scaled to exact integers so the p=0.5
+    // interpolation midpoint is a half-integer — exactly representable in
+    // both engines, immune to (1-f)*a+f*b vs a+f*(b-a) formula differences.
+    // Non-half quantiles are inherently formula-sensitive on decimals and
+    // live in the sketch variant (q34b) instead.
+    "q34_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          scaledAgg(percentile(scaled(col("l_quantity"), 100), lit(0.5)), 10.0)
+            .as("p50_qty_c_x10"),
+          scaledAgg(percentile(scaled(col("l_extendedprice"), 100), lit(0.5)), 10.0)
+            .as("p50_price_c_x10"))
+        .orderBy("l_returnflag")),
+
+    // Q34b: t-digest sketch percentiles — fixed-size state, the 100 TB
+    // path. Approximate and Spark-specific => rows-only check.
+    "q34b_percentile_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          scaledAgg(expr("percentile_approx(l_extendedprice, 0.5, 1000)")).as("p50_approx_x100"),
+          scaledAgg(expr("percentile_approx(l_quantity, 0.9, 1000)")).as("p90_qty_x100"))
+        .orderBy("l_returnflag")),
+
+    // Q35 (E-4): moment-based statistics. Computed in one pass via
+    // co-moments; emitted floor-scaled (see determinism note — the
+    // co-moment recurrences are IEEE-stable enough that 1e4 scaling is far
+    // above cross-engine noise).
+    "q35_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          scaledAgg(stddev_samp(col("l_quantity")), 10000.0).as("sd_qty_x1e4"),
+          scaledAgg(corr(col("l_quantity"), col("l_extendedprice")) * 1e4, 1.0).as("corr_x1e4"),
+          scaledAgg(covar_samp(col("l_discount"), col("l_tax")) * 1e6, 1.0).as("cov_x1e6"))
+        .orderBy("l_returnflag")),
+
+    // Q36 (E-2/E-4): ordered array aggregation — collect_list is
+    // order-nondeterministic, so sort_array pins it; emitted as a joined
+    // string, which both engines can produce identically.
+    "q36_array_agg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("r_name")),
+
+    // Q37 (E-4): pivot — orderstatus columns per priority. Spark's pivot
+    // lowers to conditional aggregation; the oracle spells that lowering
+    // out, which is also the portable form.
+    "q37_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"),
+          col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority"))
   )
+
+  /** floor(expr * 100 + 0.5) as BIGINT for aggregate outputs; pass scale=1.0
+    * when the expression is already pre-scaled.
+    */
+  private def scaledAgg(c: Column, factor: Double = 100.0): Column =
+    floor(c * lit(factor) + lit(0.5)).cast("long")
 
   val oracleSql: Map[String, String] = Map(
     "q08_filter_project" ->
@@ -337,6 +405,38 @@ object Relational {
       """SELECT o_orderkey FROM orders
         |INTERSECT
         |SELECT l_orderkey AS o_orderkey FROM lineitem
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q34_percentiles" ->
+      """SELECT l_returnflag,
+        |       CAST(FLOOR(quantile_cont(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT), 0.5) * 10 + 0.5) AS BIGINT) AS p50_qty_c_x10,
+        |       CAST(FLOOR(quantile_cont(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), 0.5) * 10 + 0.5) AS BIGINT) AS p50_price_c_x10
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q35_stats" ->
+      """SELECT l_returnflag,
+        |       CAST(FLOOR(stddev_samp(l_quantity) * 10000 + 0.5) AS BIGINT) AS sd_qty_x1e4,
+        |       CAST(FLOOR(corr(l_quantity, l_extendedprice) * 10000 + 0.5) AS BIGINT) AS corr_x1e4,
+        |       CAST(FLOOR(covar_samp(l_discount, l_tax) * 1000000 + 0.5) AS BIGINT) AS cov_x1e6
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q36_array_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }
