@@ -41,6 +41,25 @@ object EventPipelines {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks within the preceding hour (attribution). Both sides carry
+    * watermarks, so join state is bounded by interval + watermark and
+    * evicted as event time advances — the condition every unbounded
+    * stream-stream join must satisfy.
+    */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c, expr(
+      """c_user = p_user AND
+        |click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_ts"))
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def userSessions(events: DataFrame): DataFrame =
     events

@@ -98,6 +98,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks only") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, Double)](spark)
+    val q = EventPipelines.purchaseAttribution(
+        clicks.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("attrib_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      clicks.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 08:00:00")))
+      purchases.addData(
+        (1L, t("2024-01-01 10:30:00"), 5.0),  // 30 min after user-1 click -> match
+        (2L, t("2024-01-01 10:30:00"), 7.0))  // 2.5h after user-2 click -> no match
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData((9L, t("2024-01-01 15:00:00")))
+      purchases.addData((9L, t("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_t")
+        .select("user_id", "purchase_value")
+        .as[(Long, Double)].collect().toSeq.filter(_._1 <= 2)
+      assert(rows === Seq((1L, 5.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("session windows close after the 30-minute gap") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, Double)](spark)
