@@ -92,6 +92,17 @@ class CdcEnginePropertySpec extends AnyFunSuite {
       dirty.foreach(cache.remove)
       dirty.clear()
       (1L to 6L).foreach(checkRead)
+
+      // cross-layer invariant: folding the engine's own emitted change log
+      // (latest-state view, E-1) reproduces the live table exactly —
+      // CRUD semantics, envelope emission, and the fold agree end to end
+      val folded = graft.cdc.Envelope
+        .latestState(graft.cdc.Envelope.parse(engine.changeRecords(spark)))
+        .select("code", "name", "tendency")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.getString(2)))).toMap
+      val live = engine.readAll().map(s => s.code -> (s.name, s.tendency)).toMap
+      assert(folded === live, s"log fold != table\nops=$ops")
     }
   }
 }
