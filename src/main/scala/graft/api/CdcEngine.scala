@@ -95,13 +95,18 @@ final class CdcEngine(val store: KeyValueStore,
     sb.toString
   }
 
-  private[api] def fromJson(j: String): Option[Sinner] = j match {
-    case jsonRe(code, name, clazz, libram, tendency, ca, ua) =>
-      def opt(v: String) = if (v == "null") None else Some(unescape(v.drop(1).dropRight(1)))
-      Some(Sinner(code.toLong, unescape(name), unescape(clazz), opt(libram), opt(tendency),
-        LocalDateTime.parse(ca, tsFmt), LocalDateTime.parse(ua, tsFmt)))
-    case _ => None
-  }
+  // Total: any malformed/corrupted value (bad \uXXXX, bad timestamp, ...)
+  // degrades to None = cache miss, never an exception out of a read.
+  private[api] def fromJson(j: String): Option[Sinner] =
+    scala.util.Try {
+      j match {
+        case jsonRe(code, name, clazz, libram, tendency, ca, ua) =>
+          def opt(v: String) = if (v == "null") None else Some(unescape(v.drop(1).dropRight(1)))
+          Some(Sinner(code.toLong, unescape(name), unescape(clazz), opt(libram), opt(tendency),
+            LocalDateTime.parse(ca, tsFmt), LocalDateTime.parse(ua, tsFmt)))
+        case _ => None
+      }
+    }.toOption.flatten
 
   // --- Envelope append (the WAL->Kafka stand-in; shape per queue/cdc.go:25-59).
   private def micros(t: LocalDateTime): Long =
@@ -150,11 +155,17 @@ final class CdcEngine(val store: KeyValueStore,
     store.get(key).flatMap(fromJson) match {
       case Some(s) => Right(s)
       case None =>
-        synchronized(table.get(code)) match {
-          case None => Left(NotFound)
-          case Some(s) =>
-            store.put(key, toJson(s))
-            Right(s)
+        // read + fill under the table lock: the fill is then ordered BEFORE
+        // any subsequent update's change event, so the CDC pass that
+        // consumes that event always evicts this fill — a fill racing past
+        // a concurrent update can never become permanently stale
+        synchronized {
+          table.get(code) match {
+            case None => Left(NotFound)
+            case Some(s) =>
+              store.put(key, toJson(s))
+              Right(s)
+          }
         }
     }
   }

@@ -20,8 +20,10 @@ object Apply {
     */
   def applyChanges(spark: SparkSession, base: DataFrame, records: DataFrame): DataFrame = {
     // parse once for both consumers (fold + changed-key set) — Spark does
-    // not deduplicate common subplans across a union's branches
-    val parsed = Envelope.parse(records).localCheckpoint()
+    // not deduplicate common subplans across a union's branches. Lazy
+    // persist (not localCheckpoint): no eager job at plan-build time, and
+    // lineage survives executor loss on a real cluster
+    val parsed = Envelope.parse(records).persist()
     val latest = Envelope.latestState(parsed)
     val changedKeys = parsed
       .select(coalesce(col("payload.after.code"), col("payload.before.code")).as("code"))

@@ -13,11 +13,12 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
   * This is the E-10 v2 upgrade from SURVEY.md s7.4: the v1 form composes
   * `aggregate(zip_with(...))`, which is correct but allocates an
   * intermediate array and evaluates three lambda folds per row; this
-  * expression fuses dot product and both norms into ONE branch-free loop
-  * inside whole-stage codegen — no allocation, no virtual dispatch. The
-  * accumulation order (index 0..n-1, independent accumulators, doubles)
-  * is identical to the fold form, so results are bit-equal and the DuckDB
-  * oracle continues to hold.
+  * expression fuses dot product and both norms into ONE loop inside
+  * whole-stage codegen (a per-element null guard is the only branch) — no
+  * allocation, no virtual dispatch. The accumulation order (index 0..n-1,
+  * independent accumulators, doubles) and the null semantics (null element
+  * => null result) are identical to the fold form, so results are
+  * bit-equal and the DuckDB oracle continues to hold.
   *
   * Element types are resolved statically per side (float reads widen to
   * double, exactly); `ExpectsInputTypes` is `private[sql]` so mixed other

@@ -64,7 +64,7 @@ object Dedup {
     * codegen'd zip_with over the joined rows — no third pass.
     */
   private[operators] def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).localCheckpoint() // both join sides read it
+    val sig = minhashSignatures(docs).persist() // both join sides read it
     val bandCols = (0 until N_BANDS).map { b =>
       val cols = (0 until ROWS_PER_BAND).map(r =>
         element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
@@ -119,12 +119,12 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, thresholdX1e3: Int): DataFrame = {
     // the shingle relation feeds three consumers (both self-join sides and
-    // the per-doc counts); localCheckpoint materializes it once instead of
+    // the per-doc counts); a lazy persist materializes it once instead of
     // re-tokenizing the corpus three times — the same "persist the index"
     // move a production dedup run makes explicitly
     val sh = shingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .localCheckpoint()
+      .persist() // shared by both self-join sides and the counts
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -168,7 +168,7 @@ object Dedup {
     // Q23: SimHash near-dup pairs, Hamming <= 3, found via block-equality
     // blocking (pigeonhole-complete for <= 3 over 4 blocks). No oracle.
     "q23_simhash_pairs" -> ((s, d) => {
-      val sim = simhashSignatures(Tables.documents(s, d)).localCheckpoint()
+      val sim = simhashSignatures(Tables.documents(s, d)).persist()
       val blockCols = (0 until 4).map(b => struct(lit(b).as("blk"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv")))
       val blocks = sim.select(col("doc_id"), col("simhash"),

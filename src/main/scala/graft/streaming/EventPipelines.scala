@@ -32,14 +32,18 @@ object EventPipelines {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
-  /** Streaming exact dedup by event_id alone within the watermark horizon —
-    * a redelivery with a re-stamped event time is still dropped; state is
-    * one entry per id, evicted once the watermark passes.
+  /** Exact dedup by event_id alone. Streaming: within the watermark
+    * horizon — a redelivery with a re-stamped event time is still dropped;
+    * state is one entry per id, evicted once the watermark passes
+    * (dropDuplicatesWithinWatermark is streaming-only, hence the branch —
+    * the batch twin is a plain id-distinct).
     */
   def dedupById(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+    else
+      events.dropDuplicates("event_id")
 
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks within the preceding hour (attribution). Both sides carry
