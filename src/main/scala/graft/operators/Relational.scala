@@ -262,6 +262,27 @@ object Relational {
         .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
         .orderBy("r_name")),
 
+    // Q38: AS-OF join — each error event matched to the same user's most
+    // recent preceding purchase. Spark lacks a native as-of join, so this
+    // is the compose-existing-ops form (preference (a)): one window pass
+    // carrying the running last purchase id per user in event-time order —
+    // a single shuffle on user_id, no range join, no cross product. The
+    // oracle uses DuckDB's native ASOF LEFT JOIN (fixture timestamps are
+    // globally unique, so <= semantics and the running-last are identical).
+    "q38_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("purchase_id",
+          last(when(col("event_type") === "purchase", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("purchase_id"))
+        .orderBy("error_id")
+    }),
+
     // Q37 (E-4): pivot — orderstatus columns per priority. Spark's pivot
     // lowers to conditional aggregation; the oracle spells that lowering
     // out, which is also the portable form.
@@ -429,6 +450,16 @@ object Relational {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+
+    "q38_asof_join" ->
+      """WITH errors AS (
+        |  SELECT event_id AS error_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT e.error_id, e.user_id, p.purchase_id
+        |FROM errors e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.error_id""".stripMargin,
 
     "q37_pivot" ->
       """SELECT o_orderpriority,
