@@ -283,6 +283,25 @@ object Relational {
         .orderBy("error_id")
     }),
 
+    // Q39: range join — facts against interval bands. The band table is
+    // tiny and broadcast, so the non-equi predicate runs as a broadcast
+    // nested-loop over 4 rows per fact row (never a shuffle); at scale
+    // with a LARGE interval side you'd bucket both sides by range instead.
+    "q39_range_join" -> ((s, d) => {
+      val bands = Seq(
+        ("A_low", 0.0, 20000.0), ("B_mid", 20000.0, 40000.0),
+        ("C_high", 40000.0, 60000.0), ("D_top", 60000.0, 1e9))
+      import s.implicits._
+      val bandDf = bands.toDF("band", "lo", "hi")
+      Tables.lineitem(s, d)
+        .join(broadcast(bandDf),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+             sum(scaled(col("l_extendedprice"), 100)).as("total_c"))
+        .orderBy("band")
+    }),
+
     // Q37 (E-4): pivot — orderstatus columns per priority. Spark's pivot
     // lowers to conditional aggregation; the oracle spells that lowering
     // out, which is also the portable form.
@@ -450,6 +469,17 @@ object Relational {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+
+    "q39_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |    ('A_low', 0.0, 20000.0), ('B_mid', 20000.0, 40000.0),
+        |    ('C_high', 40000.0, 60000.0), ('D_top', 60000.0, 1000000000.0))
+        |SELECT band, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
 
     "q38_asof_join" ->
       """WITH errors AS (
