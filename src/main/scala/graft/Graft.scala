@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.api.CdcEngine
+import graft.cdc.{Apply, Envelope}
+import graft.operators.Curation
+import graft.sources.Tables
+import graft.store.{InMemoryStore, KeyValueStore}
+
+/** The single entry point a user of the reference switches to: the
+  * reference's five CRUD endpoints and its continuous invalidation pipeline
+  * (via [[cdc]]), plus the analytics/query surface over the fixture tables,
+  * SQL, the declared query catalog, CDC batch apply, and corpus curation.
+  *
+  * {{{
+  * val g = new Graft(spark, "/root/testdata/sf0.01")
+  * g.table("lineitem").count()
+  * g.sql("SELECT COUNT(*) FROM orders").show()
+  * g.query("q10_segment_revenue").show()
+  * g.cdc.createOne(5, "Augustus", "S", Some("War"), None)
+  * g.cdc.readOne(5)                        // cache-aside point read
+  * g.processCdc()                          // consume + invalidate
+  * g.curatedCorpus().count()               // quality gate + near-dup drop
+  * }}}
+  */
+final class Graft(val spark: SparkSession, dataDir: String,
+                  store: KeyValueStore = new InMemoryStore) {
+
+  graft.functions.GraftFunctions.register(spark)
+  Tables.registerAll(spark, dataDir)
+
+  /** The reference's CRUD + point-cache surface (O-1..O-9). */
+  val cdc: CdcEngine = new CdcEngine(store)
+
+  def table(name: String): DataFrame = Tables.load(spark, dataDir, name)
+
+  def sql(q: String): DataFrame = spark.sql(q)
+
+  /** Any query from the declared catalog (SparkEntry.queries). */
+  def query(name: String): DataFrame = SparkEntry.queries(name)(spark, dataDir)
+
+  def queryNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+  /** Consume pending change events and invalidate (scenario 3). */
+  def processCdc(): Long = cdc.processCdc(spark)
+
+  /** Latest-state materialized view of the engine's own change log (E-1). */
+  def latestState(): DataFrame =
+    Envelope.latestState(Envelope.parse(cdc.changeRecords(spark)))
+
+  /** MERGE a change batch onto a snapshot (batch compaction path). */
+  def applyChanges(base: DataFrame, records: DataFrame): DataFrame =
+    Apply.applyChanges(spark, base, records)
+
+  /** The composed training-data curation pipeline over `documents`. */
+  def curatedCorpus(): DataFrame =
+    Curation.curate(Tables.documents(spark, dataDir))
+}

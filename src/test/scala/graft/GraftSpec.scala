@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The facade: everything a reference user needs, through one object. */
+class GraftSpec extends AnyFunSuite {
+
+  private lazy val g = new Graft(TestSpark.spark, TestSpark.SF0001)
+
+  test("tables, SQL, and the query catalog are reachable") {
+    assert(g.table("lineitem").count() > 0)
+    assert(g.sql("SELECT COUNT(*) AS n FROM orders").collect().head.getLong(0) > 0)
+    assert(g.queryNames.size >= 47)
+    assert(g.query("q10_segment_revenue").count() > 0)
+    assert(g.sql("SELECT graft_cosine(array(1.0d), array(1.0d))").collect()
+      .head.getDouble(0) === 1.0)
+  }
+
+  test("the reference's whole lifecycle through the facade") {
+    g.cdc.createOne(101, "Faust", "S", Some("Pride"), None)
+    assert(g.cdc.readOne(101).map(_.name) === Right("Faust"))
+    g.cdc.updateOne(101, api.SinnerPatch(tendency = Some("Gloom")))
+    assert(g.processCdc() >= 1)
+    assert(g.cdc.readOne(101).map(_.tendency) === Right(Some("Gloom")))
+    val state = g.latestState().filter("code = 101").collect()
+    assert(state.length === 1)
+  }
+
+  test("curation pipeline runs end to end") {
+    val curated = g.curatedCorpus()
+    assert(curated.count() > 0)
+    assert(curated.columns.toSeq ===
+      Seq("doc_id", "lang", "n_tokens", "quality_x1e3"))
+  }
+}
