@@ -85,6 +85,38 @@ class EnvelopePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: batch apply == model fold over base + random change log") {
+    import spark.implicits._
+    cases(25).foreach { log =>
+      // base: keys 1..4 present with marker name "base"
+      val base = Fixtures.sinnersLike(spark,
+        (1L to 4L).map(k => (k, "base", "S", "L", "T")))
+      val next = Apply.applyChanges(spark, base, recordsDf(log))
+        .select("code", "name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+      // model: per key, max-lsn event wins (ties as in the latest-state
+      // property — skip ambiguous keys); untouched base keys pass through
+      val byKey = log
+        .filter(e => e.afterCode.orElse(e.beforeCode).isDefined)
+        .groupBy(e => e.afterCode.orElse(e.beforeCode).get)
+      val unambiguous = byKey.filter { case (_, evs) =>
+        val m = evs.map(_.lsn).max
+        evs.filter(_.lsn == m).map(_.afterCode.isDefined).distinct.size == 1
+      }
+      val expected = scala.collection.mutable.Map[Long, String]()
+      (1L to 4L).foreach(k => expected(k) = "base")
+      byKey.keys.foreach(expected.remove) // any touched key is replaced or deleted
+      unambiguous.foreach { case (k, evs) =>
+        evs.maxBy(_.lsn).afterCode.foreach(c => expected(k) = s"n$c")
+      }
+      val ambiguous = byKey.keySet -- unambiguous.keySet
+      val gotStable = next.view.filterKeys(!ambiguous.contains(_)).toMap
+      val expStable = expected.view.filterKeys(!ambiguous.contains(_)).toMap
+      assert(gotStable === expStable, s"log=$log")
+    }
+  }
+
   test("property: replaying a log any number of times changes nothing") {
     cases(40).foreach { log =>
       val once = Envelope.invalidationSet(recordsDf(log))
