@@ -27,6 +27,11 @@ final class Graft(val spark: SparkSession, dataDir: String,
                   store: KeyValueStore = new InMemoryStore) {
 
   graft.functions.GraftFunctions.register(spark)
+  // Convenience temp views are SESSION-global and last-writer-wins: if two
+  // Graft instances share one session, `sql` over bare table names resolves
+  // against the most recently constructed instance's dataDir. Multi-instance
+  // users should go through `table()`/`query()` (always this dataDir) or
+  // give each instance its own spark.newSession().
   Tables.registerAll(spark, dataDir)
 
   /** The reference's CRUD + point-cache surface (O-1..O-9). */

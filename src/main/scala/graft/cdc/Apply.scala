@@ -19,11 +19,13 @@ object Apply {
     * batch. Returns the next snapshot with the same schema.
     */
   def applyChanges(spark: SparkSession, base: DataFrame, records: DataFrame): DataFrame = {
-    // parse once for both consumers (fold + changed-key set) — Spark does
-    // not deduplicate common subplans across a union's branches. Lazy
-    // persist (not localCheckpoint): no eager job at plan-build time, and
-    // lineage survives executor loss on a real cluster
-    val parsed = Envelope.parse(records).persist()
+    // The parse subplan feeds both consumers (fold + changed-key set) and
+    // is deliberately NOT persisted: this is a long-lived library API (the
+    // Graft facade calls it per micro-batch) and a per-call cache entry
+    // with no unpersist hook would accumulate for the JVM lifetime. A
+    // change batch is bounded, so parsing it twice is the cheaper contract;
+    // callers compacting a huge backlog can persist `records` themselves.
+    val parsed = Envelope.parse(records)
     val latest = Envelope.latestState(parsed)
     val changedKeys = parsed
       .select(coalesce(col("payload.after.code"), col("payload.before.code")).as("code"))

@@ -271,9 +271,14 @@ object Relational {
     // globally unique, so <= semantics and the running-last are identical).
     "q38_asof_join" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts")
+      // (ts, event_id) ordering: deterministic even if a future fixture
+      // ever lands two same-user events in one microsecond
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
+        // only the two participating types feed the window — the other ~60%
+        // of events neither produce output nor carry purchase state
+        .filter(col("event_type").isin("purchase", "error"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
         .withColumn("purchase_id",
           last(when(col("event_type") === "purchase", col("event_id")),

@@ -91,9 +91,13 @@ class EnvelopePropertySpec extends AnyFunSuite {
       // base: keys 1..4 present with marker name "base"
       val base = Fixtures.sinnersLike(spark,
         (1L to 4L).map(k => (k, "base", "S", "L", "T")))
-      val next = Apply.applyChanges(spark, base, recordsDf(log))
+      val rows = Apply.applyChanges(spark, base, recordsDf(log))
         .select("code", "name").collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toMap
+        .map(r => r.getLong(0) -> r.getString(1))
+      // MERGE must yield one row per key — a duplicate would be hidden by toMap
+      assert(rows.map(_._1).distinct.length === rows.length,
+        s"duplicate keys in apply output: ${rows.toSeq.sorted}\nlog=$log")
+      val next = rows.toMap
 
       // model: per key, max-lsn event wins (ties as in the latest-state
       // property — skip ambiguous keys); untouched base keys pass through
