@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must pass through to sbt's stdout UNPREFIXED: the
+// bench/verify driver parses our one-line JSON from stdout, and the default
+// Logged strategy prepends "[info] " to every line, which breaks json.loads
+// (round-2 BENCH came back parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,7 +47,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout is the driver contract (bare line — build.sbt routes forked run
+    // output through StdoutOutput so sbt adds no "[info] " prefix); the file
+    // copy is a fallback the driver (or a human) can read if stdout is ever
+    // mangled by the launcher.
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(args.headOption.getOrElse("bench_out.json")), line + "\n")
     spark.stop()
   }
 }

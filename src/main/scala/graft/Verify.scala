@@ -4,6 +4,51 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The driver contract, minus session lifecycle (so tests can call it with
+    * their own session): writes one real parquet FILE per query as
+    * `outDir/<name>.parquet` — not a Spark part-file directory, so any reader
+    * (duckdb.read_parquet, pyarrow, pandas) opens it without globbing — plus
+    * `outDir/oracle_sql.json`. Returns (ok, failed) counts. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): (Int, Int) = {
+    new java.io.File(outDir).mkdirs()
+    var ok, failed = 0
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try {
+        val tmp = s"$outDir/.tmp_$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val tmpDir = new java.io.File(tmp)
+        val part = tmpDir.listFiles.find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmpDir.listFiles.foreach(_.delete())
+        tmpDir.delete()
+        ok += 1
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += 1
+      }
+    }
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    (ok, failed)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,40 +61,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try {
-        // Spark writes a directory; the contract wants <name>.parquet.
-        // Emit a real single FILE so any reader (duckdb.read_parquet,
-        // pyarrow, pandas) opens it without globbing.
-        val tmp = s"$outDir/.tmp_$name"
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val tmpDir = new java.io.File(tmp)
-        val part = tmpDir.listFiles.find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
-        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        tmpDir.listFiles.foreach(_.delete())
-        tmpDir.delete()
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val (ok, failed) = run(spark, sfDir, outDir)
+    // Bare machine-readable status line (build.sbt's StdoutOutput strategy
+    // keeps it unprefixed under `sbt runMain` too).
+    println(s"""{"verify":"done","ok":$ok,"failed":$failed,"outDir":${jsonQuote(outDir)}}""")
+    // Always exit 0: a single failed query should not make the driver discard
+    // the other dumps — the missing <name>.parquet already fails its compare.
     spark.stop()
   }
 }

@@ -20,6 +20,31 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size >= 45)
   }
 
+  test("Verify.run replicates the driver layout end-to-end at sf0.001") {
+    val spark = TestSpark.spark
+    val out = java.nio.file.Files.createTempDirectory("graft-verify-contract").toString
+    val (ok, failed) = Verify.run(spark, TestSpark.SF0001, out)
+    assert(failed === 0, s"$failed queries failed in Verify.run")
+    assert(ok === SparkEntry.queries.size)
+    // One real parquet FILE (not a part-file directory) per query.
+    SparkEntry.queries.keys.foreach { n =>
+      val f = new java.io.File(s"$out/$n.parquet")
+      assert(f.isFile, s"missing or non-file: $out/$n.parquet")
+      assert(spark.read.parquet(f.getPath).count() >= 0)
+    }
+    // oracle_sql.json must be valid JSON with one key per declared oracle —
+    // parse it with Spark's JSON reader (same strictness class as the
+    // driver's json.load).
+    val oracle = spark.read.option("multiLine", true).json(s"$out/oracle_sql.json")
+    assert(oracle.columns.toSet === SparkEntry.oracleSql.keySet)
+    assert(oracle.count() === 1)
+  }
+
+  test("jsonQuote escapes control characters and quotes safely") {
+    assert(Verify.jsonQuote("a\"b\\c\nd\te\rf\u0001g") ===
+      "\"a\\\"b\\\\c\\nd\\te\\rf\\u0001g\"")
+  }
+
   test("declared no-oracle queries are exactly the approximate/engine-hash ones") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
