@@ -25,3 +25,47 @@ final class InMemoryStore extends KeyValueStore {
   override def del(key: String): Unit = m.remove(key)
   override def size: Int = m.size
 }
+
+/** Executor-side access seam: streaming sink bodies must not `collect()` the
+  * micro-batch to the driver (at 100 TB CDC volume a hot batch would funnel
+  * through one JVM). Instead each partition obtains a client from this
+  * serializable factory — on a cluster an implementation returns a pooled
+  * connection opened executor-side (reference semantics to match:
+  * queue/cdc.go:188-196 — per-record DEL, at-least-once, idempotent).
+  */
+trait StoreClientFactory extends Serializable {
+  /** Called once per non-empty partition, executor-side. Implementations
+    * should return a pooled/cached client, not open a connection per call.
+    */
+  def client(): KeyValueStore
+}
+
+/** Single-JVM factory: resolves the store through a JVM-wide registry, which
+  * in local[n] (where "executors" share the driver JVM) IS the store the
+  * test registered. Only the string id is serialized. A cluster deployment
+  * swaps in a remote-client factory; the pipeline code is unchanged.
+  */
+final case class SharedStoreFactory(id: String) extends StoreClientFactory {
+  def client(): KeyValueStore = SharedStores.lookup(id)
+}
+
+object SharedStores {
+  private val stores = new ConcurrentHashMap[String, KeyValueStore]()
+  private val ids = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One registration per pipeline (ids are never reclaimed — callers that
+    * build unbounded numbers of pipelines should reuse the factory).
+    */
+  def register(store: KeyValueStore): StoreClientFactory = {
+    val id = "store-" + ids.incrementAndGet()
+    stores.put(id, store)
+    SharedStoreFactory(id)
+  }
+
+  private[store] def lookup(id: String): KeyValueStore = {
+    val s = stores.get(id)
+    require(s != null,
+      s"SharedStores: no store '$id' in this JVM — in cluster mode use a remote-client StoreClientFactory")
+    s
+  }
+}

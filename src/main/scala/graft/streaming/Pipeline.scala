@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.cdc.Envelope
-import graft.store.KeyValueStore
+import graft.store.{KeyValueStore, SharedStores, StoreClientFactory}
 
 /** The continuous form of the reference's CDC consumer (SURVEY.md s3.3):
   * one Structured Streaming query per concern, built from the SAME plan
@@ -32,21 +32,32 @@ object Pipeline {
       .load()
       .select(col("value").cast("string").as("value"))
 
-  /** The invalidation consumer: records -> parse -> keys -> DEL. The
-    * foreachBatch body runs on the driver per micro-batch; invalidation-key
-    * batches are tiny projections (one string per change), and DEL replay
-    * is idempotent, so failure mid-batch is safe.
+  /** The invalidation consumer: records -> parse -> keys -> DEL. The DELs
+    * run executor-side via foreachPartition — the driver never sees the
+    * data, so a hot micro-batch scales with the cluster, not the driver.
+    * DEL replay is idempotent, so failure mid-batch is safe.
     */
-  def invalidationQuery(records: DataFrame, store: KeyValueStore,
+  def invalidationQuery(records: DataFrame, factory: StoreClientFactory,
                         checkpoint: String): StreamingQuery =
     Envelope.invalidationKeys(Envelope.parse(records))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => store.del(r.getString(0)))
+        batch.foreachPartition { (it: Iterator[Row]) =>
+          if (it.hasNext) {
+            val client = factory.client()
+            it.foreach(r => client.del(r.getString(0)))
+          }
+        }
       }
       .start()
+
+  /** Single-JVM convenience: registers the in-process store behind a
+    * [[SharedStoreFactory]] (tests, local engine). */
+  def invalidationQuery(records: DataFrame, store: KeyValueStore,
+                        checkpoint: String): StreamingQuery =
+    invalidationQuery(records, SharedStores.register(store), checkpoint)
 
   /** File-based change-record stream (offline/test mode): a directory of
     * text files, one Kafka-value JSON document per line. Same `value`
@@ -146,18 +157,29 @@ object Pipeline {
     * operations are idempotent, so checkpoint replay is safe.
     */
   def materializeQuery(spark: SparkSession, records: DataFrame,
-                       store: KeyValueStore, checkpoint: String): StreamingQuery = {
-    import spark.implicits._
+                       factory: StoreClientFactory, checkpoint: String): StreamingQuery = {
     latestStateStream(spark, records)
       .writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[KeyLatest], _: Long) =>
-        batch.collect().foreach { kl =>
-          if (kl.deleted) store.del(kl.code.toString)
-          else store.put(kl.code.toString, kl.after_json)
+        // Executor-side upsert/delete: mapGroupsWithState emits at most one
+        // row per key per micro-batch, so partitions never race on a key.
+        batch.foreachPartition { (it: Iterator[KeyLatest]) =>
+          if (it.hasNext) {
+            val client = factory.client()
+            it.foreach { kl =>
+              if (kl.deleted) client.del(kl.code.toString)
+              else client.put(kl.code.toString, kl.after_json)
+            }
+          }
         }
       }
       .start()
   }
+
+  /** Single-JVM convenience twin (tests, local engine). */
+  def materializeQuery(spark: SparkSession, records: DataFrame,
+                       store: KeyValueStore, checkpoint: String): StreamingQuery =
+    materializeQuery(spark, records, SharedStores.register(store), checkpoint)
 }

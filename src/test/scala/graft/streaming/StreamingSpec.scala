@@ -34,6 +34,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StoreClientFactory seam: factory survives serialization and resolves the store") {
+    import graft.store.SharedStores
+    val store = new InMemoryStore
+    store.put("k", "v")
+    val factory = SharedStores.register(store)
+    // The sink closure ships to executors — the factory must round-trip
+    // java serialization carrying only its id, then resolve in this JVM.
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(factory); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+      .readObject().asInstanceOf[graft.store.StoreClientFactory]
+    assert(back.client().get("k").contains("v"))
+    back.client().del("k")
+    assert(store.get("k").isEmpty)
+  }
+
   test("keyed latest-state stream: max-lsn row wins, delete tombstones") {
     import spark.implicits._
     val in = MemoryStream[String](spark)
