@@ -11,8 +11,10 @@ import graft.sources.Tables
   *   1. per-row quality features (pure codegen'd expressions, no shuffle);
   *   2. the quality gate FIRST — it is cheap and shrinks the corpus before
   *      the expensive pair join (predicate order is the scale lever here);
-  *   3. near-dup pairs at Jaccard >= 0.8 over survivors (exact here; at
-  *      scale q22's MinHash-LSH banding prunes candidates first);
+  *   3. near-dup pairs at Jaccard >= 0.8 over survivors, via MinHash-LSH
+  *      candidate pruning + exact verification on candidates only
+  *      (Dedup.jaccardPairsLshVerified) — no shingle self-join over the
+  *      full corpus anywhere in the composed plan;
   *   4. keep the lowest doc_id of each dup pair, anti-join out the rest.
   *
   * Deterministic end to end, so the whole composition is oracle-checked
@@ -32,10 +34,16 @@ object Curation {
       TextAnalysis.nTokensCol.as("n_tokens"),
       TextAnalysis.qualityCol.as("quality_x1e3"), col("text"))
 
-  /** The full curation plan over any (doc_id, lang, text) relation. */
+  /** The full curation plan over any (doc_id, lang, text) relation.
+    * Facade-reachable (Graft.curatedCorpus), so `cache=false`: no blocks
+    * stay pinned for the JVM lifetime; callers wanting the intra-plan reuse
+    * persist the input themselves.
+    */
   def curate(docs: DataFrame): DataFrame = {
     val qualified = scored(docs).filter(col("quality_x1e3") >= QUALITY_MIN)
-    val losers = Dedup.jaccardPairs(qualified.select(col("doc_id"), col("text")), JACCARD_MIN)
+    val losers = Dedup
+      .jaccardPairsLshVerified(qualified.select(col("doc_id"), col("text")),
+        JACCARD_MIN, cache = false)
       .select(col("d2").as("doc_id")).distinct()
     qualified
       .join(losers, Seq("doc_id"), "left_anti")

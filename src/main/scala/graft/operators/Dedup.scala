@@ -63,8 +63,11 @@ object Dedup {
     * (band, band-hash); signatures ride along, so the estimate is a
     * codegen'd zip_with over the joined rows — no third pass.
     */
-  private[operators] def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).persist() // both join sides read it
+  private[operators] def minhashCandidates(docs: DataFrame, cache: Boolean = true): DataFrame = {
+    // both join sides read the signature table; `cache=false` trades the
+    // recompute for zero pinned blocks (the long-lived facade path)
+    val sig0 = minhashSignatures(docs)
+    val sig = if (cache) sig0.persist() else sig0
     val bandCols = (0 until N_BANDS).map { b =>
       val cols = (0 until ROWS_PER_BAND).map(r =>
         element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
@@ -117,20 +120,31 @@ object Dedup {
     * the self-join so the inverted-index shuffle carries 8-byte keys
     * instead of strings (collision odds over the shingle space ~1e-11).
     */
-  def jaccardPairs(docs: DataFrame, thresholdX1e3: Int): DataFrame = {
+  def jaccardPairs(docs: DataFrame, thresholdX1e3: Int, cache: Boolean = true): DataFrame = {
     // the shingle relation feeds three consumers (both self-join sides and
     // the per-doc counts); a lazy persist materializes it once instead of
     // re-tokenizing the corpus three times — the same "persist the index"
-    // move a production dedup run makes explicitly
-    val sh = shingles(docs)
+    // move a production dedup run makes explicitly. Query-catalog entries
+    // keep cache=true (process-scoped runs); facade-reachable paths pass
+    // cache=false so a long-lived session pins no blocks.
+    val sh0 = shingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .persist() // shared by both self-join sides and the counts
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sh = if (cache) sh0.persist() else sh0
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("nboth"))
+    exactJaccardFilter(inter, sh, thresholdX1e3)
+  }
+
+  /** Join intersection counts with per-doc shingle counts and apply the
+    * scaled-integer Jaccard threshold (shared tail of the exact and the
+    * LSH-verified paths — one definition, one oracle meaning).
+    */
+  private def exactJaccardFilter(inter: DataFrame, sh: DataFrame,
+                                 thresholdX1e3: Int): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jac = floor(col("nboth") * lit(1000.0) /
       (col("c1.n") + col("c2.n") - col("nboth")) + lit(0.5)).cast("long")
     inter
@@ -138,6 +152,34 @@ object Dedup {
       .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
       .select(col("d1"), col("d2"), jac.as("jaccard_x1e3"))
       .filter(col("jaccard_x1e3") >= thresholdX1e3)
+  }
+
+  /** The 100 TB near-dup shape: MinHash-LSH banding prunes the candidate
+    * space, exact trigram Jaccard verifies ONLY the candidates. Unlike
+    * [[jaccardPairs]] there is no shingle self-join over the full corpus —
+    * the only corpus-wide joins are band-bucket equi-joins, so a hot shingle
+    * (a corpus-wide common trigram) cannot produce a quadratic bucket.
+    *
+    * With 16 bands x 4 rows, P(candidate | J=0.8) = 1-(1-0.8^4)^16 ~ 0.9998;
+    * DedupSpec pins LSH-candidates ⊇ all exact pairs >= 0.8 on the fixture
+    * corpus, so the q32 oracle sees identical output through this path.
+    */
+  def jaccardPairsLshVerified(docs: DataFrame, thresholdX1e3: Int,
+                              cache: Boolean = true): DataFrame = {
+    val cand = minhashCandidates(docs, cache).select(col("d1"), col("d2"))
+    val sh0 = shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = if (cache) sh0.persist() else sh0
+    // Exact intersection counts restricted to candidate pairs: fan each pair
+    // out by d1's shingles, keep those d2 also has. Join sizes scale with
+    // |candidates| x shingles-per-doc, never with corpus^2.
+    val inter = cand
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("d2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("nboth"))
+    exactJaccardFilter(inter, sh, thresholdX1e3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -15,4 +15,5 @@ object TestSpark {
     .getOrCreate()
 
   val SF0001 = "/root/testdata/sf0.001"
+  val SF001 = "/root/testdata/sf0.01"
 }

@@ -44,6 +44,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH-verified Jaccard equals the exact path at both test SFs (q32 oracle safety)") {
+    // q32's oracle runs the EXACT shingle self-join while the Spark side
+    // prunes via LSH first; this pins their equality at the driver's gate
+    // SF (0.01), not just the fixture SF, so the oracle can't drift green.
+    for (dir <- Seq(D, TestSpark.SF001)) {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+        df.select("d1", "d2", "jaccard_x1e3").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = pairs(Dedup.jaccardPairs(docs, 800))
+      val lshVerified = pairs(Dedup.jaccardPairsLshVerified(docs, 800, cache = false))
+      assert(exact.nonEmpty, s"$dir: fixture should contain planted near-dups")
+      assert(lshVerified === exact, s"$dir: LSH-verified != exact")
+    }
+  }
+
   test("SimHash finds the planted near-dup pairs at Hamming <= 3") {
     val sim = Dedup.queries("q23_simhash_pairs")(spark, D)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
