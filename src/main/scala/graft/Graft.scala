@@ -26,6 +26,14 @@ import graft.store.{InMemoryStore, KeyValueStore}
 final class Graft(val spark: SparkSession, dataDir: String,
                   store: KeyValueStore = new InMemoryStore) {
 
+  // CDC timestamps are Debezium epoch-micros materialized as timestamp_ntz
+  // (Schemas.scala): the epoch->wall-clock rendering reads the session zone,
+  // so a system-zone session would shift created_at/updated_at relative to
+  // what cdc.readOne returns for the same row. Pin UTC here, not just in the
+  // shipped mains, so a reference user handing us a default session gets
+  // reference-identical timestamps.
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
+
   graft.functions.GraftFunctions.register(spark)
   // Convenience temp views are SESSION-global and last-writer-wins: if two
   // Graft instances share one session, `sql` over bare table names resolves

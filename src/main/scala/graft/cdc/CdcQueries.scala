@@ -60,12 +60,17 @@ object CdcQueries {
       fmtSinners(Fixtures.sinners(s).unionByName(Fixtures.newRows(s)))
         .orderBy("code")),
 
-    // Q4 (O-7): last-writer-wins upsert — per-key arg-max by updated_at
-    // over base UNION updates. One shuffle on the key; map-side partial
-    // aggregation via max_by would also work, window keeps the whole row.
+    // Q4 (O-7): last-writer-wins upsert — per-key arg-max by
+    // (updated_at, lsn) over base UNION updates; the lsn tie-break makes two
+    // same-microsecond updates deterministic (SURVEY §2.6 Q4). One shuffle
+    // on the key; map-side partial aggregation via max_by would also work,
+    // window keeps the whole row. Base snapshot rows precede any WAL update,
+    // so they carry lsn 0.
     "q04_update" -> ((s, _) => {
-      val all = Fixtures.sinners(s).unionByName(Fixtures.updatedRows(s))
-      val w = Window.partitionBy("code").orderBy(col("updated_at").desc)
+      val all = Fixtures.sinners(s).withColumn("lsn", lit(0L))
+        .unionByName(Fixtures.updatedRows(s))
+      val w = Window.partitionBy("code")
+        .orderBy(col("updated_at").desc, col("lsn").desc)
       fmtSinners(all.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")).orderBy("code")
     }),
@@ -129,10 +134,11 @@ object CdcQueries {
     "q04_update" ->
       s"""WITH sinners(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
          |    $baseValues),
-         |updates(code, name, "class", libram, tendency, created_at, updated_at) AS (VALUES
-         |    (CAST(14 AS BIGINT), 'Deren', 'S', 'Fraud', 'Wrath', '$T0', '$T3')),
-         |all_rows AS (SELECT * FROM sinners UNION ALL SELECT * FROM updates),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY code ORDER BY updated_at DESC) AS rn FROM all_rows)
+         |updates(code, name, "class", libram, tendency, created_at, updated_at, lsn) AS (VALUES
+         |    (CAST(14 AS BIGINT), 'Deren', 'S', 'Fraud', 'Wrath', '$T0', '$T3', CAST(100004 AS BIGINT)),
+         |    (CAST(14 AS BIGINT), 'Deren', 'S', 'Fraud', 'Envy', '$T0', '$T3', CAST(100006 AS BIGINT))),
+         |all_rows AS (SELECT *, CAST(0 AS BIGINT) AS lsn FROM sinners UNION ALL SELECT * FROM updates),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY code ORDER BY updated_at DESC, lsn DESC) AS rn FROM all_rows)
          |SELECT code, name, "class", libram, tendency, created_at, updated_at
          |FROM ranked WHERE rn = 1 ORDER BY code""".stripMargin,
 

@@ -73,9 +73,23 @@ object Fixtures {
   def newRows(spark: SparkSession): DataFrame = sinnersFrom(spark, Seq(
     (5L, "Augustus", "S", "War", "Reticle", t(1), t(1))))
 
-  /** Updated row images applied in the update scenario (Q4). */
-  def updatedRows(spark: SparkSession): DataFrame = sinnersFrom(spark, Seq(
-    (14L, "Deren", "S", "Fraud", "Wrath", T0, t(3))))
+  /** Updated row images applied in the update scenario (Q4), each carrying
+    * its WAL ordinal (`lsn`). The two code-14 updates share the SAME
+    * `updated_at` microsecond (t(3)): last-writer-wins must break the tie on
+    * lsn (SURVEY §2.6 Q4 — arg-max by (updated_at, lsn)), so the higher-lsn
+    * "Envy" image wins and a timestamp-only ordering is pinned as wrong.
+    */
+  def updatedRows(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (14L, "Deren", "S", "Fraud", "Wrath", T0, t(3), 100004L),
+      (14L, "Deren", "S", "Fraud", "Envy", T0, t(3), 100006L))
+      .toDF("code", "name", "class", "libram", "tendency", "ca_us", "ua_us", "lsn")
+      .withColumn("created_at", timestamp_micros(col("ca_us")).cast("timestamp_ntz"))
+      .withColumn("updated_at", timestamp_micros(col("ua_us")).cast("timestamp_ntz"))
+      .drop("ca_us", "ua_us")
+      .select((Schemas.SINNER.fieldNames.toSeq :+ "lsn").map(col): _*)
+  }
 
   /** Keys deleted in the delete scenario (Q5). */
   def deletedKeys(spark: SparkSession): DataFrame = {

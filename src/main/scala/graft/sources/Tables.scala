@@ -26,16 +26,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf) and rebuild the
-    * timestamp with exact integer arithmetic (`div`, not `/` — nano epochs
-    * exceed 2^53 so double division would lose precision).
+    * reader rejects. Two pieces let us read it WITHOUT mutating the shared
+    * session conf: an explicit schema (ts as long) skips footer schema
+    * inference — the step that throws PARQUET_TYPE_ILLEGAL and ignores
+    * per-read options — and the legacy nanosAsLong conf passed as a PER-READ
+    * option lands in this relation's hadoop conf, where the executor-side
+    * row-group readers consult it. The timestamp is then rebuilt with exact
+    * integer arithmetic (`div`, not `/` — nano epochs exceed 2^53 so double
+    * division would lose precision).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+  private val EVENTS_SCHEMA = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(EVENTS_SCHEMA)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

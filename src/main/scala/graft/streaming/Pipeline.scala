@@ -71,28 +71,48 @@ object Pipeline {
       .text(dir)
 
   /** O-16 parity: the reference's supervisor loop (queue/runner.go:11-35)
-    * restarts the consumer on any non-cancel error after a pause. Here a
-    * failed query restarts FROM ITS CHECKPOINT, so no records are lost or
-    * re-invalidated beyond the failed micro-batch (which replays into
-    * idempotent sinks). Returns the terminal query handle once one run
-    * terminates cleanly; rethrows after `maxRestarts` consecutive failures.
+    * restarts the consumer on any non-cancel error. Here a failed query
+    * restarts FROM ITS CHECKPOINT, so no records are lost or re-invalidated
+    * beyond the failed micro-batch (which replays into idempotent sinks).
+    *
+    * Backoff mirrors the reference's retry tuning (queue/cdc.go:75-85,
+    * config/config.go:121-152): exponential doubling from `basePauseMs`,
+    * capped at `maxPauseMs`, with ±25% jitter so a fleet of restarting
+    * consumers doesn't thundering-herd the broker. The failure counter
+    * resets once a restarted run makes progress (any committed micro-batch),
+    * so the budget is per-incident, not per-JVM-lifetime — a consumer that
+    * recovers and fails again days later gets a fresh `maxRestarts`.
+    *
+    * Returns the handle of the run that terminated cleanly; rethrows after
+    * `maxRestarts` consecutive no-progress failures. `sleep`/`jitter` are
+    * injectable for tests.
     */
   def supervise(start: () => StreamingQuery,
-                maxRestarts: Int = 5, pauseMs: Long = 100): Unit = {
+                maxRestarts: Int = 5,
+                basePauseMs: Long = 100,
+                maxPauseMs: Long = 30000,
+                sleep: Long => Unit = Thread.sleep,
+                jitter: () => Double = () =>
+                  java.util.concurrent.ThreadLocalRandom.current().nextDouble(-0.25, 0.25)): StreamingQuery = {
     var attempts = 0
-    var done = false
-    while (!done) {
+    while (true) {
       val q = start()
       try {
         q.awaitTermination()
-        done = true // clean stop (O-17 path)
+        return q // clean stop (O-17 path)
       } catch {
         case e: Throwable =>
+          // a run that committed at least one micro-batch closes the prior
+          // incident: this failure starts a fresh restart budget
+          if (q.recentProgress.nonEmpty) attempts = 0
           attempts += 1
           if (attempts > maxRestarts) throw e
-          Thread.sleep(pauseMs)
+          val exp = basePauseMs << math.min(attempts - 1, 20)
+          val pause = (math.min(exp, maxPauseMs) * (1.0 + jitter())).toLong
+          sleep(math.max(0L, pause))
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** O-17 parity: graceful shutdown — stop consuming, let the in-flight

@@ -26,6 +26,15 @@ class GraftSpec extends AnyFunSuite {
     assert(state.length === 1)
   }
 
+  test("constructor pins the session timezone to UTC (NTZ timestamp contract)") {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      new Graft(spark, TestSpark.SF0001)
+      assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("curation pipeline runs end to end") {
     val curated = g.curatedCorpus()
     assert(curated.count() > 0)

@@ -80,6 +80,24 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("two calls with non-nullable children compile in one codegen scope") {
+    // non-nullable, non-foldable children (arrays built from range's id)
+    // make nullSafeCodeGen emit the body UNSCOPED twice in one projection —
+    // exactly the case that used to redeclare fixed local names. fallback=off
+    // turns any codegen compile error into a test failure instead of a
+    // silent interpreted fallback.
+    GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT graft_cosine(array(CAST(id AS DOUBLE), 2.0d), array(2.0d, 1.0d)) AS c1,
+          |       graft_cosine(array(CAST(id AS DOUBLE), 0.0d), array(1.0d, 0.0d)) AS c2
+          |FROM range(1, 2)""".stripMargin).collect().head
+      assert(math.abs(r.getDouble(0) - 0.8) < 1e-12)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("interpreted (non-codegen) eval agrees with codegen") {
     val e = CosineSimilarity(
       org.apache.spark.sql.catalyst.expressions.Literal.create(

@@ -40,6 +40,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows === Seq((1L, "alpha"), (2L, "beta")))
   }
 
+  test("events reads TIMESTAMP(NANOS) without mutating the session conf") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val rows = Tables.events(spark, D)
+    assert(rows.schema("ts").dataType === TimestampType)
+    assert(rows.filter(col("ts").isNotNull).count() > 0)
+    // per-read option, not a session-wide side effect: the session conf
+    // still reports its default ("false"), not the value the read needed
+    assert(spark.conf.get(key) === "false",
+      "events() must not set the legacy conf on the shared session")
+  }
+
   test("partitioned write enables partition pruning (PartitionFilters, not data read)") {
     val out = Files.createTempDirectory("graft-part").toString + "/orders"
     Sources.writePartitioned(

@@ -54,6 +54,60 @@ class SupervisionSpec extends AnyFunSuite {
       "replayed batch must still invalidate all keys")
   }
 
+  // Minimal fake handle for exercising supervise's restart policy without
+  // paying a real streaming query per restart. recentProgress uses a
+  // null-element array purely as a "made progress" flag — supervise only
+  // checks nonEmpty.
+  private class FakeQuery(fail: Boolean, progressed: Boolean)
+      extends org.apache.spark.sql.streaming.StreamingQuery {
+    def name: String = "fake"
+    def id: java.util.UUID = java.util.UUID.randomUUID()
+    def runId: java.util.UUID = java.util.UUID.randomUUID()
+    def sparkSession: org.apache.spark.sql.SparkSession = spark
+    def isActive: Boolean = false
+    def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
+    def status: org.apache.spark.sql.streaming.StreamingQueryStatus = null
+    def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      if (progressed) Array(null) else Array.empty
+    def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+    def awaitTermination(): Unit =
+      if (fail) throw new RuntimeException("injected query failure")
+    def awaitTermination(timeoutMs: Long): Boolean = { awaitTermination(); true }
+    def processAllAvailable(): Unit = ()
+    def stop(): Unit = ()
+    def explain(): Unit = ()
+    def explain(extended: Boolean): Unit = ()
+  }
+
+  test("supervise backs off exponentially with a cap before giving up") {
+    val delays = scala.collection.mutable.ArrayBuffer[Long]()
+    val ex = intercept[RuntimeException] {
+      Pipeline.supervise(() => new FakeQuery(fail = true, progressed = false),
+        maxRestarts = 4, basePauseMs = 100, maxPauseMs = 400,
+        sleep = delays.append(_), jitter = () => 0.0)
+    }
+    assert(ex.getMessage === "injected query failure")
+    assert(delays.toSeq === Seq(100L, 200L, 400L, 400L),
+      "expected doubling then cap, one pause per allowed restart")
+  }
+
+  test("supervise resets the restart budget once a run makes progress") {
+    val delays = scala.collection.mutable.ArrayBuffer[Long]()
+    val runs = new AtomicInteger(0)
+    // every run fails but reports committed progress; with maxRestarts=1 a
+    // lifetime budget would rethrow on the second failure — the per-incident
+    // reset keeps restarting until the clean run
+    Pipeline.supervise(() => {
+      val r = runs.incrementAndGet()
+      if (r <= 4) new FakeQuery(fail = true, progressed = true)
+      else new FakeQuery(fail = false, progressed = true)
+    }, maxRestarts = 1, basePauseMs = 100, maxPauseMs = 400,
+      sleep = delays.append(_), jitter = () => 0.0)
+    assert(runs.get() === 5)
+    assert(delays.toSeq === Seq(100L, 100L, 100L, 100L),
+      "each failure-after-progress restarts a fresh budget at the base pause")
+  }
+
   test("readOneParam O-4 parity: bad key is a 400 before any lookup") {
     import graft.api._
     val e = new CdcEngine(new InMemoryStore)
