@@ -182,6 +182,69 @@ object Dedup {
     exactJaccardFilter(inter, sh, thresholdX1e3)
   }
 
+  /** Exact embedding-cosine near-dup pairs: every (v1 < v2) with
+    * floor-scaled cosine >= thresholdX1e4. This is the quadratic exact
+    * baseline (the embedding analogue of [[jaccardPairs]]) and the oracle
+    * anchor; [[embeddingNearDupLsh]] is the bucketed scale path. The dot
+    * products fold left-to-right over doubles, matching the DuckDB twin
+    * bit-for-bit (same determinism contract as q20).
+    */
+  def embeddingNearDupPairs(embs: DataFrame, thresholdX1e4: Int): DataFrame = {
+    // the pairwise loop runs |corpus|^2 times: the fused codegen'd cosine
+    // (one JIT'd loop per pair, q20c-proven bit-identical to the oracle
+    // formula) is the difference between seconds and minutes here — the
+    // interpreted HOF fold pays three lambda evaluations per element
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val e = Similarity.asDouble(embs)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        floor(graft.functions.GraftFunctions.cosine(col("a.emb"), col("b.emb")) * 10000 + lit(0.5))
+          .cast("long").as("cos_x1e4"))
+      .filter(col("cos_x1e4") >= thresholdX1e4)
+  }
+
+  /** The scale shape for embedding near-dup: random-hyperplane sign bands
+    * prune the pair space to an equi-join on (band, bucket), then exact
+    * cosine verifies ONLY the candidates — precision is 1.0 by construction,
+    * recall is the banding probability 1-(1-p^bandBits)^nBands with
+    * p = 1 - angle/pi. Band sizing is threshold-dependent: in the true
+    * near-dup regime (cos >= 0.9, p >= 0.9) the default 8x8 keeps recall
+    * >= 0.97 while collapsing the candidate space; at looser thresholds
+    * callers trade bandBits down for recall. Planes are the same fixed
+    * deterministic set as the q24 ANN index.
+    */
+  def embeddingNearDupLsh(embs: DataFrame, thresholdX1e4: Int,
+                          bandBits: Int = 8, nBands: Int = 8,
+                          dim: Int = 64, cache: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val e0 = Similarity.asDouble(embs)
+    val e = if (cache) e0.persist() else e0
+    val allPlanes = Similarity.planes(bandBits * nBands, dim)
+    val bandCols = (0 until nBands).map { b =>
+      val bucket = (0 until bandBits).map { i =>
+        val plane = array(allPlanes(b * bandBits + i).map(lit).toIndexedSeq: _*)
+        when(Similarity.dot(col("emb"), plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      struct(lit(b).as("band"), bucket.as("bv"))
+    }
+    val buckets = e
+      .select(col("vec_id"), col("emb"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("emb"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      // verify BEFORE distinct (same trade as minhashCandidates): a pair
+      // colliding in k bands recomputes the codegen'd cosine k times, but
+      // the distinct exchange then carries 24-byte rows, not two arrays
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        floor(graft.functions.GraftFunctions.cosine(col("a.emb"), col("b.emb")) * 10000 + lit(0.5))
+          .cast("long").as("cos_x1e4"))
+      .distinct()
+      .filter(col("cos_x1e4") >= thresholdX1e4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q18 (E-9): exact content-hash dedup. Grouping on the 32-byte hash
@@ -206,6 +269,15 @@ object Dedup {
       minhashCandidates(Tables.documents(s, d))
         .filter(col("est_jaccard_x1e3") >= 500)
         .orderBy("d1", "d2")),
+
+    // Q40: exact embedding-cosine near-dup pairs. The synthetic corpus has
+    // no true duplicates (max pairwise cosine ~0.51 at sf0.01), so the demo
+    // threshold 0.45 sits in the far tail (p99 ~0.29) and returns a small
+    // non-empty pair set at every SF; production near-dup runs at >= 0.9
+    // go through embeddingNearDupLsh (spec-pinned exact-equal on planted
+    // duplicates).
+    "q40_embedding_neardup" -> ((s, d) =>
+      embeddingNearDupPairs(Tables.embeddings(s, d), 4500).orderBy("v1", "v2")),
 
     // Q23: SimHash near-dup pairs, Hamming <= 3, found via block-equality
     // blocking (pigeonhole-complete for <= 3 over 4 blocks). No oracle.
@@ -251,6 +323,17 @@ object Dedup {
         |JOIN cnt c1 ON c1.doc_id = d1
         |JOIN cnt c2 ON c2.doc_id = d2
         |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 600
-        |ORDER BY d1, d2""".stripMargin
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q40_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       CAST(FLOOR(list_dot_product(a.emb, b.emb) /
+        |         (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |         * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT v1, v2, cos_x1e4 FROM p
+        |WHERE cos_x1e4 >= 4500
+        |ORDER BY v1, v2""".stripMargin
   )
 }

@@ -27,13 +27,13 @@ import graft.sources.Tables
 object Similarity {
 
   /** Sequential fold dot product in doubles: aggregate(zip_with(a,b,*)). */
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[operators] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def asDouble(df: DataFrame): DataFrame =
+  private[operators] def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb"))
 

@@ -70,6 +70,63 @@ class OperatorsSpec extends AnyFunSuite {
       s"simhash found $hit of ${exactPairs.size} planted pairs")
   }
 
+  // --- Embedding-cosine near-dup: exact baseline vs the banded scale path.
+
+  private def nearDupPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("v1", "v2", "cos_x1e4").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("exact embedding near-dup matches a driver-side recomputation") {
+    val emb = Tables.embeddings(spark, D)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = emb.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      c = math.floor(cos(emb(i), emb(j)) * 10000 + 0.5).toLong if c >= 4500
+    } yield (i, j, c)).toSet
+    val got = nearDupPairs(Dedup.queries("q40_embedding_neardup")(spark, D))
+    assert(expected.nonEmpty, "demo threshold should catch the tail pairs")
+    assert(got === expected)
+  }
+
+  test("LSH embedding near-dup equals exact on planted duplicates (the >=0.9 regime)") {
+    // The synthetic corpus has no true near-dups (max cosine ~0.5), so plant
+    // some: scaled copies have cosine ~1.0 with their originals and land in
+    // identical sign-buckets. At threshold 0.95 with the default 8x8 banding
+    // the LSH path must reproduce the exact result — candidates are verified
+    // with the same exact cosine, so any difference is a recall miss.
+    val base = Tables.embeddings(spark, D).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val exact = nearDupPairs(Dedup.embeddingNearDupPairs(corpus, 9500))
+    val lsh = nearDupPairs(Dedup.embeddingNearDupLsh(corpus, 9500, cache = false))
+    assert(exact.size >= 50, "every planted copy must pair with its original")
+    assert(lsh === exact)
+  }
+
+  test("LSH embedding near-dup at the demo threshold: exact-precise, and wide banding recovers every pair") {
+    // 0.45 is far below the regime banding is built for, so recall needs the
+    // wide config (2 bits x 16 bands); precision is 1.0 at ANY config
+    // because candidates are verified with the exact cosine.
+    val embs = Tables.embeddings(spark, D)
+    val exact = nearDupPairs(Dedup.embeddingNearDupPairs(embs, 4500))
+    val lsh = nearDupPairs(
+      Dedup.embeddingNearDupLsh(embs, 4500, bandBits = 2, nBands = 16, cache = false))
+    assert(lsh.subsetOf(exact), "verified candidates can never out-score exact")
+    assert(lsh === exact, s"wide banding missed pairs: ${exact -- lsh}")
+  }
+
   // --- Similarity: ANN vs brute force.
 
   test("brute-force top-k matches a driver-side recomputation") {
