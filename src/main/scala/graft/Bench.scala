@@ -52,10 +52,11 @@ object Bench {
     // stdout is the driver contract (bare line — build.sbt routes forked run
     // output through StdoutOutput so sbt adds no "[info] " prefix); the file
     // copy is a fallback the driver (or a human) can read if stdout is ever
-    // mangled by the launcher.
+    // mangled by the launcher. Fixed name on purpose: interpreting a stray
+    // positional arg as the write target would silently clobber that path.
     println(line)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(args.headOption.getOrElse("bench_out.json")), line + "\n")
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ object Verify {
   def run(spark: SparkSession, sfDir: String, outDir: String): (Int, Int) = {
     new java.io.File(outDir).mkdirs()
     var ok, failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val perQuery = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val tmp = s"$outDir/.tmp_$name"
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -36,8 +37,22 @@ object Verify {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         tmpDir.listFiles.foreach(_.delete())
         tmpDir.delete()
+        val dumped = spark.read.parquet(s"$outDir/$name.parquet")
+        val status = s"""{"query":${jsonQuote(name)},"status":"ok"""" +
+          s""","rows":${dumped.count()}""" +
+          s""","cols":${dumped.columns.sorted.map(jsonQuote).mkString("[", ",", "]")}""" +
+          s""","oracle":${SparkEntry.oracleSql.contains(name)}}"""
+        perQuery += status
+        // one bare JSON line per query on stdout, machine-parseable by any
+        // driver that scans line-wise (build.sbt's StdoutOutput strategy
+        // keeps forked-run stdout unprefixed)
+        println(status)
         ok += 1
       } catch { case e: Throwable =>
+        val status = s"""{"query":${jsonQuote(name)},"status":"error"""" +
+          s""","error":${jsonQuote(String.valueOf(e.getMessage).take(300))}}"""
+        perQuery += status
+        println(status)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += 1
       }
@@ -46,6 +61,10 @@ object Verify {
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // redundant file-based copy of the per-query stdout contract, for any
+    // consumer that prefers files to stdout scraping
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"),
+      perQuery.mkString("[", ",\n ", "]") + "\n")
     (ok, failed)
   }
 

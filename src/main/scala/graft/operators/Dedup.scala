@@ -215,11 +215,22 @@ object Dedup {
     */
   def embeddingNearDupLsh(embs: DataFrame, thresholdX1e4: Int,
                           bandBits: Int = 8, nBands: Int = 8,
-                          dim: Int = 64, cache: Boolean = true): DataFrame = {
+                          dim: Int = 0, cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(embs.sparkSession)
+    // dim <= 0 derives the plane width from the data (one first() on the
+    // index build — negligible); an explicit dim is then ASSERTED per row,
+    // because a mismatch would null every plane dot via zip_with padding and
+    // silently degrade each band join to a quadratic self cross-join.
+    val actualDim =
+      if (dim > 0) dim
+      else embs.select(size(col("embedding"))).head().getInt(0)
     val e0 = Similarity.asDouble(embs)
+      .withColumn("emb", when(size(col("emb")) === actualDim, col("emb"))
+        .otherwise(raise_error(concat(
+          lit(s"embeddingNearDupLsh: embedding dim != $actualDim for vec_id="),
+          col("vec_id").cast("string")))))
     val e = if (cache) e0.persist() else e0
-    val allPlanes = Similarity.planes(bandBits * nBands, dim)
+    val allPlanes = Similarity.planes(bandBits * nBands, actualDim)
     val bandCols = (0 until nBands).map { b =>
       val bucket = (0 until bandBits).map { i =>
         val plane = array(allPlanes(b * bandBits + i).map(lit).toIndexedSeq: _*)

@@ -53,10 +53,18 @@ object SharedStores {
   private val stores = new ConcurrentHashMap[String, KeyValueStore]()
   private val ids = new java.util.concurrent.atomic.AtomicLong()
 
-  /** One registration per pipeline (ids are never reclaimed — callers that
-    * build unbounded numbers of pipelines should reuse the factory).
+  /** Registration is deduplicated by store identity, so the convenience
+    * overloads that call this per pipeline construction don't accumulate
+    * registry entries that pin stores for the JVM lifetime — re-registering
+    * the same store returns the same factory. The registry stays O(distinct
+    * stores), which is what the single-JVM deployment actually has.
     */
-  def register(store: KeyValueStore): StoreClientFactory = {
+  def register(store: KeyValueStore): StoreClientFactory = synchronized {
+    val it = stores.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue eq store) return SharedStoreFactory(e.getKey)
+    }
     val id = "store-" + ids.incrementAndGet()
     stores.put(id, store)
     SharedStoreFactory(id)

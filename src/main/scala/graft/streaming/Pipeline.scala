@@ -79,13 +79,16 @@ object Pipeline {
     * config/config.go:121-152): exponential doubling from `basePauseMs`,
     * capped at `maxPauseMs`, with ±25% jitter so a fleet of restarting
     * consumers doesn't thundering-herd the broker. The failure counter
-    * resets once a restarted run makes progress (any committed micro-batch),
-    * so the budget is per-incident, not per-JVM-lifetime — a consumer that
+    * resets once a restarted run makes progress — by default a committed
+    * micro-batch with input rows, since Structured Streaming also emits
+    * progress events for idle zero-row triggers, and counting those would
+    * let a query that always idles once before failing restart forever —
+    * so the budget is per-incident, not per-JVM-lifetime: a consumer that
     * recovers and fails again days later gets a fresh `maxRestarts`.
     *
     * Returns the handle of the run that terminated cleanly; rethrows after
-    * `maxRestarts` consecutive no-progress failures. `sleep`/`jitter` are
-    * injectable for tests.
+    * `maxRestarts` consecutive no-progress failures. `sleep`/`jitter`/
+    * `madeProgress` are injectable for tests.
     */
   def supervise(start: () => StreamingQuery,
                 maxRestarts: Int = 5,
@@ -93,7 +96,9 @@ object Pipeline {
                 maxPauseMs: Long = 30000,
                 sleep: Long => Unit = Thread.sleep,
                 jitter: () => Double = () =>
-                  java.util.concurrent.ThreadLocalRandom.current().nextDouble(-0.25, 0.25)): StreamingQuery = {
+                  java.util.concurrent.ThreadLocalRandom.current().nextDouble(-0.25, 0.25),
+                madeProgress: StreamingQuery => Boolean = q =>
+                  q.recentProgress.exists(p => p != null && p.numInputRows > 0)): StreamingQuery = {
     var attempts = 0
     while (true) {
       val q = start()
@@ -102,9 +107,9 @@ object Pipeline {
         return q // clean stop (O-17 path)
       } catch {
         case e: Throwable =>
-          // a run that committed at least one micro-batch closes the prior
-          // incident: this failure starts a fresh restart budget
-          if (q.recentProgress.nonEmpty) attempts = 0
+          // a run that committed at least one non-empty micro-batch closes
+          // the prior incident: this failure starts a fresh restart budget
+          if (madeProgress(q)) attempts = 0
           attempts += 1
           if (attempts > maxRestarts) throw e
           val exp = basePauseMs << math.min(attempts - 1, 20)

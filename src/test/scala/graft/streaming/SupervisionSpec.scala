@@ -56,8 +56,11 @@ class SupervisionSpec extends AnyFunSuite {
 
   // Minimal fake handle for exercising supervise's restart policy without
   // paying a real streaming query per restart. recentProgress uses a
-  // null-element array purely as a "made progress" flag — supervise only
-  // checks nonEmpty.
+  // null-element array purely as a "made progress" flag; the policy tests
+  // inject `madeProgress = _.recentProgress.nonEmpty` since a real
+  // StreamingQueryProgress is not constructible outside the spark package
+  // (the default checker additionally requires numInputRows > 0 so idle
+  // zero-row triggers don't reset the budget).
   private class FakeQuery(fail: Boolean, progressed: Boolean)
       extends org.apache.spark.sql.streaming.StreamingQuery {
     def name: String = "fake"
@@ -84,7 +87,8 @@ class SupervisionSpec extends AnyFunSuite {
     val ex = intercept[RuntimeException] {
       Pipeline.supervise(() => new FakeQuery(fail = true, progressed = false),
         maxRestarts = 4, basePauseMs = 100, maxPauseMs = 400,
-        sleep = delays.append(_), jitter = () => 0.0)
+        sleep = delays.append(_), jitter = () => 0.0,
+        madeProgress = _.recentProgress.nonEmpty)
     }
     assert(ex.getMessage === "injected query failure")
     assert(delays.toSeq === Seq(100L, 200L, 400L, 400L),
@@ -102,7 +106,8 @@ class SupervisionSpec extends AnyFunSuite {
       if (r <= 4) new FakeQuery(fail = true, progressed = true)
       else new FakeQuery(fail = false, progressed = true)
     }, maxRestarts = 1, basePauseMs = 100, maxPauseMs = 400,
-      sleep = delays.append(_), jitter = () => 0.0)
+      sleep = delays.append(_), jitter = () => 0.0,
+      madeProgress = _.recentProgress.nonEmpty)
     assert(runs.get() === 5)
     assert(delays.toSeq === Seq(100L, 100L, 100L, 100L),
       "each failure-after-progress restarts a fresh budget at the base pause")
