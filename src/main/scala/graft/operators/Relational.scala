@@ -28,7 +28,7 @@ import graft.sources.Tables
 object Relational {
 
   /** floor(c * 10^scale + 0.5) as BIGINT — deterministic scaled fixed-point. */
-  private def scaled(c: Column, pow10: Double): Column =
+  private[operators] def scaled(c: Column, pow10: Double): Column =
     floor(c * lit(pow10) + lit(0.5)).cast("long")
 
   private val revenue: Column =
@@ -145,11 +145,9 @@ object Relational {
         .agg(countDistinct(col("user_id")).as("n_users"),
              count(lit(1)).as("n_events"))),
 
-    // Q16b: HLL sketch variant — the 100 TB path, where an exact distinct
-    // would shuffle every key. Approximate, so no hash oracle (rows-only).
-    "q16b_hll_users" -> ((s, d) =>
-      Tables.events(s, d)
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))),
+    // Q16b (HLL sketch variant) lives in operators.Sketches: the portable
+    // register construction there makes the estimate oracle-checkable,
+    // which Spark's engine-internal approx_count_distinct can never be.
 
     // Q17 (E-8 batch form): tumbling 1-hour buckets. date_trunc keeps the
     // grouping key computable inside codegen; the streaming twin uses
@@ -229,15 +227,9 @@ object Relational {
             .as("p50_price_c_x10"))
         .orderBy("l_returnflag")),
 
-    // Q34b: t-digest sketch percentiles — fixed-size state, the 100 TB
-    // path. Approximate and Spark-specific => rows-only check.
-    "q34b_percentile_approx" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          scaledAgg(expr("percentile_approx(l_extendedprice, 0.5, 1000)")).as("p50_approx_x100"),
-          scaledAgg(expr("percentile_approx(l_quantity, 0.9, 1000)")).as("p90_qty_x100"))
-        .orderBy("l_returnflag")),
+    // Q34b (sketch percentiles) lives in operators.Sketches: the histogram
+    // sketch there has the same fixed-state mergeable contract as
+    // percentile_approx but is reproducible in the DuckDB oracle.
 
     // Q35 (E-4): moment-based statistics. Computed in one pass via
     // co-moments; emitted floor-scaled (see determinism note — the
