@@ -19,10 +19,12 @@ import graft.sources.Tables
   *    pigeonhole blocking (4 blocks: any pair with Hamming distance <= 3
   *    shares at least one exact block, so blocking loses nothing).
   *
-  * q22/q23 use xxhash64 (Spark-native, codegen'd, seed-stable) which has no
-  * DuckDB twin, so they are declared without oracle SQL — the driver records
-  * a rows-only check and ScalaTest asserts containment against the exact
-  * q21 pairs.
+  * q22's LSH pruning uses xxhash64 (Spark-native, codegen'd, seed-stable)
+  * internally, but its OUTPUT is the exact-verified pair set, so its oracle
+  * is plain exact-Jaccard SQL; q23's SimHash is built on the portable
+  * md5-derived hash so the signatures themselves reproduce in DuckDB.
+  * ScalaTest additionally asserts LSH-candidate containment against the
+  * exact q21 pairs at both test SFs.
   */
 object Dedup {
 
@@ -95,24 +97,59 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash per document from token-frequency-weighted xxhash64 bit
-    * votes. One explode + two hash-aggregates; everything else is codegen'd
-    * bit arithmetic.
+  private val SIMHASH_BITS = 60   // width of the portable md5-derived hash
+  private val SIMHASH_BLOCKS = 4  // 4 x 15-bit blocks: pigeonhole-complete
+  private val BLOCK_BITS = SIMHASH_BITS / SIMHASH_BLOCKS
+
+  /** 60-bit SimHash per document from token-frequency-weighted bit votes.
+    * One explode + two hash-aggregates; everything else is codegen'd bit
+    * arithmetic. The token hash is the portable md5-derived
+    * [[Sketches.phash60]], so the signature — and therefore the whole q23
+    * pair set — is reproducible in the DuckDB oracle, unlike the previous
+    * xxhash64 form which could only get a rows-only check.
     */
   private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("th", Sketches.phash60(col("tok")))
+    val bitSums = (0 until SIMHASH_BITS).map { i =>
       sum(when(col("th").bitwiseAND(lit(1L << i)) =!= 0L, col("w"))
         .otherwise(-col("w"))).as(s"b$i")
     }
     val agg = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     agg.select(col("doc_id"),
-      (0 until 64).map(i =>
+      (0 until SIMHASH_BITS).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** The DuckDB twin of the q23 plan, generated from the same constants. */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until SIMHASH_BITS).map(i =>
+      s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN w ELSE -w END) AS b$i")
+      .mkString(",\n         ")
+    val assemble = (0 until SIMHASH_BITS).map(i =>
+      s"(CASE WHEN b$i > 0 THEN 1::BIGINT << $i ELSE 0::BIGINT END)")
+      .mkString(" +\n         ")
+    val blks = (0 until SIMHASH_BLOCKS).mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tfc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS w FROM tok GROUP BY 1, 2),
+       |tf AS (SELECT doc_id, w, ${Sketches.phash60Sql("tok")} AS th FROM tfc),
+       |bits AS (SELECT doc_id,
+       |         $bitSums
+       |         FROM tf GROUP BY doc_id),
+       |sh AS (SELECT doc_id,
+       |         $assemble AS simhash
+       |       FROM bits),
+       |blocks AS (SELECT doc_id, simhash, blk,
+       |             (simhash >> (blk * $BLOCK_BITS)) & ${(1 << BLOCK_BITS) - 1} AS bv
+       |           FROM sh, unnest($blks) AS t(blk)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |          FROM blocks a JOIN blocks b
+       |            ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin
   }
 
   /** Exact trigram-Jaccard near-dup pairs over any (doc_id, text) relation,
@@ -274,11 +311,15 @@ object Dedup {
     "q21_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(Tables.documents(s, d), 600).orderBy("d1", "d2")),
 
-    // Q22: MinHash-LSH near-dup candidates (est. Jaccard >= 0.5). No oracle
-    // (xxhash64); verified by spec against q21.
+    // Q22: the MinHash-LSH near-dup pipeline as a user runs it at scale —
+    // banded candidate generation (xxhash64 internally) followed by exact
+    // trigram-Jaccard verification of candidates only, threshold 0.8. The
+    // verified output equals the exact q21-style pair set (containment is
+    // spec-pinned at both test SFs), so the oracle is plain exact-Jaccard
+    // SQL even though the pruning hash has no DuckDB twin. The raw
+    // candidate/estimate surface stays available via minhashCandidates.
     "q22_minhash_lsh" -> ((s, d) =>
-      minhashCandidates(Tables.documents(s, d))
-        .filter(col("est_jaccard_x1e3") >= 500)
+      jaccardPairsLshVerified(Tables.documents(s, d), 800)
         .orderBy("d1", "d2")),
 
     // Q40: exact embedding-cosine near-dup pairs. The synthetic corpus has
@@ -291,11 +332,13 @@ object Dedup {
       embeddingNearDupPairs(Tables.embeddings(s, d), 4500).orderBy("v1", "v2")),
 
     // Q23: SimHash near-dup pairs, Hamming <= 3, found via block-equality
-    // blocking (pigeonhole-complete for <= 3 over 4 blocks). No oracle.
+    // blocking (pigeonhole-complete for <= 3 over 4 blocks). The portable
+    // signature makes the pair set exactly oracle-checkable.
     "q23_simhash_pairs" -> ((s, d) => {
       val sim = simhashSignatures(Tables.documents(s, d)).persist()
-      val blockCols = (0 until 4).map(b => struct(lit(b).as("blk"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv")))
+      val blockCols = (0 until SIMHASH_BLOCKS).map(b => struct(lit(b).as("blk"),
+        shiftrightunsigned(col("simhash"), b * BLOCK_BITS)
+          .bitwiseAND(lit(((1L << BLOCK_BITS) - 1))).as("bv")))
       val blocks = sim.select(col("doc_id"), col("simhash"),
           explode(array(blockCols: _*)).as("bb"))
         .select(col("doc_id"), col("simhash"),
@@ -313,6 +356,8 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q23_simhash_pairs" -> simhashOracleSql,
+
     "q18_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents
@@ -334,6 +379,23 @@ object Dedup {
         |JOIN cnt c1 ON c1.doc_id = d1
         |JOIN cnt c2 ON c2.doc_id = d2
         |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 600
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q22_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+        |       WHERE len(l) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |       CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) AS jaccard_x1e3
+        |FROM inter
+        |JOIN cnt c1 ON c1.doc_id = d1
+        |JOIN cnt c2 ON c2.doc_id = d2
+        |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800
         |ORDER BY d1, d2""".stripMargin,
 
     "q40_embedding_neardup" ->

@@ -59,6 +59,22 @@ object Similarity {
   private val DIM = 64
   private val N_PLANES = 8
 
+  /** The q24 bucket expression as DuckDB SQL: the SAME fixed +-1 planes,
+    * emitted as list literals, so the approximate index — not just its
+    * verified output — reproduces exactly in the oracle.
+    */
+  private def bucketSqlExpr(embCol: String): String = {
+    val ps = planes(N_PLANES, DIM)
+    (0 until N_PLANES).map { p =>
+      val plane = ps(p).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($embCol, $plane) > 0 THEN 1::BIGINT << $p ELSE 0::BIGINT END)"
+    }.mkString(" +\n           ")
+  }
+
+  private val COS_SQL =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q20 (E-10): exact cosine top-5 of vec_id=0.
@@ -110,8 +126,9 @@ object Similarity {
     // (deterministically the first 16 corpus vectors), every vector assigned
     // to its nearest centroid (one broadcast pass), queries probe their 2
     // nearest cells. Candidate generation is an equi-join on the cell id;
-    // recall/probes is the standard IVF tradeoff. No oracle (approximate);
-    // the spec measures recall against brute force.
+    // recall/probes is the standard IVF tradeoff. The construction is fully
+    // deterministic, so the oracle replays the same index in SQL; the spec
+    // additionally measures recall against brute force.
     "q24b_ann_ivf" -> ((s, d) => {
       val e = asDouble(Tables.embeddings(s, d))
       val cents = e.filter(col("vec_id") < 16)
@@ -142,8 +159,10 @@ object Similarity {
     }),
 
     // Q24: LSH-bucketed approximate NN — candidates share a sign-bucket, so
-    // the search is an equi-join, not a cross join. No oracle (approximate);
-    // the spec checks bucket containment and exactness within buckets.
+    // the search is an equi-join, not a cross join. The fixed planes are
+    // emitted into the oracle SQL as literals, so the whole approximate
+    // index reproduces in DuckDB; the spec additionally checks bucket
+    // containment and exactness within buckets.
     "q24_ann_lsh" -> ((s, d) => {
       val e = asDouble(Tables.embeddings(s, d))
         .withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM))
@@ -162,6 +181,46 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q24_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb,
+         |        ${bucketSqlExpr("emb")} AS bucket
+         |      FROM e),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id < 5),
+         |cand AS (SELECT q_id, b.vec_id AS vec_id,
+         |           CAST(FLOOR(${COS_SQL.format("b.emb", "qe", "b.emb", "b.emb", "qe", "qe")}
+         |             * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+         |         FROM b JOIN q USING (bucket) WHERE b.vec_id <> q_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER
+         |             (PARTITION BY q_id ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rnk
+         |           FROM cand)
+         |SELECT q_id, vec_id, cos_x1e4, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "q24b_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < 16),
+         |sims AS (SELECT e.vec_id, e.emb, cent_id,
+         |           ${COS_SQL.format("e.emb", "cent", "e.emb", "e.emb", "cent", "cent")} AS sim
+         |         FROM e, cents),
+         |assigned AS (SELECT vec_id, emb, cell FROM (
+         |    SELECT vec_id, emb, cent_id AS cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |qcells AS (SELECT q_id, qe, cell FROM (
+         |    SELECT vec_id AS q_id, emb AS qe, cent_id AS cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+         |    FROM sims WHERE vec_id < 5) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT q_id, a.vec_id AS vec_id,
+         |           CAST(FLOOR(${COS_SQL.format("a.emb", "qe", "a.emb", "a.emb", "qe", "qe")}
+         |             * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+         |         FROM assigned a JOIN qcells USING (cell) WHERE a.vec_id <> q_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER
+         |             (PARTITION BY q_id ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rnk
+         |           FROM cand)
+         |SELECT q_id, vec_id, cos_x1e4, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
     "q20_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),

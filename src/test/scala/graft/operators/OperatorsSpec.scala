@@ -21,7 +21,8 @@ class OperatorsSpec extends AnyFunSuite {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("MinHash-LSH candidates contain every high-Jaccard (>=0.8) pair") {
-    val lsh = Dedup.queries("q22_minhash_lsh")(spark, D)
+    val lsh = Dedup.minhashCandidates(
+        Tables.documents(spark, D).select(col("doc_id"), col("text")))
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
     val missed = exactPairs -- lsh
@@ -32,7 +33,8 @@ class OperatorsSpec extends AnyFunSuite {
     val exact = Dedup.queries("q21_jaccard_pairs")(spark, D)
       .select("d1", "d2", "jaccard_x1e3").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val est = Dedup.queries("q22_minhash_lsh")(spark, D)
+    val est = Dedup.minhashCandidates(
+        Tables.documents(spark, D).select(col("doc_id"), col("text")))
       .select("d1", "d2", "est_jaccard_x1e3").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val common = exact.keySet intersect est.keySet
