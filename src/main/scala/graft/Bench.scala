@@ -34,7 +34,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each invocation builds fresh DataFrames, so persists from earlier
+      // runs are unreachable — drop them or 4x48 runs accumulate dead
+      // cached blocks and late queries measure memory pressure, not work
+      spark.catalog.clearCache()
+      dt
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

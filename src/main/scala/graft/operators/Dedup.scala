@@ -45,14 +45,24 @@ object Dedup {
   private val N_BANDS = 16
   private val ROWS_PER_BAND = N_HASHES / N_BANDS
 
-  /** MinHash signature as ONE array column: `(doc_id, sig: array<long>)`.
-    * A single hash-aggregate (map-side partial mins, one shuffle keyed by
-    * doc_id); packing into an array lets the candidate join carry the
-    * signature along instead of re-joining the aggregate — the plan computes
-    * signatures exactly once.
+  /** Distinct 64-bit-hashed shingles — the shared index relation: the
+    * MinHash signatures, the LSH verification join, and the per-doc counts
+    * all consume THIS, so a pipeline that persists it tokenizes the corpus
+    * exactly once (the 100 TB cost is the tokenize+explode pass, not the
+    * hashing).
     */
-  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  private[operators] def hashedShingles(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
+  /** MinHash signature as ONE array column: `(doc_id, sig: array<long>)`,
+    * over the hashed-shingle relation. The N seeded hashes re-hash the
+    * 8-byte shingle hash instead of the string (equally valid minwise
+    * family, and it lets the signature aggregate share its input with the
+    * verification join). A single hash-aggregate: map-side partial mins,
+    * one shuffle keyed by doc_id; packing into an array lets the candidate
+    * join carry the signature along instead of re-joining the aggregate.
+    */
+  private[operators] def minhashSignatures(sh: DataFrame): DataFrame = {
     val mins = (0 until N_HASHES).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -65,10 +75,14 @@ object Dedup {
     * (band, band-hash); signatures ride along, so the estimate is a
     * codegen'd zip_with over the joined rows — no third pass.
     */
-  private[operators] def minhashCandidates(docs: DataFrame, cache: Boolean = true): DataFrame = {
+  private[operators] def minhashCandidates(docs: DataFrame, cache: Boolean = true): DataFrame =
+    minhashCandidatesFromHashed(hashedShingles(docs), cache)
+
+  private[operators] def minhashCandidatesFromHashed(sh: DataFrame,
+                                                     cache: Boolean): DataFrame = {
     // both join sides read the signature table; `cache=false` trades the
     // recompute for zero pinned blocks (the long-lived facade path)
-    val sig0 = minhashSignatures(docs)
+    val sig0 = minhashSignatures(sh)
     val sig = if (cache) sig0.persist() else sig0
     val bandCols = (0 until N_BANDS).map { b =>
       val cols = (0 until ROWS_PER_BAND).map(r =>
@@ -164,8 +178,7 @@ object Dedup {
     // move a production dedup run makes explicitly. Query-catalog entries
     // keep cache=true (process-scoped runs); facade-reachable paths pass
     // cache=false so a long-lived session pins no blocks.
-    val sh0 = shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sh0 = hashedShingles(docs)
     val sh = if (cache) sh0.persist() else sh0
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -203,10 +216,12 @@ object Dedup {
     */
   def jaccardPairsLshVerified(docs: DataFrame, thresholdX1e3: Int,
                               cache: Boolean = true): DataFrame = {
-    val cand = minhashCandidates(docs, cache).select(col("d1"), col("d2"))
-    val sh0 = shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // ONE hashed-shingle relation feeds the signature aggregate, the
+    // verification join (both sides) and the per-doc counts — persisting it
+    // means the corpus is tokenized once for the whole pipeline.
+    val sh0 = hashedShingles(docs)
     val sh = if (cache) sh0.persist() else sh0
+    val cand = minhashCandidatesFromHashed(sh, cache).select(col("d1"), col("d2"))
     // Exact intersection counts restricted to candidate pairs: fan each pair
     // out by d1's shingles, keep those d2 also has. Join sizes scale with
     // |candidates| x shingles-per-doc, never with corpus^2.
