@@ -116,6 +116,37 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Q42: deterministic stratified sampling — per language, the 20
+    // documents with the smallest portable hash of their id. Ordering by a
+    // uniform hash is the distributed idiom for without-replacement
+    // sampling: no RNG state, stable under re-runs and repartitioning, and
+    // the per-stratum quota is a rank filter, not a scan-order artifact.
+    "q42_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(Sketches.phash60(col("doc_id")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 20)
+        .orderBy("lang", "rnk")
+    }),
+
+    // Q43: sensitive-token redaction — the scrub stage of a training-data
+    // pipeline: flag-and-replace by regex (here: the 'customer' entity and
+    // any 3+ digit run; the regex subset used works identically in Java
+    // regex and RE2). Pure per-row expression work, no shuffle.
+    "q43_redaction" -> ((s, d) => {
+      val pat = "\\bcustomer\\b|\\d\\d\\d+"
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long").as("n_sensitive"),
+        length(col("text")).cast("long").as("len_before"),
+        length(regexp_replace(col("text"), pat, "[REDACTED]"))
+          .cast("long").as("len_after"))
+        .orderBy("doc_id")
+    }),
+
     // Q28: document fingerprint — rolling polynomial hash over the token
     // stream (length*128 + first-char code per token), mod 1e9+7. A pure
     // fold inside codegen; the portable arithmetic makes it oracle-checkable.
@@ -172,6 +203,22 @@ object TextAnalysis {
         |    CAST(length(text) AS BIGINT) AS n_chars_text,
         |    n_chars,
         |    CAST(FLOOR(length(replace(text, ' ', '')) * 100.0 / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS avg_tok_len_x100
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q42_stratified_sample" ->
+      s"""SELECT lang, doc_id, rnk FROM (
+         |  SELECT lang, doc_id, CAST(row_number() OVER
+         |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS INT) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= 20
+         |ORDER BY lang, rnk""".stripMargin,
+
+    "q43_redaction" ->
+      """SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\bcustomer\b|\d\d\d+')) AS BIGINT) AS n_sensitive,
+        |    CAST(length(text) AS BIGINT) AS len_before,
+        |    CAST(length(regexp_replace(text, '\bcustomer\b|\d\d\d+', '[REDACTED]', 'g')) AS BIGINT) AS len_after
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

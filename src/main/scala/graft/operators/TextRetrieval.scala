@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Retrieval scoring over `documents` — the ranking half of a training-data
+  * pipeline (near-dup clustering picks a keeper; retrieval picks what goes
+  * into a curriculum or eval set):
+  *
+  *  - q41: per-document top TF-IDF terms (the classic weighting, one
+  *    explode + two hash-aggregates + a broadcast of the 1-row corpus
+  *    count — no shuffle grows with vocabulary beyond the (doc,term)
+  *    aggregate itself).
+  *  - q44: BM25 document ranking for a fixed query term set (k1=1.2,
+  *    b=0.75). The per-term partial scores are summed as conditional
+  *    aggregates in a FIXED literal order, because a float SUM over rows
+  *    is order-dependent across engines while `s1 + s2 + s3` is not.
+  *
+  * Both use ln() on exact-integer-derived doubles; both engines' libm is
+  * correctly rounded to <=1 ulp on these inputs, and the floor-scaled
+  * outputs sit ~2^40 away from decision boundaries, so the oracle equality
+  * is stable (verified at sf0.001/0.01/0.1).
+  *
+  * 100 TB shape: everything is (doc,term)-keyed hash aggregation plus
+  * broadcasts of O(1) or O(query-terms) relations; the corpus never
+  * self-joins and never sorts globally except for the final top-k.
+  */
+object TextRetrieval {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+  private val QUERY_TERMS = Seq("spark", "vector", "stream")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q41: top-3 TF-IDF terms per document. tf and df are exact longs; the
+    // only float ops are one division, one ln, one multiply — identical
+    // IEEE sequences in both engines.
+    "q41_tfidf_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tfidf = col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_x1e4").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          floor(tfidf * 10000 + lit(0.5)).cast("long").as("tfidf_x1e4"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // Q44: BM25 top-10 documents for the fixed query. Per-term scores are
+    // exact-order summed (see object doc); docs matching no query term
+    // drop out via the inner join, mirroring an inverted-index lookup.
+    "q44_bm25_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("sum_dl"))
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .filter(col("term").isin(QUERY_TERMS: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+      val termScore = idf * (col("tf").cast("double") * lit(BM25_K1 + 1)) /
+        (col("tf").cast("double") +
+          lit(BM25_K1) * (lit(1 - BM25_B) +
+            lit(BM25_B) * col("dl").cast("double") / avgdl))
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .join(lens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), termScore.as("ts"))
+      // conditional sums: each group has at most one non-zero row per term,
+      // so the float aggregation is exact; the cross-term addition happens
+      // once, in this literal order
+      val perTerm = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("ts")).otherwise(lit(0.0))).as(s"s$i")
+      }
+      val total = QUERY_TERMS.indices.map(i => col(s"s$i"))
+        .reduceLeft(_ + _)
+      scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+        .select(col("doc_id"),
+          floor(total * 10000 + lit(0.5)).cast("long").as("bm25_x1e4"))
+        .orderBy(col("bm25_x1e4").desc, col("doc_id"))
+        .limit(10)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q41_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    CAST(FLOOR(CAST(tf AS DOUBLE) *
+        |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS tfidf_x1e4
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf_x1e4 DESC, term) AS INT) AS rnk FROM scored)
+        |SELECT doc_id, term, tfidf_x1e4, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q44_bm25_search" -> {
+      val terms = QUERY_TERMS.map(t => s"'$t'").mkString(", ")
+      val perTerm = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN term = '$t' THEN ts ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS s$i"
+      }.mkString(",\n        ")
+      val total = QUERY_TERMS.indices.map(i => s"s$i").mkString(" + ")
+      s"""WITH lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+         |          FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         |       WHERE term IN ($terms) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id, term,
+         |    ln((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+         |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |    * (CAST(tf AS DOUBLE) * CAST(${BM25_K1 + 1} AS DOUBLE))
+         |    / (CAST(tf AS DOUBLE) +
+         |       CAST($BM25_K1 AS DOUBLE) * (CAST(${1 - BM25_B} AS DOUBLE) +
+         |         CAST($BM25_B AS DOUBLE) * CAST(dl AS DOUBLE) /
+         |           (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS ts
+         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats),
+         |agg AS (SELECT doc_id,
+         |        $perTerm
+         |      FROM scored GROUP BY doc_id)
+         |SELECT doc_id, CAST(FLOOR(($total) * 10000 + 0.5) AS BIGINT) AS bm25_x1e4
+         |FROM agg
+         |ORDER BY bm25_x1e4 DESC, doc_id
+         |LIMIT 10""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+/** Semantic checks for the retrieval/sampling/redaction operators (q41-q44)
+  * beyond the DuckDB hash oracle: the oracle proves cross-engine equality,
+  * these prove the numbers mean what they claim.
+  */
+class TextRetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  test("q41: TF-IDF ranks are 1..3 per doc and scores decrease with rank") {
+    val rows = TextRetrieval.queries("q41_tfidf_terms")(spark, D)
+      .select("doc_id", "rnk", "tfidf_x1e4").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length),
+        s"doc $doc ranks not contiguous")
+      val scores = byRank.map(_.getLong(2)).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $doc scores not descending")
+    }
+  }
+
+  test("q41: scores match a driver-side TF-IDF recomputation for sample docs") {
+    val docs = Tables.documents(spark, D)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size
+    val dfMap = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val got = TextRetrieval.queries("q41_tfidf_terms")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getString(1), r.getLong(2))).toMap
+    docs.keys.toSeq.sorted.take(5).foreach { doc =>
+      val tf = docs(doc).groupBy(identity).view.mapValues(_.size)
+      val expected = tf.map { case (t, f) =>
+        t -> math.floor(
+          f.toDouble * math.log(n.toDouble / dfMap(t)) * 10000 + 0.5).toLong
+      }.toSeq.sortBy { case (t, s) => (-s, t) }.take(3)
+      expected.zipWithIndex.foreach { case ((t, s), i) =>
+        assert(got((doc, i + 1)) == ((t, s)),
+          s"doc $doc rank ${i + 1}: got ${got((doc, i + 1))}, expected ($t, $s)")
+      }
+    }
+  }
+
+  test("q44: BM25 output is sorted, bounded, and hits only matching docs") {
+    val res = TextRetrieval.queries("q44_bm25_search")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.length <= 10 && res.nonEmpty)
+    val scores = res.map(_._2).toSeq
+    assert(scores == scores.sorted.reverse, "not sorted by score desc")
+    // every returned doc must actually contain a query term
+    val hits = Tables.documents(spark, D)
+      .filter(col("text").rlike("(^| )(spark|vector|stream)( |$)"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(res.map(_._1).forall(hits.contains), "BM25 returned a non-matching doc")
+  }
+
+  test("q42: stratified sample takes exactly min(20, stratum size) per lang, deterministically") {
+    val q = TextAnalysis.queries("q42_stratified_sample")
+    val a = q(spark, D).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = q(spark, D).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b, "sample not deterministic across runs")
+    val strata = Tables.documents(spark, D).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = a.groupBy(_._1).view.mapValues(_.size).toMap
+    strata.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0) == math.min(20L, n),
+        s"lang $lang: sampled ${got.getOrElse(lang, 0)} of $n")
+    }
+  }
+
+  test("q43: redaction changes length exactly when sensitive tokens exist") {
+    val rows = TextAnalysis.queries("q43_redaction")(spark, D)
+      .select("n_sensitive", "len_before", "len_after").collect()
+    assert(rows.exists(_.getLong(0) > 0), "fixture should contain sensitive tokens")
+    rows.foreach { r =>
+      val (n, before, after) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (n == 0) assert(after == before)
+      else assert(after == before + n * ("[REDACTED]".length - "customer".length),
+        s"n=$n before=$before after=$after")
+    }
+  }
+}
