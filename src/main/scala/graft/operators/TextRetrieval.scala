@@ -42,8 +42,11 @@ object TextRetrieval {
     // IEEE sequences in both engines.
     "q41_tfidf_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // the (doc,term) aggregate feeds both the score join and the df
+      // aggregate; persisting it means the corpus is tokenized once
       val tf = docs.select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tfidf = col("tf").cast("double") *
@@ -64,9 +67,12 @@ object TextRetrieval {
     // drop out via the inner join, mirroring an inverted-index lookup.
     "q44_bm25_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // stats derive from the per-doc length relation, so the corpus-wide
+      // constants cost one extra pass over O(docs) rows, not a re-scan
       val lens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(toks).cast("long")).as("sum_dl"))
+        .persist()
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
       val tf = docs.select(col("doc_id"), explode(toks).as("term"))
         .filter(col("term").isin(QUERY_TERMS: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
