@@ -51,11 +51,72 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Cross-modal near-dup union: pairs flagged by text (MinHash-LSH pruned,
+    * exactly verified, Jaccard >= 0.8) and/or by embedding (cosine >= 0.45,
+    * the q40 tail threshold), with the flagging modality attributed. The
+    * doc/vec id spaces align row-for-row in the fixtures, which is exactly
+    * the multimodal-table shape (one id, several representations) the
+    * pipeline assumes. Scores are -1-coalesced rather than null so the
+    * cross-engine compare never depends on null-vs-NaN dataframe coercion.
+    */
+  def crossModalPairs(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val txt = Dedup.jaccardPairsLshVerified(
+      docs.select(col("doc_id"), col("text")), 800, cache = false)
+    val emb = Dedup.embeddingNearDupPairs(embs, 4500)
+    txt.as("t")
+      .join(emb.as("e"),
+        col("t.d1") === col("e.v1") && col("t.d2") === col("e.v2"), "full_outer")
+      .select(
+        coalesce(col("t.d1"), col("e.v1")).as("id1"),
+        coalesce(col("t.d2"), col("e.v2")).as("id2"),
+        coalesce(col("t.jaccard_x1e3"), lit(-1L)).as("jaccard_x1e3"),
+        coalesce(col("e.cos_x1e4"), lit(-1L)).as("cos_x1e4"),
+        when(col("t.d1").isNotNull && col("e.v1").isNotNull, lit("both"))
+          .when(col("t.d1").isNotNull, lit("text"))
+          .otherwise(lit("embedding")).as("modality"))
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q32_curation" -> ((s, d) => curate(Tables.documents(s, d)))
+    "q32_curation" -> ((s, d) => curate(Tables.documents(s, d))),
+    "q45_crossmodal_dedup" -> ((s, d) =>
+      crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q45_crossmodal_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+        |       WHERE len(l) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |txt AS (SELECT d1, d2,
+        |          CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) AS jaccard_x1e3
+        |        FROM inter
+        |        JOIN cnt c1 ON c1.doc_id = d1
+        |        JOIN cnt c2 ON c2.doc_id = d2
+        |        WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800),
+        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |emb AS (SELECT v1, v2, cos_x1e4 FROM (
+        |          SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |            CAST(FLOOR(list_dot_product(a.emb, b.emb) /
+        |              (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |              * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+        |          FROM ev a JOIN ev b ON a.vec_id < b.vec_id)
+        |        WHERE cos_x1e4 >= 4500)
+        |SELECT COALESCE(t.d1, e.v1) AS id1,
+        |       COALESCE(t.d2, e.v2) AS id2,
+        |       COALESCE(t.jaccard_x1e3, -1) AS jaccard_x1e3,
+        |       COALESCE(e.cos_x1e4, -1) AS cos_x1e4,
+        |       CASE WHEN t.d1 IS NOT NULL AND e.v1 IS NOT NULL THEN 'both'
+        |            WHEN t.d1 IS NOT NULL THEN 'text'
+        |            ELSE 'embedding' END AS modality
+        |FROM txt t FULL OUTER JOIN emb e ON t.d1 = e.v1 AND t.d2 = e.v2
+        |ORDER BY id1, id2""".stripMargin,
+
     "q32_curation" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang,

@@ -76,6 +76,22 @@ class TextRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q45: cross-modal union equals text-pairs plus embedding-pairs with correct attribution") {
+    val docs = Tables.documents(spark, D).select(col("doc_id"), col("text"))
+    val txt = Dedup.jaccardPairs(docs, 800)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = Dedup.embeddingNearDupPairs(Tables.embeddings(spark, D), 4500)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Curation.queries("q45_crossmodal_dedup")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(got.keySet == (txt union emb), "pair set is not the union")
+    got.foreach { case (p, m) =>
+      val expected =
+        if (txt(p) && emb(p)) "both" else if (txt(p)) "text" else "embedding"
+      assert(m == expected, s"pair $p attributed $m, expected $expected")
+    }
+  }
+
   test("q43: redaction changes length exactly when sensitive tokens exist") {
     val rows = TextAnalysis.queries("q43_redaction")(spark, D)
       .select("n_sensitive", "len_before", "len_after").collect()
