@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.CdcEngine
 import graft.cdc.{Apply, Envelope}
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup, TextAnalysis, TextRetrieval}
 import graft.sources.Tables
 import graft.store.{InMemoryStore, KeyValueStore}
 
@@ -68,4 +68,33 @@ final class Graft(val spark: SparkSession, dataDir: String,
   /** The composed training-data curation pipeline over `documents`. */
   def curatedCorpus(): DataFrame =
     Curation.curate(Tables.documents(spark, dataDir))
+
+  /** BM25 top-k document search over `documents` for arbitrary terms.
+    * `cache=false`: a long-lived facade pins no blocks (same policy as
+    * `curatedCorpus`); batch callers wanting intra-plan reuse go through
+    * `TextRetrieval.bm25Search` directly.
+    */
+  def search(terms: Seq[String], k: Int = 10): DataFrame =
+    TextRetrieval.bm25Search(Tables.documents(spark, dataDir), terms, k,
+      cache = false)
+
+  /** Top-k TF-IDF terms per document (corpus keyword profile). */
+  def keyTerms(k: Int = 3): DataFrame =
+    TextRetrieval.tfidfTopTerms(Tables.documents(spark, dataDir), k,
+      cache = false)
+
+  /** Deterministic hash-ordered stratified sample of `documents`. */
+  def sampleCorpus(perLang: Int): DataFrame =
+    TextAnalysis.stratifiedSample(Tables.documents(spark, dataDir), perLang)
+
+  /** Near-dup pairs across text and embedding modalities, attributed. */
+  def crossModalDupes(): DataFrame =
+    Curation.crossModalPairs(Tables.documents(spark, dataDir),
+      Tables.embeddings(spark, dataDir))
+
+  /** Exact-verified text near-dup pairs at `jaccardX1e3`, LSH-pruned. */
+  def nearDupPairs(jaccardX1e3: Int = 800): DataFrame =
+    Dedup.jaccardPairsLshVerified(
+      Tables.documents(spark, dataDir).select("doc_id", "text"),
+      jaccardX1e3, cache = false)
 }

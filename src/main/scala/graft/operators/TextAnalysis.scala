@@ -44,6 +44,22 @@ object TextAnalysis {
       |             - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT)) * 500.0
       |             / len(string_split(text, ' ')) + 0.5) AS BIGINT)""".stripMargin
 
+  /** Deterministic stratified sampling — per stratum (`lang`), the
+    * `perStratum` documents with the smallest portable hash of their id.
+    * Ordering by a uniform hash is the distributed idiom for
+    * without-replacement sampling: no RNG state, stable under re-runs and
+    * repartitioning, and the per-stratum quota is a rank filter, not a
+    * scan-order artifact.
+    */
+  def stratifiedSample(docs: DataFrame, perStratum: Int): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(Sketches.phash60(col("doc_id")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= perStratum)
+      .orderBy("lang", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q19 (E-11): per-language top-10 token frequency. Two hash aggregates
@@ -116,20 +132,9 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
-    // Q42: deterministic stratified sampling — per language, the 20
-    // documents with the smallest portable hash of their id. Ordering by a
-    // uniform hash is the distributed idiom for without-replacement
-    // sampling: no RNG state, stable under re-runs and repartitioning, and
-    // the per-stratum quota is a rank filter, not a scan-order artifact.
-    "q42_stratified_sample" -> ((s, d) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(Sketches.phash60(col("doc_id")), col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"))
-        .withColumn("rnk", row_number().over(w).cast("int"))
-        .filter(col("rnk") <= 20)
-        .orderBy("lang", "rnk")
-    }),
+    // Q42: deterministic stratified sampling (see [[stratifiedSample]]).
+    "q42_stratified_sample" -> ((s, d) =>
+      stratifiedSample(Tables.documents(s, d), 20)),
 
     // Q43: sensitive-token redaction — the scrub stage of a training-data
     // pipeline: flag-and-replace by regex (here: the 'customer' entity and

@@ -35,73 +35,82 @@ object TextRetrieval {
   private val BM25_B = 0.75
   private val QUERY_TERMS = Seq("spark", "vector", "stream")
 
+  /** Top-k TF-IDF terms per document over any (doc_id, text) relation.
+    * tf and df are exact longs; the only float ops are one division, one
+    * ln, one multiply — identical IEEE sequences in both engines.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int, cache: Boolean = true): DataFrame = {
+    // the (doc,term) aggregate feeds both the score join and the df
+    // aggregate; persisting it means the corpus is tokenized once
+    val tf0 = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = if (cache) tf0.persist() else tf0
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tfidf = col("tf").cast("double") *
+      log(col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_x1e4").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        floor(tfidf * 10000 + lit(0.5)).cast("long").as("tfidf_x1e4"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** BM25 top-k documents for a query term set. Per-term partial scores are
+    * summed as conditional aggregates in the literal term order (see object
+    * doc); docs matching no query term drop out via the inner join,
+    * mirroring an inverted-index lookup.
+    */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int,
+                 cache: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    // stats derive from the per-doc length relation, so the corpus-wide
+    // constants cost one extra pass over O(docs) rows, not a re-scan
+    val lens0 = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val lens = if (cache) lens0.persist() else lens0
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val termScore = idf * (col("tf").cast("double") * lit(BM25_K1 + 1)) /
+      (col("tf").cast("double") +
+        lit(BM25_K1) * (lit(1 - BM25_B) +
+          lit(BM25_B) * col("dl").cast("double") / avgdl))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), termScore.as("ts"))
+    // conditional sums: each group has at most one non-zero row per term,
+    // so the float aggregation is exact; the cross-term addition happens
+    // once, in this literal order
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("ts")).otherwise(lit(0.0))).as(s"s$i")
+    }
+    val total = terms.indices.map(i => col(s"s$i")).reduceLeft(_ + _)
+    scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        floor(total * 10000 + lit(0.5)).cast("long").as("bm25_x1e4"))
+      .orderBy(col("bm25_x1e4").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q41: top-3 TF-IDF terms per document.
+    "q41_tfidf_terms" -> ((s, d) =>
+      tfidfTopTerms(Tables.documents(s, d), 3)),
 
-    // Q41: top-3 TF-IDF terms per document. tf and df are exact longs; the
-    // only float ops are one division, one ln, one multiply — identical
-    // IEEE sequences in both engines.
-    "q41_tfidf_terms" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // the (doc,term) aggregate feeds both the score join and the df
-      // aggregate; persisting it means the corpus is tokenized once
-      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist()
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val tfidf = col("tf").cast("double") *
-        log(col("n_docs").cast("double") / col("df").cast("double"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf_x1e4").desc, col("term"))
-      tf.join(df, Seq("term"))
-        .crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("term"),
-          floor(tfidf * 10000 + lit(0.5)).cast("long").as("tfidf_x1e4"))
-        .withColumn("rnk", row_number().over(w).cast("int"))
-        .filter(col("rnk") <= 3)
-        .orderBy("doc_id", "rnk")
-    }),
-
-    // Q44: BM25 top-10 documents for the fixed query. Per-term scores are
-    // exact-order summed (see object doc); docs matching no query term
-    // drop out via the inner join, mirroring an inverted-index lookup.
-    "q44_bm25_search" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // stats derive from the per-doc length relation, so the corpus-wide
-      // constants cost one extra pass over O(docs) rows, not a re-scan
-      val lens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
-        .persist()
-      val stats = lens.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl"))
-      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-        .filter(col("term").isin(QUERY_TERMS: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
-      val termScore = idf * (col("tf").cast("double") * lit(BM25_K1 + 1)) /
-        (col("tf").cast("double") +
-          lit(BM25_K1) * (lit(1 - BM25_B) +
-            lit(BM25_B) * col("dl").cast("double") / avgdl))
-      val scored = tf.join(broadcast(df), Seq("term"))
-        .join(lens, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"), termScore.as("ts"))
-      // conditional sums: each group has at most one non-zero row per term,
-      // so the float aggregation is exact; the cross-term addition happens
-      // once, in this literal order
-      val perTerm = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
-        sum(when(col("term") === t, col("ts")).otherwise(lit(0.0))).as(s"s$i")
-      }
-      val total = QUERY_TERMS.indices.map(i => col(s"s$i"))
-        .reduceLeft(_ + _)
-      scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
-        .select(col("doc_id"),
-          floor(total * 10000 + lit(0.5)).cast("long").as("bm25_x1e4"))
-        .orderBy(col("bm25_x1e4").desc, col("doc_id"))
-        .limit(10)
-    })
+    // Q44: BM25 top-10 documents for the fixed demo query.
+    "q44_bm25_search" -> ((s, d) =>
+      bm25Search(Tables.documents(s, d), QUERY_TERMS, 10))
   )
 
   val oracleSql: Map[String, String] = Map(

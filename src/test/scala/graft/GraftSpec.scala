@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 /** The facade: everything a reference user needs, through one object. */
 class GraftSpec extends AnyFunSuite {
@@ -40,5 +41,15 @@ class GraftSpec extends AnyFunSuite {
     assert(curated.count() > 0)
     assert(curated.columns.toSeq ===
       Seq("doc_id", "lang", "n_tokens", "quality_x1e3"))
+  }
+
+  test("retrieval, sampling, and dedup conveniences run end to end") {
+    val hits = g.search(Seq("spark", "vector"), k = 5).collect()
+    assert(hits.nonEmpty && hits.length <= 5)
+    assert(g.keyTerms(2).groupBy("doc_id").count()
+      .filter(col("count") > 2).count() === 0)
+    assert(g.sampleCorpus(perLang = 5).count() > 0)
+    assert(g.crossModalDupes().count() > 0)
+    assert(g.nearDupPairs().columns.contains("jaccard_x1e3"))
   }
 }
