@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-data preparation transforms — the last mile between a curated
+  * corpus and what actually ships to a trainer:
+  *
+  *  - q46: per-vector int8 quantization of embeddings (symmetric, scale =
+  *    127/max|x|) — the memory lever for serving a 100 TB ANN index; the
+  *    query emits exact-integer summaries (sum/min/max/norm) of the
+  *    quantized codes so the whole codebook is hash-checkable.
+  *  - q47: sliding-window token chunking (64-token windows, stride 32) —
+  *    context-window packing with overlap, each chunk carrying the q28
+  *    rolling fingerprint so chunk-level exact dedup composes directly.
+  *
+  * Both are pure per-row higher-order-function work: no shuffle, no UDFs,
+  * fully inside whole-stage codegen, embarrassingly parallel at any scale.
+  * The only generator is q47's explode, whose fan-out is bounded by
+  * tokens/stride per document.
+  */
+object Prep {
+
+  private val Q_MAX = 127.0
+  private val CHUNK = 64
+  private val STRIDE = 32
+  private val FP_MOD = 1000000007L
+
+  /** The q28 rolling fingerprint over an arbitrary token-array column. */
+  private def fpCol(chunk: Column): Column =
+    aggregate(chunk, lit(0L), (acc, t) =>
+      pmod(acc * lit(31L) +
+        (length(t).cast("long") * lit(128L) + ascii(t).cast("long")),
+        lit(FP_MOD)))
+
+  /** Symmetric int8 quantization summary per embedding. */
+  def quantizeEmbeddings(embs: DataFrame): DataFrame = {
+    val e = Similarity.asDouble(embs)
+    val maxabs = array_max(transform(col("emb"), x => abs(x)))
+    val scale = lit(Q_MAX) / maxabs
+    val qarr = transform(col("emb"), x =>
+      least(greatest(floor(x * scale + lit(0.5)), lit(-Q_MAX)), lit(Q_MAX))
+        .cast("long"))
+    e.select(col("vec_id"),
+        floor(scale * 1000000 + lit(0.5)).cast("long").as("scale_x1e6"),
+        qarr.as("qa"))
+      .select(col("vec_id"), col("scale_x1e6"),
+        aggregate(col("qa"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("qa")).as("q_min"),
+        array_max(col("qa")).as("q_max"),
+        aggregate(col("qa"), lit(0L), (acc, x) => acc + x * x).as("q_norm2"))
+      .orderBy("vec_id")
+  }
+
+  /** Sliding-window chunking of `documents` with per-chunk fingerprints. */
+  def chunkDocuments(docs: DataFrame): DataFrame = {
+    val nChunks =
+      floor((size(col("toks")) - 1).cast("double") / STRIDE).cast("int")
+    val chunk = slice(col("toks"), col("ci") * STRIDE + 1, lit(CHUNK))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks)).as("ci"))
+      .select(col("doc_id"),
+        col("ci").cast("int").as("chunk_idx"),
+        (col("ci").cast("long") * STRIDE + 1).as("start_tok"),
+        size(chunk).cast("long").as("n_chunk_tokens"),
+        fpCol(chunk).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_quantize_embeddings" -> ((s, d) =>
+      quantizeEmbeddings(Tables.embeddings(s, d))),
+    "q47_chunk_documents" -> ((s, d) =>
+      chunkDocuments(Tables.documents(s, d)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_quantize_embeddings" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |s AS (SELECT vec_id, emb,
+         |        CAST($Q_MAX AS DOUBLE) / list_max(list_transform(emb, x -> abs(x))) AS scale
+         |      FROM e),
+         |q AS (SELECT vec_id, scale,
+         |        list_transform(emb, x -> CAST(LEAST(GREATEST(
+         |          FLOOR(x * scale + CAST(0.5 AS DOUBLE)),
+         |          CAST(-$Q_MAX AS DOUBLE)), CAST($Q_MAX AS DOUBLE)) AS BIGINT)) AS qa
+         |      FROM s)
+         |SELECT vec_id,
+         |       CAST(FLOOR(scale * 1000000 + 0.5) AS BIGINT) AS scale_x1e6,
+         |       CAST(list_aggregate(qa, 'sum') AS BIGINT) AS q_sum,
+         |       CAST(list_aggregate(qa, 'min') AS BIGINT) AS q_min,
+         |       CAST(list_aggregate(qa, 'max') AS BIGINT) AS q_max,
+         |       CAST(list_aggregate(list_transform(qa, x -> x * x), 'sum') AS BIGINT) AS q_norm2
+         |FROM q
+         |ORDER BY vec_id""".stripMargin,
+
+    "q47_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |c AS (SELECT doc_id, l, ci FROM t,
+         |        unnest(range(0, CAST(FLOOR(CAST(len(l) - 1 AS DOUBLE) / $STRIDE) AS BIGINT) + 1)) AS u(ci)),
+         |ch AS (SELECT doc_id, ci, l[(ci * $STRIDE + 1):(ci * $STRIDE + $CHUNK)] AS chunk FROM c)
+         |SELECT doc_id,
+         |       CAST(ci AS INT) AS chunk_idx,
+         |       CAST(ci * $STRIDE + 1 AS BIGINT) AS start_tok,
+         |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(chunk, t -> CAST(length(t) * 128 + ascii(t) AS BIGINT))),
+         |         (a, b) -> (a * 31 + b) % $FP_MOD) AS chunk_fp
+         |FROM ch
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

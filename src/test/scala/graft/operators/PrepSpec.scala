@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+/** Semantic checks for the data-prep transforms (q46/q47) beyond the
+  * DuckDB oracle: quantization must actually bound reconstruction error,
+  * and chunking must actually tile the documents.
+  */
+class PrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  test("q46: int8 codes stay in range and reconstruct within half a step") {
+    val emb = Tables.embeddings(spark, D)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble)).toMap
+    val rows = Prep.queries("q46_quantize_embeddings")(spark, D).collect()
+    assert(rows.length == emb.size)
+    rows.foreach { r =>
+      val (id, scaleX, qSum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (qMin, qMax) = (r.getLong(3), r.getLong(4))
+      assert(qMin >= -127 && qMax <= 127, s"vec $id codes out of range")
+      val xs = emb(id)
+      val scale = 127.0 / xs.map(math.abs).max
+      assert(scaleX == math.floor(scale * 1e6 + 0.5).toLong, s"vec $id scale")
+      // per-element |x - q/scale| <= 0.5/scale => the code sum reconstructs
+      // the value sum within n/2 quantization steps
+      val err = math.abs(qSum / scale - xs.sum)
+      assert(err <= xs.length * 0.5 / scale + 1e-9,
+        s"vec $id reconstruction error $err")
+    }
+  }
+
+  test("q47: chunks tile every document at stride 32 with 64-token windows") {
+    val lens = Tables.documents(spark, D)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = Prep.queries("q47_chunk_documents")(spark, D)
+      .collect().groupBy(_.getLong(0))
+    assert(chunks.keySet == lens.keySet, "every doc must chunk")
+    chunks.foreach { case (doc, cs) =>
+      val n = lens(doc)
+      val expected = (n - 1) / 32 + 1
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks, want $expected")
+      cs.sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i)
+        assert(r.getLong(2) == i * 32L + 1, s"doc $doc chunk $i start")
+        assert(r.getLong(3) == math.min(64, n - i * 32).toLong,
+          s"doc $doc chunk $i length")
+      }
+    }
+  }
+
+  test("q47: a single-chunk document's fingerprint equals its q28 fingerprint") {
+    val fps = graft.operators.TextAnalysis.queries("q28_fingerprint")(spark, D)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val short = Tables.documents(spark, D)
+      .filter(size(split(col("text"), " ")) <= 64)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(short.nonEmpty, "fixture should contain <=64-token docs")
+    val chunk0 = Prep.queries("q47_chunk_documents")(spark, D)
+      .filter(col("chunk_idx") === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    short.foreach { doc =>
+      assert(chunk0(doc) == fps(doc), s"doc $doc chunk-0 fp != q28 fp")
+    }
+  }
+}
