@@ -14,32 +14,24 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // driver heap comes from build.sbt's -Xmx${SPARK_DRIVER_MEM} javaOption;
-      // setting spark.driver.memory here would be a no-op in local mode
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // driver heap comes from build.sbt's -Xmx${SPARK_DRIVER_MEM} javaOption;
+    // setting spark.driver.memory here would be a no-op in local mode
+    val spark = Sessions.localFromEnv(defaultCpus = "32", logLevel = "ERROR")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
+      // each invocation builds fresh DataFrames, so persists from earlier
+      // runs are unreachable — drop them (in finally: a FAILING query's
+      // blocks would otherwise stay pinned for every later run) or the
+      // 4x55 runs accumulate dead cached blocks and late queries measure
+      // memory pressure, not work
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // each invocation builds fresh DataFrames, so persists from earlier
-      // runs are unreachable — drop them or 4x48 runs accumulate dead
-      // cached blocks and late queries measure memory pressure, not work
-      spark.catalog.clearCache()
-      dt
+      } finally spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -90,7 +90,7 @@ final class Graft(val spark: SparkSession, dataDir: String,
   /** Near-dup pairs across text and embedding modalities, attributed. */
   def crossModalDupes(): DataFrame =
     Curation.crossModalPairs(Tables.documents(spark, dataDir),
-      Tables.embeddings(spark, dataDir))
+      Tables.embeddings(spark, dataDir), cache = false)
 
   /** Exact-verified text near-dup pairs at `jaccardX1e3`, LSH-pruned. */
   def nearDupPairs(jaccardX1e3: Int = 800): DataFrame =

@@ -70,16 +70,7 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // first session of this JVM => exercises the extensions injection path
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.localFromEnv(defaultCpus = "4", logLevel = "WARN")
     val (ok, failed) = run(spark, sfDir, outDir)
     // Bare machine-readable status line (build.sbt's StdoutOutput strategy
     // keeps it unprefixed under `sbt runMain` too).

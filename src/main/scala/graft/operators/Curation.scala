@@ -59,9 +59,10 @@ object Curation {
     * pipeline assumes. Scores are -1-coalesced rather than null so the
     * cross-engine compare never depends on null-vs-NaN dataframe coercion.
     */
-  def crossModalPairs(docs: DataFrame, embs: DataFrame): DataFrame = {
+  def crossModalPairs(docs: DataFrame, embs: DataFrame,
+                      cache: Boolean = true): DataFrame = {
     val txt = Dedup.jaccardPairsLshVerified(
-      docs.select(col("doc_id"), col("text")), 800, cache = false)
+      docs.select(col("doc_id"), col("text")), 800, cache = cache)
     val emb = Dedup.embeddingNearDupPairs(embs, 4500)
     txt.as("t")
       .join(emb.as("e"),

@@ -25,20 +25,20 @@ object Prep {
   private val Q_MAX = 127.0
   private val CHUNK = 64
   private val STRIDE = 32
-  private val FP_MOD = 1000000007L
 
-  /** The q28 rolling fingerprint over an arbitrary token-array column. */
-  private def fpCol(chunk: Column): Column =
-    aggregate(chunk, lit(0L), (acc, t) =>
-      pmod(acc * lit(31L) +
-        (length(t).cast("long") * lit(128L) + ascii(t).cast("long")),
-        lit(FP_MOD)))
+  /** The q28 rolling fingerprint (one shared definition — see
+    * [[TextAnalysis.rollingFp]]).
+    */
+  private def fpCol(chunk: Column): Column = TextAnalysis.rollingFp(chunk)
 
-  /** Symmetric int8 quantization summary per embedding. */
+  /** Symmetric int8 quantization summary per embedding. An all-zero
+    * vector gets scale 0 (codes all 0) instead of 127/0 = Infinity, which
+    * would NaN every code and diverge between engines.
+    */
   def quantizeEmbeddings(embs: DataFrame): DataFrame = {
     val e = Similarity.asDouble(embs)
     val maxabs = array_max(transform(col("emb"), x => abs(x)))
-    val scale = lit(Q_MAX) / maxabs
+    val scale = when(maxabs === 0.0, lit(0.0)).otherwise(lit(Q_MAX) / maxabs)
     val qarr = transform(col("emb"), x =>
       least(greatest(floor(x * scale + lit(0.5)), lit(-Q_MAX)), lit(Q_MAX))
         .cast("long"))
@@ -80,7 +80,8 @@ object Prep {
     "q46_quantize_embeddings" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |s AS (SELECT vec_id, emb,
-         |        CAST($Q_MAX AS DOUBLE) / list_max(list_transform(emb, x -> abs(x))) AS scale
+         |        CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN CAST(0 AS DOUBLE)
+         |             ELSE CAST($Q_MAX AS DOUBLE) / list_max(list_transform(emb, x -> abs(x))) END AS scale
          |      FROM e),
          |q AS (SELECT vec_id, scale,
          |        list_transform(emb, x -> CAST(LEAST(GREATEST(
@@ -105,10 +106,7 @@ object Prep {
          |       CAST(ci AS INT) AS chunk_idx,
          |       CAST(ci * $STRIDE + 1 AS BIGINT) AS start_tok,
          |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-         |       list_reduce(
-         |         list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(chunk, t -> CAST(length(t) * 128 + ascii(t) AS BIGINT))),
-         |         (a, b) -> (a * 31 + b) % $FP_MOD) AS chunk_fp
+         |       ${TextAnalysis.rollingFpSql("chunk")} AS chunk_fp
          |FROM ch
          |ORDER BY doc_id, chunk_idx""".stripMargin
   )

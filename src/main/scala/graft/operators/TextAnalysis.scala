@@ -29,6 +29,25 @@ object TextAnalysis {
   private[operators] def nStopCol: Column =
     size(filter(toks, t => t.isin("the", "a"))).cast("long")
 
+  /** The rolling polynomial fingerprint over a token-array column:
+    * fold (acc*31 + (len*128 + first-char)) mod 1e9+7. ONE definition
+    * shared by q28 (whole document) and Prep's q47 (per chunk) — the
+    * chunk-0 == q28 identity PrepSpec pins depends on these never
+    * diverging. [[rollingFpSql]] is its DuckDB twin over a list expr.
+    */
+  private[operators] def rollingFp(tokArr: Column): Column =
+    aggregate(tokArr, lit(0L), (acc, t) =>
+      pmod(acc * lit(31L) +
+        (length(t).cast("long") * lit(128L) + ascii(t).cast("long")),
+        lit(1000000007L)))
+
+  private[operators] def rollingFpSql(listExpr: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform($listExpr,
+       |          t -> CAST(length(t) * 128 + ascii(t) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   /** score = 500*type-token-ratio + 500*(1 - stopword-ratio), from exact ints. */
   private[operators] def qualityCol: Column = floor(
     nTypesCol.cast("double") * lit(500.0) / nTokensCol +
@@ -155,15 +174,10 @@ object TextAnalysis {
     // Q28: document fingerprint — rolling polynomial hash over the token
     // stream (length*128 + first-char code per token), mod 1e9+7. A pure
     // fold inside codegen; the portable arithmetic makes it oracle-checkable.
-    "q28_fingerprint" -> ((s, d) => {
-      val fp = aggregate(toks, lit(0L), (acc, t) =>
-        pmod(acc * lit(31L) +
-          (length(t).cast("long") * lit(128L) + ascii(t).cast("long")),
-          lit(1000000007L)))
+    "q28_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), fp.as("fingerprint"))
-        .orderBy("doc_id")
-    })
+        .select(col("doc_id"), rollingFp(toks).as("fingerprint"))
+        .orderBy("doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -228,13 +242,9 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin,
 
     "q28_fingerprint" ->
-      """SELECT doc_id,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(text, ' '),
-        |          t -> CAST(length(t) * 128 + ascii(t) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id,
+         |    ${rollingFpSql("string_split(text, ' ')")} AS fingerprint
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -65,8 +65,11 @@ object TextRetrieval {
     * doc); docs matching no query term drop out via the inner join,
     * mirroring an inverted-index lookup.
     */
-  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int,
+  def bm25Search(docs: DataFrame, rawTerms: Seq[String], k: Int,
                  cache: Boolean = true): DataFrame = {
+    // dedupe caller-supplied terms: a repeated term would get two
+    // conditional-sum columns and double its contribution to the total
+    val terms = rawTerms.distinct
     require(terms.nonEmpty, "bm25Search needs at least one query term")
     // stats derive from the per-doc length relation, so the corpus-wide
     // constants cost one extra pass over O(docs) rows, not a re-scan

@@ -92,15 +92,22 @@ class TextRetrievalSpec extends AnyFunSuite {
     }
   }
 
-  test("q43: redaction changes length exactly when sensitive tokens exist") {
-    val rows = TextAnalysis.queries("q43_redaction")(spark, D)
-      .select("n_sensitive", "len_before", "len_after").collect()
-    assert(rows.exists(_.getLong(0) > 0), "fixture should contain sensitive tokens")
+  test("q43: counts and lengths match a driver-side Java-regex recomputation") {
+    val pat = "\\bcustomer\\b|\\d\\d\\d+"
+    val texts = Tables.documents(spark, D)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.queries("q43_redaction")(spark, D).collect()
+    assert(rows.exists(_.getLong(1) > 0), "fixture should contain sensitive tokens")
     rows.foreach { r =>
-      val (n, before, after) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      if (n == 0) assert(after == before)
-      else assert(after == before + n * ("[REDACTED]".length - "customer".length),
-        s"n=$n before=$before after=$after")
+      val (doc, n, before, after) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val text = texts(doc)
+      val expectedN = pat.r.findAllMatchIn(text).size.toLong
+      val expectedAfter = text.replaceAll(pat, "[REDACTED]").length.toLong
+      assert(n == expectedN, s"doc $doc: n_sensitive $n != $expectedN")
+      assert(before == text.length.toLong, s"doc $doc: len_before")
+      assert(after == expectedAfter, s"doc $doc: len_after $after != $expectedAfter")
     }
   }
 }
