@@ -53,8 +53,12 @@ object Prep {
       .orderBy("vec_id")
   }
 
-  /** Sliding-window chunking of `documents` with per-chunk fingerprints. */
-  def chunkDocuments(docs: DataFrame): DataFrame = {
+  /** The chunking transform as a plan fragment: per-row expression work
+    * only (explode + slices + fingerprint fold), no sort and no shuffle —
+    * so the SAME function composes under `readStream` unchanged (the
+    * streaming spec chunks a document stream through this exact fragment).
+    */
+  def chunkTransform(docs: DataFrame): DataFrame = {
     val nChunks =
       floor((size(col("toks")) - 1).cast("double") / STRIDE).cast("int")
     val chunk = slice(col("toks"), col("ci") * STRIDE + 1, lit(CHUNK))
@@ -66,8 +70,13 @@ object Prep {
         (col("ci").cast("long") * STRIDE + 1).as("start_tok"),
         size(chunk).cast("long").as("n_chunk_tokens"),
         fpCol(chunk).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Sliding-window chunking of `documents` with per-chunk fingerprints
+    * (batch form: adds the total order the gate compares on).
+    */
+  def chunkDocuments(docs: DataFrame): DataFrame =
+    chunkTransform(docs).orderBy("doc_id", "chunk_idx")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_quantize_embeddings" -> ((s, d) =>

@@ -168,6 +168,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunking runs unchanged as a streaming transform (same plan fragment as q47)") {
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = graft.operators.Prep.chunkTransform(docs)
+      .writeStream.format("memory").queryName("chunk_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val text33 = (1 to 33).map(i => s"w$i").mkString(" ") // 2 chunks
+      val text10 = (1 to 10).map(i => s"w$i").mkString(" ") // 1 chunk
+      in.addData((7L, text33), (8L, text10))
+      q.processAllAvailable()
+      val rows = spark.table("chunk_t")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+      assert(rows === Set((7L, 0, 33L), (7L, 1, 1L), (8L, 0, 10L)))
+      // the streaming rows carry the same fingerprints the batch form gives
+      val batch = graft.operators.Prep.chunkTransform(
+        Seq((7L, text33), (8L, text10)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSet
+      val streamed = spark.table("chunk_t")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     import spark.implicits._
     val in = MemoryStream[(Long, Timestamp, Double)](spark)
