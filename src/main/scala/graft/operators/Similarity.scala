@@ -158,6 +158,32 @@ object Similarity {
         .orderBy("q_id", "rnk")
     }),
 
+    // Q24c: multi-probe extension of q24 — each query also probes the 8
+    // buckets at Hamming distance 1 (one hyperplane flip), the standard
+    // recall lever when a neighbor falls just across one plane. Probe
+    // fan-out is a 9-row explode on the (tiny) query side; the corpus side
+    // is untouched and the join stays an equi-join on the bucket id.
+    "q24c_ann_multiprobe" -> ((s, d) => {
+      val e = asDouble(Tables.embeddings(s, d))
+        .withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM))
+      val masks = (0L +: (0 until N_PLANES).map(i => 1L << i)).map(lit)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("bucket").as("qb"))
+        .withColumn("m", explode(array(masks: _*)))
+        .select(col("q_id"), col("qe"),
+          col("qb").bitwiseXOR(col("m")).as("bucket"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_x1e4").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          floor(cosine(col("emb"), col("qe")) * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    }),
+
     // Q24: LSH-bucketed approximate NN — candidates share a sign-bucket, so
     // the search is an equi-join, not a cross join. The fixed planes are
     // emitted into the oracle SQL as literals, so the whole approximate
@@ -181,6 +207,27 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q24c_ann_multiprobe" -> {
+      val masks = (0L +: (0 until N_PLANES).map(i => 1L << i))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb,
+         |        ${bucketSqlExpr("emb")} AS bucket
+         |      FROM e),
+         |q0 AS (SELECT vec_id AS q_id, emb AS qe, bucket AS qb FROM b WHERE vec_id < 5),
+         |q AS (SELECT q_id, qe, xor(qb, m) AS bucket
+         |      FROM q0, unnest($masks) AS t(m)),
+         |cand AS (SELECT q_id, b.vec_id AS vec_id,
+         |           CAST(FLOOR(${COS_SQL.format("b.emb", "qe", "b.emb", "b.emb", "qe", "qe")}
+         |             * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+         |         FROM b JOIN q USING (bucket) WHERE b.vec_id <> q_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER
+         |             (PARTITION BY q_id ORDER BY cos_x1e4 DESC, vec_id) AS INT) AS rnk
+         |           FROM cand)
+         |SELECT q_id, vec_id, cos_x1e4, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
     "q24_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |b AS (SELECT vec_id, emb,

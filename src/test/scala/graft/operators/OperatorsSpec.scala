@@ -165,6 +165,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe ANN candidates strictly contain the single-probe ones") {
+    def pairs(name: String): Set[(Long, Long)] =
+      Similarity.queries(name)(spark, D).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs("q24_ann_lsh")
+    val multi = pairs("q24c_ann_multiprobe")
+    // a 1-flip probe set can only ADD candidates; with top-3 ranking the
+    // returned set can shift, so any single-probe hit missing from multi's
+    // top-3 must have been outscored there (its own exact cosine is in the
+    // q24 row — q24 scores are spec-pinned identical to brute force)
+    val singleScores = Similarity.queries("q24_ann_lsh")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val multiByQ = Similarity.queries("q24c_ann_multiprobe")(spark, D)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).min).toMap
+    (single -- multi).foreach { case (q, v) =>
+      assert(singleScores((q, v)) <= multiByQ(q),
+        s"($q,$v) dropped from multi-probe top-3 despite scoring " +
+          s"${singleScores((q, v))} > ${multiByQ(q)}")
+    }
+    // and multi-probe must actually widen the candidate pool somewhere
+    assert(multi.size >= single.size)
+  }
+
   test("IVF ANN recall: probed-cell candidates score identically to brute force") {
     val ivf = Similarity.queries("q24b_ann_ivf")(spark, D).collect()
     assert(ivf.nonEmpty)
