@@ -6,19 +6,14 @@ import graft.cdc.Envelope
 import graft.store.InMemoryStore
 
 /** Usage example + smoke driver for the engine API surface: the reference's
-  * four sequence-flow scenarios (cache miss/hit, CDC invalidation, rebuild)
-  * followed by the latest-state view over the emitted change log. Run:
+  * four sequence-flow scenarios (cache miss/hit, CDC invalidation, rebuild),
+  * the latest-state view over the emitted change log, then a tour of the
+  * training-data-pipeline surface through the Graft facade. Run:
   * `sbt "runMain graft.Demo"`.
   */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local(cpus = "4", logLevel = "ERROR")
 
     val store = new InMemoryStore
     val engine = new CdcEngine(store)
@@ -43,6 +38,17 @@ object Demo {
     println("[6] latest-state view from the change log:")
     Envelope.latestState(Envelope.parse(engine.changeRecords(spark)))
       .orderBy("code").show(truncate = false)
+
+    val g = new Graft(spark, "/root/testdata/sf0.001")
+    println(s"[7] curated corpus: ${g.curatedCorpus().count()} docs survive " +
+      "the quality gate + near-dup drop")
+    println("[8] BM25 search for (spark, vector):")
+    g.search(Seq("spark", "vector"), k = 3).show(truncate = false)
+    println(s"[9] stratified sample: ${g.sampleCorpus(perLang = 3).count()} docs " +
+      "(3 per language, hash-ordered, deterministic)")
+    println(s"[10] cross-modal near-dup pairs: ${g.crossModalDupes().count()}")
+    println("[11] 64-token chunks with fingerprints (first rows):")
+    g.query("q47_chunk_documents").show(3, truncate = false)
 
     spark.stop()
   }
