@@ -155,6 +155,22 @@ object TextAnalysis {
     "q42_stratified_sample" -> ((s, d) =>
       stratifiedSample(Tables.documents(s, d), 20)),
 
+    // Q48: deterministic train/val/test split — assignment by portable
+    // hash of the id (90/5/5), reported as per-split doc and token counts.
+    // Hash-based assignment is the only split that survives re-runs,
+    // repartitioning, and incremental corpus growth (a new doc never moves
+    // an old one between splits — membership is a pure function of id).
+    "q48_split_assign" -> ((s, d) => {
+      val h = pmod(Sketches.phash60(col("doc_id")), lit(100L))
+      val split = when(h < 90, lit("train"))
+        .when(h < 95, lit("val")).otherwise(lit("test"))
+      Tables.documents(s, d)
+        .groupBy(split.as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTokensCol).as("n_tokens"))
+        .orderBy("split")
+    }),
+
     // Q43: sensitive-token redaction — the scrub stage of a training-data
     // pipeline: flag-and-replace by regex (here: the 'customer' entity and
     // any 3+ digit run; the regex subset used works identically in Java
@@ -232,6 +248,16 @@ object TextAnalysis {
          |  FROM documents)
          |WHERE rnk <= 20
          |ORDER BY lang, rnk""".stripMargin,
+
+    "q48_split_assign" ->
+      s"""SELECT CASE WHEN ${Sketches.phash60Sql("doc_id")} % 100 < 90 THEN 'train'
+         |            WHEN ${Sketches.phash60Sql("doc_id")} % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY split""".stripMargin,
 
     "q43_redaction" ->
       """SELECT doc_id,
