@@ -39,7 +39,8 @@ object Demo {
     Envelope.latestState(Envelope.parse(engine.changeRecords(spark)))
       .orderBy("code").show(truncate = false)
 
-    val g = new Graft(spark, "/root/testdata/sf0.001")
+    val g = new Graft(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     println(s"[7] curated corpus: ${g.curatedCorpus().count()} docs survive " +
       "the quality gate + near-dup drop")
     println("[8] BM25 search for (spark, vector):")
