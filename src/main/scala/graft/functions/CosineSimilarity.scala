@@ -112,11 +112,16 @@ object GraftFunctions {
   /** Idempotent per-session registration — usable on ANY session (the
     * driver's included), no extensions config required.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_phash60"),
+      new ExpressionInfo(classOf[PHash60].getName, "graft_phash60"),
+      (children: Seq[Expression]) => PHash60(children.head))
+  }
 
   /** Column-API form (register first). Casts keep the expression's static
     * element-type resolution honest for any numeric array input.
@@ -124,6 +129,11 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine",
       a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Column-API form of the native portable hash (register first). */
+  def phash60(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_phash60",
+      c.cast("string"))
 }
 
 /** `SparkSessionExtensions` hook: sessions built with
@@ -131,9 +141,14 @@ object GraftFunctions {
   * get `graft_cosine` in SQL from the start.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_phash60"),
+      new ExpressionInfo(classOf[PHash60].getName, "graft_phash60"),
+      (children: Seq[Expression]) => PHash60(children.head)))
+  }
 }

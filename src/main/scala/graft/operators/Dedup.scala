@@ -123,6 +123,7 @@ object Dedup {
     * xxhash64 form which could only get a rows-only check.
     */
   private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))

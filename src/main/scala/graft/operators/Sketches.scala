@@ -29,8 +29,17 @@ object Sketches {
   /** Portable 60-bit hash: the first 15 hex digits of md5. Identical in
     * DuckDB as `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)` — see
     * [[phash60Sql]]. 60 bits keeps it positive and exactly representable.
+    * Backed by the native codegen'd [[graft.functions.PHash60]] (no hex
+    * string round-trip); callers must have run `GraftFunctions.register`
+    * on the session — every operator entry point here does.
     */
   private[operators] def phash60(c: Column): Column =
+    graft.functions.GraftFunctions.phash60(c)
+
+  /** The composed built-in form (hex round-trip) the native expression
+    * must bit-match — kept for the PHash60Spec equivalence pin.
+    */
+  private[graft] def phash60Composed(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   private[operators] def phash60Sql(x: String): String =
@@ -65,6 +74,7 @@ object Sketches {
     * exchange of <=16 rows -> final estimate expression.
     */
   def hllCountDistinct(df: DataFrame, keyCol: Column, out: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val h = phash60(keyCol)
     val regs = df
       .select(h.bitwiseAND(lit((HLL_M - 1).toLong)).as("bucket"),

@@ -71,6 +71,7 @@ object TextAnalysis {
     * scan-order artifact.
     */
   def stratifiedSample(docs: DataFrame, perStratum: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = Window.partitionBy("lang")
       .orderBy(Sketches.phash60(col("doc_id")), col("doc_id"))
     docs.select(col("lang"), col("doc_id"))
@@ -161,6 +162,7 @@ object TextAnalysis {
     // repartitioning, and incremental corpus growth (a new doc never moves
     // an old one between splits — membership is a pure function of id).
     "q48_split_assign" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val h = pmod(Sketches.phash60(col("doc_id")), lit(100L))
       val split = when(h < 90, lit("train"))
         .when(h < 95, lit("val")).otherwise(lit("test"))
