@@ -69,18 +69,23 @@ object Sketches {
   private def rhoCol(w: Column): Column =
     when(w === 0L, lit(RHO_MAX)).otherwise(lit(RHO_MAX) - length(bin(w)))
 
-  /** Portable HLL distinct-count estimate of `keyCol` as a 1-row frame.
-    * Plan shape: project(hash bits) -> partial max per partition ->
-    * exchange of <=16 rows -> final estimate expression.
+  /** The HLL register table of `keyCol`: (bucket, rho-max). A SINGLE
+    * aggregation, so the same fragment maintains registers incrementally
+    * under Structured Streaming (the registers are the sketch's mergeable
+    * state — max is associative and commutative); the streaming spec pins
+    * stream-maintained registers == batch registers.
     */
-  def hllCountDistinct(df: DataFrame, keyCol: Column, out: String): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: Column): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val h = phash60(keyCol)
-    val regs = df
-      .select(h.bitwiseAND(lit((HLL_M - 1).toLong)).as("bucket"),
+    df.select(h.bitwiseAND(lit((HLL_M - 1).toLong)).as("bucket"),
         shiftrightunsigned(h, HLL_P).as("w"))
       .select(col("bucket"), rhoCol(col("w")).as("rho"))
       .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Harmonic-mean estimate over a (bucket, rho) register table. */
+  def hllEstimateFromRegisters(regs: DataFrame, out: String): DataFrame = {
     val agg = regs.agg(count(lit(1)).as("nb"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RHO_MAX - rho AS INT))")).as("s"))
     val sTotal = (col("s") +
@@ -93,6 +98,13 @@ object Sketches {
     val est = when(rawE <= lit(2.5 * HLL_M) && v > 0L, linear).otherwise(rawE)
     agg.select(floor(est + lit(0.5)).cast("long").as(out))
   }
+
+  /** Portable HLL distinct-count estimate of `keyCol` as a 1-row frame.
+    * Plan shape: project(hash bits) -> partial max per partition ->
+    * exchange of <=64 rows -> final estimate expression.
+    */
+  def hllCountDistinct(df: DataFrame, keyCol: Column, out: String): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, keyCol), out)
 
   /** The DuckDB twin of [[hllCountDistinct]] over table/column names. */
   def hllSql(table: String, key: String, out: String): String = {

@@ -193,6 +193,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HLL registers maintained by a stream equal the batch sketch (mergeable state)") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val in = MemoryStream[Long](spark)
+    val users = in.toDF().toDF("user_id")
+    // the SAME single-aggregation fragment runs under readStream: complete
+    // mode re-emits the <=64-row register table each trigger
+    val q = Sketches.hllRegisters(users, col("user_id"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    try {
+      in.addData(1L to 40L: _*)
+      q.processAllAvailable()
+      in.addData(30L to 90L: _*) // overlap: distinct count is 90, not 101
+      q.processAllAvailable()
+      val streamed = Sketches
+        .hllEstimateFromRegisters(spark.table("hll_regs"), "est")
+        .collect().head.getLong(0)
+      val batch = Sketches
+        .hllCountDistinct((1L to 90L).toDF("user_id"), col("user_id"), "est")
+        .collect().head.getLong(0)
+      assert(streamed === batch,
+        "stream-maintained registers must reproduce the batch estimate")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     import spark.implicits._
     val in = MemoryStream[(Long, Timestamp, Double)](spark)
