@@ -38,18 +38,26 @@ object Prep {
   def quantizeEmbeddings(embs: DataFrame): DataFrame = {
     val e = Similarity.asDouble(embs)
     val maxabs = array_max(transform(col("emb"), x => abs(x)))
-    val scale = when(maxabs === 0.0, lit(0.0)).otherwise(lit(Q_MAX) / maxabs)
+    // `scale` is materialized as a COLUMN before the per-element lambda
+    // references it: written inline, the O(dim) max-scan would be
+    // re-evaluated for every element (dim^2 per row); as a multiply-used
+    // non-cheap projection Catalyst keeps it computed once per row.
+    // The summaries go through explode + a partial-aggregating groupBy on
+    // the unique key rather than four array-HOF folds over the same codes.
     val qarr = transform(col("emb"), x =>
-      least(greatest(floor(x * scale + lit(0.5)), lit(-Q_MAX)), lit(Q_MAX))
+      least(greatest(floor(x * col("scale") + lit(0.5)), lit(-Q_MAX)), lit(Q_MAX))
         .cast("long"))
-    e.select(col("vec_id"),
-        floor(scale * 1000000 + lit(0.5)).cast("long").as("scale_x1e6"),
-        qarr.as("qa"))
-      .select(col("vec_id"), col("scale_x1e6"),
-        aggregate(col("qa"), lit(0L), (acc, x) => acc + x).as("q_sum"),
-        array_min(col("qa")).as("q_min"),
-        array_max(col("qa")).as("q_max"),
-        aggregate(col("qa"), lit(0L), (acc, x) => acc + x * x).as("q_norm2"))
+    e.select(col("vec_id"), col("emb"),
+        when(maxabs === 0.0, lit(0.0)).otherwise(lit(Q_MAX) / maxabs).as("scale"))
+      .select(col("vec_id"),
+        floor(col("scale") * 1000000 + lit(0.5)).cast("long").as("scale_x1e6"),
+        explode(qarr).as("q"))
+      .groupBy("vec_id", "scale_x1e6")
+      .agg(sum(col("q")).as("q_sum"),
+        min(col("q")).as("q_min"),
+        max(col("q")).as("q_max"),
+        sum(col("q") * col("q")).as("q_norm2"))
+      .select("vec_id", "scale_x1e6", "q_sum", "q_min", "q_max", "q_norm2")
       .orderBy("vec_id")
   }
 
