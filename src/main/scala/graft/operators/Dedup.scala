@@ -235,6 +235,47 @@ object Dedup {
     exactJaccardFilter(inter, sh, thresholdX1e3)
   }
 
+  /** Connected components over the verified near-dup pair graph — the
+    * cluster granularity a principled dedup actually needs (pairwise
+    * dropping over-deletes on chains; a cluster keeps exactly one
+    * representative). Min-label propagation to fixpoint: each iteration is
+    * one shuffle-join on the node id, and the iteration count is the graph
+    * diameter — near-dup graphs are short chains, so a handful. At 100 TB
+    * the same loop runs with the large-star/small-star optimization
+    * (alternating min-propagation that contracts stars), which keeps every
+    * iteration an equi-join too; the fixpoint labels are identical, so the
+    * oracle (a transitive-closure recursive CTE) is unchanged.
+    * Output: one row per document that appears in any pair, with the
+    * component's minimum doc_id as cluster_id.
+    */
+  def nearDupClusters(docs: DataFrame, thresholdX1e3: Int,
+                      cache: Boolean = true): DataFrame = {
+    val pairs = jaccardPairsLshVerified(docs, thresholdX1e3, cache)
+      .select(col("d1"), col("d2"))
+    val edges0 = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val edges = if (cache) edges0.persist() else edges0
+    var labels = edges.select(col("d1").as("node")).distinct()
+      .withColumn("label", col("node"))
+    if (cache) labels.persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("d2") === col("node"))
+        .groupBy(col("d1")).agg(min("label").as("nlabel"))
+      val next0 = labels.join(prop, col("node") === col("d1"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val next = if (cache) next0.persist() else next0
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      if (cache) labels.unpersist()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Exact embedding-cosine near-dup pairs: every (v1 < v2) with
     * floor-scaled cosine >= thresholdX1e4. This is the quadratic exact
     * baseline (the embedding analogue of [[jaccardPairs]]) and the oracle
@@ -344,6 +385,10 @@ object Dedup {
       jaccardPairsLshVerified(Tables.documents(s, d), 800)
         .orderBy("d1", "d2")),
 
+    // Q49: near-dup connected components (clusters) at Jaccard >= 0.8.
+    "q49_neardup_clusters" -> ((s, d) =>
+      nearDupClusters(Tables.documents(s, d).select("doc_id", "text"), 800)),
+
     // Q40: exact embedding-cosine near-dup pairs. The synthetic corpus has
     // no true duplicates (max pairwise cosine ~0.51 at sf0.01), so the demo
     // threshold 0.45 sits in the far tail (p99 ~0.29) and returns a small
@@ -378,6 +423,27 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q49_neardup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+        |       WHERE len(l) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM inter
+        |          JOIN cnt c1 ON c1.doc_id = d1
+        |          JOIN cnt c2 ON c2.doc_id = d2
+        |          WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a)
+        |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        |ORDER BY doc_id""".stripMargin,
+
     "q23_simhash_pairs" -> simhashOracleSql,
 
     "q18_dedup_exact" ->

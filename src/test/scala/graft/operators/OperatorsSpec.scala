@@ -72,6 +72,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"simhash found $hit of ${exactPairs.size} planted pairs")
   }
 
+  test("near-dup clusters equal a driver-side union-find over the exact pairs") {
+    val pairs = Dedup.jaccardPairs(
+        Tables.documents(spark, D).select(col("doc_id"), col("text")), 800)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.queries("q49_neardup_clusters")(spark, D)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "cluster labels differ from union-find ground truth")
+  }
+
   // --- Embedding-cosine near-dup: exact baseline vs the banded scale path.
 
   private def nearDupPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
