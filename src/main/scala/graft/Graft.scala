@@ -92,6 +92,10 @@ final class Graft(val spark: SparkSession, dataDir: String,
     Curation.crossModalPairs(Tables.documents(spark, dataDir),
       Tables.embeddings(spark, dataDir), cache = false)
 
+  /** Train/eval contamination report against the deterministic sample. */
+  def contamination(perLang: Int = 20): DataFrame =
+    Curation.contaminationReport(Tables.documents(spark, dataDir), perLang)
+
   /** Exact-verified text near-dup pairs at `jaccardX1e3`, LSH-pruned. */
   def nearDupPairs(jaccardX1e3: Int = 800): DataFrame =
     Dedup.jaccardPairsLshVerified(

@@ -78,13 +78,62 @@ object Curation {
       .orderBy("id1", "id2")
   }
 
+  /** Train/eval contamination report: for every document OUTSIDE the eval
+    * sample, the fraction of its distinct trigram shingles that also occur
+    * in any eval-sample document (x1e3), reported when nonzero. This is
+    * the decontamination stage of a training pipeline — a doc sharing most
+    * of its shingles with an eval set must not be trained on. The eval set
+    * here is the deterministic q42 sample, so the whole report is
+    * reproducible. Scale shape: the eval shingle set is small (eval
+    * corpora are thousands of docs), so the overlap probe broadcasts and
+    * the corpus-side scan is shuffle-free up to the per-doc count.
+    */
+  def contaminationReport(docs: DataFrame, perLang: Int = 20): DataFrame = {
+    val sample = TextAnalysis.stratifiedSample(docs, perLang)
+      .select(col("doc_id"))
+    val sh = Dedup.hashedShingles(docs)
+    val evalSh = sh.join(sample, Seq("doc_id")).select("shingle").distinct()
+    val rest = sh.join(sample, Seq("doc_id"), "left_anti")
+    val hits = rest.join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("nhit"))
+    rest.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"),
+        floor(col("nhit") * lit(1000.0) / col("n_shingles") + lit(0.5))
+          .cast("long").as("contam_x1e3"))
+      .filter(col("contam_x1e3") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_curation" -> ((s, d) => curate(Tables.documents(s, d))),
+    "q50_contamination" -> ((s, d) =>
+      contaminationReport(Tables.documents(s, d))),
     "q45_crossmodal_dedup" -> ((s, d) =>
       crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q50_contamination" ->
+      s"""WITH ranked AS (SELECT doc_id, row_number() OVER
+         |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk
+         |  FROM documents),
+         |sample AS (SELECT doc_id FROM ranked WHERE rnk <= 20),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+         |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+         |       WHERE len(l) >= 3),
+         |evalsh AS (SELECT DISTINCT shingle FROM sh JOIN sample USING (doc_id)),
+         |rest AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM sample)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM rest GROUP BY 1),
+         |hits AS (SELECT doc_id, COUNT(*) AS nhit FROM rest
+         |         WHERE shingle IN (SELECT shingle FROM evalsh) GROUP BY 1)
+         |SELECT doc_id, n_shingles,
+         |       CAST(FLOOR(nhit * 1000.0 / n_shingles + 0.5) AS BIGINT) AS contam_x1e3
+         |FROM cnt JOIN hits USING (doc_id)
+         |WHERE CAST(FLOOR(nhit * 1000.0 / n_shingles + 0.5) AS BIGINT) > 0
+         |ORDER BY doc_id""".stripMargin,
+
     "q45_crossmodal_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle

@@ -92,6 +92,31 @@ class TextRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q50: contamination fractions match a driver-side recomputation") {
+    val docs = Tables.documents(spark, D)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def shingles(toks: Seq[String]): Set[String] =
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    val sampleIds = TextAnalysis.stratifiedSample(
+        Tables.documents(spark, D), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val evalSh = sampleIds.flatMap(id => shingles(docs(id)))
+    val expected = (docs.keySet -- sampleIds).flatMap { id =>
+      val sh = shingles(docs(id))
+      if (sh.isEmpty) None
+      else {
+        val c = math.floor(
+          (sh count evalSh).toLong * 1000.0 / sh.size + 0.5).toLong
+        if (c > 0) Some(id -> (sh.size.toLong, c)) else None
+      }
+    }.toMap
+    val got = Curation.queries("q50_contamination")(spark, D)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("q43: counts and lengths match a driver-side Java-regex recomputation") {
     val pat = "\\bcustomer\\b|\\d\\d\\d+"
     val texts = Tables.documents(spark, D)
