@@ -258,19 +258,25 @@ object Dedup {
     var labels = edges.select(col("d1").as("node")).distinct()
       .withColumn("label", col("node"))
     if (cache) labels.persist()
-    var changed = 1L
-    while (changed > 0) {
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).head().getLong(0)
+    // labels only ever decrease under min-propagation, so the label sum
+    // strictly decreases on any change — comparing sums detects the
+    // fixpoint with ONE job per iteration instead of a join-and-count
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val prop = edges.join(labels, col("d2") === col("node"))
         .groupBy(col("d1")).agg(min("label").as("nlabel"))
       val next0 = labels.join(prop, col("node") === col("d1"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       val next = if (cache) next0.persist() else next0
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val s = labelSum(next)
       if (cache) labels.unpersist()
       labels = next
+      converged = s == prevSum
+      prevSum = s
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
