@@ -94,7 +94,8 @@ final class Graft(val spark: SparkSession, dataDir: String,
 
   /** Train/eval contamination report against the deterministic sample. */
   def contamination(perLang: Int = 20): DataFrame =
-    Curation.contaminationReport(Tables.documents(spark, dataDir), perLang)
+    Curation.contaminationReport(Tables.documents(spark, dataDir), perLang,
+      cache = false)
 
   /** Exact-verified text near-dup pairs at `jaccardX1e3`, LSH-pruned. */
   def nearDupPairs(jaccardX1e3: Int = 800): DataFrame =

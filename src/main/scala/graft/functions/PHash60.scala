@@ -29,11 +29,24 @@ case class PHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_phash60"
 
-  override def nullSafeEval(input: Any): Any =
-    PHash60Util.hash60(input.asInstanceOf[UTF8String])
+  // ExpectsInputTypes is private[sql], so validate manually (same approach
+  // as CosineSimilarity): a clear message beats a ClassCastException or a
+  // Janino compile failure for a SQL caller passing a non-string child.
+  private def requireString(): Unit = child.dataType match {
+    case org.apache.spark.sql.types.StringType => ()
+    case other => throw new IllegalArgumentException(
+      s"graft_phash60 expects a string argument (cast first), got ${other.simpleString(10)}")
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(input: Any): Any = {
+    requireString()
+    PHash60Util.hash60(input.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    requireString()
     defineCodeGen(ctx, ev, c => s"graft.functions.PHash60Util.hash60($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): PHash60 =
     copy(child = newChild)

@@ -88,10 +88,17 @@ object Curation {
     * corpora are thousands of docs), so the overlap probe broadcasts and
     * the corpus-side scan is shuffle-free up to the per-doc count.
     */
-  def contaminationReport(docs: DataFrame, perLang: Int = 20): DataFrame = {
-    val sample = TextAnalysis.stratifiedSample(docs, perLang)
+  def contaminationReport(docs: DataFrame, perLang: Int = 20,
+                          cache: Boolean = true): DataFrame = {
+    // the shingle relation feeds the eval set, the overlap probe, and the
+    // per-doc counts; the sample is joined twice — persist both or the
+    // corpus tokenizes three times (same convention as the dedup pipelines;
+    // cache=false for long-lived facade sessions)
+    val sample0 = TextAnalysis.stratifiedSample(docs, perLang)
       .select(col("doc_id"))
-    val sh = Dedup.hashedShingles(docs)
+    val sample = if (cache) sample0.persist() else sample0
+    val sh0 = Dedup.hashedShingles(docs)
+    val sh = if (cache) sh0.persist() else sh0
     val evalSh = sh.join(sample, Seq("doc_id")).select("shingle").distinct()
     val rest = sh.join(sample, Seq("doc_id"), "left_anti")
     val hits = rest.join(broadcast(evalSh), Seq("shingle"), "left_semi")

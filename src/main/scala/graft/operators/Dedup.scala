@@ -252,34 +252,48 @@ object Dedup {
                       cache: Boolean = true): DataFrame = {
     val pairs = jaccardPairsLshVerified(docs, thresholdX1e3, cache)
       .select(col("d1"), col("d2"))
-    val edges0 = pairs
+    // the loop's frames ALWAYS persist regardless of `cache` (which still
+    // governs the upstream LSH pipeline): each iteration reads its
+    // predecessor twice, so unpersisted lineage would double per iteration
+    // and re-run the whole verify pipeline exponentially many times. Only
+    // two label tables are alive at once; superseded ones unpersist below,
+    // and the result is localCheckpoint-truncated so every loop block is
+    // released before returning.
+    val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-    val edges = if (cache) edges0.persist() else edges0
-    var labels = edges.select(col("d1").as("node")).distinct()
+      .persist()
+    var cached = edges.select(col("d1").as("node")).distinct()
       .withColumn("label", col("node"))
-    if (cache) labels.persist()
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).head().getLong(0)
-    // labels only ever decrease under min-propagation, so the label sum
-    // strictly decreases on any change — comparing sums detects the
-    // fixpoint with ONE job per iteration instead of a join-and-count
-    var prevSum = labelSum(labels)
+      .persist()
+    var labels = cached
+    // convergence = no label changed this iteration; the flag is computed
+    // inside the propagation select, so the check is ONE aggregation job
+    // (sum of 0/1 flags — no unbounded label sums, which would overflow
+    // for hash-derived 2^60-scale ids under ANSI arithmetic)
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, col("d2") === col("node"))
         .groupBy(col("d1")).agg(min("label").as("nlabel"))
-      val next0 = labels.join(prop, col("node") === col("d1"), "left")
+      val next = labels.join(prop, col("node") === col("d1"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      val next = if (cache) next0.persist() else next0
-      val s = labelSum(next)
-      if (cache) labels.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .cast("long").as("chg"))
+        .persist()
+      converged = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0) == 0L
+      cached.unpersist() // unpersist the FRAME that was persisted, not a projection of it
+      cached = next
+      labels = next.select("node", "label")
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    // truncate lineage: the result must not reference the loop's cached
+    // frames (or an eviction would replay the doubled lineage), and the
+    // loop's blocks must not stay pinned for the JVM lifetime
+    val result = labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    cached.unpersist()
+    result.orderBy("doc_id")
   }
 
   /** Exact embedding-cosine near-dup pairs: every (v1 < v2) with

@@ -15,10 +15,12 @@ import graft.sources.Tables
   *    context-window packing with overlap, each chunk carrying the q28
   *    rolling fingerprint so chunk-level exact dedup composes directly.
   *
-  * Both are pure per-row higher-order-function work: no shuffle, no UDFs,
-  * fully inside whole-stage codegen, embarrassingly parallel at any scale.
-  * The only generator is q47's explode, whose fan-out is bounded by
-  * tokens/stride per document.
+  * Both are expression work plus one explode feeding an aggregation — no
+  * UDFs, codegen throughout. q47 is shuffle-free (generator + per-row
+  * fingerprint fold); q46's summaries go through a partial-aggregating
+  * groupBy on the unique vector id, so its exchange carries one row per
+  * vector per partition — see the function comment for why that beats
+  * four array-HOF folds.
   */
 object Prep {
 
@@ -51,7 +53,10 @@ object Prep {
         when(maxabs === 0.0, lit(0.0)).otherwise(lit(Q_MAX) / maxabs).as("scale"))
       .select(col("vec_id"),
         floor(col("scale") * 1000000 + lit(0.5)).cast("long").as("scale_x1e6"),
-        explode(qarr).as("q"))
+        // explode_OUTER: an empty/null embedding must still yield its one
+        // output row (with null summaries), matching the oracle's
+        // list_aggregate semantics — plain explode would drop the vec_id
+        explode_outer(qarr).as("q"))
       .groupBy("vec_id", "scale_x1e6")
       .agg(sum(col("q")).as("q_sum"),
         min(col("q")).as("q_min"),
