@@ -102,4 +102,33 @@ final class Graft(val spark: SparkSession, dataDir: String,
     Dedup.jaccardPairsLshVerified(
       Tables.documents(spark, dataDir).select("doc_id", "text"),
       jaccardX1e3, cache = false)
+
+  /** Near-dup connected components (cluster id = component min doc_id). */
+  def nearDupClusters(jaccardX1e3: Int = 800): DataFrame =
+    Dedup.nearDupClusters(
+      Tables.documents(spark, dataDir).select("doc_id", "text"),
+      jaccardX1e3, cache = false)
+
+  /** The end-to-end export a training run consumes: curate `documents`
+    * (quality gate + near-dup drop), assign the deterministic 90/5/5
+    * hash split, and write parquet shards partitioned by (split, lang) —
+    * so a trainer reads `split=train/` with partition pruning and never
+    * scans eval rows. Returns the curated-row count.
+    */
+  def exportCorpus(outDir: String): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dataDir)
+    val curated = Curation.curate(docs)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+    val h = org.apache.spark.sql.functions.pmod(
+      graft.functions.GraftFunctions.phash60(
+        org.apache.spark.sql.functions.col("doc_id")),
+      org.apache.spark.sql.functions.lit(100L))
+    val withSplit = curated.withColumn("split",
+      org.apache.spark.sql.functions.when(h < 90, "train")
+        .when(h < 95, "val").otherwise("test"))
+    graft.sources.Sources.writePartitioned(withSplit, outDir,
+      Seq("split", "lang"))
+    spark.read.parquet(outDir).count()
+  }
 }

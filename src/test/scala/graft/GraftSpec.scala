@@ -43,6 +43,22 @@ class GraftSpec extends AnyFunSuite {
       Seq("doc_id", "lang", "n_tokens", "quality_x1e3"))
   }
 
+  test("exportCorpus writes split/lang-partitioned shards a trainer can prune") {
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val n = g.exportCorpus(out)
+    assert(n === g.curatedCorpus().count(), "export must cover the curated corpus")
+    val back = TestSpark.spark.read.parquet(out)
+    assert(back.columns.contains("split") && back.columns.contains("lang"))
+    val splits = back.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    // partition pruning: a split=train read must not scan other partitions
+    val plan = back.filter(col("split") === "train").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("split=train") || !plan.contains("split=test"))
+    // SQL surface reaches the native hash too
+    assert(g.sql("SELECT graft_phash60('abc')").collect().head.getLong(0) >= 0)
+  }
+
   test("retrieval, sampling, and dedup conveniences run end to end") {
     val hits = g.search(Seq("spark", "vector"), k = 5).collect()
     assert(hits.nonEmpty && hits.length <= 5)
