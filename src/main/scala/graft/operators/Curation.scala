@@ -78,6 +78,24 @@ object Curation {
       .orderBy("id1", "id2")
   }
 
+  /** The streaming form of the curation entry stage: per-row quality
+    * scoring (pure expressions — identical plan fragment as the batch
+    * `scored`) and stateful exact dedup on the content hash, so an
+    * arriving duplicate of ANY previously seen document is dropped. State
+    * is one 32-byte hash per distinct kept document. Near-dup removal is
+    * deliberately NOT here: it needs corpus-wide joins, which is the
+    * periodic batch compaction's job (run `curate` over accumulated
+    * micro-batch output — same split as the reference's cache-aside +
+    * batch-apply pattern). For bounded state under true unbounded streams,
+    * compose with a watermark on an event-time column before the dedup.
+    */
+  def streamingCurate(docs: DataFrame): DataFrame =
+    scored(docs)
+      .filter(col("quality_x1e3") >= QUALITY_MIN)
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .dropDuplicates("content_hash")
+      .select("doc_id", "lang", "n_tokens", "quality_x1e3")
+
   /** Train/eval contamination report: for every document OUTSIDE the eval
     * sample, the fraction of its distinct trigram shingles that also occur
     * in any eval-sample document (x1e3), reported when nonzero. This is

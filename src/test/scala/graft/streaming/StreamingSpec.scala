@@ -219,6 +219,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gates on quality and dedups exact content across batches") {
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "text", "lang")
+    val q = graft.operators.Curation.streamingCurate(docs)
+      .writeStream.format("memory").queryName("curate_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val rich = (1 to 30).map(i => s"tok$i").mkString(" ") // high TTR, no stopwords
+      val poor = Seq.fill(30)("the").mkString(" ")          // stopword wall
+      in.addData((1L, rich, "en"), (2L, poor, "en"))
+      q.processAllAvailable()
+      in.addData((3L, rich, "en")) // exact dup of doc 1, later batch
+      q.processAllAvailable()
+      val kept = spark.table("curate_t").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L), s"kept $kept: poor quality and exact dups must drop")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     import spark.implicits._
     val in = MemoryStream[(Long, Timestamp, Double)](spark)
