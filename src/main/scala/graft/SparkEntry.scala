@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cdc.CdcQueries
-import graft.operators.{Curation, Dedup, Multimodal, Prep, Relational, Similarity, Sketches, TextAnalysis, TextRetrieval}
+import graft.operators.{Curation, Dedup, Multimodal, Prep, Relational, Repetition, Similarity, Sketches, TextAnalysis, TextRetrieval}
 
 /** Driver contract — see /root/repo/SURVEY.md s7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ Relational.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Curation.queries ++ Sketches.queries ++ TextRetrieval.queries ++ Prep.queries
+      Curation.queries ++ Sketches.queries ++ TextRetrieval.queries ++
+      Prep.queries ++ Repetition.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Multimodal.oracleSql ++
-      Curation.oracleSql ++ Sketches.oracleSql ++ TextRetrieval.oracleSql ++ Prep.oracleSql
+      Curation.oracleSql ++ Sketches.oracleSql ++ TextRetrieval.oracleSql ++
+      Prep.oracleSql ++ Repetition.oracleSql
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Repetition-based quality filters — the Gopher/CCNet family of signals a
+  * production pretraining pipeline runs between raw ingest and dedup:
+  *
+  *  - q51: INTRA-document repetition — per document, the fraction of n-gram
+  *    positions covered by the most common 2-gram and by duplicated 2-/3-
+  *    grams (the "top n-gram fraction" / "duplicate n-gram fraction" rules
+  *    used to drop boilerplate and degenerate generations).
+  *  - q52: INTER-document repetition — per document, the fraction of its
+  *    5-gram passages that also occur in at least one other document (the
+  *    corpus-level duplicated-passage signal line-dedup pipelines use; the
+  *    documents table has no newlines, so the passage unit is the token
+  *    5-gram rather than the line).
+  *
+  * Both are pure explode + hash-aggregate shapes:
+  *
+  *  - q51 never joins at all: one generator per document row fans out to
+  *    (doc, n, gram) rows, two partial-aggregating groupBys reduce them, and
+  *    every shuffle row is a gram count, never a document. Per-doc work is
+  *    linear in document length.
+  *  - q52's only corpus-wide operation is a groupBy on the 64-bit shingle
+  *    hash followed by a join back on that same hash — the aggregate output
+  *    is already hash-partitioned on the join key, so the join adds no
+  *    second exchange for that side, and no operation is quadratic in
+  *    anything (contrast the q21 inverted-index SELF-join: here each shingle
+  *    contributes its posting-list length, not its square, because we only
+  *    count documents per shingle). That is what makes this the signal you
+  *    can afford corpus-wide at 100 TB while pair-level near-dup needs LSH.
+  *
+  * Like q21, q52 groups on `xxhash64` of the shingle so the corpus-wide
+  * shuffle carries 8-byte keys instead of ~40-byte strings; the oracle
+  * groups on the string itself (collision odds over a 1e6-shingle corpus
+  * ~1e-8 — the same accepted trade as q21/q22, and a collision indicts the
+  * run, not the design).
+  */
+object Repetition {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Token n-gram array (n >= 1) over the whitespace token array; empty when
+    * the document has fewer than n tokens. The short-doc branch must be
+    * explicit: Spark's `sequence(0, stop)` DESCENDS for stop < 0 instead of
+    * returning empty, which would fabricate grams from wrap-around indices.
+    */
+  private def gramArr(n: Int): Column =
+    if (n == 1) toks
+    else when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  private def ratioX1e3(num: Column, den: Column): Column =
+    floor(num.cast("double") * lit(1000.0) / den + lit(0.5)).cast("long")
+
+  // q51 flag thresholds (per-mille): a document is flagged when its top
+  // 2-gram covers >= 12.5% of 2-gram positions or duplicated 3-grams cover
+  // >= 12.5% of 3-gram positions — the Gopher-style rule shape with
+  // thresholds placed to split this corpus; production tunes per source.
+  private val TOP2_MAX_X1E3 = 125L
+  private val DUP3_MAX_X1E3 = 125L
+
+  /** q51: per-document n-gram repetition metrics (docs with >= 3 tokens). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    // one generator: (n, gram) structs for n = 1,2,3 in a single explode;
+    // position totals (n_tokens - n + 1) are per-row expressions, so only
+    // the gram COUNTS ever reach an exchange
+    val grams = flatten(array((1 to 3).map(n =>
+      transform(gramArr(n), g => struct(lit(n).as("n"), g.as("g")))): _*))
+    docs.filter(size(toks) >= 3)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        explode(grams).as("ng"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("ng.n").as("n"), col("ng.g").as("g"))
+      .groupBy("doc_id", "n_tokens", "n", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(
+        max(when(col("n") === 1, col("c"))).as("top1"),
+        max(when(col("n") === 2, col("c"))).as("top2"),
+        sum(when(col("n") === 2 && col("c") > 1, col("c")).otherwise(0L)).as("dup2"),
+        sum(when(col("n") === 3 && col("c") > 1, col("c")).otherwise(0L)).as("dup3"))
+      .select(col("doc_id"), col("n_tokens"),
+        ratioX1e3(col("top1"), col("n_tokens")).as("top1_x1e3"),
+        ratioX1e3(col("top2"), col("n_tokens") - 1).as("top2_x1e3"),
+        ratioX1e3(col("dup2"), col("n_tokens") - 1).as("dup2_x1e3"),
+        ratioX1e3(col("dup3"), col("n_tokens") - 2).as("dup3_x1e3"))
+      .withColumn("flagged",
+        (col("top2_x1e3") >= TOP2_MAX_X1E3 || col("dup3_x1e3") >= DUP3_MAX_X1E3)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val PASSAGE_N = 5
+  // drop a document when more than half of its passages occur elsewhere
+  private val SHARED_MAX_X1E3 = 500L
+
+  /** q52: per-document duplicated-passage (5-gram) fraction across the
+    * corpus. Documents with fewer than 5 tokens carry zero passages and are
+    * kept by definition.
+    */
+  def dupPassageScore(docs: DataFrame): DataFrame = {
+    // distinct (doc, passage-hash): a passage repeated INSIDE one document
+    // counts once — this signal is strictly inter-document (q51 owns the
+    // intra-document axis)
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(gramArr(PASSAGE_N))).as("p"))
+      .select(col("doc_id"), xxhash64(col("p")).as("ph"))
+    // documents-per-passage; the groupBy output is hash-partitioned on `ph`,
+    // which is exactly the join key below
+    val freq = sh.groupBy("ph").agg(count(lit(1)).as("nd"))
+    val perDoc = sh.join(freq, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_x1e3",
+        when(col("n_passages") === 0, lit(0L))
+          .otherwise(ratioX1e3(col("n_shared"), col("n_passages"))))
+      .withColumn("keep", (col("shared_x1e3") <= SHARED_MAX_X1E3).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d))),
+    "q52_dup_passages" -> ((s, d) => dupPassageScore(Tables.documents(s, d)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q51_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 3),
+         |g AS (
+         |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, 1 AS n, unnest(l) AS g FROM t
+         |  UNION ALL
+         |  SELECT doc_id, CAST(len(l) AS BIGINT), 2, l[i] || ' ' || l[i+1]
+         |  FROM t, unnest(range(1, len(l))) AS u(i)
+         |  UNION ALL
+         |  SELECT doc_id, CAST(len(l) AS BIGINT), 3, l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+         |  FROM t, unnest(range(1, len(l) - 1)) AS u(i)),
+         |c AS (SELECT doc_id, n_tokens, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3, 4),
+         |a AS (SELECT doc_id, n_tokens,
+         |        MAX(CASE WHEN n = 1 THEN c END) AS top1,
+         |        MAX(CASE WHEN n = 2 THEN c END) AS top2,
+         |        SUM(CASE WHEN n = 2 AND c > 1 THEN c ELSE 0 END) AS dup2,
+         |        SUM(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS dup3
+         |      FROM c GROUP BY 1, 2),
+         |m AS (SELECT doc_id, n_tokens,
+         |        CAST(FLOOR(CAST(top1 * 1000 AS DOUBLE) / n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT) AS top1_x1e3,
+         |        CAST(FLOOR(CAST(top2 * 1000 AS DOUBLE) / (n_tokens - 1) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS top2_x1e3,
+         |        CAST(FLOOR(CAST(dup2 * 1000 AS DOUBLE) / (n_tokens - 1) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dup2_x1e3,
+         |        CAST(FLOOR(CAST(dup3 * 1000 AS DOUBLE) / (n_tokens - 2) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dup3_x1e3
+         |      FROM a)
+         |SELECT doc_id, n_tokens, top1_x1e3, top2_x1e3, dup2_x1e3, dup3_x1e3,
+         |       CAST(CASE WHEN top2_x1e3 >= $TOP2_MAX_X1E3 OR dup3_x1e3 >= $DUP3_MAX_X1E3
+         |            THEN 1 ELSE 0 END AS INT) AS flagged
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q52_dup_passages" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS p
+         |       FROM t, unnest(range(1, len(l) - 3)) AS u(i)
+         |       WHERE len(l) >= $PASSAGE_N),
+         |f AS (SELECT p, COUNT(*) AS nd FROM sh GROUP BY p),
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+         |        CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |      FROM sh JOIN f USING (p) GROUP BY doc_id),
+         |m AS (SELECT t.doc_id,
+         |        COALESCE(d.n_passages, 0) AS n_passages,
+         |        COALESCE(d.n_shared, 0) AS n_shared
+         |      FROM t LEFT JOIN d ON t.doc_id = d.doc_id)
+         |SELECT doc_id, n_passages, n_shared,
+         |       CASE WHEN n_passages = 0 THEN 0
+         |            ELSE CAST(FLOOR(CAST(n_shared * 1000 AS DOUBLE) / n_passages + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |       END AS shared_x1e3,
+         |       CAST(CASE WHEN (CASE WHEN n_passages = 0 THEN 0
+         |                       ELSE CAST(FLOOR(CAST(n_shared * 1000 AS DOUBLE) / n_passages + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |                       END) <= $SHARED_MAX_X1E3 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+  )
+}

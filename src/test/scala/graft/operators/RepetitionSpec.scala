@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+/** Semantic checks for the repetition-quality operators (q51/q52) beyond the
+  * DuckDB oracle: both metrics are recomputed driver-side from the raw text
+  * with naive Scala collections, and the short-document edge (fewer tokens
+  * than the gram width) is pinned, since Spark's descending `sequence`
+  * behavior makes that the easiest silent-corruption spot.
+  */
+class RepetitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  private def grams(toks: Array[String], n: Int): Seq[String] =
+    if (toks.length < n) Seq.empty
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+
+  private def ratioX1e3(num: Long, den: Long): Long =
+    math.floor(num.toDouble * 1000.0 / den + 0.5).toLong
+
+  test("q51: metrics match a driver-side recomputation on every document") {
+    val texts = Tables.documents(spark, D)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Repetition.queries("q51_repetition")(spark, D).collect()
+    val expectedDocs = texts.filter(_._2.split(" ").length >= 3).keySet
+    assert(rows.map(_.getLong(0)).toSet == expectedDocs)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ")
+      val n = toks.length.toLong
+      def cnt(k: Int) = grams(toks, k).groupBy(identity).map(_._2.size.toLong)
+      val top1 = cnt(1).max
+      val top2 = cnt(2).max
+      val dup2 = cnt(2).filter(_ > 1).sum
+      val dup3 = cnt(3).filter(_ > 1).sum
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getLong(2) == ratioX1e3(top1, n), s"doc ${r.getLong(0)} top1")
+      assert(r.getLong(3) == ratioX1e3(top2, n - 1), s"doc ${r.getLong(0)} top2")
+      assert(r.getLong(4) == ratioX1e3(dup2, n - 1), s"doc ${r.getLong(0)} dup2")
+      assert(r.getLong(5) == ratioX1e3(dup3, n - 2), s"doc ${r.getLong(0)} dup3")
+      val flag = if (r.getLong(3) >= 125 || r.getLong(5) >= 125) 1 else 0
+      assert(r.getInt(6) == flag, s"doc ${r.getLong(0)} flagged")
+    }
+    assert(rows.exists(_.getInt(6) == 1) && rows.exists(_.getInt(6) == 0),
+      "fixture should exercise both flag branches")
+  }
+
+  test("q52: shared-passage fractions match a driver-side recomputation") {
+    val texts = Tables.documents(spark, D)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val perDoc = texts.map { case (id, t) =>
+      id -> grams(t.split(" "), 5).toSet
+    }.toMap
+    val docFreq = perDoc.values.flatten
+      .groupBy(identity).map { case (p, occ) => p -> occ.size }
+    val rows = Repetition.queries("q52_dup_passages")(spark, D).collect()
+    assert(rows.map(_.getLong(0)).toSet == perDoc.keySet,
+      "q52 must keep one row per document, including passage-free ones")
+    rows.foreach { r =>
+      val ps = perDoc(r.getLong(0))
+      val shared = ps.count(p => docFreq(p) > 1).toLong
+      assert(r.getLong(1) == ps.size.toLong, s"doc ${r.getLong(0)} n_passages")
+      assert(r.getLong(2) == shared, s"doc ${r.getLong(0)} n_shared")
+      val frac = if (ps.isEmpty) 0L else ratioX1e3(shared, ps.size.toLong)
+      assert(r.getLong(3) == frac, s"doc ${r.getLong(0)} shared_x1e3")
+      assert(r.getInt(4) == (if (frac <= 500) 1 else 0), s"doc ${r.getLong(0)} keep")
+    }
+    assert(rows.exists(_.getInt(4) == 0), "fixture should drop some near-dups")
+  }
+
+  test("q51/q52: documents shorter than the gram width degrade cleanly") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "one"),                     // 1 token: below every gram width
+      (2L, "two tokens"),              // 2: below q51's 3-gram floor
+      (3L, "a b c"),                   // 3: exactly q51's floor, below q52's
+      (4L, "a b c d e"),               // 5: exactly one passage
+      (5L, "a b c d e")                // its exact duplicate
+    ).toDF("doc_id", "text")
+    val m = Repetition.repetitionMetrics(tiny).collect()
+    assert(m.map(_.getLong(0)).toSet == Set(3L, 4L, 5L),
+      "metrics exist exactly for >= 3-token docs")
+    val p = Repetition.dupPassageScore(tiny)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    assert(p(1L) == ((0L, 0L, 1)) && p(2L) == ((0L, 0L, 1)) && p(3L) == ((0L, 0L, 1)),
+      "short docs carry zero passages and are kept")
+    assert(p(4L) == ((1L, 1L, 0)) && p(5L) == ((1L, 1L, 0)),
+      "exact 5-token duplicates share their single passage and are dropped")
+  }
+}
