@@ -91,11 +91,74 @@ object Prep {
   def chunkDocuments(docs: DataFrame): DataFrame =
     chunkTransform(docs).orderBy("doc_id", "chunk_idx")
 
+  private val PACK_BUDGET = 256L
+  private val PACK_BUCKETS = 32 // = 2^60 hash space >> 55; scale knob, see below
+
+  /** q53: token-budget sequence packing — assign documents, in a canonical
+    * deterministic order, to fixed-budget token bins (the "pack documents
+    * into training sequences" step; a document goes to the bin its first
+    * token falls in, bins are `PACK_BUDGET` tokens wide).
+    *
+    * The order is (portable hash of doc_id, doc_id) — reproducible across
+    * runs, engines, and repartitioning, like q42/q48. The interesting part
+    * is HOW the global running token count is computed: a global
+    * `Window.orderBy` would funnel the corpus through ONE partition (the
+    * classic prefix-sum scaling trap), so this runs the standard two-pass
+    * distributed prefix sum instead:
+    *
+    *   1. bucket by the TOP bits of the order key (buckets are contiguous
+    *      hash ranges, so bucket order == global order), cumsum within each
+    *      bucket in parallel;
+    *   2. per-bucket totals (one tiny row per bucket) get an exclusive
+    *      cumsum on the driver-sized side and are broadcast back as offsets.
+    *
+    * 32 buckets matches local[32]; at cluster scale the same top-bit split
+    * yields thousands of buckets — the only serial structure is the
+    * bucket-count-sized offset table. The DuckDB oracle computes the naive
+    * single-window global cumsum, so the gate PROVES the two-pass
+    * decomposition equals the sequential semantics row-for-row.
+    */
+  def packSequences(docs: DataFrame, budget: Long = PACK_BUDGET): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Sketches.phash60(col("doc_id")).as("h"))
+      .withColumn("bkt", shiftright(col("h"), 55).cast("int"))
+    val w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    val local = d
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // pass 2: per-bucket totals -> exclusive prefix over the tiny relation
+    val wb = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("bkt")
+      .agg(sum("n_tokens").as("btoks"), count(lit(1)).as("brows"))
+      .select(col("bkt"),
+        coalesce(sum("btoks").over(wb), lit(0L)).as("tok_off"),
+        coalesce(sum("brows").over(wb), lit(0L)).as("row_off"))
+    val cumBefore = col("tok_off") + col("cum") - col("n_tokens")
+    // bin id = floor(cum_before / budget): both operands are exact
+    // non-negative longs far below 2^53, so the double division is exact
+    // and matches the oracle's formula bit-for-bit
+    local.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"),
+        (col("row_off") + col("rn") - 1).as("pos"),
+        col("n_tokens"),
+        floor(cumBefore.cast("double") / budget).cast("long").as("bin"),
+        (cumBefore - floor(cumBefore.cast("double") / budget).cast("long") * budget)
+          .as("off_in_bin"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_quantize_embeddings" -> ((s, d) =>
       quantizeEmbeddings(Tables.embeddings(s, d))),
     "q47_chunk_documents" -> ((s, d) =>
-      chunkDocuments(Tables.documents(s, d)))
+      chunkDocuments(Tables.documents(s, d))),
+    "q53_pack_sequences" -> ((s, d) =>
+      packSequences(Tables.documents(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,6 +193,25 @@ object Prep {
          |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
          |       ${TextAnalysis.rollingFpSql("chunk")} AS chunk_fp
          |FROM ch
-         |ORDER BY doc_id, chunk_idx""".stripMargin
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the oracle is deliberately the NAIVE global-window cumsum — equality
+    // with it is what certifies the two-pass distributed prefix sum
+    "q53_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             ${Sketches.phash60Sql("doc_id")} AS h
+         |           FROM documents),
+         |w AS (SELECT doc_id, n_tokens,
+         |        CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+         |        CAST(COALESCE(SUM(n_tokens) OVER
+         |          (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS BIGINT) AS cumb
+         |      FROM d)
+         |SELECT doc_id, pos, n_tokens,
+         |       CAST(FLOOR(CAST(cumb AS DOUBLE) / $PACK_BUDGET) AS BIGINT) AS bin,
+         |       cumb - CAST(FLOOR(CAST(cumb AS DOUBLE) / $PACK_BUDGET) AS BIGINT) * $PACK_BUDGET AS off_in_bin
+         |FROM w
+         |ORDER BY pos""".stripMargin
   )
 }

@@ -54,6 +54,33 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q53: packing equals the sequential prefix-sum semantics") {
+    import graft.operators.Sketches
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, D)
+    // driver-side sequential re-derivation in the same canonical order
+    val ordered = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"),
+        Sketches.phash60(col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val expected = ordered.zipWithIndex.map { case ((id, n, _), i) =>
+      val row = (id, i.toLong, n, cum / 256L, cum % 256L)
+      cum += n
+      row
+    }
+    val got = Prep.queries("q53_pack_sequences")(spark, TestSpark.SF0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected.toSeq,
+      "two-pass distributed packing must equal the sequential fold")
+    assert(got.map(_._4).distinct.length > 1, "fixture should span several bins")
+    got.foreach { case (id, _, _, _, off) =>
+      assert(off >= 0 && off < 256, s"doc $id off_in_bin out of range")
+    }
+  }
+
   test("q47: a single-chunk document's fingerprint equals its q28 fingerprint") {
     val fps = graft.operators.TextAnalysis.queries("q28_fingerprint")(spark, D)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
