@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed k-means over the embeddings table (q54) — the coarse-
+  * quantizer trainer an IVF index (q24b) needs, and the embedding-space
+  * analogue of the q49 clustering family.
+  *
+  * Lloyd's algorithm in its canonical distributed shape: centroids are tiny
+  * driver/broadcast state (k x dim), each iteration is ONE pass over the
+  * data — a broadcast cross-join (k rows against each vector, never a
+  * shuffle of the corpus) for assignment, then one partial-aggregating
+  * (cid, dim) groupBy for the centroid update, whose output (k x dim rows)
+  * collects to the driver for the next round. Nothing in the loop is
+  * quadratic and nothing shuffles the vectors themselves; at 100 TB the
+  * identical plan runs with larger k and the update exchange still carries
+  * k x dim x partitions rows.
+  *
+  * Determinism/portability: vectors are quantized once to x1e6 scaled
+  * BIGINTs, so distances and centroid updates are EXACT integer arithmetic
+  * — no float-sum order dependence anywhere — and the DuckDB oracle replays
+  * the whole training (same init, 3 unrolled iterations, floor-division
+  * centroid averages) in SQL, making an iterative ML trainer hash-checkable
+  * cross-engine. Init is the k vectors with the smallest
+  * (phash60(vec_id), vec_id) — the same portable-hash idiom as q42/q48.
+  * Assignment tie-break: least (distance, cid).
+  */
+object Clustering {
+
+  private val K = 8
+  private val ITERS = 3
+  private val QSCALE = 1000000L
+  private val DIM = 64
+
+  /** x1e6-quantized vectors `(vec_id, qv: array<long>)` — the same
+    * floor(x * scale + 0.5) contract as q46, so both engines agree bitwise.
+    */
+  private def quantized(embs: DataFrame): DataFrame =
+    Similarity.asDouble(embs).select(col("vec_id"),
+      transform(col("emb"), x =>
+        floor(x * QSCALE + lit(0.5)).cast("long")).as("qv"))
+
+  /** Exact squared L2 distance between the quantized vector column and a
+    * literal centroid array — a codegen'd zip_with/aggregate fold.
+    */
+  private def sqDist(qv: Column, cv: Column): Column =
+    aggregate(zip_with(qv, cv, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One assignment pass: per vector, the centroid minimizing
+    * (distance, cid). `cents` must be broadcastable (k rows).
+    */
+  private def assign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), sqDist(col("qv"), col("cv")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+
+  /** Train k-means and return (final centroids as (cid -> components),
+    * final assignment DataFrame (vec_id, cid, dist)). The per-iteration
+    * centroid state is k x dim longs — collected and re-broadcast each
+    * round, exactly how a cluster implementation carries it.
+    */
+  def kmeans(embs: DataFrame, k: Int = K, iters: Int = ITERS)
+  : (Map[Int, Array[Long]], DataFrame) = {
+    val spark = embs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val q = quantized(embs).persist()
+    try {
+      val init = q
+        .select(col("vec_id"), col("qv"), Sketches.phash60(col("vec_id")).as("h"))
+        .orderBy("h", "vec_id").limit(k)
+        .collect()
+      var cents: Map[Int, Array[Long]] = init.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](1).toArray
+      }.toMap
+      def centsDf = cents.toSeq.sortBy(_._1)
+        .map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cid", "cv")
+      for (_ <- 1 to iters) {
+        // update: one (cid, dim) aggregate; k x dim rows come back to the
+        // driver, where the floor-divided average (Math.floorDiv: exact
+        // integer semantics, the oracle's (s - pmod)/n twin) forms the next
+        // broadcast state. An emptied cluster keeps its previous centroid.
+        val sums = assign(q, centsDf)
+          .join(q, "vec_id")
+          .select(col("cid"), posexplode(col("qv")).as(Seq("p", "v")))
+          .groupBy("cid", "p")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val updated = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
+          val cv = new Array[Long](DIM)
+          rows.foreach(r => cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+          cid -> cv
+        }
+        cents = cents ++ updated
+      }
+      (cents, assign(q, centsDf))
+    } finally q.unpersist()
+  }
+
+  /** Final centroids scaled back to doubles (component / 1e6) — the form a
+    * coarse IVF quantizer (q24b) consumes.
+    */
+  def trainedCentroids(embs: DataFrame, k: Int = K, iters: Int = ITERS)
+  : Map[Int, Array[Double]] =
+    kmeans(embs, k, iters)._1.map { case (cid, cv) =>
+      cid -> cv.map(_.toDouble / QSCALE)
+    }
+
+  /** q54 result: per-cluster exact-integer summaries — size, membership
+    * checksum, within-cluster sum of squared distances, centroid component
+    * sum. Emptied clusters have no members and thus no row.
+    */
+  def kmeansSummary(embs: DataFrame): DataFrame = {
+    val (cents, assigned) = kmeans(embs)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val centSums = cents.toSeq
+      .map { case (cid, cv) => (cid, cv.sum) }
+      .toDF("cid", "cent_sum")
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("vec_id").as("sum_vec_ids"),
+        sum("dist").as("wcss"))
+      .join(broadcast(centSums), "cid")
+      .select("cid", "n_vecs", "sum_vec_ids", "wcss", "cent_sum")
+      .orderBy("cid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_kmeans" -> ((s, d) => kmeansSummary(Tables.embeddings(s, d)))
+  )
+
+  /** The oracle unrolls the SAME training in SQL: quantization, hash-order
+    * init, `ITERS` assignment/update rounds (floor-division averages via the
+    * portable (s - nonneg-mod) / n formula), final assignment, summaries.
+    */
+  private def kmeansOracleSql: String = {
+    val iterCtes = (1 to ITERS).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      // assignment against prev centroids, then per-(cid, dim) sums over
+      // 1-based positions, floor-div average, keep-previous for empty cids
+      s"""a$i AS (SELECT vec_id, qv, cid, dist FROM (
+         |  SELECT e.vec_id, e.qv, c.cid,
+         |         CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT) AS dist,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT), c.cid) AS rn
+         |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
+         |u$i AS (SELECT cid, p, CAST(SUM(qv[p]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM a$i, unnest(range(1, ${DIM + 1})) AS up(p) GROUP BY cid, p),
+         |n$i AS (SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY p) AS cv FROM u$i GROUP BY cid),
+         |c$i AS (SELECT p.cid, COALESCE(c.cv, p.cv) AS cv FROM $prev p LEFT JOIN n$i c USING (cid))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding::DOUBLE[], x ->
+       |               CAST(FLOOR(x * $QSCALE + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+       |           FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, qv AS cv
+       |       FROM (SELECT vec_id, qv, ${Sketches.phash60Sql("vec_id")} AS h FROM e)
+       |       ORDER BY h, vec_id LIMIT $K),
+       |$iterCtes,
+       |fin AS (SELECT vec_id, cid, dist FROM (
+       |  SELECT e.vec_id, c.cid,
+       |         CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT) AS dist,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT), c.cid) AS rn
+       |  FROM e CROSS JOIN c$ITERS c) WHERE rn = 1)
+       |SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       CAST(SUM(f.vec_id) AS BIGINT) AS sum_vec_ids,
+       |       CAST(SUM(f.dist) AS BIGINT) AS wcss,
+       |       CAST(MIN(cs.cent_sum) AS BIGINT) AS cent_sum
+       |FROM fin f JOIN (SELECT cid, CAST(list_aggregate(cv, 'sum') AS BIGINT) AS cent_sum FROM c$ITERS) cs
+       |  ON f.cid = cs.cid
+       |GROUP BY f.cid
+       |ORDER BY f.cid""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q54_kmeans" -> kmeansOracleSql
+  )
+}
