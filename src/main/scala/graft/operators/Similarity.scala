@@ -75,6 +75,42 @@ object Similarity {
   private val COS_SQL =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
+  /** IVF search against an arbitrary coarse-centroid relation
+    * `(cent_id, cent: array<double>)`: every vector is assigned to its
+    * nearest centroid in one broadcast pass, queries (vec_id < nQueries)
+    * probe their `probes` nearest cells, candidate generation is an
+    * equi-join on the cell id, exact cosine ranks the candidates. The q24b
+    * catalog entry runs this with the deterministic first-16 demo
+    * quantizer; production feeds [[Clustering.trainedCentroids]] — the
+    * search is centroid-source-agnostic, which is the point of IVF.
+    */
+  def ivfSearch(e: DataFrame, cents: DataFrame,
+                nQueries: Int = 5, probes: Int = 2, topK: Int = 3): DataFrame = {
+    def bestCells(v: DataFrame, p: Int, outCol: String): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cent_id"))
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("emb"), col("cent_id"),
+          cosine(col("emb"), col("cent")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= p)
+        .select(col("vec_id"), col("emb"), col("cent_id").as(outCol))
+    }
+    val assigned = bestCells(e, 1, "cell")
+    val queries = bestCells(e.filter(col("vec_id") < nQueries), probes, "cell")
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_x1e4").desc, col("vec_id"))
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        floor(cosine(col("emb"), col("qe")) * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
+      .distinct() // a candidate can appear via several probed cells
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q20 (E-10): exact cosine top-5 of vec_id=0.
@@ -131,31 +167,13 @@ object Similarity {
     // additionally measures recall against brute force.
     "q24b_ann_ivf" -> ((s, d) => {
       val e = asDouble(Tables.embeddings(s, d))
+      // the DEMO coarse quantizer: deterministically the first 16 corpus
+      // vectors (replayable in plain SQL). The production path trains the
+      // centroids instead — same search, Clustering.trainedCentroids input
+      // (spec-compared for recall in OperatorsSpec).
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
-      def bestCells(v: DataFrame, probes: Int, outCol: String): DataFrame = {
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc, col("cent_id"))
-        v.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("emb"), col("cent_id"),
-            cosine(col("emb"), col("cent")).as("sim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= probes)
-          .select(col("vec_id"), col("emb"), col("cent_id").as(outCol))
-      }
-      val assigned = bestCells(e, 1, "cell")
-      val queries = bestCells(e.filter(col("vec_id") < 5), 2, "cell")
-        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("cell"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cos_x1e4").desc, col("vec_id"))
-      assigned.join(broadcast(queries), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          floor(cosine(col("emb"), col("qe")) * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
-        .distinct() // a candidate can appear via both probed cells
-        .withColumn("rnk", row_number().over(w).cast("int"))
-        .filter(col("rnk") <= 3)
-        .orderBy("q_id", "rnk")
+      ivfSearch(e, cents)
     }),
 
     // Q24c: multi-probe extension of q24 — each query also probes the 8

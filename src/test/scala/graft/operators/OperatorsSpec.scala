@@ -233,6 +233,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.map(_.getLong(0)).distinct.length === 5)
   }
 
+  test("IVF with trained centroids recalls planted near-duplicates at top-1") {
+    import spark.implicits._
+    // corpus with ids shifted up, plus 3 planted queries (ids 0..2) that are
+    // slightly perturbed copies of known corpus vectors: the production IVF
+    // contract is that HIGH-cosine neighbors land in the query's probed cell
+    // (moderate-cosine neighbors in isotropic data are out of scope for a
+    // coarse quantizer — the q24b demo only looks perfect because its
+    // queries coincide with its centroid vectors).
+    val base = Similarity.asDouble(Tables.embeddings(spark, D))
+      .select((col("vec_id") + 10).as("vec_id"), col("emb").as("embedding"))
+    val planted = Seq(110L, 210L, 310L).zipWithIndex.map { case (src, i) =>
+      (i.toLong, src)
+    }
+    val plantedDf = base.filter(col("vec_id").isin(planted.map(_._2): _*))
+      .withColumn("vec_id",
+        when(col("vec_id") === 110L, 0L)
+          .when(col("vec_id") === 210L, 1L).otherwise(2L))
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(0.001)))
+    val corpus = base.union(plantedDf)
+    // spherical training: L2 k-means on unit vectors == cosine cells
+    val nrm = corpus.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        x / sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
+          (a, b) => a * b), lit(0.0), (acc, v) => acc + v))).as("embedding"))
+    val (cents, assigned) = Clustering.kmeans(nrm, k = 16)
+    // the trained quantizer partitions the corpus without degenerate cells
+    val sizes = assigned.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(sizes.length == 16 && sizes.max <= 5 * (503 / 16),
+      s"trained cells unbalanced: ${sizes.sorted.mkString(",")}")
+    val centsDf = cents.toSeq.sortBy(_._1)
+      .map { case (cid, cv) => (cid.toLong, cv.map(_.toDouble / 1000000.0).toSeq) }
+      .toDF("cent_id", "cent")
+    val top1 = Similarity
+      .ivfSearch(Similarity.asDouble(corpus), centsDf, nQueries = 3, probes = 2, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    planted.foreach { case (qid, src) =>
+      assert(top1.get(qid).contains(src),
+        s"planted query $qid must recall its source $src, got ${top1.get(qid)}")
+    }
+  }
+
   // --- Multimodal plumbing.
 
   test("media feature extraction is deterministic and shaped correctly") {
