@@ -40,18 +40,21 @@ import graft.sources.Tables
   */
 object Repetition {
 
-  private def toks: Column = split(col("text"), " ")
-
-  /** Token n-gram array (n >= 1) over the whitespace token array; empty when
-    * the document has fewer than n tokens. The short-doc branch must be
-    * explicit: Spark's `sequence(0, stop)` DESCENDS for stop < 0 instead of
-    * returning empty, which would fabricate grams from wrap-around indices.
+  /** Token n-gram array (n >= 1) over an ALREADY-PROJECTED token-array
+    * column. Taking the column (not re-deriving `split(text)`) matters:
+    * every `element_at` on an inline split re-splits the document, turning
+    * per-doc work O(length^2) — a 7x bench regression before the tokens
+    * were projected once (same discipline as `Dedup.shingles`).
+    *
+    * The short-doc branch must be explicit: Spark's `sequence(0, stop)`
+    * DESCENDS for stop < 0 instead of returning empty, which would
+    * fabricate grams from wrap-around indices.
     */
-  private def gramArr(n: Int): Column =
-    if (n == 1) toks
-    else when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  private def gramArr(tk: Column, n: Int): Column =
+    if (n == 1) tk
+    else when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(tk, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
   private def ratioX1e3(num: Column, den: Column): Column =
@@ -70,9 +73,10 @@ object Repetition {
     // position totals (n_tokens - n + 1) are per-row expressions, so only
     // the gram COUNTS ever reach an exchange
     val grams = flatten(array((1 to 3).map(n =>
-      transform(gramArr(n), g => struct(lit(n).as("n"), g.as("g")))): _*))
-    docs.filter(size(toks) >= 3)
-      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+      transform(gramArr(col("tk"), n), g => struct(lit(n).as("n"), g.as("g")))): _*))
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
         explode(grams).as("ng"))
       .select(col("doc_id"), col("n_tokens"),
         col("ng.n").as("n"), col("ng.g").as("g"))
@@ -108,7 +112,9 @@ object Repetition {
     // counts once — this signal is strictly inter-document (q51 owns the
     // intra-document axis)
     val sh = docs
-      .select(col("doc_id"), explode(array_distinct(gramArr(PASSAGE_N))).as("p"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(gramArr(col("tk"), PASSAGE_N))).as("p"))
       .select(col("doc_id"), xxhash64(col("p")).as("ph"))
     // documents-per-passage; the groupBy output is hash-partitioned on `ph`,
     // which is exactly the join key below
