@@ -162,6 +162,12 @@ object Relational {
           (col("value_x1e4").cast("double") / 10000).as("sum_value"))
         .orderBy("event_type", "hour_start")),
 
+    // Q55 (E-8 batch twin): gap-based sessionization — the lag/cumulative
+    // window idiom over per-user event streams; StreamingSpec pins equality
+    // with the streaming session_window form.
+    "q55_sessionize" -> ((s, d) =>
+      graft.streaming.EventPipelines.sessionizeBatch(Tables.events(s, d))),
+
     // Q30 (E-2): semi-structured access — events.props is a JSON string;
     // parse with an explicit schema (never inference) and aggregate on the
     // extracted field. from_json is codegen'd and prunes to the one field.
@@ -320,6 +326,23 @@ object Relational {
     floor(c * lit(factor) + lit(0.5)).cast("long")
 
   val oracleSql: Map[String, String] = Map(
+    "q55_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT user_id, event_id, value, ts_us,
+        |        CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL THEN 1
+        |             WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) >= 1800000000 THEN 1
+        |             ELSE 0 END AS new_sess
+        |      FROM e),
+        |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+        |      FROM w)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |       CAST(MIN(ts_us) AS BIGINT) AS start_us,
+        |       CAST(MAX(ts_us) AS BIGINT) AS end_us,
+        |       CAST(SUM(CAST(FLOOR(value * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS value_x1e4
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
     "q08_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT) AS revenue_x1e4

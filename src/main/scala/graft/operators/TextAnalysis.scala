@@ -80,7 +80,48 @@ object TextAnalysis {
       .orderBy("lang", "rnk")
   }
 
+  /** q56: domain-mix sampling — the "what fraction of each source goes in
+    * the mix" step of corpus assembly. Quotas are allocated across
+    * domains (`lang` here) proportional to sqrt(domain size) — the
+    * temperature-flattening that upsamples low-resource domains relative
+    * to raw proportions — then filled deterministically with each domain's
+    * smallest-hash documents (the q42 idiom).
+    *
+    * Two passes, both scale-safe: a domain-count aggregate (rows = #domains,
+    * broadcast back), then the per-domain hash-rank filter
+    * (WindowGroupLimit-pruned like q42). Weights are floor-scaled ints from
+    * a correctly-rounded sqrt of an exact count, quota division is integer
+    * `div` — every number in the output is exact, hence the plain-SQL
+    * oracle.
+    */
+  def domainMixSample(docs: DataFrame, budget: Long = 200L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_corpus"))
+      .withColumn("w",
+        floor(sqrt(col("n_corpus").cast("double")) * 1000).cast("long"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum("w").as("tw"))))
+      .withColumn("quota",
+        least(col("n_corpus"), expr(s"($budget * w) div tw")))
+      .select("lang", "n_corpus", "quota")
+    val byHash = Window.partitionBy("lang")
+      .orderBy(Sketches.phash60(col("doc_id")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rnk", row_number().over(byHash).cast("long"))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rnk") <= col("quota"))
+      .groupBy("lang")
+      .agg(max("n_corpus").as("n_corpus"), max("quota").as("quota"),
+        count(lit(1)).as("n_sampled"), sum("doc_id").as("sum_sampled_ids"))
+      .select("lang", "n_corpus", "quota", "n_sampled", "sum_sampled_ids")
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q56: sqrt-temperature domain mixing (see [[domainMixSample]]).
+    "q56_domain_mix" -> ((s, d) =>
+      domainMixSample(Tables.documents(s, d))),
 
     // Q19 (E-11): per-language top-10 token frequency. Two hash aggregates
     // plus a small window over 5 langs x vocab.
@@ -199,6 +240,24 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q56_domain_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_corpus,
+         |        CAST(FLOOR(sqrt(CAST(n_corpus AS DOUBLE)) * 1000) AS BIGINT) AS w
+         |      FROM c),
+         |q AS (SELECT lang, n_corpus,
+         |        LEAST(n_corpus, (200 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM w)) AS quota
+         |      FROM w),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk
+         |      FROM documents)
+         |SELECT q.lang, q.n_corpus, q.quota,
+         |       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         |       CAST(SUM(r.doc_id) AS BIGINT) AS sum_sampled_ids
+         |FROM r JOIN q ON r.lang = q.lang AND r.rnk <= q.quota
+         |GROUP BY q.lang, q.n_corpus, q.quota
+         |ORDER BY q.lang""".stripMargin,
     "q19_token_top10" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT lang, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),

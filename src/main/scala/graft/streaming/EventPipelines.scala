@@ -64,6 +64,37 @@ object EventPipelines {
         col("purchase_value"), col("click_ts"))
   }
 
+  /** Batch gap-sessionization (q55): per-user sessions split where the gap
+    * to the previous event reaches 30 minutes — the lag/cumulative-flag
+    * window idiom, the batch twin of [[userSessions]]'s `session_window`
+    * (`StreamingSpec` pins the two producing the same sessions). One
+    * shuffle: both window passes and the final aggregate share the
+    * per-user partitioning, and per-user state is a sort, not a
+    * whole-corpus structure. All outputs are exact integers (epoch micros,
+    * x1e4-scaled value sums), so the DuckDB oracle hash-matches.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull, 1L)
+          .when(col("ts_us") - col("prev_us") >= 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        sum(floor(col("value") * 10000 + lit(0.5)).cast("long")).as("value_x1e4"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def userSessions(events: DataFrame): DataFrame =
     events

@@ -73,6 +73,47 @@ class RepetitionSpec extends AnyFunSuite {
     assert(rows.exists(_.getInt(4) == 0), "fixture should drop some near-dups")
   }
 
+  test("q56: quotas match the sqrt-allocation math and fill with smallest-hash docs") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, D)
+    val byLang = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val w = byLang.view.mapValues(ids =>
+      math.floor(math.sqrt(ids.length.toDouble) * 1000).toLong).toMap
+    val tw = w.values.sum
+    val hashes = docs
+      .select(col("doc_id"), Sketches.phash60(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = TextAnalysis.queries("q56_domain_mix")(spark, D).collect()
+    assert(rows.map(_.getString(0)).toSeq == byLang.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val n = byLang(lang).length.toLong
+      val quota = math.min(n, 200L * w(lang) / tw)
+      assert(r.getLong(1) == n && r.getLong(2) == quota && r.getLong(3) == quota,
+        s"$lang quota math")
+      val expectedSample = byLang(lang).sortBy(id => (hashes(id), id)).take(quota.toInt)
+      assert(r.getLong(4) == expectedSample.sum, s"$lang must sample smallest-hash docs")
+    }
+  }
+
+  test("q56: sqrt temperature upsamples small domains relative to raw share") {
+    import spark.implicits._
+    val skewed = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 425).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val q = TextAnalysis.domainMixSample(skewed).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nBig, qBig) = q("big")
+    val (nSmall, qSmall) = q("small")
+    assert(qBig + qSmall <= 200)
+    // flattening: the small domain's share of the mix strictly exceeds its
+    // share of the corpus; the large domain's is strictly below
+    assert(qSmall.toDouble / (qBig + qSmall) > nSmall.toDouble / (nBig + nSmall),
+      s"small domain not upsampled: quota $qSmall/$qBig vs corpus $nSmall/$nBig")
+  }
+
   test("q51/q52: documents shorter than the gram width degrade cleanly") {
     import spark.implicits._
     val tiny = Seq(

@@ -168,6 +168,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch gap-sessionization (q55) agrees with session_window on the full fixture") {
+    // same 30-minute gap semantics: session_window merges an event iff it
+    // lands strictly before prev-session end (= last ts + gap), the batch
+    // lag form starts a new session iff diff >= gap. Keys AND extents must
+    // match: (user, start, end+gap, n) from q55 == session_window output.
+    val ev = graft.sources.Tables.events(spark, TestSpark.SF0001)
+    val fromWindow = EventPipelines.userSessions(ev)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val fromLag = EventPipelines.sessionizeBatch(ev)
+      .select(col("user_id"), col("start_us"),
+        (col("end_us") + 30L * 60 * 1000000).as("end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(fromLag == fromWindow,
+      s"lag-based and session_window sessions diverge: ${(fromLag diff fromWindow).take(3)} / ${(fromWindow diff fromLag).take(3)}")
+    assert(fromLag.size > 500, "fixture should produce many sessions")
+  }
+
   test("chunking runs unchanged as a streaming transform (same plan fragment as q47)") {
     import spark.implicits._
     val in = MemoryStream[(Long, String)](spark)
