@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.CdcEngine
 import graft.cdc.{Apply, Envelope}
-import graft.operators.{Curation, Dedup, TextAnalysis, TextRetrieval}
+import graft.operators.{Clustering, Curation, Dedup, Prep, Repetition, Similarity, TextAnalysis, TextRetrieval}
 import graft.sources.Tables
 import graft.store.{InMemoryStore, KeyValueStore}
 
@@ -108,6 +108,56 @@ final class Graft(val spark: SparkSession, dataDir: String,
     Dedup.nearDupClusters(
       Tables.documents(spark, dataDir).select("doc_id", "text"),
       jaccardX1e3, cache = false)
+
+  /** Per-document intra-doc repetition metrics with the boilerplate flag
+    * (Gopher-style top/duplicated n-gram fractions).
+    */
+  def repetitionMetrics(): DataFrame =
+    Repetition.repetitionMetrics(Tables.documents(spark, dataDir))
+
+  /** Per-document corpus-level duplicated-passage fraction + keep flag
+    * (the CCNet line-dedup signal at 5-gram granularity).
+    */
+  def dupPassageScore(): DataFrame =
+    Repetition.dupPassageScore(Tables.documents(spark, dataDir))
+
+  /** Deterministic token-budget sequence packing of `documents`. */
+  def packCorpus(budgetTokens: Long = 256L): DataFrame =
+    Prep.packSequences(Tables.documents(spark, dataDir), budgetTokens)
+
+  /** Train a k-means coarse quantizer over `embeddings` (exact-integer
+    * Lloyd) and return the centroids in embedding space, ready for
+    * [[annSearchTrained]].
+    */
+  def trainQuantizer(k: Int = 8, iters: Int = 3): Map[Int, Array[Double]] =
+    Clustering.trainedCentroids(Tables.embeddings(spark, dataDir), k, iters)
+
+  /** IVF ANN search through a trained coarse quantizer (falls back to
+    * training one when none is supplied).
+    */
+  def annSearchTrained(centroids: Map[Int, Array[Double]] = null,
+                       nQueries: Int = 5, probes: Int = 2, topK: Int = 3): DataFrame = {
+    val cents = Option(centroids).getOrElse(trainQuantizer())
+    import spark.implicits._
+    val centsDf = cents.toSeq.sortBy(_._1)
+      .map { case (cid, cv) => (cid.toLong, cv.toSeq) }
+      .toDF("cent_id", "cent")
+    Similarity.ivfSearch(
+      Tables.embeddings(spark, dataDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("emb")),
+      centsDf, nQueries, probes, topK)
+  }
+
+  /** Per-user gap-based sessions over `events` (batch twin of the
+    * streaming session_window pipeline).
+    */
+  def sessions(): DataFrame =
+    graft.streaming.EventPipelines.sessionizeBatch(Tables.events(spark, dataDir))
+
+  /** sqrt-temperature domain-mix allocation over `documents`. */
+  def domainMix(budget: Long = 200L): DataFrame =
+    TextAnalysis.domainMixSample(Tables.documents(spark, dataDir), budget)
 
   /** The end-to-end export a training run consumes: curate `documents`
     * (quality gate + near-dup drop), assign the deterministic 90/5/5

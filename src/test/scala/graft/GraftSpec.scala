@@ -68,4 +68,20 @@ class GraftSpec extends AnyFunSuite {
     assert(g.crossModalDupes().count() > 0)
     assert(g.nearDupPairs().columns.contains("jaccard_x1e3"))
   }
+
+  test("quality, packing, clustering, and session conveniences run end to end") {
+    assert(g.repetitionMetrics().columns.contains("flagged"))
+    assert(g.dupPassageScore().filter(col("keep") === 0).count() > 0)
+    val packed = g.packCorpus(budgetTokens = 512L)
+    assert(packed.count() === g.table("documents").count())
+    assert(packed.select("bin").distinct().count() > 1)
+    val cents = g.trainQuantizer(k = 4, iters = 2)
+    assert(cents.size === 4 && cents.values.forall(_.length === 64))
+    val ann = g.annSearchTrained(cents, nQueries = 2, probes = 2, topK = 2).collect()
+    assert(ann.nonEmpty && ann.map(_.getLong(0)).distinct.forall(_ < 2))
+    assert(g.sessions().columns.toSeq ===
+      Seq("user_id", "session_idx", "n_events", "start_us", "end_us", "value_x1e4"))
+    assert(g.domainMix(budget = 50L)
+      .agg(org.apache.spark.sql.functions.sum("n_sampled")).head.getLong(0) <= 50L)
+  }
 }
