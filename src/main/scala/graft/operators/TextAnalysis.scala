@@ -108,6 +108,11 @@ object TextAnalysis {
       .orderBy(Sketches.phash60(col("doc_id")), col("doc_id"))
     docs.select(col("lang"), col("doc_id"))
       .withColumn("rnk", row_number().over(byHash).cast("long"))
+      // quota is a COLUMN, which WindowGroupLimit can't prune on — but no
+      // quota can exceed the total budget, so this redundant LITERAL bound
+      // lets the optimizer keep only `budget` candidates per domain per
+      // partition before the join (the q42 pruning, preserved)
+      .filter(col("rnk") <= budget)
       .join(broadcast(quotas), "lang")
       .filter(col("rnk") <= col("quota"))
       .groupBy("lang")
