@@ -65,9 +65,14 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def applyChanges(base: DataFrame, records: DataFrame): DataFrame =
     Apply.applyChanges(spark, base, records)
 
-  /** The composed training-data curation pipeline over `documents`. */
-  def curatedCorpus(): DataFrame =
-    Curation.curate(Tables.documents(spark, dataDir))
+  /** The composed training-data curation pipeline over `documents`.
+    * `strict = true` adds the repetition gates (q51 intra-doc flag, q52
+    * corpus dup-passage keep) between the quality gate and near-dup
+    * removal.
+    */
+  def curatedCorpus(strict: Boolean = false): DataFrame =
+    if (strict) Curation.curateStrict(Tables.documents(spark, dataDir))
+    else Curation.curate(Tables.documents(spark, dataDir))
 
   /** BM25 top-k document search over `documents` for arbitrary terms.
     * `cache=false`: a long-lived facade pins no blocks (same policy as
@@ -165,10 +170,10 @@ final class Graft(val spark: SparkSession, dataDir: String,
     * so a trainer reads `split=train/` with partition pruning and never
     * scans eval rows. Returns the curated-row count.
     */
-  def exportCorpus(outDir: String): Long = {
+  def exportCorpus(outDir: String, strict: Boolean = false): Long = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dataDir)
-    val curated = Curation.curate(docs)
+    val curated = (if (strict) Curation.curateStrict(docs) else Curation.curate(docs))
       .join(docs.select("doc_id", "text"), Seq("doc_id"))
     val h = org.apache.spark.sql.functions.pmod(
       graft.functions.GraftFunctions.phash60(

@@ -51,6 +51,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The strict curation plan: `curate`'s quality gate and LSH near-dup
+    * removal, plus the round's two repetition gates between them —
+    * documents flagged by intra-doc repetition (q51 Gopher rules) or
+    * failing the corpus dup-passage keep (q52 CCNet signal) are dropped
+    * before the pair join ever sees them. Gate order is the scale
+    * argument again: each stage is strictly cheaper-per-row than the next
+    * and shrinks its input — per-row expressions, then the linear
+    * shingle-frequency join, then LSH pair verification last. Composition
+    * of individually oracle-checked stages; CurationSpec pins strict ==
+    * curate minus exactly the flagged/unkept documents.
+    */
+  def curateStrict(docs: DataFrame): DataFrame = {
+    val qualified = scored(docs).filter(col("quality_x1e3") >= QUALITY_MIN)
+    val qtext = qualified.select(col("doc_id"), col("text"))
+    // q51 gate: metrics exist only for >= 3-token docs; absent metrics keep
+    // the doc (nothing to assess), hence anti-join on the flagged set
+    val flagged = Repetition.repetitionMetrics(qtext)
+      .filter(col("flagged") === 1).select("doc_id")
+    val unkept = Repetition.dupPassageScore(qtext)
+      .filter(col("keep") === 0).select("doc_id")
+    val gated = qualified
+      .join(flagged.union(unkept).distinct(), Seq("doc_id"), "left_anti")
+    val losers = Dedup
+      .jaccardPairsLshVerified(gated.select(col("doc_id"), col("text")),
+        JACCARD_MIN, cache = false)
+      .select(col("d2").as("doc_id")).distinct()
+    gated
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_tokens", "quality_x1e3")
+      .orderBy("doc_id")
+  }
+
   /** Cross-modal near-dup union: pairs flagged by text (MinHash-LSH pruned,
     * exactly verified, Jaccard >= 0.8) and/or by embedding (cosine >= 0.45,
     * the q40 tail threshold), with the flagging modality attributed. The

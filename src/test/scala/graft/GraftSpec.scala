@@ -57,6 +57,11 @@ class GraftSpec extends AnyFunSuite {
     assert(plan.contains("split=train") || !plan.contains("split=test"))
     // SQL surface reaches the native hash too
     assert(g.sql("SELECT graft_phash60('abc')").collect().head.getLong(0) >= 0)
+    // strict mode: repetition gates compose into the same export path
+    val outS = java.nio.file.Files.createTempDirectory("graft-export-s").toString
+    val nS = g.exportCorpus(outS, strict = true)
+    assert(nS === g.curatedCorpus(strict = true).count())
+    assert(nS < n, "strict export must drop more documents")
   }
 
   test("retrieval, sampling, and dedup conveniences run end to end") {

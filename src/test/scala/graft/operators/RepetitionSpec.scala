@@ -114,6 +114,30 @@ class RepetitionSpec extends AnyFunSuite {
       s"small domain not upsampled: quota $qSmall/$qBig vs corpus $nSmall/$nBig")
   }
 
+  test("strict curation composes the repetition gates and leaves no near-dups") {
+    val docs = Tables.documents(spark, D)
+    val strict = Curation.curateStrict(docs).collect()
+    val strictIds = strict.map(_.getLong(0)).toSet
+    assert(strict.forall(_.getLong(3) >= 700L), "quality gate must hold")
+    val qtext = Curation.scored(docs)
+      .filter(col("quality_x1e3") >= 700L).select("doc_id", "text")
+    val flaggedIds = Repetition.repetitionMetrics(qtext)
+      .filter(col("flagged") === 1).collect().map(_.getLong(0)).toSet
+    val unkeptIds = Repetition.dupPassageScore(qtext)
+      .filter(col("keep") === 0).collect().map(_.getLong(0)).toSet
+    assert((strictIds & flaggedIds).isEmpty, "no flagged doc may survive")
+    assert((strictIds & unkeptIds).isEmpty, "no dup-passage doc may survive")
+    assert(flaggedIds.nonEmpty && unkeptIds.nonEmpty,
+      "fixture should exercise both gates")
+    // the defining dedup invariant: no >= 0.8-Jaccard pair WITHIN the output
+    val survivors = docs.select("doc_id", "text")
+      .filter(col("doc_id").isInCollection(strictIds))
+    assert(Dedup.jaccardPairs(survivors, 800).count() == 0L,
+      "strict output must be near-dup free")
+    val loose = Curation.curate(docs).count()
+    assert(strict.length < loose, "strict must drop more than the loose pipeline")
+  }
+
   test("q51/q52: documents shorter than the gram width degrade cleanly") {
     import spark.implicits._
     val tiny = Seq(
