@@ -126,9 +126,12 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def dupPassageScore(): DataFrame =
     Repetition.dupPassageScore(Tables.documents(spark, dataDir))
 
-  /** Deterministic token-budget sequence packing of `documents`. */
+  /** Deterministic token-budget sequence packing of `documents`
+    * (`cache=false`: the long-lived facade pins no blocks).
+    */
   def packCorpus(budgetTokens: Long = 256L): DataFrame =
-    Prep.packSequences(Tables.documents(spark, dataDir), budgetTokens)
+    Prep.packSequences(Tables.documents(spark, dataDir), budgetTokens,
+      cache = false)
 
   /** Train a k-means coarse quantizer over `embeddings` (exact-integer
     * Lloyd) and return the centroids in embedding space, ready for
@@ -148,9 +151,7 @@ final class Graft(val spark: SparkSession, dataDir: String,
       .map { case (cid, cv) => (cid.toLong, cv.toSeq) }
       .toDF("cent_id", "cent")
     Similarity.ivfSearch(
-      Tables.embeddings(spark, dataDir)
-        .select(org.apache.spark.sql.functions.col("vec_id"),
-          org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("emb")),
+      Similarity.asDouble(Tables.embeddings(spark, dataDir)),
       centsDf, nQueries, probes, topK)
   }
 

@@ -10,11 +10,13 @@ import graft.sources.Tables
   *
   * Lloyd's algorithm in its canonical distributed shape: centroids are tiny
   * driver/broadcast state (k x dim), each iteration is ONE pass over the
-  * data — a broadcast cross-join (k rows against each vector, never a
-  * shuffle of the corpus) for assignment, then one partial-aggregating
-  * (cid, dim) groupBy for the centroid update, whose output (k x dim rows)
-  * collects to the driver for the next round. Nothing in the loop is
-  * quadratic and nothing shuffles the vectors themselves; at 100 TB the
+  * data — a broadcast cross-join (k rows against each vector) scored
+  * map-side, an argmin aggregate whose partial aggregation collapses the k
+  * candidate rows per vector BEFORE the exchange (so the shuffle carries
+  * one vector-sized row per vector, once per iteration — no corpus
+  * re-join), then a partial-aggregating (cid, dim) groupBy for the
+  * centroid update, whose output (k x dim rows) collects to the driver for
+  * the next round. Nothing in the loop is quadratic; at 100 TB the
   * identical plan runs with larger k and the update exchange still carries
   * k x dim x partitions rows.
   *
@@ -50,14 +52,28 @@ object Clustering {
       lit(0L), (acc, x) => acc + x)
 
   /** One assignment pass: per vector, the centroid minimizing
-    * (distance, cid). `cents` must be broadcastable (k rows).
+    * (distance, cid). `cents` must be broadcastable (k rows). With
+    * `carryVec` the quantized vector rides through the argmin aggregate
+    * (every pre-aggregation row of a vec_id holds the same qv, so `first`
+    * is deterministic) — that is what lets the update pass run WITHOUT
+    * re-joining the corpus: map-side partial aggregation collapses the k
+    * candidate rows before the exchange, so each iteration shuffles one
+    * row per vector, once.
     */
-  private def assign(q: DataFrame, cents: DataFrame): DataFrame =
-    q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), sqDist(col("qv"), col("cv")).as("dist"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+  private def assign(q: DataFrame, cents: DataFrame,
+                     carryVec: Boolean = false): DataFrame = {
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        sqDist(col("qv"), col("cv")).as("dist"))
+    val aggs =
+      if (carryVec) Seq(min(struct(col("dist"), col("cid"))).as("m"),
+        first("qv").as("qv"))
+      else Seq(min(struct(col("dist"), col("cid"))).as("m"))
+    val base = scored.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    val out = Seq(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist")) ++
+      (if (carryVec) Seq(col("qv")) else Nil)
+    base.select(out: _*)
+  }
 
   /** Train k-means and return (final centroids as (cid -> components),
     * final assignment DataFrame (vec_id, cid, dist)). The per-iteration
@@ -82,12 +98,12 @@ object Clustering {
         .map { case (cid, cv) => (cid, cv.toSeq) }
         .toDF("cid", "cv")
       for (_ <- 1 to iters) {
-        // update: one (cid, dim) aggregate; k x dim rows come back to the
+        // update: one (cid, dim) aggregate over the vec-carrying assignment
+        // (no corpus re-join — see assign); k x dim rows come back to the
         // driver, where the floor-divided average (Math.floorDiv: exact
         // integer semantics, the oracle's (s - pmod)/n twin) forms the next
         // broadcast state. An emptied cluster keeps its previous centroid.
-        val sums = assign(q, centsDf)
-          .join(q, "vec_id")
+        val sums = assign(q, centsDf, carryVec = true)
           .select(col("cid"), posexplode(col("qv")).as(Seq("p", "v")))
           .groupBy("cid", "p")
           .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -99,7 +115,10 @@ object Clustering {
         }
         cents = cents ++ updated
       }
-      (cents, assign(q, centsDf))
+      // eager localCheckpoint: materialize the final assignment WHILE q is
+      // still persisted and truncate its lineage, so consumers neither
+      // re-quantize the corpus nor depend on the about-to-drop cache
+      (cents, assign(q, centsDf).localCheckpoint(true))
     } finally q.unpersist()
   }
 

@@ -59,8 +59,12 @@ object Curation {
     * argument again: each stage is strictly cheaper-per-row than the next
     * and shrinks its input — per-row expressions, then the linear
     * shingle-frequency join, then LSH pair verification last. Composition
-    * of individually oracle-checked stages; CurationSpec pins strict ==
-    * curate minus exactly the flagged/unkept documents.
+    * of individually oracle-checked stages; RepetitionSpec pins the gate
+    * and dedup invariants on the output. NOTE: strict is NOT simply
+    * curate-minus-gated-docs, and not a subset of curate — a near-dup
+    * loser whose winning partner is gated away legitimately survives here
+    * (its pair never forms), which is the correct pipeline-order
+    * semantics.
     */
   def curateStrict(docs: DataFrame): DataFrame = {
     val qualified = scored(docs).filter(col("quality_x1e3") >= QUALITY_MIN)
@@ -72,7 +76,7 @@ object Curation {
     val unkept = Repetition.dupPassageScore(qtext)
       .filter(col("keep") === 0).select("doc_id")
     val gated = qualified
-      .join(flagged.union(unkept).distinct(), Seq("doc_id"), "left_anti")
+      .join(flagged.union(unkept), Seq("doc_id"), "left_anti")
     val losers = Dedup
       .jaccardPairsLshVerified(gated.select(col("doc_id"), col("text")),
         JACCARD_MIN, cache = false)

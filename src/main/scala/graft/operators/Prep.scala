@@ -92,7 +92,9 @@ object Prep {
     chunkTransform(docs).orderBy("doc_id", "chunk_idx")
 
   private val PACK_BUDGET = 256L
-  private val PACK_BUCKETS = 32 // = 2^60 hash space >> 55; scale knob, see below
+  // scale knob: buckets = 2^PACK_BUCKET_BITS contiguous hash ranges (the
+  // shift below derives from this — raise it for a cluster)
+  private val PACK_BUCKET_BITS = 5
 
   /** q53: token-budget sequence packing — assign documents, in a canonical
     * deterministic order, to fixed-budget token bins (the "pack documents
@@ -118,23 +120,32 @@ object Prep {
     * single-window global cumsum, so the gate PROVES the two-pass
     * decomposition equals the sequential semantics row-for-row.
     */
-  def packSequences(docs: DataFrame, budget: Long = PACK_BUDGET): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Long = PACK_BUDGET,
+                    cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         Sketches.phash60(col("doc_id")).as("h"))
-      .withColumn("bkt", shiftright(col("h"), 55).cast("int"))
+      .withColumn("bkt",
+        shiftright(col("h"), 60 - PACK_BUCKET_BITS).cast("int"))
     val w = Window.partitionBy("bkt").orderBy("h", "doc_id")
-    val local = d
+    // the windowed pass feeds BOTH the output rows and the per-bucket
+    // totals; persist it (same convention as the dedup pipelines'
+    // shared-index persist) so the corpus is tokenized/hashed once —
+    // cache=false for long-lived facade sessions
+    val local0 = d
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("cum", sum("n_tokens").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // pass 2: per-bucket totals -> exclusive prefix over the tiny relation
+    val local = if (cache) local0.persist() else local0
+    // pass 2: per-bucket totals are each bucket's LAST running values —
+    // derived from the windowed frame, not a second corpus aggregate —
+    // then an exclusive prefix over the tiny per-bucket relation
     val wb = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy("bkt")
-      .agg(sum("n_tokens").as("btoks"), count(lit(1)).as("brows"))
+    val offsets = local.groupBy("bkt")
+      .agg(max("cum").as("btoks"), max("rn").as("brows"))
       .select(col("bkt"),
         coalesce(sum("btoks").over(wb), lit(0L)).as("tok_off"),
         coalesce(sum("brows").over(wb), lit(0L)).as("row_off"))

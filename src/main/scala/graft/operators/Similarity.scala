@@ -33,7 +33,7 @@ object Similarity {
   private[operators] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private[operators] def asDouble(df: DataFrame): DataFrame =
+  private[graft] def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb"))
 

@@ -99,8 +99,11 @@ object TextAnalysis {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_corpus"))
       .withColumn("w",
         floor(sqrt(col("n_corpus").cast("double")) * 1000).cast("long"))
+    // total weight via a single-partition window over the (#domains-sized)
+    // aggregate output — NOT a second aggregate of `counts`, which would
+    // scan the corpus twice
     val quotas = counts
-      .crossJoin(broadcast(counts.agg(sum("w").as("tw"))))
+      .withColumn("tw", sum("w").over(Window.partitionBy()))
       .withColumn("quota",
         least(col("n_corpus"), expr(s"($budget * w) div tw")))
       .select("lang", "n_corpus", "quota")
