@@ -168,6 +168,10 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_curation" -> ((s, d) => curate(Tables.documents(s, d))),
+    // Q57: the strict pipeline (quality -> repetition gates -> near-dup)
+    // oracle-checked END TO END, like q32 — compositions get hash-checked
+    // here, not just their stages.
+    "q57_curation_strict" -> ((s, d) => curateStrict(Tables.documents(s, d))),
     "q50_contamination" -> ((s, d) =>
       contaminationReport(Tables.documents(s, d))),
     "q45_crossmodal_dedup" -> ((s, d) =>
@@ -227,6 +231,66 @@ object Curation {
         |            ELSE 'embedding' END AS modality
         |FROM txt t FULL OUTER JOIN emb e ON t.d1 = e.v1 AND t.d2 = e.v2
         |ORDER BY id1, id2""".stripMargin,
+
+    // the strict composition: q32's skeleton with the q51/q52 gates (same
+    // constants, re-derived over the quality-gated subset) between the
+    // quality filter and the near-dup join
+    "q57_curation_strict" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${TextAnalysis.QUALITY_SQL} AS quality_x1e3,
+         |         text
+         |  FROM documents),
+         |qualified AS (SELECT * FROM scored WHERE quality_x1e3 >= 700),
+         |gt AS (SELECT doc_id, string_split(text, ' ') AS l FROM qualified
+         |       WHERE len(string_split(text, ' ')) >= 3),
+         |gg AS (
+         |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, 1 AS n, unnest(l) AS g FROM gt
+         |  UNION ALL
+         |  SELECT doc_id, CAST(len(l) AS BIGINT), 2, l[i] || ' ' || l[i+1]
+         |  FROM gt, unnest(range(1, len(l))) AS u(i)
+         |  UNION ALL
+         |  SELECT doc_id, CAST(len(l) AS BIGINT), 3, l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+         |  FROM gt, unnest(range(1, len(l) - 1)) AS u(i)),
+         |gc AS (SELECT doc_id, n_tokens, n, g, COUNT(*) AS c FROM gg GROUP BY 1, 2, 3, 4),
+         |ga AS (SELECT doc_id, n_tokens,
+         |         MAX(CASE WHEN n = 2 THEN c END) AS top2,
+         |         SUM(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS dup3
+         |       FROM gc GROUP BY 1, 2),
+         |flagged AS (SELECT doc_id FROM ga
+         |  WHERE CAST(FLOOR(CAST(top2 * 1000 AS DOUBLE) / (n_tokens - 1) + CAST(0.5 AS DOUBLE)) AS BIGINT) >= 125
+         |     OR CAST(FLOOR(CAST(dup3 * 1000 AS DOUBLE) / (n_tokens - 2) + CAST(0.5 AS DOUBLE)) AS BIGINT) >= 125),
+         |pt AS (SELECT doc_id, string_split(text, ' ') AS l FROM qualified),
+         |p5 AS (SELECT DISTINCT doc_id,
+         |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS p
+         |       FROM pt, unnest(range(1, len(l) - 3)) AS u(i)
+         |       WHERE len(l) >= 5),
+         |pf AS (SELECT p, COUNT(*) AS nd FROM p5 GROUP BY p),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+         |         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+         |       FROM p5 JOIN pf USING (p) GROUP BY doc_id),
+         |unkept AS (SELECT doc_id FROM pd
+         |  WHERE CAST(FLOOR(CAST(ns * 1000 AS DOUBLE) / np + CAST(0.5 AS DOUBLE)) AS BIGINT) > 500),
+         |gated AS (SELECT * FROM qualified
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+         |    AND doc_id NOT IN (SELECT doc_id FROM unkept)),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM gated),
+         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+         |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+         |       WHERE len(l) >= 3),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT d2 FROM inter
+         |           JOIN cnt c1 ON c1.doc_id = d1
+         |           JOIN cnt c2 ON c2.doc_id = d2
+         |           WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800)
+         |SELECT doc_id, lang, n_tokens, quality_x1e3
+         |FROM gated
+         |WHERE doc_id NOT IN (SELECT d2 FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q32_curation" ->
       s"""WITH scored AS (
