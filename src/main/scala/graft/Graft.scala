@@ -155,6 +155,13 @@ final class Graft(val spark: SparkSession, dataDir: String,
       centsDf, nQueries, probes, topK)
   }
 
+  /** The exact-dedup index over `documents` — feed ingest batches through
+    * `Dedup.mergeDedupIndex` to maintain it incrementally (store it
+    * bucketed by content_hash so the stored side never shuffles).
+    */
+  def dedupIndex(): DataFrame =
+    Dedup.dedupIndex(Tables.documents(spark, dataDir))
+
   /** Per-user gap-based sessions over `events` (batch twin of the
     * streaming session_window pipeline).
     */

@@ -372,7 +372,45 @@ object Dedup {
       .filter(col("cos_x1e4") >= thresholdX1e4)
   }
 
+  /** The exact-dedup index as a maintained relation: one row per distinct
+    * content hash with the winning (minimum) doc_id and the copy count —
+    * q18's output plus the hash key, kept because the key is what makes the
+    * index INCREMENTALLY maintainable.
+    */
+  def dedupIndex(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Merge a delta's dedup index into the corpus index — the incremental
+    * maintenance step an append-only 100 TB corpus runs per ingest batch
+    * instead of re-deduping everything: (min, sum) are associative, so
+    * index(A) merge index(B) == index(A union B) for disjoint doc batches
+    * (DedupSpec pins it). Expressed as a full-outer equi-join on the hash:
+    * with the corpus index STORED BUCKETED by content_hash
+    * (Sources.writeBucketed), the stored side joins with no Exchange and
+    * per-batch cost is delta-sized (also spec-asserted on the plan).
+    */
+  def mergeDedupIndex(index: DataFrame, delta: DataFrame): DataFrame =
+    index.as("a").join(delta.as("b"), Seq("content_hash"), "full_outer")
+      .select(col("content_hash"),
+        least(coalesce(col("a.keep_id"), col("b.keep_id")),
+          coalesce(col("b.keep_id"), col("a.keep_id"))).as("keep_id"),
+        (coalesce(col("a.n_copies"), lit(0L)) +
+          coalesce(col("b.n_copies"), lit(0L))).as("n_copies"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q58: incremental dedup-index maintenance — the corpus split into two
+    // ingest batches, each indexed independently, merged; the oracle
+    // computes the whole-corpus index directly, so the gate hash-checks the
+    // merge's index(A)+index(B) == index(A u B) contract.
+    "q58_dedup_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      val rest = docs.filter(col("doc_id") % 2 =!= 0)
+      mergeDedupIndex(dedupIndex(half), dedupIndex(rest))
+        .orderBy("keep_id")
+    }),
 
     // Q18 (E-9): exact content-hash dedup. Grouping on the 32-byte hash
     // instead of the full text means the shuffle carries hashes, not
@@ -443,6 +481,14 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q58_dedup_merge" ->
+      """SELECT sha256(text) AS content_hash,
+        |       MIN(doc_id) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY sha256(text)
+        |ORDER BY keep_id""".stripMargin,
+
     "q49_neardup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle

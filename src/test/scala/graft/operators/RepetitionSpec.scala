@@ -138,6 +138,52 @@ class RepetitionSpec extends AnyFunSuite {
     assert(strict.length < loose, "strict must drop more than the loose pipeline")
   }
 
+  test("q58: index merge is associative maintenance — equals the full rebuild") {
+    val docs = Tables.documents(spark, D)
+    val full = Dedup.dedupIndex(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // three disjoint ingest batches folded in arbitrary order
+    val batches = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    val merged = batches.map(Dedup.dedupIndex)
+      .reduce(Dedup.mergeDedupIndex)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged == full, "incremental merge must equal full recompute")
+    // cross-batch duplicates (none are byte-identical in this fixture, so
+    // synthesize): the min/sum merge must pick the earliest winner and
+    // total the copies across batches
+    import spark.implicits._
+    val b1 = Seq((10L, "same text"), (30L, "other")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "same text"), (5L, "same text")).toDF("doc_id", "text")
+    val m = Dedup.mergeDedupIndex(Dedup.dedupIndex(b1), Dedup.dedupIndex(b2))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m == Map(5L -> 3L, 30L -> 1L),
+      s"cross-batch dup must merge to (earliest winner, total copies): $m")
+  }
+
+  test("q58: a bucketed stored index merges a delta without shuffling itself") {
+    val docs = Tables.documents(spark, D)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Sources.writeBucketed(
+        Dedup.dedupIndex(docs.filter(col("doc_id") < 400)),
+        "dedup_index_b", 4, Seq("content_hash"), Seq("content_hash"))
+      val delta = Dedup.dedupIndex(docs.filter(col("doc_id") >= 400))
+      val merged = Dedup.mergeDedupIndex(spark.table("dedup_index_b"), delta)
+      val plan = merged.queryExecution.executedPlan.toString
+      // exactly the delta side may exchange; the stored side must not:
+      // one Exchange total in the merge plan
+      assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+        s"stored index side should not shuffle:\n$plan")
+      assert(merged.count() == Dedup.dedupIndex(docs).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS dedup_index_b")
+    }
+  }
+
   test("q51/q52: documents shorter than the gram width degrade cleanly") {
     import spark.implicits._
     val tiny = Seq(
