@@ -95,6 +95,81 @@ object EventPipelines {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Open-session state carried between micro-batches by
+    * [[sessionizeStateful]].
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, valueX1e4: Long)
+
+  /** A closed session as emitted downstream (same exact-integer fields as
+    * the q55 batch output).
+    */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long, value_x1e4: Long)
+
+  private val GAP_US = 30L * 60 * 1000000
+
+  /** Streaming sessionization through CUSTOM state — the
+    * flatMapGroupsWithState form of [[userSessions]]/[[sessionizeBatch]]:
+    * one OpenSession per user carried across micro-batches, closed sessions
+    * emitted exactly once, either when a later event arrives past the
+    * 30-minute gap or when the event-time watermark passes the gap
+    * (EventTimeTimeout). This is the escape hatch for session semantics the
+    * declarative `session_window` cannot express (emit-on-close records,
+    * state enrichment, custom merge rules); state is one fixed-size row per
+    * ACTIVE user, evicted by timeout — bounded regardless of stream length.
+    * StreamingSpec pins its closed-session output equal to the q55 batch
+    * form on the same (in-order) event feed.
+    */
+  def sessionizeStateful(events: DataFrame)
+  : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def close(u: Long, o: OpenSession): ClosedSession =
+      ClosedSession(u, o.startUs, o.lastUs, o.n, o.valueX1e4)
+    val fn: (Long, Iterator[(Long, java.sql.Timestamp, Long, Long)],
+      GroupState[OpenSession]) => Iterator[ClosedSession] = { (user, evs, state) =>
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _)).iterator
+        state.remove()
+        out
+      } else {
+        // within-batch order is not guaranteed; sort by event time
+        val sorted = evs.toSeq.sortBy(_._3)
+        var open = state.getOption
+        val closed = Seq.newBuilder[ClosedSession]
+        sorted.foreach { case (_, _, tsUs, vX) =>
+          open match {
+            case Some(o) if tsUs - o.lastUs >= GAP_US =>
+              closed += close(user, o)
+              open = Some(OpenSession(tsUs, tsUs, 1L, vX))
+            case Some(o) =>
+              open = Some(OpenSession(o.startUs, math.max(o.lastUs, tsUs),
+                o.n + 1, o.valueX1e4 + vX))
+            case None =>
+              open = Some(OpenSession(tsUs, tsUs, 1L, vX))
+          }
+        }
+        open.foreach { o =>
+          state.update(o)
+          // timeout fires once the WATERMARK passes last-event + gap (ms)
+          state.setTimeoutTimestamp(o.lastUs / 1000 + GAP_US / 1000)
+        }
+        closed.result().iterator
+      }
+    }
+    events
+      .withWatermark("ts", "10 minutes")
+      // the watermarked `ts` column must SURVIVE into the grouped Dataset —
+      // projecting it away makes the analyzer reject EventTimeTimeout
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 10000 + lit(0.5)).cast("long").as("v"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def userSessions(events: DataFrame): DataFrame =
     events

@@ -189,6 +189,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromLag.size > 500, "fixture should produce many sessions")
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions equal to the q55 batch form") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)](spark)
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = EventPipelines.sessionizeStateful(events)
+      .writeStream.format("memory").queryName("fmgws_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      val feed = Seq(
+        (t("2024-01-01 10:00:00"), 1L, 1.5),   // user 1, session A
+        (t("2024-01-01 10:10:00"), 1L, 2.25),  // extends A
+        (t("2024-01-01 11:30:00"), 1L, 3.0),   // > 30 min gap -> session B
+        (t("2024-01-01 10:05:00"), 2L, 7.0))   // user 2, one session
+      in.addData(feed: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every open session's gap
+      in.addData((t("2024-01-02 00:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("fmgws_t")
+        .filter(col("user_id") <= 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val expected = EventPipelines.sessionizeBatch(
+        feed.toDF("ts", "user_id", "value")
+          .withColumn("event_id", monotonically_increasing_id()))
+        .select("user_id", "start_us", "end_us", "n_events", "value_x1e4")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == expected,
+        s"custom-state sessions diverge from batch: $got vs $expected")
+      assert(got.size == 3, "two user-1 sessions and one user-2 session")
+    } finally q.stop()
+  }
+
   test("chunking runs unchanged as a streaming transform (same plan fragment as q47)") {
     import spark.implicits._
     val in = MemoryStream[(Long, String)](spark)
