@@ -50,6 +50,19 @@ object Demo {
     println(s"[10] cross-modal near-dup pairs: ${g.crossModalDupes().count()}")
     println("[11] 64-token chunks with fingerprints (first rows):")
     g.query("q47_chunk_documents").show(3, truncate = false)
+    println(s"[12] strict curation (adds repetition + dup-passage gates): " +
+      s"${g.curatedCorpus(strict = true).count()} docs survive")
+    println("[13] sqrt-temperature domain mix (budget 50):")
+    g.domainMix(budget = 50L).show(truncate = false)
+    val packed = g.packCorpus(budgetTokens = 512L)
+    println(s"[14] sequence packing: ${packed.count()} docs into " +
+      s"${packed.select("bin").distinct().count()} bins of 512 tokens")
+    val cents = g.trainQuantizer(k = 4, iters = 2)
+    println(s"[15] k-means coarse quantizer trained: ${cents.size} centroids; " +
+      "IVF top-2 via the trained index:")
+    g.annSearchTrained(cents, nQueries = 2, probes = 2, topK = 2)
+      .show(truncate = false)
+    println(s"[16] gap sessions over events: ${g.sessions().count()} sessions")
 
     spark.stop()
   }
