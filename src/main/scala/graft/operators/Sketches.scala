@@ -177,7 +177,66 @@ object Sketches {
        |        FROM $table GROUP BY 1, 2))
        |WHERE cum_before < rank AND cum_before + cnt >= rank""".stripMargin
 
+  // ---------------------------------------------------------- count-min --
+
+  private val CM_D = 4   // hash rows
+  private val CM_W = 64  // counters per row
+
+  /** Exact per-token counts over `documents` — the input relation every
+    * count-min stage consumes (vocabulary-sized; built with one explode +
+    * one partially-aggregated groupBy).
+    */
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+
+  /** Count-min sketch counters from a (t, c) token-count relation: CM_D x
+    * CM_W exact-integer cells, each the sum of counts hashing there under
+    * the row's seeded portable hash. Fixed-size mergeable state (counters
+    * are LINEAR: sketch(A u B) = sketch(A) + sketch(B) cell-wise —
+    * SketchesSpec pins it), completing the classic sketch trio: HLL
+    * (cardinality), histogram (quantiles), count-min (frequency).
+    */
+  private[operators] def cmCounters(tokCounts: DataFrame): DataFrame =
+    tokCounts
+      .select(col("c"), explode(array((0 until CM_D).map(i =>
+        struct(lit(i).as("i"),
+          pmod(phash60(concat(lit(s"$i:"), col("t"))), lit(CM_W.toLong))
+            .as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.i").as("i"), col("rc.cell").as("cell"))
+      .agg(sum("c").as("s"))
+
+  /** q59: heavy hitters — the exact top-10 tokens (count desc, token asc)
+    * with their count-min estimates alongside the truth. The estimate is
+    * min over rows of the token's cell counter, so cm_est >= exact_cnt
+    * always (one-sided error — the count-min guarantee; spec-pinned). At
+    * 100 TB the exact top-k is what you CANNOT afford per-window — the
+    * sketch is 256 integers of mergeable state; the exact side here exists
+    * to make the estimates' accuracy visible and oracle-checkable.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tc0 = tokenCounts(docs)
+    val tc = tc0.persist()
+    val counters = cmCounters(tc)
+    val top = tc.orderBy(col("c").desc, col("t")).limit(k)
+    top
+      .select(col("t"), col("c"), explode(array((0 until CM_D).map(i =>
+        struct(lit(i).as("i"),
+          pmod(phash60(concat(lit(s"$i:"), col("t"))), lit(CM_W.toLong))
+            .as("cell"))): _*)).as("rc"))
+      .join(broadcast(counters),
+        col("rc.i") === col("i") && col("rc.cell") === col("cell"))
+      .groupBy(col("t").as("token"), col("c").as("exact_cnt"))
+      .agg(min("s").as("cm_est"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q59: count-min heavy hitters (see [[heavyHitters]]).
+    "q59_heavy_hitters" -> ((s, d) =>
+      heavyHitters(Tables.documents(s, d))),
 
     // Q16b: HLL sketch distinct count — the 100 TB path where an exact
     // distinct would shuffle every key. Portable registers => exact oracle.
@@ -200,6 +259,22 @@ object Sketches {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q59_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+         |cells AS (SELECT i, t, c,
+         |    ${phash60Sql("CAST(i AS VARCHAR) || ':' || t")} % $CM_W AS cell
+         |  FROM tc, unnest(range(0, $CM_D)) AS u(i)),
+         |counters AS (SELECT i, cell, CAST(SUM(c) AS BIGINT) AS s
+         |             FROM cells GROUP BY i, cell),
+         |top AS (SELECT t, c FROM tc ORDER BY c DESC, t LIMIT 10)
+         |SELECT top.t AS token, top.c AS exact_cnt, CAST(MIN(s) AS BIGINT) AS cm_est
+         |FROM top
+         |JOIN cells ON cells.t = top.t
+         |JOIN counters ON counters.i = cells.i AND counters.cell = cells.cell
+         |GROUP BY top.t, top.c
+         |ORDER BY exact_cnt DESC, token""".stripMargin,
+
     "q16b_hll_users" -> hllSql("events", "user_id", "approx_users"),
 
     "q34b_percentile_approx" -> {
