@@ -71,7 +71,8 @@ final class Graft(val spark: SparkSession, dataDir: String,
     * removal.
     */
   def curatedCorpus(strict: Boolean = false): DataFrame =
-    if (strict) Curation.curateStrict(Tables.documents(spark, dataDir))
+    if (strict) Curation.curateStrict(Tables.documents(spark, dataDir),
+      cache = false)
     else Curation.curate(Tables.documents(spark, dataDir))
 
   /** BM25 top-k document search over `documents` for arbitrary terms.
@@ -181,7 +182,8 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def exportCorpus(outDir: String, strict: Boolean = false): Long = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dataDir)
-    val curated = (if (strict) Curation.curateStrict(docs) else Curation.curate(docs))
+    val curated = (if (strict) Curation.curateStrict(docs, cache = false)
+      else Curation.curate(docs))
       .join(docs.select("doc_id", "text"), Seq("doc_id"))
     val h = org.apache.spark.sql.functions.pmod(
       graft.functions.GraftFunctions.phash60(

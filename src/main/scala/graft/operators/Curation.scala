@@ -66,8 +66,15 @@ object Curation {
     * (its pair never forms), which is the correct pipeline-order
     * semantics.
     */
-  def curateStrict(docs: DataFrame): DataFrame = {
-    val qualified = scored(docs).filter(col("quality_x1e3") >= QUALITY_MIN)
+  def curateStrict(docs: DataFrame, cache: Boolean = false): DataFrame = {
+    // `qualified` feeds four consumers, but cache=false is the MEASURED
+    // default here, unlike the shingle pipelines: each consumer prunes to
+    // 1-2 columns at the parquet scan, so persisting the full-text rows
+    // (one wide InMemoryRelation, codegen fence, no pruning) benched ~2x
+    // SLOWER than re-scanning columnar parquet (9.5s vs 4.7s warm at
+    // sf0.1). Persist pays when the input is NOT a pruned columnar source.
+    val qualified0 = scored(docs).filter(col("quality_x1e3") >= QUALITY_MIN)
+    val qualified = if (cache) qualified0.persist() else qualified0
     val qtext = qualified.select(col("doc_id"), col("text"))
     // q51 gate: metrics exist only for >= 3-token docs; absent metrics keep
     // the doc (nothing to assess), hence anti-join on the flagged set
