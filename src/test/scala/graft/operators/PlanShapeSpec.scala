@@ -50,4 +50,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"),
       "registers must combine map-side (partial max per bucket)")
   }
+
+  test("q51: repetition metrics never join and aggregate partially between groupBys") {
+    val plan = finalPlan("q51_repetition")
+    assert(!plan.contains("Join"), "q51 must be a pure explode+aggregate shape")
+    // the (doc,n,gram) agg re-aggregates to (doc) WITHOUT a second raw-row
+    // exchange: partial aggregation on the already-partitioned side
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"unexpected extra shuffles in:\n$plan")
+  }
+
+  test("q53: packing processes the corpus once; offsets broadcast back") {
+    val plan = finalPlan("q53_pack_sequences")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast, never shuffle the data side again")
+    // both the output rows and the per-bucket totals must read the ONE
+    // persisted windowed pass (the textual exchange count is inflated by
+    // each InMemoryTableScan printing the cached build plan inline, so the
+    // cache reuse is the property to pin)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"both prefix-sum consumers must reuse the persisted pass:\n$plan")
+  }
+
+  test("q55: sessionization reuses one user_id exchange for both windows and the aggregate") {
+    val plan = finalPlan("q55_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"lag, cumsum, and the session aggregate must share the user_id shuffle:\n$plan")
+  }
+
+  test("q56: domain mixing keeps WindowGroupLimit pruning despite the column quota") {
+    val plan = finalPlan("q56_domain_mix")
+    assert(plan.contains("WindowGroupLimit"),
+      "the literal budget bound must restore per-partition candidate pruning")
+  }
+
+  test("q59: count-min counters reach the top-k probe as a broadcast") {
+    val plan = finalPlan("q59_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 256-cell counter table must broadcast to the probe side")
+  }
 }
