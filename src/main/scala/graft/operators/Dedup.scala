@@ -393,8 +393,9 @@ object Dedup {
   def mergeDedupIndex(index: DataFrame, delta: DataFrame): DataFrame =
     index.as("a").join(delta.as("b"), Seq("content_hash"), "full_outer")
       .select(col("content_hash"),
-        least(coalesce(col("a.keep_id"), col("b.keep_id")),
-          coalesce(col("b.keep_id"), col("a.keep_id"))).as("keep_id"),
+        // least() skips nulls (null only when both are), so the outer-join
+        // min-merge needs no coalesce gymnastics
+        least(col("a.keep_id"), col("b.keep_id")).as("keep_id"),
         (coalesce(col("a.n_copies"), lit(0L)) +
           coalesce(col("b.n_copies"), lit(0L))).as("n_copies"))
 
@@ -416,10 +417,8 @@ object Dedup {
     // instead of the full text means the shuffle carries hashes, not
     // documents — the difference between feasible and not at 100 TB.
     "q18_dedup_exact" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy(sha2(col("text"), 256).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"))
+      dedupIndex(Tables.documents(s, d))
+        .select("keep_id", "n_copies")
         .orderBy("keep_id")),
 
     // Q21: exact trigram-Jaccard near-dup pairs (threshold 0.6). The

@@ -186,7 +186,7 @@ object Sketches {
     * count-min stage consumes (vocabulary-sized; built with one explode +
     * one partially-aggregated groupBy).
     */
-  private def tokenCounts(docs: DataFrame): DataFrame =
+  private[operators] def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
 
@@ -197,12 +197,19 @@ object Sketches {
     * SketchesSpec pins it), completing the classic sketch trio: HLL
     * (cardinality), histogram (quantiles), count-min (frequency).
     */
+  /** The CM_D (row, cell) probe coordinates of a token — ONE definition
+    * shared by the counter build and the estimate probe, so the seeding
+    * scheme can never diverge between them.
+    */
+  private def cmCells(tok: Column): Column =
+    array((0 until CM_D).map(i =>
+      struct(lit(i).as("i"),
+        pmod(phash60(concat(lit(s"$i:"), tok)), lit(CM_W.toLong))
+          .as("cell"))): _*)
+
   private[operators] def cmCounters(tokCounts: DataFrame): DataFrame =
     tokCounts
-      .select(col("c"), explode(array((0 until CM_D).map(i =>
-        struct(lit(i).as("i"),
-          pmod(phash60(concat(lit(s"$i:"), col("t"))), lit(CM_W.toLong))
-            .as("cell"))): _*)).as("rc"))
+      .select(col("c"), explode(cmCells(col("t"))).as("rc"))
       .groupBy(col("rc.i").as("i"), col("rc.cell").as("cell"))
       .agg(sum("c").as("s"))
 
@@ -214,17 +221,17 @@ object Sketches {
     * sketch is 256 integers of mergeable state; the exact side here exists
     * to make the estimates' accuracy visible and oracle-checkable.
     */
-  def heavyHitters(docs: DataFrame, k: Int = 10): DataFrame = {
+  def heavyHitters(docs: DataFrame, k: Int = 10,
+                   cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the token counts feed the counter build and the exact top-k;
+    // cache=false for long-lived facade sessions (repo-wide convention)
     val tc0 = tokenCounts(docs)
-    val tc = tc0.persist()
+    val tc = if (cache) tc0.persist() else tc0
     val counters = cmCounters(tc)
     val top = tc.orderBy(col("c").desc, col("t")).limit(k)
     top
-      .select(col("t"), col("c"), explode(array((0 until CM_D).map(i =>
-        struct(lit(i).as("i"),
-          pmod(phash60(concat(lit(s"$i:"), col("t"))), lit(CM_W.toLong))
-            .as("cell"))): _*)).as("rc"))
+      .select(col("t"), col("c"), explode(cmCells(col("t"))).as("rc"))
       .join(broadcast(counters),
         col("rc.i") === col("i") && col("rc.cell") === col("cell"))
       .groupBy(col("t").as("token"), col("c").as("exact_cnt"))

@@ -64,6 +64,8 @@ object EventPipelines {
         col("purchase_value"), col("click_ts"))
   }
 
+  private val GAP_US = 30L * 60 * 1000000
+
   /** Batch gap-sessionization (q55): per-user sessions split where the gap
     * to the previous event reaches 30 minutes — the lag/cumulative-flag
     * window idiom, the batch twin of [[userSessions]]'s `session_window`
@@ -82,7 +84,7 @@ object EventPipelines {
       .withColumn("prev_us", lag("ts_us", 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull, 1L)
-          .when(col("ts_us") - col("prev_us") >= 30L * 60 * 1000000, 1L)
+          .when(col("ts_us") - col("prev_us") >= GAP_US, 1L)
           .otherwise(0L))
       .withColumn("session_idx",
         sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
@@ -105,8 +107,6 @@ object EventPipelines {
     */
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
                            n_events: Long, value_x1e4: Long)
-
-  private val GAP_US = 30L * 60 * 1000000
 
   /** Streaming sessionization through CUSTOM state — the
     * flatMapGroupsWithState form of [[userSessions]]/[[sessionizeBatch]]:
@@ -143,8 +143,11 @@ object EventPipelines {
               closed += close(user, o)
               open = Some(OpenSession(tsUs, tsUs, 1L, vX))
             case Some(o) =>
-              open = Some(OpenSession(o.startUs, math.max(o.lastUs, tsUs),
-                o.n + 1, o.valueX1e4 + vX))
+              // a late-but-within-watermark event may predate the open
+              // session's first event: extend BOTH bounds or the emitted
+              // start_us could postdate an event the session counts
+              open = Some(OpenSession(math.min(o.startUs, tsUs),
+                math.max(o.lastUs, tsUs), o.n + 1, o.valueX1e4 + vX))
             case None =>
               open = Some(OpenSession(tsUs, tsUs, 1L, vX))
           }

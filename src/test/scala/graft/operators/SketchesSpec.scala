@@ -30,9 +30,7 @@ class SketchesSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, D)
     def counters(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] = {
       graft.functions.GraftFunctions.register(spark)
-      Sketches.cmCounters(
-        df.select(explode(split(col("text"), " ")).as("t"))
-          .groupBy("t").agg(count(lit(1)).as("c")))
+      Sketches.cmCounters(Sketches.tokenCounts(df))
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     }
     val whole = counters(docs)

@@ -226,6 +226,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer extends start_us for late-but-within-watermark merges") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)](spark)
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = EventPipelines.sessionizeStateful(events)
+      .writeStream.format("memory").queryName("fmgws_late_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1: the session opens at 10:20; a sibling event pushes the
+      // watermark to 10:15 (10 min behind 10:25)
+      in.addData((t("2024-01-01 10:20:00"), 1L, 1.0),
+                 (t("2024-01-01 10:25:00"), 8L, 0.0))
+      q.processAllAvailable()
+      // batch 2: a LATE user-1 event at 10:17 — after the open session's
+      // start, before its watermark cutoff: it must merge AND lower start_us
+      in.addData((t("2024-01-01 10:17:00"), 1L, 2.0))
+      q.processAllAvailable()
+      in.addData((t("2024-01-02 00:00:00"), 9L, 0.0)) // flush via timeout
+      q.processAllAvailable()
+      val s1 = spark.table("fmgws_late_t").filter(col("user_id") === 1L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      def us(x: String) = Timestamp.valueOf(x).getTime * 1000L
+      assert(s1.toSeq == Seq((us("2024-01-01 10:17:00"), us("2024-01-01 10:20:00"), 2L)),
+        s"late merge must extend the session start: ${s1.toSeq}")
+    } finally q.stop()
+  }
+
   test("chunking runs unchanged as a streaming transform (same plan fragment as q47)") {
     import spark.implicits._
     val in = MemoryStream[(Long, String)](spark)
