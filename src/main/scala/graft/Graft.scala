@@ -169,6 +169,10 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def sessions(): DataFrame =
     graft.streaming.EventPipelines.sessionizeBatch(Tables.events(spark, dataDir))
 
+  /** Per-document unigram LM quality score (the perplexity-filter shape). */
+  def logprobScores(): DataFrame =
+    TextAnalysis.unigramLogprob(Tables.documents(spark, dataDir))
+
   /** sqrt-temperature domain-mix allocation over `documents`. */
   def domainMix(budget: Long = 200L): DataFrame =
     TextAnalysis.domainMixSample(Tables.documents(spark, dataDir), budget)

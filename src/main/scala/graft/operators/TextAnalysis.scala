@@ -125,7 +125,47 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q60: unigram language-model quality score — the in-container stand-in
+    * for the perplexity filter of a training pipeline (KenLM et al. are not
+    * in this environment; the MODEL is a stand-in, the Spark shape is the
+    * real one). The corpus's own unigram distribution is the model: each
+    * token scores ln(count(token)/N), a document scores the mean token
+    * log-likelihood, and low-likelihood documents (rare-token-heavy) are
+    * the flag candidates.
+    *
+    * Portability: per-token scores are floor-scaled to x1e6 BIGINTs at the
+    * VOCABULARY level (ln on exact-integer-derived doubles — the q41/q44
+    * precedent), and per-document aggregation sums those exact ints, so no
+    * float-sum order dependence exists anywhere. Scale shape: the vocab
+    * relation is small (it is a groupBy output), so the score lookup is a
+    * broadcast join against the exploded corpus; per-doc reduction is one
+    * partially-aggregated groupBy. No shuffle carries documents.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toksOf = split(col("text"), " ")
+    val tokens = docs.select(col("doc_id"), explode(toksOf).as("tok"))
+    val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("n_total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        floor((log(col("c").cast("double")) -
+          log(col("n_total").cast("double"))) * 1000000 + lit(0.5))
+          .cast("long").as("lp_x1e6"))
+    tokens.join(broadcast(scored), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("lp_x1e6").as("sum_lp_x1e6"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("sum_lp_x1e6").cast("double") / col("n_tokens") + lit(0.5))
+          .cast("long").as("avg_lp_x1e6"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q60: unigram LM quality score (see [[unigramLogprob]]).
+    "q60_unigram_logprob" -> ((s, d) =>
+      unigramLogprob(Tables.documents(s, d))),
 
     // Q56: sqrt-temperature domain mixing (see [[domainMixSample]]).
     "q56_domain_mix" -> ((s, d) =>
@@ -248,6 +288,21 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM v),
+        |s AS (SELECT tok,
+        |        CAST(FLOOR((ln(CAST(c AS DOUBLE)) - ln(CAST(n_total AS DOUBLE))) * 1000000
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp
+        |      FROM v, t),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(lp) AS BIGINT) AS slp
+        |      FROM tok JOIN s USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       CAST(FLOOR(CAST(slp AS DOUBLE) / n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_lp_x1e6
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q56_domain_mix" ->
       s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents GROUP BY lang),
          |w AS (SELECT lang, n_corpus,

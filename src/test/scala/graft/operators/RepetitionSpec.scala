@@ -138,6 +138,29 @@ class RepetitionSpec extends AnyFunSuite {
     assert(strict.length < loose, "strict must drop more than the loose pipeline")
   }
 
+  test("q60: unigram log-likelihoods match an exact driver-side recomputation") {
+    val texts = Tables.documents(spark, D)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val counts = texts.values.flatten.groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val nTotal = counts.values.sum.toDouble
+    def lp(t: String): Long =
+      math.floor((math.log(counts(t)) - math.log(nTotal)) * 1e6 + 0.5).toLong
+    val rows = TextAnalysis.queries("q60_unigram_logprob")(spark, D).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0))
+      val slp = toks.map(lp).sum
+      assert(r.getLong(1) == toks.length.toLong)
+      assert(r.getLong(2) == math.floor(slp.toDouble / toks.length + 0.5).toLong,
+        s"doc ${r.getLong(0)} avg logprob")
+    }
+    // sanity: likelihoods are negative and vary across the corpus
+    assert(rows.forall(_.getLong(2) < 0L))
+    assert(rows.map(_.getLong(2)).distinct.length > 100)
+  }
+
   test("q58: index merge is associative maintenance — equals the full rebuild") {
     val docs = Tables.documents(spark, D)
     val full = Dedup.dedupIndex(docs).collect()
