@@ -34,6 +34,11 @@ object Clustering {
   private val K = 8
   private val ITERS = 3
   private val QSCALE = 1000000L
+  /** Fixture embedding width — used ONLY by the oracle SQL (a static string
+    * must pin it). The trainer itself derives the width from the data, so
+    * `trainQuantizer` works for any embeddings table (a hardcoded width
+    * would overflow dims > 64 and silently zero-pad dims < 64).
+    */
   private val DIM = 64
 
   /** x1e6-quantized vectors `(vec_id, qv: array<long>)` — the same
@@ -94,6 +99,10 @@ object Clustering {
       var cents: Map[Int, Array[Long]] = init.zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Long](1).toArray
       }.toMap
+      require(cents.nonEmpty, "kmeans: empty embeddings input")
+      // the data defines the width; every vector must agree with the seeds
+      // (ragged input would otherwise corrupt the update step silently)
+      val dim = cents.head._2.length
       def centsDf = cents.toSeq.sortBy(_._1)
         .map { case (cid, cv) => (cid, cv.toSeq) }
         .toDF("cid", "cv")
@@ -109,8 +118,12 @@ object Clustering {
           .agg(sum("v").as("s"), count(lit(1)).as("n"))
           .collect()
         val updated = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
-          val cv = new Array[Long](DIM)
-          rows.foreach(r => cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+          val cv = new Array[Long](dim)
+          rows.foreach { r =>
+            require(r.getInt(1) < dim,
+              s"kmeans: vector wider than the $dim-dim seeds (ragged input)")
+            cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+          }
           cid -> cv
         }
         cents = cents ++ updated

@@ -239,9 +239,11 @@ object Curation {
         |FROM txt t FULL OUTER JOIN emb e ON t.d1 = e.v1 AND t.d2 = e.v2
         |ORDER BY id1, id2""".stripMargin,
 
-    // the strict composition: q32's skeleton with the q51/q52 gates (same
-    // constants, re-derived over the quality-gated subset) between the
-    // quality filter and the near-dup join
+    // the strict composition: q32's skeleton with the q51/q52 gates between
+    // the quality filter and the near-dup join. Every gate threshold is
+    // INTERPOLATED from the same Scala constants the Spark plan reads
+    // (QUALITY_MIN, Repetition.TOP2/DUP3/SHARED, JACCARD_MIN), so a
+    // constant change can never desynchronize only this oracle.
     "q57_curation_strict" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,
@@ -249,7 +251,7 @@ object Curation {
          |         ${TextAnalysis.QUALITY_SQL} AS quality_x1e3,
          |         text
          |  FROM documents),
-         |qualified AS (SELECT * FROM scored WHERE quality_x1e3 >= 700),
+         |qualified AS (SELECT * FROM scored WHERE quality_x1e3 >= $QUALITY_MIN),
          |gt AS (SELECT doc_id, string_split(text, ' ') AS l FROM qualified
          |       WHERE len(string_split(text, ' ')) >= 3),
          |gg AS (
@@ -266,8 +268,8 @@ object Curation {
          |         SUM(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS dup3
          |       FROM gc GROUP BY 1, 2),
          |flagged AS (SELECT doc_id FROM ga
-         |  WHERE CAST(FLOOR(CAST(top2 * 1000 AS DOUBLE) / (n_tokens - 1) + CAST(0.5 AS DOUBLE)) AS BIGINT) >= 125
-         |     OR CAST(FLOOR(CAST(dup3 * 1000 AS DOUBLE) / (n_tokens - 2) + CAST(0.5 AS DOUBLE)) AS BIGINT) >= 125),
+         |  WHERE CAST(FLOOR(CAST(top2 * 1000 AS DOUBLE) / (n_tokens - 1) + CAST(0.5 AS DOUBLE)) AS BIGINT) >= ${Repetition.TOP2_MAX_X1E3}
+         |     OR CAST(FLOOR(CAST(dup3 * 1000 AS DOUBLE) / (n_tokens - 2) + CAST(0.5 AS DOUBLE)) AS BIGINT) >= ${Repetition.DUP3_MAX_X1E3}),
          |pt AS (SELECT doc_id, string_split(text, ' ') AS l FROM qualified),
          |p5 AS (SELECT DISTINCT doc_id,
          |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS p
@@ -278,7 +280,7 @@ object Curation {
          |         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ns
          |       FROM p5 JOIN pf USING (p) GROUP BY doc_id),
          |unkept AS (SELECT doc_id FROM pd
-         |  WHERE CAST(FLOOR(CAST(ns * 1000 AS DOUBLE) / np + CAST(0.5 AS DOUBLE)) AS BIGINT) > 500),
+         |  WHERE CAST(FLOOR(CAST(ns * 1000 AS DOUBLE) / np + CAST(0.5 AS DOUBLE)) AS BIGINT) > ${Repetition.SHARED_MAX_X1E3}),
          |gated AS (SELECT * FROM qualified
          |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
          |    AND doc_id NOT IN (SELECT doc_id FROM unkept)),
@@ -293,7 +295,7 @@ object Curation {
          |losers AS (SELECT DISTINCT d2 FROM inter
          |           JOIN cnt c1 ON c1.doc_id = d1
          |           JOIN cnt c2 ON c2.doc_id = d2
-         |           WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800)
+         |           WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= $JACCARD_MIN)
          |SELECT doc_id, lang, n_tokens, quality_x1e3
          |FROM gated
          |WHERE doc_id NOT IN (SELECT d2 FROM losers)
@@ -306,7 +308,7 @@ object Curation {
         |         ${TextAnalysis.QUALITY_SQL} AS quality_x1e3,
         |         text
         |  FROM documents),
-        |qualified AS (SELECT * FROM scored WHERE quality_x1e3 >= 700),
+        |qualified AS (SELECT * FROM scored WHERE quality_x1e3 >= $QUALITY_MIN),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM qualified),
         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
         |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
@@ -318,7 +320,7 @@ object Curation {
         |losers AS (SELECT DISTINCT d2 FROM inter
         |           JOIN cnt c1 ON c1.doc_id = d1
         |           JOIN cnt c2 ON c2.doc_id = d2
-        |           WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800)
+        |           WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= $JACCARD_MIN)
         |SELECT doc_id, lang, n_tokens, quality_x1e3
         |FROM qualified
         |WHERE doc_id NOT IN (SELECT d2 FROM losers)

@@ -64,8 +64,8 @@ object Repetition {
   // 2-gram covers >= 12.5% of 2-gram positions or duplicated 3-grams cover
   // >= 12.5% of 3-gram positions — the Gopher-style rule shape with
   // thresholds placed to split this corpus; production tunes per source.
-  private val TOP2_MAX_X1E3 = 125L
-  private val DUP3_MAX_X1E3 = 125L
+  private[operators] val TOP2_MAX_X1E3 = 125L
+  private[operators] val DUP3_MAX_X1E3 = 125L
 
   /** q51: per-document n-gram repetition metrics (docs with >= 3 tokens). */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
@@ -101,7 +101,7 @@ object Repetition {
 
   private val PASSAGE_N = 5
   // drop a document when more than half of its passages occur elsewhere
-  private val SHARED_MAX_X1E3 = 500L
+  private[operators] val SHARED_MAX_X1E3 = 500L
 
   /** q52: per-document duplicated-passage (5-gram) fraction across the
     * corpus. Documents with fewer than 5 tokens carry zero passages and are

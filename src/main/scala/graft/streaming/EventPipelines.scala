@@ -154,8 +154,18 @@ object EventPipelines {
         }
         open.foreach { o =>
           state.update(o)
-          // timeout fires once the WATERMARK passes last-event + gap (ms)
-          state.setTimeoutTimestamp(o.lastUs / 1000 + GAP_US / 1000)
+          // timeout fires once the WATERMARK passes last-event + gap (ms).
+          // CLAMPED above the current watermark: a timeout in the
+          // watermark's past makes setTimeoutTimestamp throw
+          // IllegalArgumentException, killing the query in a restart loop.
+          // FlatMapGroupsWithStateExec already drops watermark-late rows
+          // before this function under EventTimeTimeout (StreamingSpec pins
+          // that), so every surviving event satisfies ts >= watermark — the
+          // clamp is defense-in-depth for paths that bypass that filter
+          // (e.g. a future NoTimeout/processing-time variant reusing this
+          // fold, or state restored across a watermark jump).
+          state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1,
+            o.lastUs / 1000 + GAP_US / 1000))
         }
         closed.result().iterator
       }

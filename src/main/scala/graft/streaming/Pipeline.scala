@@ -97,18 +97,18 @@ object Pipeline {
                 sleep: Long => Unit = Thread.sleep,
                 jitter: () => Double = () =>
                   java.util.concurrent.ThreadLocalRandom.current().nextDouble(-0.25, 0.25),
-                madeProgress: StreamingQuery => Boolean = q => {
-                  // rows committed, OR a full progress ring buffer: the
-                  // buffer (numRecentProgressUpdates, default 100) evicts
-                  // oldest entries, so a run that committed real batches
-                  // and then idled long enough shows only zero-row
-                  // entries — but having filled the buffer at all means
-                  // the run was long-lived, which closes the incident
-                  val cap = q.sparkSession.conf
-                    .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
-                  q.recentProgress.exists(p => p != null && p.numInputRows > 0) ||
-                    q.recentProgress.length >= cap
-                }): StreamingQuery = {
+                madeProgress: StreamingQuery => Boolean = q =>
+                  // only COMMITTED INPUT ROWS count as progress. A full
+                  // progress ring buffer does not: idle triggers also emit
+                  // progress events, so a query that idles past the buffer
+                  // cap before each failure would reset the budget forever —
+                  // the exact unbounded-restart mode this budget closes.
+                  // (The eviction blind spot — a run that committed rows,
+                  // then idled 100+ triggers, then failed — burns one budget
+                  // slot; with maxRestarts=5 that is strictly safer than the
+                  // unbounded direction.)
+                  q.recentProgress.exists(p => p != null && p.numInputRows > 0)
+               ): StreamingQuery = {
     var attempts = 0
     while (true) {
       val q = start()

@@ -254,6 +254,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer survives a per-user lag deeper than watermark + gap") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)](spark)
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = EventPipelines.sessionizeStateful(events)
+      .writeStream.format("memory").queryName("fmgws_lag_t")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 advances the watermark to 11:50
+      in.addData((t("2024-01-01 12:00:00"), 8L, 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1's whole session predates (watermark - gap). Its
+      // natural timeout (10:00 + 30 min) would be in the watermark's PAST;
+      // FlatMapGroupsWithStateExec drops watermark-late rows before the
+      // state function under EventTimeTimeout, so the row never reaches
+      // setTimeoutTimestamp — and the clamp covers the remaining paths.
+      // Either way the QUERY MUST SURVIVE (processAllAvailable rethrows
+      // stream failures) instead of dying in a supervised restart loop.
+      in.addData((t("2024-01-01 10:00:00"), 1L, 4.0))
+      q.processAllAvailable()
+      in.addData((t("2024-01-02 00:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val s1 = spark.table("fmgws_lag_t").filter(col("user_id") === 1L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(s1.isEmpty,
+        s"watermark-late rows are dropped, not sessionized: ${s1.toSeq}")
+      assert(q.isActive, "deep-lag input must not kill the query")
+    } finally q.stop()
+  }
+
   test("chunking runs unchanged as a streaming transform (same plan fragment as q47)") {
     import spark.implicits._
     val in = MemoryStream[(Long, String)](spark)

@@ -80,11 +80,17 @@ def main(out_dir, sf_dir, json_out=None):
     return 1 if n_fail else 0
 
 
+USAGE = "usage: compare_oracle.py <verify_out_dir> <sf_dir> [--json out]"
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit(USAGE)
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if len(argv) != 2:
+        sys.exit(USAGE)
     sys.exit(main(argv[0], argv[1], json_out))
