@@ -78,21 +78,31 @@ object Dedup {
   private[operators] def minhashCandidates(docs: DataFrame, cache: Boolean = true): DataFrame =
     minhashCandidatesFromHashed(hashedShingles(docs), cache)
 
+  /** The banded doc->bucket relation: `(doc_id, band, bh [, sig])`. The
+    * equi-join key of every LSH pair search; `carrySig` additionally rides
+    * the signature array along for consumers that compute the minhash
+    * estimate on collisions.
+    */
+  private def bandBuckets(sig: DataFrame, carrySig: Boolean): DataFrame = {
+    val bandCols = (0 until N_BANDS).map { b =>
+      val cols = (0 until ROWS_PER_BAND).map(r =>
+        element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val carried = if (carrySig) Seq(col("sig")) else Nil
+    sig
+      .select(col("doc_id") +: carried :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(Seq(col("doc_id")) ++ carried ++
+        Seq(col("bb.band").as("band"), col("bb.bh").as("bh")): _*)
+  }
+
   private[operators] def minhashCandidatesFromHashed(sh: DataFrame,
                                                      cache: Boolean): DataFrame = {
     // both join sides read the signature table; `cache=false` trades the
     // recompute for zero pinned blocks (the long-lived facade path)
     val sig0 = minhashSignatures(sh)
     val sig = if (cache) sig0.persist() else sig0
-    val bandCols = (0 until N_BANDS).map { b =>
-      val cols = (0 until ROWS_PER_BAND).map(r =>
-        element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = sig
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val buckets = bandBuckets(sig, carrySig = true)
     val nEqual = aggregate(
       zip_with(col("s1"), col("s2"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
@@ -108,6 +118,23 @@ object Dedup {
       .select(col("d1"), col("d2"),
         floor(nEqual.cast("double") * lit(1000.0) / N_HASHES + lit(0.5))
           .cast("long").as("est_jaccard_x1e3"))
+      .distinct()
+  }
+
+  /** Candidate PAIRS only — what the exact-verification pipelines consume.
+    * Unlike [[minhashCandidatesFromHashed]] the signatures do NOT ride
+    * through the bucket join and no estimate is computed: the verified
+    * paths discard it anyway, so the join carries 24-byte keyed rows and
+    * the distinct exchange dedups (d1, d2) directly (measurably cheaper —
+    * the estimate surface pays for two 512-byte arrays per collision).
+    */
+  private[operators] def minhashCandidatePairs(sig: DataFrame): DataFrame = {
+    val buckets = bandBuckets(sig, carrySig = false)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
 
@@ -186,16 +213,21 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("nboth"))
-    exactJaccardFilter(inter, sh, thresholdX1e3)
+    exactJaccardFilter(inter, sh, thresholdX1e3, cache)
   }
 
   /** Join intersection counts with per-doc shingle counts and apply the
     * scaled-integer Jaccard threshold (shared tail of the exact and the
-    * LSH-verified paths — one definition, one oracle meaning).
+    * LSH-verified paths — one definition, one oracle meaning). The count
+    * aggregate is referenced as BOTH join sides (c1/c2) and a broadcast
+    * side never reuses the other side's exchange, so `cache` persists it —
+    * one doc-cardinality aggregate instead of two (plan-verified; the same
+    * duplicated-aggregate shape the q22 profile showed for signatures).
     */
   private def exactJaccardFilter(inter: DataFrame, sh: DataFrame,
-                                 thresholdX1e3: Int): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+                                 thresholdX1e3: Int, cache: Boolean): DataFrame = {
+    val cnt0 = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cnt = if (cache) cnt0.persist() else cnt0
     val jac = floor(col("nboth") * lit(1000.0) /
       (col("c1.n") + col("c2.n") - col("nboth")) + lit(0.5)).cast("long")
     inter
@@ -222,7 +254,12 @@ object Dedup {
     // means the corpus is tokenized once for the whole pipeline.
     val sh0 = hashedShingles(docs)
     val sh = if (cache) sh0.persist() else sh0
-    val cand = minhashCandidatesFromHashed(sh, cache).select(col("d1"), col("d2"))
+    // the signature table feeds BOTH bucket-join sides; one side arrives
+    // via BroadcastExchange, which never reuses the other side's shuffle,
+    // so without persist the 64-min aggregate runs twice (plan-verified)
+    val sig0 = minhashSignatures(sh)
+    val sig = if (cache) sig0.persist() else sig0
+    val cand = minhashCandidatePairs(sig)
     // Exact intersection counts restricted to candidate pairs: fan each pair
     // out by d1's shingles, keep those d2 also has. Join sizes scale with
     // |candidates| x shingles-per-doc, never with corpus^2.
@@ -232,7 +269,7 @@ object Dedup {
         col("d2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("nboth"))
-    exactJaccardFilter(inter, sh, thresholdX1e3)
+    exactJaccardFilter(inter, sh, thresholdX1e3, cache)
   }
 
   /** Connected components over the verified near-dup pair graph — the
