@@ -272,42 +272,31 @@ object Dedup {
     exactJaccardFilter(inter, sh, thresholdX1e3, cache)
   }
 
-  /** Connected components over the verified near-dup pair graph — the
-    * cluster granularity a principled dedup actually needs (pairwise
-    * dropping over-deletes on chains; a cluster keeps exactly one
-    * representative). Min-label propagation to fixpoint: each iteration is
-    * one shuffle-join on the node id, and the iteration count is the graph
-    * diameter — near-dup graphs are short chains, so a handful. At 100 TB
-    * the same loop runs with the large-star/small-star optimization
-    * (alternating min-propagation that contracts stars), which keeps every
-    * iteration an equi-join too; the fixpoint labels are identical, so the
-    * oracle (a transitive-closure recursive CTE) is unchanged.
-    * Output: one row per document that appears in any pair, with the
-    * component's minimum doc_id as cluster_id.
+  /** Min-label propagation to fixpoint over a (d1, d2) pair graph:
+    * each iteration is one shuffle-join on the node id, and the iteration
+    * count is the graph DIAMETER. Returns (unsorted labels, iterations);
+    * result is localCheckpoint-truncated, all loop blocks released.
     */
-  def nearDupClusters(docs: DataFrame, thresholdX1e3: Int,
-                      cache: Boolean = true): DataFrame = {
-    val pairs = jaccardPairsLshVerified(docs, thresholdX1e3, cache)
-      .select(col("d1"), col("d2"))
-    // the loop's frames ALWAYS persist regardless of `cache` (which still
-    // governs the upstream LSH pipeline): each iteration reads its
-    // predecessor twice, so unpersisted lineage would double per iteration
-    // and re-run the whole verify pipeline exponentially many times. Only
-    // two label tables are alive at once; superseded ones unpersist below,
-    // and the result is localCheckpoint-truncated so every loop block is
-    // released before returning.
+  private[operators] def ccPropagate(pairs: DataFrame): (DataFrame, Int) = {
+    // every round's frame is localCheckpoint(true)-materialized: each
+    // iteration reads its predecessor twice, so UNTRUNCATED lineage would
+    // double the logical plan per iteration — persist alone caches the data
+    // but keeps the exponential plan tree, which blows up analysis/explain
+    // after ~20 rounds (measured: heap OOM inside explainString on a
+    // 47-round chain). Checkpointed blocks are edge-sized and reclaimed by
+    // the ContextCleaner once the superseding round drops its reference.
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist()
-    var cached = edges.select(col("d1").as("node")).distinct()
+    var labels = edges.select(col("d1").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
-    var labels = cached
+      .localCheckpoint(true)
     // convergence = no label changed this iteration; the flag is computed
     // inside the propagation select, so the check is ONE aggregation job
     // (sum of 0/1 flags — no unbounded label sums, which would overflow
     // for hash-derived 2^60-scale ids under ANSI arithmetic)
     var converged = false
+    var rounds = 0
     while (!converged) {
       val prop = edges.join(labels, col("d2") === col("node"))
         .groupBy(col("d1")).agg(min("label").as("nlabel"))
@@ -316,21 +305,100 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label"))
             .cast("long").as("chg"))
-        .persist()
+        .localCheckpoint(true)
+      rounds += 1
       converged = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0) == 0L
-      cached.unpersist() // unpersist the FRAME that was persisted, not a projection of it
-      cached = next
       labels = next.select("node", "label")
     }
-    // truncate lineage: the result must not reference the loop's cached
-    // frames (or an eviction would replay the doubled lineage), and the
-    // loop's blocks must not stay pinned for the JVM lifetime
     val result = labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .localCheckpoint(true)
     edges.unpersist()
-    cached.unpersist()
-    result.orderBy("doc_id")
+    (result, rounds)
+  }
+
+  /** One large-star round: every node's STRICTLY LARGER neighbors connect
+    * to the minimum of its closed neighborhood. Input/output edges are
+    * canonical (u > v), self-loop-free, distinct.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = adj.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    adj.join(m, "u")
+      .filter(col("v") > col("u")) // m <= u < v, so (v, m) stays canonical
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node and its smaller neighbors connect to
+    * the minimum of its closed smaller-neighborhood. Canonical in, canonical
+    * out.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("u").agg(min("v").as("m")) // v < u, so min _is_ m
+    edges.join(m, "u")
+      .select(col("v").as("n"), col("m"))
+      .union(m.select(col("u").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") to the same min-label fixpoint as
+    * [[ccPropagate]], in O(log n) ALTERNATION ROUNDS instead of
+    * diameter-many — the difference between 8 and 10,000 shuffles when a
+    * 100 TB near-dup graph hides a long chain. Every operation is still an
+    * equi-join/aggregate on the node id (no collect, no driver graph);
+    * at the fixpoint the edge set IS the star forest (node -> component
+    * min), so labels read off without a final propagation. DedupCcSpec pins
+    * label equality with ccPropagate on chains/cliques/random graphs and
+    * the round advantage on a planted 60-node chain.
+    */
+  private[operators] def ccStarContract(pairs: DataFrame): (DataFrame, Int) = {
+    // localCheckpoint(true) per round, same reason as ccPropagate: truncate
+    // the otherwise per-round-doubling logical plan, not just cache data
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      rounds += 1
+      // fixpoint: both sets are distinct & canonical, so equality is
+      // same-count plus empty one-sided difference (two small jobs)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+    }
+    edges
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+      .localCheckpoint(true) -> rounds
+  }
+
+  /** Connected components over the verified near-dup pair graph — the
+    * cluster granularity a principled dedup actually needs (pairwise
+    * dropping over-deletes on chains; a cluster keeps exactly one
+    * representative). Runs [[ccStarContract]] (round count bounded by
+    * O(log n), not graph diameter); `star = false` selects the plain
+    * min-label propagation loop — identical labels (spec-pinned), kept as
+    * the readable fixpoint anchor. Output: one row per document that
+    * appears in any pair, with the component's minimum doc_id as
+    * cluster_id; the oracle (a transitive-closure recursive CTE) is
+    * algorithm-independent.
+    */
+  def nearDupClusters(docs: DataFrame, thresholdX1e3: Int,
+                      cache: Boolean = true, star: Boolean = true): DataFrame = {
+    val pairs = jaccardPairsLshVerified(docs, thresholdX1e3, cache)
+      .select(col("d1"), col("d2"))
+    val (labels, _) = if (star) ccStarContract(pairs) else ccPropagate(pairs)
+    labels.orderBy("doc_id")
   }
 
   /** Exact embedding-cosine near-dup pairs: every (v1 < v2) with
