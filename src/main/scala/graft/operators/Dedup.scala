@@ -477,6 +477,43 @@ object Dedup {
       .filter(col("cos_x1e4") >= thresholdX1e4)
   }
 
+  private val TWIN_N = 25
+  private val TWIN_OFFSET = 100000L
+
+  /** The q61 fixture slice: the embeddings corpus plus a planted near-dup
+    * twin of each vec_id < TWIN_N — same vector with the FIRST component
+    * scaled 1.5x (exact double arithmetic, so DuckDB replays it bitwise),
+    * re-keyed to vec_id + TWIN_OFFSET. Emitted as `embedding: array<double>`
+    * so both engines run the identical sequential-fold cosine.
+    */
+  private[operators] def plantedTwinCorpus(embs: DataFrame): DataFrame = {
+    val e = Similarity.asDouble(embs).withColumnRenamed("emb", "embedding")
+    val twins = e.filter(col("vec_id") < TWIN_N)
+      .select((col("vec_id") + TWIN_OFFSET).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) * lit(1.5)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    e.unionByName(twins)
+  }
+
+  /** The q61 oracle's banded-bucket relation: one UNION ALL branch per
+    * band, each bucket a sum of sign bits against the SAME fixed
+    * hyperplanes [[embeddingNearDupLsh]] uses (prefix-stable LCG, so
+    * planes(bandBits*nBands, dim) matches the Spark side's draw order).
+    */
+  private def lshBandSql(bandBits: Int, nBands: Int, dim: Int): String = {
+    val ps = Similarity.planes(bandBits * nBands, dim)
+    (0 until nBands).map { b =>
+      val bv = (0 until bandBits).map { i =>
+        val plane = ps(b * bandBits + i)
+          .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(emb, $plane) > 0 THEN 1::BIGINT << $i ELSE 0::BIGINT END)"
+      }.mkString(" +\n           ")
+      s"SELECT vec_id, emb, $b AS band,\n           $bv AS bv FROM e"
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** The exact-dedup index as a maintained relation: one row per distinct
     * content hash with the winning (minimum) doc_id and the copy count —
     * q18's output plus the hash key, kept because the key is what makes the
@@ -559,6 +596,23 @@ object Dedup {
     // duplicates).
     "q40_embedding_neardup" -> ((s, d) =>
       embeddingNearDupPairs(Tables.embeddings(s, d), 4500).orderBy("v1", "v2")),
+
+    // Q61: the 100 TB embedding near-dup path as a driver-gated catalog
+    // query — sign-band LSH candidate generation + exact-cosine
+    // verification at cos >= 0.9, over the corpus PLUS planted twins
+    // (vec_id < 25 re-emitted at vec_id + 100000 with their first
+    // component scaled 1.5x — a deterministic, cross-engine-replayable
+    // "near duplicate" since one perturbed component of 64 keeps cosine
+    // ~0.99 without making band-bucket equality trivial the way an exact
+    // copy would). The oracle replays the ENTIRE index in SQL — same
+    // planted twins, same 64 fixed hyperplanes as band literals, same
+    // band equi-join and verification — so the approximate path itself is
+    // hash-checked, not just spec-pinned (the q24 idiom; plan shows band
+    // equi-joins, no theta join — PlanShapeSpec asserts it).
+    "q61_embedding_lsh" -> ((s, d) => {
+      val corpus = plantedTwinCorpus(Tables.embeddings(s, d))
+      embeddingNearDupLsh(corpus, 9000).orderBy("v1", "v2")
+    }),
 
     // Q23: SimHash near-dup pairs, Hamming <= 3, found via block-equality
     // blocking (pigeonhole-complete for <= 3 over 4 blocks). The portable
@@ -655,6 +709,26 @@ object Dedup {
         |JOIN cnt c2 ON c2.doc_id = d2
         |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800
         |ORDER BY d1, d2""".stripMargin,
+
+    "q61_embedding_lsh" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |tw AS (SELECT vec_id + $TWIN_OFFSET AS vec_id,
+         |         [emb[1] * CAST(1.5 AS DOUBLE)] || emb[2:] AS emb
+         |       FROM e0 WHERE vec_id < $TWIN_N),
+         |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM tw),
+         |bands AS (
+         |${lshBandSql(8, 8, 64)}),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+         |scored AS (SELECT v1, v2,
+         |    CAST(FLOOR(list_dot_product(e1.emb, e2.emb) /
+         |      (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb)))
+         |      * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cos_x1e4
+         |  FROM cand JOIN e e1 ON v1 = e1.vec_id JOIN e e2 ON v2 = e2.vec_id)
+         |SELECT v1, v2, cos_x1e4 FROM scored
+         |WHERE cos_x1e4 >= 9000
+         |ORDER BY v1, v2""".stripMargin,
 
     "q40_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

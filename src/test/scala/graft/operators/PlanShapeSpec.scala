@@ -84,6 +84,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "the literal budget bound must restore per-partition candidate pruning")
   }
 
+  test("q61: embedding LSH pairs come from band equi-joins — no theta/cross join") {
+    val plan = finalPlan("q61_embedding_lsh")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join on (band, bucket):\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "the band-bucket self-join should be a hash/sort-merge equi-join")
+  }
+
   test("q59: count-min counters reach the top-k probe as a broadcast") {
     val plan = finalPlan("q59_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin"),
