@@ -148,6 +148,10 @@ final class CdcEngine(val store: KeyValueStore,
   // --- O-1: full scan; empty => empty list, not error.
   def readAll(): Seq[Sinner] = synchronized(table.values.toSeq)
 
+  /** Row-existence probe (the reference's `First` pre-check the update and
+    * delete handlers issue before touching the body, controllers.go:84,:109). */
+  def exists(code: Long): Boolean = synchronized(table.contains(code))
+
   // --- O-2 + S-6/S-4: cache-aside point read. Hit short-circuits; miss
   // reads the table and fills the cache (no TTL, parity controllers.go:68).
   def readOne(code: Long): Either[ApiError, Sinner] = {
