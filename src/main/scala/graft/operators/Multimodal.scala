@@ -8,13 +8,16 @@ import graft.sources.Tables
   * opaque `binary` columns with typed metadata, decoded/feature-extracted in
   * batches per partition.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * deterministic fake standing in for a real decoder (STUB — swap for e.g.
-  * a JNI/FFM codec binding in production). Everything around it — the
-  * schema, the typed Dataset plumbing, the per-partition batching (one
-  * decoder initialization per partition, the reason this is mapPartitions
-  * and not a per-row UDF), the balanced repartition before the CPU-heavy
-  * stage — is the real 100 TB shape.
+  * Image decode is REAL: `ImageCodec` below decodes every format the JDK's
+  * `javax.imageio` ships readers for (PNG, BMP, GIF, JPEG, WBMP) and
+  * computes pixel features and true resizes — no external codec needed.
+  * Audio/video formats have no pure-JVM codec in this container, so
+  * `decodeStub` remains their honest stand-in (STUB — swap for a JNI/FFM
+  * binding in production). Everything around the codecs — the schema, the
+  * typed Dataset plumbing, the per-partition batching (one decoder
+  * initialization per partition, the reason this is mapPartitions and not a
+  * per-row UDF), the balanced repartition before the CPU-heavy stage — is
+  * the real 100 TB shape.
   */
 object Multimodal {
 
@@ -48,6 +51,12 @@ object Multimodal {
   /** Per-partition batched decode. `repartition` first: decode cost is
     * proportional to payload bytes, not row count, so balance by shuffling
     * on doc_id before the expensive stage.
+    *
+    * Dispatch: `image/<star>` payloads go through the REAL `ImageCodec`
+    * (javax.imageio); a payload imageio cannot decode is quarantined with
+    * `width = height = -1` and a zero feature (kept, not dropped — O-12's
+    * skip-don't-fail policy, but visible downstream). Other media types use
+    * the deterministic stub.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       partitions: Int = 0): Dataset[MediaFeatures] = {
@@ -55,10 +64,17 @@ object Multimodal {
     val balanced =
       if (partitions > 0) media.repartition(partitions, col("doc_id")) else media
     balanced.as[MediaRecord].mapPartitions { it =>
-      // one decoder init per partition would go here
+      ImageCodec.initPartition() // one decoder init per partition
       it.map { rec =>
-        val (w, h, f) = decodeStub(rec.content)
-        MediaFeatures(rec.doc_id, rec.content.length, w, h, f)
+        if (rec.media_type.startsWith("image/")) {
+          ImageCodec.decodeFeatures(rec.content) match {
+            case Some((w, h, f)) => MediaFeatures(rec.doc_id, rec.content.length, w, h, f)
+            case None => MediaFeatures(rec.doc_id, rec.content.length, -1, -1, new Array[Float](8))
+          }
+        } else {
+          val (w, h, f) = decodeStub(rec.content)
+          MediaFeatures(rec.doc_id, rec.content.length, w, h, f)
+        }
       }
     }
   }
@@ -89,6 +105,24 @@ object Multimodal {
       val t = resizeStub(rec.content, maxBytes)
       MediaThumb(rec.doc_id, rec.content.length, t.length, t)
     })
+  }
+
+  /** REAL image resize: decode → bilinear scale to fit `maxDim` → re-encode
+    * PNG, per partition. Undecodable payloads pass through untouched (the
+    * quarantine-don't-fail policy); images already within bounds keep their
+    * original bytes (no useless re-encode). Downstream shuffles carry
+    * thumbnails, never originals — the property that matters at 100 TB.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   maxDim: Int): Dataset[MediaThumb] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      ImageCodec.initPartition()
+      it.map { rec =>
+        val out = ImageCodec.resize(rec.content, maxDim).getOrElse(rec.content)
+        MediaThumb(rec.doc_id, rec.content.length, out.length, out)
+      }
+    }
   }
 
   /** STUB frame sampling: every-k-th fixed-size window of the payload
