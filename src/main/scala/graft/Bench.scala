@@ -6,10 +6,14 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
   * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Timing protocol (BASELINE.md): median of 3 warm-JVM runs per query after
+  * Timing protocol (BASELINE.md): median of 5 warm-JVM runs per query after
   * one untimed warm-up pass of the whole suite (JIT + parquet footer cache).
   * Each run fully materializes the result through the noop sink — count()
-  * would let Spark skip projections.
+  * would let Spark skip projections. The artifact additionally carries a
+  * per-query `stats` block (median/min/max over the 5 runs) so a regression
+  * is distinguishable from run-to-run noise, and `tools/bench_diff.py`
+  * grades a new artifact against the previous round under the per-family
+  * budgets in BASELINE.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,18 +38,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warm-up pass, untimed
     val results = names.map { n =>
-      val ts = (1 to 3).map(_ => runOnce(n)).sorted
-      n -> ts(1) // median
+      val ts = (1 to runs).map(_ => runOnce(n)).sorted
+      n -> ts // sorted samples; median = ts(runs / 2)
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, ts) => "\"" + k + "\":" + f"${ts(runs / 2)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val stats = results
+      .map { case (k, ts) =>
+        "\"" + k + "\":" +
+          f"""{"med":${ts(runs / 2)}%.3f,"min":${ts.head}%.3f,"max":${ts.last}%.3f}"""
+      }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2(runs / 2)).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$stats,"n_runs":$runs,"sf":"$sfDir"}"""
     // stdout is the driver contract (bare line — build.sbt routes forked run
     // output through StdoutOutput so sbt adds no "[info] " prefix); the file
     // copy is a fallback the driver (or a human) can read if stdout is ever

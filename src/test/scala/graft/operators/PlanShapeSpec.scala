@@ -98,4 +98,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "the 256-cell counter table must broadcast to the probe side")
   }
+
+  test("q62: the salted join shuffles on (key, salt) — the hot key scatters") {
+    val plan = finalPlan("q62_salted_join")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"salting targets shuffle joins; a broadcast here would make it moot:\n$plan")
+    assert("Exchange hashpartitioning\\([^)]*_salt".r.findFirstIn(plan).isDefined,
+      s"the join exchange must partition on the salt so skewed keys spread:\n$plan")
+  }
 }

@@ -27,6 +27,22 @@ class SkewSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("q62 salted rollup == plain-join rollup on the sf0.001 fixture") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val plain = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val salted = Skew.queries("q62_salted_join")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(plain.nonEmpty)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("topKeys surfaces the dominant key first") {
     import spark.implicits._
     val big = ((1 to 900).map(_ => 7L) ++ (1L to 100L)).toDF("k")
