@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cdc.CdcQueries
-import graft.operators.{Clustering, Curation, Dedup, Multimodal, Prep, Relational, Repetition, Similarity, Sketches, Skew, TextAnalysis, TextRetrieval}
+import graft.operators.{BloomJoin, Clustering, Curation, Dedup, Multimodal, Prep, Relational, Repetition, Similarity, Sketches, Skew, TextAnalysis, TextRetrieval}
 
 /** Driver contract — see /root/repo/SURVEY.md s7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
     CdcQueries.queries ++ Relational.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       Curation.queries ++ Sketches.queries ++ TextRetrieval.queries ++
-      Prep.queries ++ Repetition.queries ++ Clustering.queries ++ Skew.queries
+      Prep.queries ++ Repetition.queries ++ Clustering.queries ++
+      Skew.queries ++ BloomJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -35,5 +36,5 @@ object SparkEntry {
       Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Multimodal.oracleSql ++
       Curation.oracleSql ++ Sketches.oracleSql ++ TextRetrieval.oracleSql ++
       Prep.oracleSql ++ Repetition.oracleSql ++ Clustering.oracleSql ++
-      Skew.oracleSql
+      Skew.oracleSql ++ BloomJoin.oracleSql
 }

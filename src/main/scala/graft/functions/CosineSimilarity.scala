@@ -121,6 +121,22 @@ object GraftFunctions {
       FunctionIdentifier("graft_phash60"),
       new ExpressionInfo(classOf[PHash60].getName, "graft_phash60"),
       (children: Seq[Expression]) => PHash60(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
+      bloomExpr(_))
+  }
+
+  /** Folds the (words, k) literal arguments into constructor parameters at
+    * resolution time so the filter bits never sit in the expression tree
+    * as a giant array literal (see BloomMightContain's Scaladoc).
+    */
+  private[functions] def bloomExpr(children: Seq[Expression]): Expression = {
+    require(children.size == 3 && children(1).foldable && children(2).foldable,
+      "usage: graft_bloom_might_contain(key, <array<bigint> literal>, <int literal>)")
+    BloomMightContain(children.head,
+      children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      children(2).eval().asInstanceOf[Number].intValue())
   }
 
   /** Column-API form (register first). Casts keep the expression's static
@@ -134,6 +150,14 @@ object GraftFunctions {
   def phash60(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_phash60",
       c.cast("string"))
+
+  /** Column-API Bloom membership probe (register first). The words/k
+    * literals are folded into the expression at analysis time.
+    */
+  def bloomMightContain(key: Column, words: Array[Long], k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_might_contain",
+      key.cast("long"), org.apache.spark.sql.functions.lit(words),
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** `SparkSessionExtensions` hook: sessions built with
@@ -150,5 +174,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_phash60"),
       new ExpressionInfo(classOf[PHash60].getName, "graft_phash60"),
       (children: Seq[Expression]) => PHash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
+      (children: Seq[Expression]) => GraftFunctions.bloomExpr(children)))
   }
 }

@@ -99,6 +99,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "the 256-cell counter table must broadcast to the probe side")
   }
 
+  test("q63: the bloom probe filters the fact scan BEFORE the exact semi-join") {
+    val plan = finalPlan("q63_bloom_semijoin")
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"the fact side must carry the bloom pre-filter:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      "false positives must be removed by an exact semi-join")
+    // the probe must sit under the join (filter-then-join, not join-then-filter)
+    assert(plan.indexOf("graft_bloom_might_contain") > plan.indexOf("LeftSemi"),
+      "pre-filter must be on the join's input side (printed below the join node)")
+  }
+
   test("q62: the salted join shuffles on (key, salt) — the hot key scatters") {
     val plan = finalPlan("q62_salted_join")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
