@@ -64,6 +64,17 @@ object Demo {
       .show(truncate = false)
     println(s"[16] gap sessions over events: ${g.sessions().count()} sessions")
 
+    // incremental ingest: index the even docs, then ingest the odd docs
+    // against that index — near-dup pairs found WITHOUT re-deduping
+    val docsTbl = g.table("documents").select("doc_id", "text")
+    val idx = graft.operators.Dedup
+      .nearDupIndex(docsTbl.filter(org.apache.spark.sql.functions
+        .col("doc_id") % 2 === 0))
+    val newPairs = g.ingestNearDupPairs(idx,
+      docsTbl.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
+    println(s"[17] incremental ingest: ${newPairs.count()} near-dup pair(s) " +
+      "introduced by the new batch (q64 contract)")
+
     spark.stop()
   }
 }

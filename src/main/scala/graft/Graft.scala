@@ -163,6 +163,23 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def dedupIndex(): DataFrame =
     Dedup.dedupIndex(Tables.documents(spark, dataDir))
 
+  /** The NEAR-dup index over `documents` (per-doc minhash signature +
+    * hashed shingles) — persist it, then feed each ingest batch through
+    * [[ingestNearDupPairs]] instead of re-deduping the corpus (q64
+    * contract: union of per-batch pairs == whole-corpus pairs).
+    */
+  def nearDupIndex(): DataFrame =
+    Dedup.nearDupIndex(
+      Tables.documents(spark, dataDir).select("doc_id", "text"))
+
+  /** Verified near-dup pairs a new `(doc_id, text)` batch introduces
+    * against an existing [[nearDupIndex]] relation.
+    */
+  def ingestNearDupPairs(index: DataFrame, newDocs: DataFrame,
+                         jaccardX1e3: Int = 800): DataFrame =
+    Dedup.incrementalNearDupPairs(index,
+      Dedup.nearDupIndex(newDocs.select("doc_id", "text")), jaccardX1e3)
+
   /** Per-user gap-based sessions over `events` (batch twin of the
     * streaming session_window pipeline).
     */

@@ -541,6 +541,69 @@ object Dedup {
         (coalesce(col("a.n_copies"), lit(0L)) +
           coalesce(col("b.n_copies"), lit(0L))).as("n_copies"))
 
+  /** The NEAR-dup index relation — q58's incremental-maintenance idea
+    * extended from exact hashes to MinHash-LSH: one row per document with
+    * its minhash signature AND its sorted distinct hashed-shingle array.
+    * Carrying the shingle hashes is what makes a later batch verifiable
+    * against the index WITHOUT re-reading corpus text — the 100 TB corpus
+    * is tokenized exactly once, at its own ingest. One hash-aggregate
+    * builds both columns (single shuffle keyed by doc_id).
+    *
+    * Storage contract at scale: persist this doc-keyed relation plus a
+    * (band, bh)-bucketed projection of [[bandBuckets]] over it; the
+    * per-batch candidate join then reads only colliding buckets and the
+    * verification joins stay co-partitioned on doc_id.
+    */
+  def nearDupIndex(docs: DataFrame): DataFrame = {
+    val sh = hashedShingles(docs)
+    val mins = (0 until N_HASHES).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head,
+        (mins.tail :+ sort_array(collect_set(col("shingle"))).as("sh")): _*)
+      .select(col("doc_id"),
+        array((0 until N_HASHES).map(i => col(s"mh$i")): _*).as("sig"),
+        col("sh"))
+  }
+
+  /** Near-dup pairs TOUCHING the delta: every verified pair with at least
+    * one endpoint in `delta`, candidates generated by band-bucket equi-join
+    * of the delta against index ∪ delta. Ingesting batches B1..Bn and
+    * unioning each batch's incremental pairs yields EXACTLY the full-corpus
+    * [[jaccardPairsLshVerified]] result (every pair's later endpoint sees
+    * the earlier one in the index) — IncrementalNearDupSpec pins it, and
+    * q64's oracle hash-checks it against the whole-corpus SQL. Per-batch
+    * cost scales with |delta| x bucket collisions, never with |corpus|²;
+    * verification is a local `array_intersect` over the carried shingle
+    * arrays (no corpus-wide shingle join at all).
+    */
+  def incrementalNearDupPairs(index: DataFrame, delta: DataFrame,
+                              thresholdX1e3: Int): DataFrame = {
+    val all = index.unionByName(delta)
+    val allB = bandBuckets(all.select("doc_id", "sig"), carrySig = false)
+    val deltaB = bandBuckets(delta.select("doc_id", "sig"), carrySig = false)
+    // canonical (least, greatest) orientation both dedups band collisions
+    // and stops a delta-delta pair from appearing in both directions
+    val cand = allB.as("a")
+      .join(deltaB.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+    val jac = floor(col("nboth") * lit(1000.0) /
+      (col("n1") + col("n2") - col("nboth")) + lit(0.5)).cast("long")
+    cand
+      .join(all.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(all.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("nboth"),
+        size(col("sh1")).cast("long").as("n1"),
+        size(col("sh2")).cast("long").as("n2"))
+      .select(col("d1"), col("d2"), jac.as("jaccard_x1e3"))
+      .filter(col("jaccard_x1e3") >= thresholdX1e3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q58: incremental dedup-index maintenance — the corpus split into two
@@ -583,6 +646,19 @@ object Dedup {
     "q22_minhash_lsh" -> ((s, d) =>
       jaccardPairsLshVerified(Tables.documents(s, d), 800)
         .orderBy("d1", "d2")),
+
+    // Q64: incremental near-dup maintenance — the corpus ingested as two
+    // batches (even/odd doc_id), each batch's pairs found against the
+    // index state at its ingest, unioned. Same oracle as q22: incremental
+    // == whole-corpus is the contract, hash-checked.
+    "q64_neardup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val idxA = nearDupIndex(docs.filter(col("doc_id") % 2 === 0)).persist()
+      val idxB = nearDupIndex(docs.filter(col("doc_id") % 2 =!= 0))
+      incrementalNearDupPairs(idxA.limit(0), idxA, 800)
+        .union(incrementalNearDupPairs(idxA, idxB, 800))
+        .orderBy("d1", "d2")
+    }),
 
     // Q49: near-dup connected components (clusters) at Jaccard >= 0.8.
     "q49_neardup_clusters" -> ((s, d) =>
@@ -637,6 +713,29 @@ object Dedup {
         .orderBy("d1", "d2")
     })
   )
+
+  /** Whole-corpus exact-Jaccard pairs >= threshold — the shared oracle for
+    * every LSH-pruned-plus-exact-verified pair query (q22, q64): banding
+    * recall 1.0 on the fixture pairs is spec-pinned, so the SQL needs no
+    * banding model. Threshold interpolated from the one Scala constant the
+    * Spark side uses (the ADVICE r4 q57 lesson).
+    */
+  private def verifiedPairsOracle(thresholdX1e3: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+       |       WHERE len(l) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |       CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) AS jaccard_x1e3
+       |FROM inter
+       |JOIN cnt c1 ON c1.doc_id = d1
+       |JOIN cnt c2 ON c2.doc_id = d2
+       |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= $thresholdX1e3
+       |ORDER BY d1, d2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q58_dedup_merge" ->
@@ -693,22 +792,11 @@ object Dedup {
         |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 600
         |ORDER BY d1, d2""".stripMargin,
 
-    "q22_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
-        |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
-        |       WHERE len(l) >= 3),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT d1, d2,
-        |       CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) AS jaccard_x1e3
-        |FROM inter
-        |JOIN cnt c1 ON c1.doc_id = d1
-        |JOIN cnt c2 ON c2.doc_id = d2
-        |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800
-        |ORDER BY d1, d2""".stripMargin,
+    "q22_minhash_lsh" -> verifiedPairsOracle(800),
+
+    // q64 shares q22's oracle: batch-split ingest + incremental merge must
+    // reproduce the whole-corpus pair set bit for bit.
+    "q64_neardup_incremental" -> verifiedPairsOracle(800),
 
     "q61_embedding_lsh" ->
       s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
