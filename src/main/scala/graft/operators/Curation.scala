@@ -139,6 +139,48 @@ object Curation {
       .dropDuplicates("content_hash")
       .select("doc_id", "lang", "n_tokens", "quality_x1e3")
 
+  /** Streaming NEAR-dup ingest — the q64 incremental contract driven by
+    * Structured Streaming: each micro-batch of `(doc_id, text)` docs is
+    * indexed ([[Dedup.nearDupIndex]]), its verified pairs against the
+    * accumulated index land in `pairsDir/batch=<id>`, and its index rows
+    * in `indexDir/batch=<id>`.
+    *
+    * Effective exactly-once WITHOUT a transactional table format: both
+    * writes are per-batch-directory overwrites keyed by the checkpointed
+    * batchId, so a replayed batch rewrites its own directories
+    * deterministically, and the index read excludes the current batchId's
+    * partition — a half-written failed attempt can neither duplicate
+    * index rows nor leak into its own candidate join. Union of
+    * `pairsDir` over any run == the whole-corpus q22 pair set
+    * (StreamingSpec pins two-batch equality and replay idempotency).
+    * At 100 TB each batch directory is delta-sized; periodic compaction
+    * of `indexDir` into the (band, bh)-bucketed layout (SCALING.md) is
+    * an offline concern, exactly like q58's exact-hash index.
+    */
+  def streamingNearDupIngest(docs: DataFrame, indexDir: String,
+                             pairsDir: String, checkpoint: String,
+                             thresholdX1e3: Int = JACCARD_MIN)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = Dedup.nearDupIndex(batch.select("doc_id", "text")).persist()
+        val index =
+          try spark.read.option("basePath", indexDir).parquet(indexDir)
+            .filter(col("batch") < batchId).drop("batch")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            delta.limit(0) // first batch: no index yet
+          }
+        Dedup.incrementalNearDupPairs(index, delta, thresholdX1e3)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        delta.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        delta.unpersist()
+        ()
+      }
+      .start()
+
   /** Train/eval contamination report: for every document OUTSIDE the eval
     * sample, the fraction of its distinct trigram shingles that also occur
     * in any eval-sample document (x1e3), reported when nonzero. This is

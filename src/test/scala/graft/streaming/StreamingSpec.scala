@@ -355,6 +355,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: per-batch pairs union == whole corpus; replay reproduces its batch") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    import graft.sources.Tables
+    val corpus = Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text")
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-ndstream").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Curation.streamingNearDupIngest(in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/pairs", ckpt())
+    try {
+      in.addData(evens); q.processAllAvailable()
+      in.addData(odds); q.processAllAvailable()
+    } finally q.stop()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "jaccard_x1e3").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = pairsOf(spark.read.parquet(s"$dir/pairs"))
+    val full = pairsOf(Dedup.jaccardPairsLshVerified(corpus, 800))
+    assert(full.nonEmpty && got === full)
+    // replay posture: a retry of batch 1 reads the index EXCLUDING its own
+    // partition (even if a failed attempt already wrote it) and overwrites
+    // the same directory with identical content
+    val idx0 = spark.read.option("basePath", s"$dir/index")
+      .parquet(s"$dir/index").filter(col("batch") < 1).drop("batch")
+    val replay = pairsOf(Dedup.incrementalNearDupPairs(
+      idx0, Dedup.nearDupIndex(odds.toDF("doc_id", "text")), 800))
+    assert(replay === pairsOf(spark.read.parquet(s"$dir/pairs/batch=1")))
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     import spark.implicits._
     val in = MemoryStream[(Long, Timestamp, Double)](spark)
