@@ -152,7 +152,9 @@ object GraftFunctions {
       c.cast("string"))
 
   /** Column-API Bloom membership probe (register first). The words/k
-    * literals are folded into the expression at analysis time.
+    * literals are folded into the expression at analysis time. `key` must
+    * be the SAME expression the filter was built over — BloomJoin builds
+    * over `xxhash64(keyCol)`, so probe with `xxhash64(keyCol)` too.
     */
   def bloomMightContain(key: Column, words: Array[Long], k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain",

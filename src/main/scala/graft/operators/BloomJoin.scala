@@ -34,11 +34,16 @@ object BloomJoin {
   /** Distributed Bloom build over `dim`'s key column; returns the m-bit
     * set as 64-bit words. See BloomMightContain for the shared hashing
     * contract (nested-mod positions, overflow-free under ANSI).
+    *
+    * Keys of ANY type: the filter is built over `xxhash64(key)` — NOT a
+    * lossy `cast(key as long)`, which would null out string keys and
+    * silently drop every fact row. Hash collisions across distinct keys
+    * only add false positives, which the exact join removes.
     */
   def buildBloom(dim: DataFrame, dimKey: String, bitsPerKey: Int = BITS_PER_KEY,
                  k: Int = K): Array[Long] = {
-    val keys = dim.select(col(dimKey).cast("long").as("key"))
-      .where(col("key").isNotNull).distinct()
+    val keys = dim.where(col(dimKey).isNotNull)
+      .select(xxhash64(col(dimKey)).as("key")).distinct()
     val n = math.max(1L, keys.count())
     val m = math.min(MAX_BITS, math.max(64L, ((n * bitsPerKey + 63L) / 64L) * 64L))
     val rows = keys
@@ -68,8 +73,10 @@ object BloomJoin {
                     k: Int = K): DataFrame = {
     GraftFunctions.register(fact.sparkSession)
     val words = buildBloom(dim, dimKey, bitsPerKey, k)
+    // probe hashes the key the same way the build did — type-generic, and
+    // the xxhash64 child keeps the probe expression's input LongType
     fact
-      .filter(GraftFunctions.bloomMightContain(col(factKey), words, k))
+      .filter(GraftFunctions.bloomMightContain(xxhash64(col(factKey)), words, k))
       .join(dim.select(col(dimKey)).distinct(),
         col(factKey) === col(dimKey), "left_semi")
   }
