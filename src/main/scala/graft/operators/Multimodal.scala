@@ -8,10 +8,12 @@ import graft.sources.Tables
   * opaque `binary` columns with typed metadata, decoded/feature-extracted in
   * batches per partition.
   *
-  * Image decode is REAL: `ImageCodec` below decodes every format the JDK's
+  * Image decode is REAL: `ImageCodec` decodes every format the JDK's
   * `javax.imageio` ships readers for (PNG, BMP, GIF, JPEG, WBMP) and
   * computes pixel features and true resizes — no external codec needed.
-  * Audio/video formats have no pure-JVM codec in this container, so
+  * Audio decode is REAL for WAV/PCM16: `AudioCodec` parses RIFF directly
+  * off the bytes (duration, channels, per-eighth RMS feature). Compressed
+  * audio and video have no pure-JVM codec in this container, so
   * `decodeStub` remains their honest stand-in (STUB — swap for a JNI/FFM
   * binding in production). Everything around the codecs — the schema, the
   * typed Dataset plumbing, the per-partition batching (one decoder
@@ -53,14 +55,19 @@ object Multimodal {
     * on doc_id before the expensive stage.
     *
     * Dispatch: `image/<star>` payloads go through the REAL `ImageCodec`
-    * (javax.imageio); a payload imageio cannot decode is quarantined with
-    * `width = height = -1` and a zero feature (kept, not dropped — O-12's
-    * skip-don't-fail policy, but visible downstream). Other media types use
-    * the deterministic stub.
+    * (javax.imageio) as (width, height, grayscale-grid feature);
+    * `audio/<star>` through the REAL `AudioCodec` as (duration_ms,
+    * channels, RMS-energy feature) in the same columns — the shared shape
+    * is (two ints of typed metadata, fixed-width feature). A payload its
+    * codec cannot decode is quarantined with `width = height = -1` and a
+    * zero feature (kept, not dropped — O-12's skip-don't-fail policy, but
+    * visible downstream). Other media types use the deterministic stub.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       partitions: Int = 0): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val quarantined = (rec: MediaRecord) =>
+      MediaFeatures(rec.doc_id, rec.content.length, -1, -1, new Array[Float](8))
     val balanced =
       if (partitions > 0) media.repartition(partitions, col("doc_id")) else media
     balanced.as[MediaRecord].mapPartitions { it =>
@@ -69,7 +76,13 @@ object Multimodal {
         if (rec.media_type.startsWith("image/")) {
           ImageCodec.decodeFeatures(rec.content) match {
             case Some((w, h, f)) => MediaFeatures(rec.doc_id, rec.content.length, w, h, f)
-            case None => MediaFeatures(rec.doc_id, rec.content.length, -1, -1, new Array[Float](8))
+            case None => quarantined(rec)
+          }
+        } else if (rec.media_type.startsWith("audio/")) {
+          AudioCodec.decodeFeatures(rec.content) match {
+            case Some((durMs, ch, f)) =>
+              MediaFeatures(rec.doc_id, rec.content.length, durMs, ch, f)
+            case None => quarantined(rec)
           }
         } else {
           val (w, h, f) = decodeStub(rec.content)
