@@ -12,10 +12,12 @@ import graft.sources.Tables
   * `javax.imageio` ships readers for (PNG, BMP, GIF, JPEG, WBMP) and
   * computes pixel features and true resizes — no external codec needed.
   * Audio decode is REAL for WAV/PCM16: `AudioCodec` parses RIFF directly
-  * off the bytes (duration, channels, per-eighth RMS feature). Compressed
-  * audio and video have no pure-JVM codec in this container, so
-  * `decodeStub` remains their honest stand-in (STUB — swap for a JNI/FFM
-  * binding in production). Everything around the codecs — the schema, the
+  * off the bytes (duration, channels, per-eighth RMS feature). Video
+  * frame sampling is REAL for AVI/MJPEG: `VideoCodec` chunk-walks the
+  * container and each sampled frame is a JPEG the image codec decodes.
+  * Inter-frame-compressed a/v (H.264, AAC, MP3) has no pure-JVM codec,
+  * so `decodeStub` remains its honest stand-in (STUB — swap for a
+  * JNI/FFM binding in production). Everything around the codecs — the schema, the
   * typed Dataset plumbing, the per-partition batching (one decoder
   * initialization per partition, the reason this is mapPartitions and not a
   * per-row UDF), the balanced repartition before the CPU-heavy stage — is
@@ -152,6 +154,32 @@ object Multimodal {
       rec.content.grouped(frameBytes).zipWithIndex
         .filter { case (_, i) => i % everyKth == 0 }
         .map { case (chunk, i) => MediaFrame(rec.doc_id, i, chunk) }
+    }
+  }
+
+  /** REAL frame sampling for `video/<star>` payloads: AVI/MJPEG containers
+    * are chunk-walked (`VideoCodec`) and every k-th JPEG frame emitted as
+    * its own row — same generator shape as the stub (one input row
+    * flatMaps to n frame rows inheriting the parent key), but the frame
+    * bytes are actual decodable images; undecodable containers emit
+    * nothing (quarantine). Non-video payloads keep the stub byte-window
+    * behavior so the operator is total over mixed media tables.
+    */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame,
+                        everyKth: Int, stubFrameBytes: Int = 64)
+      : Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      ImageCodec.initPartition() // frames decode via the image codec
+      it.flatMap { rec =>
+        if (rec.media_type.startsWith("video/"))
+          VideoCodec.sampleFrames(rec.content, everyKth)
+            .map { case (i, jpeg, _) => MediaFrame(rec.doc_id, i, jpeg) }
+        else
+          rec.content.grouped(stubFrameBytes).zipWithIndex
+            .filter { case (_, i) => i % everyKth == 0 }
+            .map { case (chunk, i) => MediaFrame(rec.doc_id, i, chunk) }
+      }
     }
   }
 
