@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed BPE tokenizer training — the learn-the-vocabulary step of
+  * an LLM data pipeline, as a deterministic Spark job (q65).
+  *
+  * Classic word-level byte-pair encoding: the corpus is scanned ONCE into
+  * a (word, count) vocabulary; every training iteration then runs over the
+  * vocabulary relation (orders of magnitude smaller than the corpus —
+  * this is why BPE trainers scale), counting adjacent symbol pairs
+  * weighted by word count, merging the most frequent pair (ties broken
+  * lexicographically so both engines agree), and rewriting each word's
+  * symbol array with the standard greedy LEFT-TO-RIGHT non-overlapping
+  * merge.
+  *
+  * The greedy rewrite is the subtle part distributed: selection inside a
+  * run of consecutive matches is sequential ("a a a" merges once, not
+  * twice). But matches of a pair (a,b) with a != b can never overlap, and
+  * for a == b the overlapping matches form contiguous islands where
+  * greedy selection is exactly the even offsets — so the rewrite becomes
+  * gaps-and-islands window algebra (cumulative match count -> island id,
+  * offset parity -> selected, lag(selected) -> consumed), identical in
+  * Spark and the DuckDB oracle, with no sequential fold anywhere.
+  * Pair counts deliberately count overlapping positions ("aaa"
+  * contributes 2 to (a,a)) — the standard BPE counting convention.
+  *
+  * The oracle (q65) unrolls N_MERGES iterations in SQL, top-pair
+  * selection included — the same executable-twin idiom as q54's k-means.
+  */
+object Bpe {
+
+  val N_MERGES = 3
+
+  case class Merge(it: Long, sym_left: String, sym_right: String,
+                   merged: String, pair_cnt: Long)
+
+  /** (w, cnt, syms) — the corpus's only full scan. The char split is
+    * post-filtered for empties so Spark's zero-width-regex split edge
+    * cases can't differ from DuckDB's string_split(w, '').
+    */
+  private[operators] def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))
+
+  /** Most frequent adjacent pair, ties by (left, right) binary order. */
+  private[operators] def topPair(v: DataFrame): Option[(String, String, Long)] = {
+    val rows = v.select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(1).collect()
+    rows.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** One greedy merge pass over the vocabulary (see object doc for why
+    * this is pure window algebra). `get` (not element_at) for the
+    * lookahead: out-of-bounds must be null, not an ANSI error.
+    */
+  private[operators] def applyMerge(v: DataFrame, a: String, b: String): DataFrame = {
+    val wOrd = Window.partitionBy("w").orderBy("pos")
+    val staged = v
+      .select(col("w"), col("cnt"), col("syms"),
+        posexplode(col("syms")).as(Seq("pos", "sym")))
+      .withColumn("m", col("sym") === lit(a) &&
+        coalesce(get(col("syms"), col("pos") + 1) === lit(b), lit(false)))
+      .withColumn("grp", when(col("m"),
+        col("pos") - sum(when(col("m"), 1).otherwise(0)).over(wOrd)))
+    val island = Window.partitionBy("w", "grp")
+    staged
+      .withColumn("off", col("pos") - min("pos").over(island))
+      .withColumn("sel", col("m") && pmod(col("off"), lit(2)) === 0)
+      .withColumn("selp", lag(col("sel"), 1, false).over(wOrd))
+      .withColumn("out", when(col("sel"), lit(a + b))
+        .when(col("selp"), lit(null).cast("string"))
+        .otherwise(col("sym")))
+      .filter(col("out").isNotNull)
+      .groupBy("w", "cnt")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("out").as("o")))),
+        s => s.getField("o")).as("syms"))
+  }
+
+  /** Train `nMerges` merges; returns the ordered merge table. Each
+    * iteration materializes the next vocabulary before releasing the
+    * previous one (the k-means persist discipline); the only driver state
+    * is one (pair, count) row per iteration.
+    */
+  def trainBpe(docs: DataFrame, nMerges: Int = N_MERGES): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var v = vocab(docs).persist()
+    v.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var it = 1
+    var exhausted = false
+    while (it <= nMerges && !exhausted) {
+      topPair(v) match {
+        case Some((a, b, n)) =>
+          merges += Merge(it.toLong, a, b, a + b, n)
+          val next = applyMerge(v, a, b).persist()
+          next.count()
+          v.unpersist()
+          v = next
+        case None => exhausted = true
+      }
+      it += 1
+    }
+    v.unpersist()
+    merges.toSeq.toDF()
+      .select("it", "sym_left", "sym_right", "merged", "pair_cnt")
+  }
+
+  /** The tokenizer's encode step: apply an ordered merge list to a
+    * `(w, cnt)` word table (cnt optional — defaulted to 1), returning
+    * (w, cnt, syms) with the trained segmentation.
+    */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val base = (if (words.columns.contains("cnt")) words
+      else words.withColumn("cnt", lit(1L)))
+      .withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))
+    merges.foldLeft(base) { case (v, (a, b)) => applyMerge(v, a, b) }
+  }
+
+  private def iterSql(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+       |        FROM $prev, unnest(range(1, len(syms))) AS u(j) GROUP BY 1, 2),
+       |t$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+       |e$i AS (SELECT w, cnt, syms, j AS pos, syms[j] AS sym, t.a AS ta, t.b AS tb
+       |        FROM $prev, unnest(range(1, len(syms) + 1)) AS u(j) CROSS JOIN t$i t),
+       |m$i AS (SELECT *, (sym = ta AND COALESCE(syms[pos + 1] = tb, FALSE)) AS m FROM e$i),
+       |g$i AS (SELECT *, CASE WHEN m THEN pos - SUM(CASE WHEN m THEN 1 ELSE 0 END)
+       |                        OVER (PARTITION BY w ORDER BY pos) END AS grp FROM m$i),
+       |o$i AS (SELECT *, pos - MIN(pos) OVER (PARTITION BY w, grp) AS off FROM g$i),
+       |s$i AS (SELECT *, (m AND off % 2 = 0) AS sel FROM o$i),
+       |l$i AS (SELECT *, COALESCE(LAG(sel) OVER (PARTITION BY w ORDER BY pos), FALSE) AS selp FROM s$i),
+       |v$i AS (SELECT w, cnt, list(outsym ORDER BY pos) AS syms FROM (
+       |          SELECT w, cnt, pos,
+       |                 CASE WHEN sel THEN ta || tb WHEN selp THEN NULL ELSE sym END AS outsym
+       |          FROM l$i) WHERE outsym IS NOT NULL GROUP BY w, cnt)"""
+      .stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q65: the learned merge table over the documents corpus.
+    "q65_bpe_merges" -> ((s, d) =>
+      trainBpe(Tables.documents(s, d).select("text")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q65_bpe_merges" -> {
+      val iters = (1 to N_MERGES).map(iterSql).mkString(",\n")
+      val finals = (1 to N_MERGES).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS it, a AS sym_left, b AS sym_right, a || b AS merged, n AS pair_cnt FROM t$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+         |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |            WHERE len(w) > 0 GROUP BY w),
+         |$iters
+         |SELECT * FROM (
+         |$finals
+         |) ORDER BY it""".stripMargin
+    }
+  )
+}
