@@ -75,6 +75,9 @@ object Demo {
     println(s"[17] incremental ingest: ${newPairs.count()} near-dup pair(s) " +
       "introduced by the new batch (q64 contract)")
 
+    println("[18] BPE tokenizer training (3 merges learned from the corpus):")
+    g.trainTokenizer().show(truncate = false)
+
     spark.stop()
   }
 }

@@ -190,6 +190,17 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def logprobScores(): DataFrame =
     TextAnalysis.unigramLogprob(Tables.documents(spark, dataDir))
 
+  /** Train a BPE merge table over `documents` (q65 contract). */
+  def trainTokenizer(nMerges: Int = operators.Bpe.N_MERGES): DataFrame =
+    operators.Bpe.trainBpe(
+      Tables.documents(spark, dataDir).select("text"), nMerges)
+
+  /** Encode a `(w)` word table with an ordered merge list (the trained
+    * tokenizer's segmentation).
+    */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    operators.Bpe.applyMerges(words, merges)
+
   /** sqrt-temperature domain-mix allocation over `documents`. */
   def domainMix(budget: Long = 200L): DataFrame =
     TextAnalysis.domainMixSample(Tables.documents(spark, dataDir), budget)

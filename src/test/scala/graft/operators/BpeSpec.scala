@@ -74,6 +74,19 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("low") === List("low"))
   }
 
+  test("applyMerge plan: the island window reuses the word exchange") {
+    import spark.implicits._
+    val v = Bpe.vocab(Seq("aab aab abab low lower").toDF("text"))
+    val merged = Bpe.applyMerge(v, "a", "b")
+    merged.write.format("noop").mode("overwrite").save()
+    val plan = merged.queryExecution.executedPlan.toString
+    // expected exchanges: vocab groupBy(w) + the w-partitioned window
+    // stage; the (w, grp) island window and the rebuild groupBy(w, cnt)
+    // must be satisfied by hash(w) colocation, not new shuffles
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 2, s"per-iteration rewrite should shuffle twice, got $n:\n$plan")
+  }
+
   test("q65 runs on the fixture corpus and yields N_MERGES ordered merges") {
     val out = Bpe.queries("q65_bpe_merges")(spark, TestSpark.SF0001)
       .collect()
