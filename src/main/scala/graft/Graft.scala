@@ -134,6 +134,28 @@ final class Graft(val spark: SparkSession, dataDir: String,
     Prep.packSequences(Tables.documents(spark, dataDir), budgetTokens,
       cache = false)
 
+  /** Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+    * semantic ranking by reciprocal-rank fusion (exact integer RRF terms).
+    */
+  def hybridSearch(terms: Seq[String], queryVecId: Long = 0L,
+                   k: Int = 10): DataFrame =
+    TextRetrieval.hybridSearch(Tables.documents(spark, dataDir),
+      Tables.embeddings(spark, dataDir), terms, queryVecId, k = k)
+
+  /** SemDeDup-style semantic dedup over `embeddings`: k-means-cluster the
+    * space, prune cosine near-dups within clusters keeping the member
+    * farthest from its centroid. Returns (vec_id, cid, dist, kept 0/1).
+    */
+  def semDedup(thresholdX1e4: Int = 9000): DataFrame =
+    Clustering.semDedup(Tables.embeddings(spark, dataDir), thresholdX1e4)
+
+  /** Train product-quantization codebooks over `embeddings` (per-subspace
+    * exact-integer Lloyd) and return (codebooks, per-vector codes) — the
+    * compression half of an IVF-PQ index.
+    */
+  def trainPq(m: Int = 4): (Map[(Int, Int), Array[Long]], DataFrame) =
+    Clustering.pqTrain(Tables.embeddings(spark, dataDir), m)
+
   /** Train a k-means coarse quantizer over `embeddings` (exact-integer
     * Lloyd) and return the centroids in embedding space, ready for
     * [[annSearchTrained]].

@@ -164,45 +164,149 @@ object Clustering {
       .orderBy("cid")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with [[kmeans]], then prune high-cosine
+    * near-duplicates WITHIN clusters only. This is the published scale path
+    * for embedding dedup — the quadratic pair space collapses to
+    * sum(cluster_size^2), and at 100 TB k grows with the corpus so cluster
+    * sizes stay bounded (the within-cluster self-join shuffles on cid; a
+    * pathological mega-cluster is the k-too-small symptom, fixed by
+    * retraining with larger k, not by a different plan).
+    *
+    * Keep rule (deterministic): a vector is dropped iff some same-cluster
+    * vector with a STRICTLY GREATER (dist-to-centroid, vec_id) has cosine
+    * >= threshold with it — i.e. per near-dup neighborhood the member
+    * farthest from its centroid survives, the paper's low-centroid-
+    * similarity keep heuristic with an exact total-order tie-break. Cosine
+    * is the q40 contract: the codegen'd left-to-right fold, floor-scaled
+    * x1e4, bit-identical to the DuckDB twin.
+    *
+    * Returns every vector: (vec_id, cid, dist, kept 0/1) — full-granularity
+    * so the oracle checks the decision for each row, not just counts.
+    */
+  def semDedup(embs: DataFrame, thresholdX1e4: Int): DataFrame = {
+    val (_, assigned) = kmeans(embs) // (vec_id, cid, dist) — materialized
+    val j = assigned.join(Similarity.asDouble(embs), "vec_id")
+      .select(col("vec_id"), col("cid"), col("dist"), col("emb"))
+      .persist()
+    val cos = graft.functions.GraftFunctions.cosine(col("l.emb"), col("r.emb"))
+    // left_semi: each dropped row emitted once, no distinct needed
+    val drops = j.as("l").join(j.as("r"),
+      col("l.cid") === col("r.cid") &&
+        struct(col("r.dist"), col("r.vec_id")) >
+          struct(col("l.dist"), col("l.vec_id")) &&
+        floor(cos * 10000 + lit(0.5)).cast("long") >= thresholdX1e4,
+      "left_semi")
+      .select(col("vec_id"), lit(0L).as("kept"))
+    j.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dist"),
+        coalesce(col("kept"), lit(1L)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Product-quantization codebook training (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * compression half of IVF-PQ, the standard way a 100 TB ANN index fits
+    * in memory: split each vector into `m` subspaces, run [[kmeans]]
+    * independently in each, store per-vector codes (m small ints) instead
+    * of the vector (m*subdim floats) — 64x smaller here.
+    *
+    * Everything inherits kmeans' exact-integer determinism, so the whole
+    * training + encoding hash-checks cross-engine. The m trainings are
+    * sequential (each is the one-shuffle-per-iteration loop); per-vector
+    * code assembly is an m-way equi-join of the materialized assignments
+    * on vec_id. At scale one would fuse the m assignment passes into a
+    * single scan; the per-subspace update aggregates stay separate either
+    * way, so the shuffle volume is identical.
+    *
+    * Returns (codebooks keyed by (subspace, cid), codes DataFrame
+    * (vec_id, code0..code{m-1}, qerr) with qerr = exact summed squared
+    * quantization error across subspaces).
+    */
+  def pqTrain(embs: DataFrame, m: Int = PQ_M, k: Int = K, iters: Int = ITERS)
+  : (Map[(Int, Int), Array[Long]], DataFrame) = {
+    val dim = embs.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"pqTrain: dim $dim not divisible by $m")
+    val sub = dim / m
+    val parts = (0 until m).map { j =>
+      val sliced = embs.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+      val (cents, assigned) = kmeans(sliced, k, iters)
+      (cents.map { case (cid, cv) => (j, cid) -> cv },
+        assigned.select(col("vec_id"), col("cid").as(s"code$j"),
+          col("dist").as(s"dist$j")))
+    }
+    val codebooks = parts.map(_._1).reduce(_ ++ _)
+    val qerr = (0 until m).map(j => col(s"dist$j")).reduce(_ + _)
+    val codes = parts.map(_._2).reduce(_.join(_, "vec_id"))
+      .select(col("vec_id") +: (0 until m).map(j => col(s"code$j")) :+
+        qerr.as("qerr"): _*)
+      .orderBy("vec_id")
+    (codebooks, codes)
+  }
+
+  private val PQ_M = 4
+
+  /** q66 threshold — same x1e4 cosine scale as q40/q61. */
+  private val SEMDEDUP_T = 4500
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q54_kmeans" -> ((s, d) => kmeansSummary(Tables.embeddings(s, d)))
+    "q54_kmeans" -> ((s, d) => kmeansSummary(Tables.embeddings(s, d))),
+    "q66_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d), SEMDEDUP_T)),
+    "q69_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d))._2)
   )
 
   /** The oracle unrolls the SAME training in SQL: quantization, hash-order
     * init, `ITERS` assignment/update rounds (floor-division averages via the
     * portable (s - nonneg-mod) / n formula), final assignment, summaries.
+    * [[kmeansCtesSql]] is the shared CTE prefix (through `fin` =
+    * (vec_id, cid, dist)) so q66's oracle replays the identical training.
     */
-  private def kmeansOracleSql: String = {
+  private def kmeansCtesSql: String =
+    kmeansCtesSqlFor("", "embedding::DOUBLE[]", DIM)
+
+  /** The kmeans CTE chain with every CTE name prefixed by `pfx` and the
+    * source vector expression parameterized — `fin` becomes `${pfx}fin` =
+    * (vec_id, cid, dist). q54 uses the unprefixed whole-vector form; q69
+    * instantiates one prefixed chain per PQ subspace slice.
+    */
+  private[operators] def kmeansCtesSqlFor(pfx: String, vecSql: String,
+                                          dim: Int): String = {
     val iterCtes = (1 to ITERS).map { i =>
-      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      val prev = if (i == 1) s"${pfx}c0" else s"${pfx}c${i - 1}"
       // assignment against prev centroids, then per-(cid, dim) sums over
       // 1-based positions, floor-div average, keep-previous for empty cids
-      s"""a$i AS (SELECT vec_id, qv, cid, dist FROM (
+      s"""${pfx}a$i AS (SELECT vec_id, qv, cid, dist FROM (
          |  SELECT e.vec_id, e.qv, c.cid,
          |         CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT) AS dist,
          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |           CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT), c.cid) AS rn
-         |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
-         |u$i AS (SELECT cid, p, CAST(SUM(qv[p]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
-         |        FROM a$i, unnest(range(1, ${DIM + 1})) AS up(p) GROUP BY cid, p),
-         |n$i AS (SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY p) AS cv FROM u$i GROUP BY cid),
-         |c$i AS (SELECT p.cid, COALESCE(c.cv, p.cv) AS cv FROM $prev p LEFT JOIN n$i c USING (cid))"""
+         |  FROM ${pfx}e e CROSS JOIN $prev c) WHERE rn = 1),
+         |${pfx}u$i AS (SELECT cid, p, CAST(SUM(qv[p]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM ${pfx}a$i, unnest(range(1, ${dim + 1})) AS up(p) GROUP BY cid, p),
+         |${pfx}n$i AS (SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY p) AS cv FROM ${pfx}u$i GROUP BY cid),
+         |${pfx}c$i AS (SELECT p.cid, COALESCE(c.cv, p.cv) AS cv FROM $prev p LEFT JOIN ${pfx}n$i c USING (cid))"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id,
-       |             list_transform(embedding::DOUBLE[], x ->
-       |               CAST(FLOOR(x * $QSCALE + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
-       |           FROM embeddings),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, qv AS cv
-       |       FROM (SELECT vec_id, qv, ${Sketches.phash60Sql("vec_id")} AS h FROM e)
+    s"""${pfx}e AS (SELECT vec_id,
+       |        list_transform($vecSql, x ->
+       |          CAST(FLOOR(x * $QSCALE + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+       |      FROM embeddings),
+       |${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, qv AS cv
+       |       FROM (SELECT vec_id, qv, ${Sketches.phash60Sql("vec_id")} AS h FROM ${pfx}e)
        |       ORDER BY h, vec_id LIMIT $K),
        |$iterCtes,
-       |fin AS (SELECT vec_id, cid, dist FROM (
+       |${pfx}fin AS (SELECT vec_id, cid, dist FROM (
        |  SELECT e.vec_id, c.cid,
        |         CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT) AS dist,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |           CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT), c.cid) AS rn
-       |  FROM e CROSS JOIN c$ITERS c) WHERE rn = 1)
+       |  FROM ${pfx}e e CROSS JOIN ${pfx}c$ITERS c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def kmeansOracleSql: String =
+    s"""WITH $kmeansCtesSql
        |SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        |       CAST(SUM(f.vec_id) AS BIGINT) AS sum_vec_ids,
        |       CAST(SUM(f.dist) AS BIGINT) AS wcss,
@@ -211,9 +315,48 @@ object Clustering {
        |  ON f.cid = cs.cid
        |GROUP BY f.cid
        |ORDER BY f.cid""".stripMargin
+
+  /** q66 twin: the shared kmeans CTEs, then the same within-cluster
+    * drop-if-a-greater-(dist, vec_id)-near-dup-exists decision with q40's
+    * exact cosine formula.
+    */
+  private def semDedupOracleSql: String =
+    s"""WITH $kmeansCtesSql,
+       |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |j AS (SELECT f.vec_id, f.cid, f.dist, ed.emb
+       |      FROM fin f JOIN ed ON f.vec_id = ed.vec_id),
+       |drops AS (SELECT DISTINCT l.vec_id FROM j l JOIN j r
+       |  ON l.cid = r.cid
+       | AND (r.dist > l.dist OR (r.dist = l.dist AND r.vec_id > l.vec_id))
+       | AND CAST(FLOOR(list_dot_product(l.emb, r.emb) /
+       |       (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb)))
+       |       * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) >= $SEMDEDUP_T)
+       |SELECT j.vec_id, j.cid, j.dist,
+       |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM j LEFT JOIN drops d ON j.vec_id = d.vec_id
+       |ORDER BY j.vec_id""".stripMargin
+
+  /** q69 twin: one prefixed kmeans CTE chain per subspace slice, joined on
+    * vec_id. The slice expression is DuckDB's 1-based inclusive list slice
+    * of the same DOUBLE[] cast the whole-vector chain quantizes.
+    */
+  private def pqOracleSql: String = {
+    val sub = DIM / PQ_M
+    val chains = (0 until PQ_M).map { j =>
+      kmeansCtesSqlFor(s"s$j", s"(embedding::DOUBLE[])[${j * sub + 1}:${(j + 1) * sub}]", sub)
+    }.mkString(",\n")
+    val codes = (0 until PQ_M).map(j => s"s${j}fin.cid AS code$j").mkString(", ")
+    val qerr = (0 until PQ_M).map(j => s"s${j}fin.dist").mkString(" + ")
+    val joins = (1 until PQ_M).map(j => s"JOIN s${j}fin USING (vec_id)").mkString(" ")
+    s"""WITH $chains
+       |SELECT vec_id, $codes, CAST($qerr AS BIGINT) AS qerr
+       |FROM s0fin $joins
+       |ORDER BY vec_id""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
-    "q54_kmeans" -> kmeansOracleSql
+    "q54_kmeans" -> kmeansOracleSql,
+    "q66_semdedup" -> semDedupOracleSql,
+    "q69_pq_train" -> pqOracleSql
   )
 }

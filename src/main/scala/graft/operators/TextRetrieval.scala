@@ -106,6 +106,54 @@ object TextRetrieval {
       .limit(k)
   }
 
+  private val RRF_K = 60
+  private val HYBRID_POOL = 20
+  private val HYBRID_QVEC = 0L
+
+  /** q67: hybrid retrieval — BM25 lexical ranking fused with embedding-
+    * cosine semantic ranking by reciprocal-rank fusion (Cormack et al.
+    * 2009): score(d) = sum over systems of 1/(K + rank_sys(d)), over each
+    * system's top-`pool`. Both rank lists are exact and deterministic
+    * ((scaled score, doc_id) total order), and the RRF terms are integer
+    * divisions 1e6 DIV (K + rank), so the fused score is an exact BIGINT —
+    * the whole fusion hash-checks cross-engine.
+    *
+    * Scale shape: each side is the already-scale-shaped ranker (BM25 =
+    * (doc,term) hash aggregates + broadcasts; semantic = the q20 scan —
+    * swap in [[Similarity.ivfSearch]] through a trained quantizer at
+    * corpus scale). The fusion itself joins two `pool`-row relations —
+    * driver-trivial at any corpus size, which is RRF's point: systems
+    * only exchange ranks, never scores or corpora.
+    */
+  def hybridSearch(docs: DataFrame, embs: DataFrame, rawTerms: Seq[String],
+                   queryVecId: Long = HYBRID_QVEC, pool: Int = HYBRID_POOL,
+                   rrfK: Int = RRF_K, k: Int = 10): DataFrame = {
+    val lexr = bm25Search(docs, rawTerms, pool, cache = false)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25_x1e4").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "lex_rank")
+    val e = Similarity.asDouble(embs)
+    val q = e.filter(col("vec_id") === queryVecId).select(col("emb").as("qe"))
+    val semr = e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        floor(Similarity.cosine(col("emb"), col("qe")) * 10000 + lit(0.5))
+          .cast("long").as("cos_x1e4"))
+      .orderBy(col("cos_x1e4").desc, col("doc_id")).limit(pool)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos_x1e4").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "sem_rank")
+    lexr.join(semr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+        (coalesce(expr(s"1000000 DIV ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($rrfK + sem_rank)"), lit(0L)))
+          .cast("long").as("rrf_x1e6"))
+      .orderBy(col("rrf_x1e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q41: top-3 TF-IDF terms per document.
     "q41_tfidf_terms" -> ((s, d) =>
@@ -113,7 +161,13 @@ object TextRetrieval {
 
     // Q44: BM25 top-10 documents for the fixed demo query.
     "q44_bm25_search" -> ((s, d) =>
-      bm25Search(Tables.documents(s, d), QUERY_TERMS, 10))
+      bm25Search(Tables.documents(s, d), QUERY_TERMS, 10)),
+
+    // Q67: RRF hybrid of the q44 lexical ranker and the q20 semantic
+    // ranker (query vector = embedding of vec_id 0).
+    "q67_hybrid_search" -> ((s, d) =>
+      hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        QUERY_TERMS))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -131,36 +185,71 @@ object TextRetrieval {
         |SELECT doc_id, term, tfidf_x1e4, rnk FROM ranked WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
 
-    "q44_bm25_search" -> {
-      val terms = QUERY_TERMS.map(t => s"'$t'").mkString(", ")
-      val perTerm = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
-        s"CAST(SUM(CASE WHEN term = '$t' THEN ts ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS s$i"
-      }.mkString(",\n        ")
-      val total = QUERY_TERMS.indices.map(i => s"s$i").mkString(" + ")
-      s"""WITH lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
-         |          FROM documents),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
-         |       WHERE term IN ($terms) GROUP BY 1, 2),
-         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |scored AS (SELECT doc_id, term,
-         |    ln((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
-         |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-         |    * (CAST(tf AS DOUBLE) * CAST(${BM25_K1 + 1} AS DOUBLE))
-         |    / (CAST(tf AS DOUBLE) +
-         |       CAST($BM25_K1 AS DOUBLE) * (CAST(${1 - BM25_B} AS DOUBLE) +
-         |         CAST($BM25_B AS DOUBLE) * CAST(dl AS DOUBLE) /
-         |           (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS ts
-         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats),
-         |agg AS (SELECT doc_id,
-         |        $perTerm
-         |      FROM scored GROUP BY doc_id)
-         |SELECT doc_id, CAST(FLOOR(($total) * 10000 + 0.5) AS BIGINT) AS bm25_x1e4
-         |FROM agg
+    "q44_bm25_search" ->
+      s"""WITH $bm25CtesSql
+         |SELECT doc_id, bm25_x1e4 FROM bm25
          |ORDER BY bm25_x1e4 DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // q67 twin: q44's BM25 CTEs + q20's cosine formula, each ranked to the
+    // top-HYBRID_POOL, fused with exact integer-division RRF terms.
+    "q67_hybrid_search" ->
+      s"""WITH $bm25CtesSql,
+         |lexr AS (SELECT doc_id, CAST(row_number() OVER
+         |           (ORDER BY bm25_x1e4 DESC, doc_id) AS INT) AS lex_rank
+         |         FROM (SELECT doc_id, bm25_x1e4 FROM bm25
+         |               ORDER BY bm25_x1e4 DESC, doc_id LIMIT $HYBRID_POOL)),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |qv AS (SELECT emb AS qe FROM e WHERE vec_id = $HYBRID_QVEC),
+         |sem AS (SELECT vec_id AS doc_id,
+         |          CAST(FLOOR(list_dot_product(emb, qe) /
+         |            (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe)))
+         |            * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cos_x1e4
+         |        FROM e, qv WHERE vec_id <> $HYBRID_QVEC
+         |        ORDER BY cos_x1e4 DESC, doc_id LIMIT $HYBRID_POOL),
+         |semr AS (SELECT doc_id, CAST(row_number() OVER
+         |           (ORDER BY cos_x1e4 DESC, doc_id) AS INT) AS sem_rank FROM sem)
+         |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         |       COALESCE(l.lex_rank, 0) AS lex_rank,
+         |       COALESCE(s.sem_rank, 0) AS sem_rank,
+         |       CAST(COALESCE(1000000 // ($RRF_K + l.lex_rank), 0) +
+         |            COALESCE(1000000 // ($RRF_K + s.sem_rank), 0) AS BIGINT) AS rrf_x1e6
+         |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+         |ORDER BY rrf_x1e6 DESC, doc_id
          |LIMIT 10""".stripMargin
-    }
   )
+
+  /** The q44 BM25 pipeline as a shared CTE prefix ending in
+    * `bm25` = (doc_id, bm25_x1e4) — q67's lexical side replays it
+    * verbatim with a different pool size.
+    */
+  private def bm25CtesSql: String = {
+    val terms = QUERY_TERMS.map(t => s"'$t'").mkString(", ")
+    val perTerm = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN term = '$t' THEN ts ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS s$i"
+    }.mkString(",\n        ")
+    val total = QUERY_TERMS.indices.map(i => s"s$i").mkString(" + ")
+    s"""lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+       |          FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |       WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT doc_id, term,
+       |    ln((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |    * (CAST(tf AS DOUBLE) * CAST(${BM25_K1 + 1} AS DOUBLE))
+       |    / (CAST(tf AS DOUBLE) +
+       |       CAST($BM25_K1 AS DOUBLE) * (CAST(${1 - BM25_B} AS DOUBLE) +
+       |         CAST($BM25_B AS DOUBLE) * CAST(dl AS DOUBLE) /
+       |           (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS ts
+       |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats),
+       |agg AS (SELECT doc_id,
+       |        $perTerm
+       |      FROM scored GROUP BY doc_id),
+       |bm25 AS (SELECT doc_id, CAST(FLOOR(($total) * 10000 + 0.5) AS BIGINT) AS bm25_x1e4
+       |         FROM agg)""".stripMargin
+  }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+/** q69 beyond the oracle: every PQ code must be the argmin (dist, cid) over
+  * that subspace's returned codebook, and qerr must be the exact sum of the
+  * chosen centroids' squared distances — i.e. the codes DataFrame and the
+  * codebook map are mutually consistent, recomputed driver-side.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+  private val M = 4
+  private val K = 8
+
+  test("codes are the codebook argmin and qerr is exact, per vector") {
+    val embs = Tables.embeddings(spark, D)
+    val (codebooks, codesDf) = Clustering.pqTrain(embs)
+    val codes = codesDf.collect().map { r =>
+      r.getLong(0) -> ((0 until M).map(j => r.getInt(1 + j)), r.getLong(1 + M))
+    }.toMap
+
+    val vecs = Similarity.asDouble(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(codes.keySet === vecs.keySet)
+    val dim = vecs.head._2.length
+    val sub = dim / M
+
+    def q(x: Double): Long = math.floor(x * 1000000L + 0.5).toLong
+    var sawNonZeroErr = false
+    vecs.foreach { case (id, v) =>
+      val (cs, qerr) = codes(id)
+      var expectedErr = 0L
+      (0 until M).foreach { j =>
+        val qv = v.slice(j * sub, (j + 1) * sub).map(q)
+        val scored = (0 until K).map { cid =>
+          val cv = codebooks((j, cid))
+          val d = qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, cid)
+        }
+        val (bestD, bestC) = scored.min
+        assert(cs(j) === bestC, s"vec $id subspace $j: code ${cs(j)} != argmin $bestC")
+        expectedErr += bestD
+      }
+      assert(qerr === expectedErr, s"vec $id: qerr $qerr != $expectedErr")
+      if (expectedErr > 0) sawNonZeroErr = true
+    }
+    assert(sawNonZeroErr, "fixture must have non-trivial quantization error")
+    assert(codebooks.keySet === (for (j <- 0 until M; c <- 0 until K) yield (j, c)).toSet)
+  }
+}

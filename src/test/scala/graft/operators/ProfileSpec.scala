@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.Tables
+
+/** q68 beyond the oracle: the single-pass profile must equal a driver-side
+  * recomputation from the raw rows, column by column.
+  */
+class ProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  test("profile stats equal a driver-side recomputation on sf0.001") {
+    val li = Tables.lineitem(spark, D)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate")
+      .collect()
+    val n = li.length.toLong
+    def x100(d: Double): Long = math.floor(d * 100 + 0.5).toLong
+
+    val got = Profile.profile(Tables.lineitem(spark, D)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate"))
+    got.values.foreach { r =>
+      assert(r.getLong(1) === n, s"${r.getString(0)}: n_rows")
+      assert(r.getLong(2) === 0L, s"${r.getString(0)}: n_nulls")
+    }
+
+    val keys = li.map(_.getLong(0))
+    assert(got("l_orderkey").getLong(3) === keys.distinct.length.toLong)
+    assert(got("l_orderkey").getLong(4) === x100(keys.min.toDouble))
+    assert(got("l_orderkey").getLong(5) === x100(keys.max.toDouble))
+
+    val qty = li.map(_.getDouble(1))
+    assert(got("l_quantity").getLong(3) === qty.distinct.length.toLong)
+    assert(got("l_quantity").getLong(4) === x100(qty.min))
+    assert(got("l_quantity").getLong(5) === x100(qty.max))
+
+    val flags = li.map(_.getString(3))
+    assert(got("l_returnflag").getLong(3) === flags.distinct.length.toLong)
+    assert(got("l_returnflag").getString(6) === flags.min)
+    assert(got("l_returnflag").getString(7) === flags.max)
+    assert(got("l_returnflag").isNullAt(4) && got("l_returnflag").isNullAt(5))
+
+    val ship = li.map(_.getAs[java.time.LocalDateTime](4)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    assert(got("l_shipdate").getLong(4) === ship.min)
+    assert(got("l_shipdate").getLong(5) === ship.max)
+    assert(got("l_shipdate").isNullAt(6) && got("l_shipdate").isNullAt(7))
+  }
+}

@@ -135,4 +135,39 @@ class TextRetrievalSpec extends AnyFunSuite {
       assert(after == expectedAfter, s"doc $doc: len_after $after != $expectedAfter")
     }
   }
+
+  test("q67: RRF fusion equals a driver-side fusion of the two rank lists") {
+    val pool = 20
+    val docs = Tables.documents(spark, D)
+    val embs = Tables.embeddings(spark, D)
+    // independently collected rank lists, fused with plain integer math
+    val lex = TextRetrieval.bm25Search(docs, Seq("spark", "vector", "stream"), pool)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val vecs = Similarity.asDouble(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qe = vecs(0L)
+    def cosX1e4(a: Array[Double], b: Array[Double]): Long = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      math.floor(dab / (math.sqrt(daa) * math.sqrt(dbb)) * 10000 + 0.5).toLong
+    }
+    val sem = vecs.toSeq.collect { case (id, v) if id != 0L => (id, cosX1e4(v, qe)) }
+      .sortBy { case (id, c) => (-c, id) }.take(pool).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val lr = lex.getOrElse(id, 0)
+      val sr = sem.getOrElse(id, 0)
+      val rrf = (if (lr > 0) 1000000L / (60 + lr) else 0L) +
+        (if (sr > 0) 1000000L / (60 + sr) else 0L)
+      (id, lr, sr, rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+
+    val got = TextRetrieval.hybridSearch(docs, embs, Seq("spark", "vector", "stream"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(expected.exists(_._2 > 0) && expected.exists(_._3 > 0),
+      "fixture must exercise both rankers")
+  }
 }
