@@ -156,6 +156,12 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def trainPq(m: Int = 4): (Map[(Int, Int), Array[Long]], DataFrame) =
     Clustering.pqTrain(Tables.embeddings(spark, dataDir), m)
 
+  /** ADC top-k over the PQ codes (the IVF-PQ query half): the corpus scan
+    * touches only the m-int codes, never the vectors.
+    */
+  def pqSearch(queryVecId: Long = 0L, topK: Int = 10): DataFrame =
+    Clustering.pqSearch(Tables.embeddings(spark, dataDir), queryVecId, topK)
+
   /** Train a k-means coarse quantizer over `embeddings` (exact-integer
     * Lloyd) and return the centroids in embedding space, ready for
     * [[annSearchTrained]].

@@ -248,13 +248,51 @@ object Clustering {
 
   private val PQ_M = 4
 
+  /** PQ ADC search (the query half of IVF-PQ): squared-L2 top-k against the
+    * [[pqTrain]] codes by asymmetric distance computation — per subspace,
+    * the distance from the query slice to each of the k centroids is
+    * precomputed driver-side (k x m exact longs), and each corpus vector's
+    * approximate distance is the sum of m table lookups indexed by its
+    * codes. The scan touches ONLY the codes relation (m small ints per
+    * vector — no vectors move), which is exactly why PQ indexes scale: at
+    * 100 TB the same plan reads a 64x-compressed table with the 32-entry
+    * literal table folded into codegen.
+    *
+    * Exact integer arithmetic end-to-end (quantized query slice vs
+    * quantized centroids), so the ADC distances — not just the ranking —
+    * hash-check cross-engine.
+    */
+  def pqSearch(embs: DataFrame, queryVecId: Long = 0L, topK: Int = 10,
+               m: Int = PQ_M, k: Int = K, iters: Int = ITERS): DataFrame = {
+    val (codebooks, codes) = pqTrain(embs, m, k, iters)
+    val qvec = quantized(embs.filter(col("vec_id") === queryVecId))
+      .collect().headOption
+      .map(_.getSeq[Long](1).toArray)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pqSearch: query vec_id $queryVecId not found"))
+    val sub = qvec.length / m
+    val adc = (0 until m).map { j =>
+      val qs = qvec.slice(j * sub, (j + 1) * sub)
+      val table = (0 until k).map { c =>
+        val cv = codebooks((j, c))
+        lit(qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      element_at(array(table: _*), col(s"code$j") + 1)
+    }.reduce(_ + _)
+    codes.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), adc.cast("long").as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** q66 threshold — same x1e4 cosine scale as q40/q61. */
   private val SEMDEDUP_T = 4500
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_kmeans" -> ((s, d) => kmeansSummary(Tables.embeddings(s, d))),
     "q66_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d), SEMDEDUP_T)),
-    "q69_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d))._2)
+    "q69_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d))._2),
+    "q70_pq_search" -> ((s, d) => pqSearch(Tables.embeddings(s, d)))
   )
 
   /** The oracle unrolls the SAME training in SQL: quantization, hash-order
@@ -354,9 +392,37 @@ object Clustering {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q70 twin: the q69 chains, plus per-subspace ADC tables computed from
+    * the final centroids against the quantized query slice, summed via
+    * equi-joins on the code.
+    */
+  private def pqSearchOracleSql: String = {
+    val sub = DIM / PQ_M
+    val chains = (0 until PQ_M).map { j =>
+      kmeansCtesSqlFor(s"s$j", s"(embedding::DOUBLE[])[${j * sub + 1}:${(j + 1) * sub}]", sub)
+    }.mkString(",\n")
+    val tables = (0 until PQ_M).map { j =>
+      s"""t$j AS (SELECT c.cid,
+         |  CAST(list_aggregate(list_transform(c.cv, (x, i) -> (x - q.qv[i]) * (x - q.qv[i])), 'sum') AS BIGINT) AS d
+         |  FROM s${j}c$ITERS c, (SELECT qv FROM s${j}e WHERE vec_id = 0) q)"""
+        .stripMargin
+    }.mkString(",\n")
+    val joins = ((1 until PQ_M).map(j => s"JOIN s${j}fin f$j USING (vec_id)") ++
+      (0 until PQ_M).map(j => s"JOIN t$j ON t$j.cid = f$j.cid")).mkString(" ")
+    val dsum = (0 until PQ_M).map(j => s"t$j.d").mkString(" + ")
+    s"""WITH $chains,
+       |$tables
+       |SELECT vec_id, CAST($dsum AS BIGINT) AS adc_dist
+       |FROM s0fin f0 $joins
+       |WHERE vec_id <> 0
+       |ORDER BY adc_dist, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q54_kmeans" -> kmeansOracleSql,
     "q66_semdedup" -> semDedupOracleSql,
-    "q69_pq_train" -> pqOracleSql
+    "q69_pq_train" -> pqOracleSql,
+    "q70_pq_search" -> pqSearchOracleSql
   )
 }

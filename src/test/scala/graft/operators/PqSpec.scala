@@ -51,4 +51,28 @@ class PqSpec extends AnyFunSuite {
     assert(sawNonZeroErr, "fixture must have non-trivial quantization error")
     assert(codebooks.keySet === (for (j <- 0 until M; c <- 0 until K) yield (j, c)).toSet)
   }
+
+  test("q70: ADC top-k equals a driver-side table-lookup recomputation") {
+    val embs = Tables.embeddings(spark, D)
+    // pqTrain is deterministic, so this is the same model q70 trains
+    val (codebooks, codesDf) = Clustering.pqTrain(embs)
+    val codes = codesDf.collect()
+      .map(r => r.getLong(0) -> (0 until M).map(j => r.getInt(1 + j))).toMap
+    val vecs = Similarity.asDouble(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val sub = vecs.head._2.length / M
+    def q(x: Double): Long = math.floor(x * 1000000L + 0.5).toLong
+    val qv = vecs(0L).map(q)
+    val table = codebooks.map { case ((j, c), cv) =>
+      val qs = qv.slice(j * sub, (j + 1) * sub)
+      (j, c) -> qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val expected = codes.collect { case (id, cs) if id != 0L =>
+      (id, (0 until M).map(j => table((j, cs(j)))).sum)
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(10)
+
+    val got = Clustering.pqSearch(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
 }
