@@ -162,6 +162,21 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def pqSearch(queryVecId: Long = 0L, topK: Int = 10): DataFrame =
     Clustering.pqSearch(Tables.embeddings(spark, dataDir), queryVecId, topK)
 
+  /** Encode `embeddings` against frozen PQ codebooks (train once on a
+    * sample, encode every new batch) — see `Clustering.saveCodebooks` /
+    * `loadCodebooks` for the shipped artifact.
+    */
+  def encodePq(codebooks: Map[(Int, Int), Array[Long]]): DataFrame =
+    Clustering.pqEncode(Tables.embeddings(spark, dataDir), codebooks)
+
+  /** The full composed IVF-PQ index: coarse cells prune the corpus, ADC
+    * over PQ codes ranks only probed-cell members.
+    */
+  def ivfPqSearch(queryVecId: Long = 0L, topK: Int = 10,
+                  probes: Int = 2): DataFrame =
+    Clustering.ivfPqSearch(Tables.embeddings(spark, dataDir), queryVecId,
+      topK, probes)
+
   /** Train a k-means coarse quantizer over `embeddings` (exact-integer
     * Lloyd) and return the centroids in embedding space, ready for
     * [[annSearchTrained]].

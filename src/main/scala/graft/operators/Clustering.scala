@@ -248,6 +248,38 @@ object Clustering {
 
   private val PQ_M = 4
 
+  /** Encode vectors against FROZEN codebooks — the incremental-ingest half
+    * of PQ: new batches get codes without retraining (train once on a
+    * sample, encode forever). One quantization pass, then per subspace a
+    * broadcast argmin against that subspace's k centroids; assembly joins
+    * the m assignments on vec_id. `PqSpec` pins pqEncode(corpus, trained)
+    * == pqTrain's own codes.
+    */
+  def pqEncode(embs: DataFrame,
+               codebooks: Map[(Int, Int), Array[Long]]): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val m = codebooks.keys.map(_._1).max + 1
+    val q = quantized(embs).persist()
+    try {
+      val parts = (0 until m).map { j =>
+        val sub = codebooks((j, 0)).length
+        val centsDf = codebooks.collect { case ((`j`, cid), cv) => (cid, cv.toSeq) }
+          .toSeq.sortBy(_._1).toDF("cid", "cv")
+        assign(q.select(col("vec_id"),
+          slice(col("qv"), j * sub + 1, sub).as("qv")), centsDf)
+          .select(col("vec_id"), col("cid").as(s"code$j"),
+            col("dist").as(s"dist$j"))
+      }
+      val qerr = (0 until m).map(j => col(s"dist$j")).reduce(_ + _)
+      parts.reduce(_.join(_, "vec_id"))
+        .select(col("vec_id") +: (0 until m).map(j => col(s"code$j")) :+
+          qerr.as("qerr"): _*)
+        .orderBy("vec_id")
+        .localCheckpoint(true)
+    } finally q.unpersist()
+  }
+
   /** PQ ADC search (the query half of IVF-PQ): squared-L2 top-k against the
     * [[pqTrain]] codes by asymmetric distance computation — per subspace,
     * the distance from the query slice to each of the k centroids is
@@ -284,6 +316,67 @@ object Clustering {
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
   }
+
+  /** IVF-PQ search — the full composed index: the trained coarse quantizer
+    * partitions the corpus into cells (inverted lists), the query probes
+    * its `probes` nearest cells, and ADC over the PQ codes ranks ONLY the
+    * vectors in probed cells. At 100 TB this is the shape that makes ANN
+    * tractable: the scan is (corpus/k x probes) rows of m-int codes —
+    * both a cell-pruned and a 64x-compressed read. Candidate ranking is
+    * identical to [[pqSearch]] restricted to the probed cells (spec-pinned),
+    * so recall loss comes only from cell pruning, tunable via `probes`.
+    */
+  def ivfPqSearch(embs: DataFrame, queryVecId: Long = 0L, topK: Int = 10,
+                  probes: Int = 2, m: Int = PQ_M): DataFrame = {
+    val (coarse, assigned) = kmeans(embs)
+    val (codebooks, codes) = pqTrain(embs, m)
+    val qvec = quantized(embs.filter(col("vec_id") === queryVecId))
+      .collect().headOption
+      .map(_.getSeq[Long](1).toArray)
+      .getOrElse(throw new IllegalArgumentException(
+        s"ivfPqSearch: query vec_id $queryVecId not found"))
+    val probed = coarse.toSeq.map { case (cid, cv) =>
+      (qvec.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+    }.sorted.take(probes).map(_._2)
+    val sub = qvec.length / m
+    val adc = (0 until m).map { j =>
+      val qs = qvec.slice(j * sub, (j + 1) * sub)
+      val table = (0 until K).map { c =>
+        val cv = codebooks((j, c))
+        lit(qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      element_at(array(table: _*), col(s"code$j") + 1)
+    }.reduce(_ + _)
+    codes
+      .join(assigned.filter(col("cid").isin(probed: _*)).select("vec_id"), "vec_id")
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), adc.cast("long").as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Persist trained PQ codebooks as parquet (subspace, cid, cv) — the
+    * train-once/encode-forever artifact an offline index build ships to
+    * the encode and search jobs.
+    */
+  def saveCodebooks(path: String,
+                    codebooks: Map[(Int, Int), Array[Long]],
+                    spark: SparkSession): Unit = {
+    import spark.implicits._
+    codebooks.toSeq
+      .map { case ((j, cid), cv) => (j, cid, cv.toSeq) }
+      .sortBy { case (j, cid, _) => (j, cid) }
+      .toDF("subspace", "cid", "cv")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveCodebooks]]. */
+  def loadCodebooks(path: String, spark: SparkSession)
+  : Map[(Int, Int), Array[Long]] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
+      .toMap
 
   /** q66 threshold — same x1e4 cosine scale as q40/q61. */
   private val SEMDEDUP_T = 4500

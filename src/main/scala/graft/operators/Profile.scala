@@ -6,27 +6,30 @@ import graft.sources.Tables
 
 /** q68: table statistics collection (the ANALYZE shape a cost-based
   * optimizer feeds on) — per-column row/null/distinct counts and typed
-  * min/max, computed in ONE aggregation pass over the table and unpivoted
-  * to a tall (col_name, stats) relation.
+  * min/max in ONE scan, unpivoted to a tall (col_name, stats) relation.
   *
-  * Shape notes for 100 TB:
-  *  - Everything is a single global hash aggregate: no per-column rescans
-  *    (a naive ANALYZE runs one scan per column; this runs one total).
-  *  - The exact multi-column `count_distinct` makes Catalyst plan an
-  *    Expand (rows x n_profiled_columns before partial aggregation) —
-  *    the standard exact shape, kept here because exactness is what the
-  *    DuckDB oracle can check. At real scale swap the distinct counters
-  *    for the q16b HLL registers ([[Sketches]]) and the Expand disappears;
-  *    the rest of the pass is unchanged.
-  *  - Numeric min/max are emitted x100-scaled BIGINT and timestamps as
-  *    epoch millis, so every value hash-checks cross-engine (no float or
-  *    timestamp rendering in the output).
+  * Shape (chosen by measurement, see NOTES round-5): each row explodes to
+  * one skinny canonicalized (col_name, v_num, v_str) pair per profiled
+  * column, a (col_name, value) hash aggregate collapses duplicates
+  * map-side, and every statistic — n_rows (sum of counts), n_nulls
+  * (null-value group), n_distinct (non-null group count), min/max —
+  * derives from that one grouped relation with a final 5-row aggregate.
+  * The naive alternative (count_distincts + plain aggs in ONE Aggregate)
+  * plans an Expand x (n_cols + 1) with every non-distinct buffer evaluated
+  * on every expanded row: measured 7x slower at sf0.1. This form's only
+  * corpus-scale exchange carries pre-counted skinny pairs.
+  *
+  * Values are canonicalized BEFORE aggregation (numerics x100-scaled
+  * BIGINT — exact for the 2-decimal fixture domains, timestamps to epoch
+  * millis, strings raw), so min/max/distinct are all over the published
+  * resolution and every output hash-checks cross-engine. n_distinct
+  * counts distinct non-null canonical values (COUNT(DISTINCT) semantics).
+  * At 100 TB the same plan holds; if the value-group cardinality
+  * approaches the row count, swap the exact group-count for the q16b HLL
+  * registers and nothing else changes.
   */
 object Profile {
 
-  /** One profiled column: name, the raw column, and how min/max surface
-    * (numeric x100 scale, epoch millis, or lexicographic string).
-    */
   private sealed trait Kind
   private case object NumX100 extends Kind // double/int -> x100 BIGINT
   private case object Millis extends Kind // timestamp -> epoch ms BIGINT
@@ -40,50 +43,42 @@ object Profile {
     "l_shipdate" -> Millis
   )
 
-  private def numX100(c: Column): Column =
-    floor(c.cast("double") * 100 + lit(0.5)).cast("long")
-
-  /** Single-pass profile of `df` restricted to `cols`. Output rows ordered
-    * by col_name: (col_name, n_rows, n_nulls, n_distinct, min_num,
-    * max_num, min_str, max_str) — the numeric/string pair not applicable
-    * to the column's type is NULL.
+  /** One row per profiled column, ordered by col_name: (col_name, n_rows,
+    * n_nulls, n_distinct, min_num, max_num, min_str, max_str) — the
+    * numeric/string pair not applicable to the column's type is NULL.
     */
-  def profile(df: DataFrame): DataFrame = profile(df, COLS)
-
-  private def profile(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap {
-      case (name, kind) =>
-        val c = col(name)
-        val (mn, mx) = kind match {
-          case NumX100 => (numX100(min(c)), numX100(max(c)))
-          // parquet reads as TIMESTAMP_NTZ; the session timezone is pinned
-          // UTC (Sessions/TestSpark), so the cast matches DuckDB's naive
-          // epoch_ms exactly
-          case Millis => (unix_millis(min(c).cast("timestamp")),
-            unix_millis(max(c).cast("timestamp")))
-          case Str => (min(c), max(c))
-        }
-        Seq(
-          sum(c.isNull.cast("long")).as(s"${name}__nulls"),
-          count_distinct(c).as(s"${name}__nd"),
-          mn.as(s"${name}__min"), mx.as(s"${name}__max"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { case (name, kind) =>
-      val (minNum, maxNum, minStr, maxStr) = kind match {
-        case Str => (lit(null).cast("long"), lit(null).cast("long"),
-          col(s"${name}__min"), col(s"${name}__max"))
-        case _ => (col(s"${name}__min"), col(s"${name}__max"),
-          lit(null).cast("string"), lit(null).cast("string"))
+  def profile(df: DataFrame): DataFrame = {
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val pairs = COLS.map { case (name, kind) =>
+      val c = col(name)
+      val (vNum, vStr) = kind match {
+        case NumX100 => (floor(c.cast("double") * 100 + lit(0.5)).cast("long"), nullS)
+        // parquet reads TIMESTAMP_NTZ; the session timezone is pinned UTC
+        // (Sessions/TestSpark), so the cast matches DuckDB's naive epoch_ms
+        case Millis => (unix_millis(c.cast("timestamp")), nullS)
+        case Str => (nullL, c)
       }
-      struct(lit(name).as("col_name"), col("n_rows").as("n_rows"),
-        col(s"${name}__nulls").as("n_nulls"),
-        col(s"${name}__nd").as("n_distinct"),
-        minNum.as("min_num"), maxNum.as("max_num"),
-        minStr.as("min_str"), maxStr.as("max_str"))
+      struct(lit(name).as("col_name"), vNum.as("v_num"), vStr.as("v_str"))
     }
-    one.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.*"))
+    val strCols = COLS.collect { case (n, Str) => n }
+    val grouped = df
+      .select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.*"))
+      .groupBy("col_name", "v_num", "v_str")
+      .agg(count(lit(1)).as("cnt"))
+    val nonNull = col("v_num").isNotNull || col("v_str").isNotNull
+    grouped.groupBy("col_name")
+      .agg(
+        sum("cnt").as("n_rows"),
+        coalesce(sum(when(!nonNull, col("cnt"))), lit(0L)).as("n_nulls"),
+        count(when(nonNull, lit(1))).as("n_distinct"),
+        min("v_num").as("min_num"), max("v_num").as("max_num"),
+        min("v_str").as("min_str"), max("v_str").as("max_str"))
+      // a string column's numeric pair (and vice versa) is NULL by
+      // construction — no post-processing needed; just fix column order
+      .select("col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str")
       .orderBy("col_name")
   }
 
@@ -91,30 +86,28 @@ object Profile {
     "q68_profile" -> ((s, d) => profile(Tables.lineitem(s, d)))
   )
 
-  /** The twin runs one select per column (DuckDB has no single-pass
-    * unpivot-profile shorthand); values use the same x100/epoch-ms
-    * contracts.
+  /** The twin runs one select per column over the same canonicalized
+    * values (DuckDB has no single-pass unpivot-profile shorthand).
     */
   private def profileOracleSql: String = {
     val selects = COLS.map { case (name, kind) =>
-      val (mn, mx, ms, xs) = kind match {
+      val v = kind match {
         case NumX100 =>
-          (s"CAST(FLOOR(CAST(MIN($name) AS DOUBLE) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)",
-            s"CAST(FLOOR(CAST(MAX($name) AS DOUBLE) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)",
-            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
-        case Millis =>
-          (s"CAST(epoch_ms(MIN($name)) AS BIGINT)",
-            s"CAST(epoch_ms(MAX($name)) AS BIGINT)",
-            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
-        case Str =>
-          ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
-            s"MIN($name)", s"MAX($name)")
+          s"CAST(FLOOR(CAST($name AS DOUBLE) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        case Millis => s"CAST(epoch_ms($name) AS BIGINT)"
+        case Str => name
+      }
+      val (mn, mx, ms, xs) = kind match {
+        case Str => ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "MIN(v)", "MAX(v)")
+        case _ => ("CAST(MIN(v) AS BIGINT)", "CAST(MAX(v) AS BIGINT)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
       }
       s"""SELECT '$name' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         |  CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
          |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
-         |FROM lineitem""".stripMargin
+         |FROM (SELECT $v AS v FROM lineitem)""".stripMargin
     }
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }

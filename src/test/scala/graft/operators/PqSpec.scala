@@ -75,4 +75,49 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === expected)
   }
+
+  test("q70/IVF-PQ: ivfPqSearch equals ADC ranking restricted to probed cells") {
+    val embs = Tables.embeddings(spark, D)
+    val (coarse, assignedDf) = Clustering.kmeans(embs)
+    val cells = assignedDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (codebooks, codesDf) = Clustering.pqTrain(embs)
+    val codes = codesDf.collect()
+      .map(r => r.getLong(0) -> (0 until M).map(j => r.getInt(1 + j))).toMap
+    val vecs = Similarity.asDouble(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val sub = vecs.head._2.length / M
+    def q(x: Double): Long = math.floor(x * 1000000L + 0.5).toLong
+    val qv = vecs(0L).map(q)
+    val probed = coarse.toSeq.map { case (cid, cv) =>
+      (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+    }.sorted.take(2).map(_._2).toSet
+    val table = codebooks.map { case ((j, c), cv) =>
+      val qs = qv.slice(j * sub, (j + 1) * sub)
+      (j, c) -> qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val expected = codes.collect {
+      case (id, cs) if id != 0L && probed(cells(id)) =>
+        (id, (0 until M).map(j => table((j, cs(j)))).sum)
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(10)
+
+    val got = Clustering.ivfPqSearch(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty, "probed cells must contain candidates")
+  }
+
+  test("pqEncode against frozen codebooks reproduces pqTrain's codes, and " +
+    "codebooks survive a parquet round-trip") {
+    val embs = Tables.embeddings(spark, D)
+    val (codebooks, codesDf) = Clustering.pqTrain(embs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Clustering.saveCodebooks(s"$dir/cb.parquet", codebooks, spark)
+    val loaded = Clustering.loadCodebooks(s"$dir/cb.parquet", spark)
+    assert(loaded.keySet === codebooks.keySet)
+    loaded.foreach { case (k, cv) => assert(cv.toSeq === codebooks(k).toSeq, k) }
+
+    val trained = codesDf.collect().map(r => r.toSeq).toSet
+    val encoded = Clustering.pqEncode(embs, loaded).collect().map(_.toSeq).toSet
+    assert(encoded === trained)
+  }
 }

@@ -53,9 +53,9 @@ def family(q):
         return "cdc"
     if i in (18, 21, 22, 23, 40, 45, 49, 58):
         return "dedup"
-    if i in (20, 24, 54, 61):
+    if i in (20, 24, 54, 61, 66, 69, 70):
         return "similarity"
-    if i in (19, 25, 26, 27, 28, 41, 43, 44, 51, 52, 60):
+    if i in (19, 25, 26, 27, 28, 41, 43, 44, 51, 52, 60, 67):
         return "text"
     if i in (42, 46, 47, 48, 50, 53, 55, 56):
         return "prep"
