@@ -78,6 +78,24 @@ object Demo {
     println("[18] BPE tokenizer training (3 merges learned from the corpus):")
     g.trainTokenizer().show(truncate = false)
 
+    val sd = g.semDedup(thresholdX1e4 = 4500)
+    println(s"[19] SemDeDup at cos>=0.45: " +
+      s"${sd.filter(org.apache.spark.sql.functions.col("kept") === 0).count()} " +
+      s"of ${sd.count()} vectors pruned within clusters (q66)")
+
+    println("[20] hybrid retrieval (BM25 + cosine, RRF-fused):")
+    g.hybridSearch(Seq("spark", "vector", "stream")).show(5, truncate = false)
+
+    // PQ: train codebooks, persist, encode against the frozen artifact,
+    // then ADC-search the compressed codes (q69/q70)
+    val (cb, codes) = g.trainPq()
+    val cbDir = java.nio.file.Files.createTempDirectory("graft-demo-pq")
+    graft.operators.Clustering.saveCodebooks(s"$cbDir/cb.parquet", cb, spark)
+    val loaded = graft.operators.Clustering.loadCodebooks(s"$cbDir/cb.parquet", spark)
+    println(s"[21] PQ: ${codes.count()} vectors -> 4 codes each " +
+      s"(${loaded.size} codebook entries persisted+reloaded); ADC top-3:")
+    g.pqSearch(topK = 3).show(truncate = false)
+
     spark.stop()
   }
 }
