@@ -378,6 +378,29 @@ object Clustering {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
       .toMap
 
+  /** Streaming PQ encode: each embedding micro-batch is encoded against
+    * the frozen codebook artifact and written batch-keyed (per-batchId
+    * overwrite — replays rewrite the same directory, the effective-
+    * exactly-once contract of `Curation.streamingNearDupIngest`).
+    * Encoding is row-independent, so the union of batch outputs equals
+    * [[pqEncode]] of the union (spec-pinned) — this is how the other
+    * 99.99% of a growing corpus gets compressed without retraining.
+    */
+  def streamingPqEncode(embs: DataFrame, codebookPath: String,
+                        codesDir: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val codebooks = loadCodebooks(codebookPath, embs.sparkSession)
+    embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pqEncode(batch, codebooks)
+          .write.mode("overwrite").parquet(s"$codesDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** q66 threshold — same x1e4 cosine scale as q40/q61. */
   private val SEMDEDUP_T = 4500
 

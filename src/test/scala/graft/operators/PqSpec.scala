@@ -120,4 +120,31 @@ class PqSpec extends AnyFunSuite {
     val encoded = Clustering.pqEncode(embs, loaded).collect().map(_.toSeq).toSet
     assert(encoded === trained)
   }
+
+  test("streaming PQ encode over two micro-batches equals batch encode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, D)
+    val (codebooks, _) = Clustering.pqTrain(embs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-stream").toString
+    Clustering.saveCodebooks(s"$dir/cb.parquet", codebooks, spark)
+
+    val rows = embs.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val q = Clustering.streamingPqEncode(
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$dir/cb.parquet", s"$dir/codes", s"$dir/ckpt")
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/codes").drop("batch")
+      .collect().map(_.toSeq).toSet
+    val batch = Clustering.pqEncode(embs, codebooks).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
