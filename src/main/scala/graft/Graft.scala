@@ -103,6 +103,14 @@ final class Graft(val spark: SparkSession, dataDir: String,
     Curation.contaminationReport(Tables.documents(spark, dataDir), perLang,
       cache = false)
 
+  /** Semantic (embedding-space) train/eval contamination — catches the
+    * paraphrases the n-gram probe misses.
+    */
+  def semanticContamination(nEval: Int = 20, thresholdX1e4: Int = 4500,
+                            topK: Int = 20): DataFrame =
+    Curation.semanticContamination(Tables.embeddings(spark, dataDir), nEval,
+      thresholdX1e4, topK)
+
   /** Exact-verified text near-dup pairs at `jaccardX1e3`, LSH-pruned. */
   def nearDupPairs(jaccardX1e3: Int = 800): DataFrame =
     Dedup.jaccardPairsLshVerified(

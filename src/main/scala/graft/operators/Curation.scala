@@ -215,7 +215,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q71: semantic train/eval contamination — the embedding-space twin of
+    * [[contaminationReport]] (q50's n-gram probe misses paraphrases; a
+    * high-cosine match against an eval vector catches them). The eval set
+    * is the `nEval` vectors with the smallest (phash60(vec_id), vec_id) —
+    * the q42/q48 deterministic-sample idiom — and every OTHER corpus
+    * vector reports its max cosine against the eval set plus how many
+    * eval vectors clear `thresholdX1e4`; output is the `topK` most
+    * contaminated by (max_cos, vec_id).
+    *
+    * Scale shape: eval sets are small by nature, so the eval side
+    * BROADCASTS and the corpus makes one shuffle-free pass up to the
+    * partial-aggregated per-vector max — no self-join, no index. (At an
+    * eval size where the broadcast stops fitting, route the probe through
+    * the q61 LSH bands instead; the report schema is unchanged.) Exact
+    * x1e4 cosine contract, so the ranking hash-checks cross-engine.
+    */
+  def semanticContamination(embs: DataFrame, nEval: Int = 20,
+                            thresholdX1e4: Int = 4500,
+                            topK: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val e = Similarity.asDouble(embs)
+    val eval = e
+      .select(col("vec_id"), col("emb"), Sketches.phash60(col("vec_id")).as("h"))
+      .orderBy("h", "vec_id").limit(nEval)
+      .select(col("vec_id").as("e_id"), col("emb").as("e_emb"))
+    val corpus = e.join(broadcast(eval.select(col("e_id").as("vec_id"))),
+      Seq("vec_id"), "left_anti")
+    corpus.crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        floor(graft.functions.GraftFunctions.cosine(col("emb"), col("e_emb"))
+          * 10000 + lit(0.5)).cast("long").as("cos"))
+      .groupBy("vec_id")
+      .agg(max("cos").as("max_cos_x1e4"),
+        sum(when(col("cos") >= thresholdX1e4, 1L).otherwise(0L)).as("n_hits"))
+      .orderBy(col("max_cos_x1e4").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  private val SEMCON_N_EVAL = 20
+  private val SEMCON_T = 4500
+  private val SEMCON_TOPK = 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_semantic_contamination" -> ((s, d) =>
+      semanticContamination(Tables.embeddings(s, d), SEMCON_N_EVAL,
+        SEMCON_T, SEMCON_TOPK)),
     "q32_curation" -> ((s, d) => curate(Tables.documents(s, d))),
     // Q57: the strict pipeline (quality -> repetition gates -> near-dup)
     // oracle-checked END TO END, like q32 — compositions get hash-checked
@@ -227,7 +272,26 @@ object Curation {
       crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d)))
   )
 
+  /** q71 twin: same hash-picked eval set, exact cosine, grouped max/hits. */
+  private def semanticContaminationOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |ev AS (SELECT vec_id AS e_id, emb AS e_emb
+       |       FROM (SELECT vec_id, emb, ${Sketches.phash60Sql("vec_id")} AS h FROM e)
+       |       ORDER BY h, vec_id LIMIT $SEMCON_N_EVAL),
+       |p AS (SELECT c.vec_id,
+       |        CAST(FLOOR(list_dot_product(c.emb, v.e_emb) /
+       |          (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(v.e_emb, v.e_emb)))
+       |          * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cos
+       |      FROM e c CROSS JOIN ev v
+       |      WHERE c.vec_id NOT IN (SELECT e_id FROM ev))
+       |SELECT vec_id, CAST(MAX(cos) AS BIGINT) AS max_cos_x1e4,
+       |       CAST(SUM(CASE WHEN cos >= $SEMCON_T THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |FROM p GROUP BY vec_id
+       |ORDER BY max_cos_x1e4 DESC, vec_id
+       |LIMIT $SEMCON_TOPK""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q71_semantic_contamination" -> semanticContaminationOracleSql,
     "q50_contamination" ->
       s"""WITH ranked AS (SELECT doc_id, row_number() OVER
          |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk

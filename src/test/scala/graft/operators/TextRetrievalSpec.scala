@@ -136,6 +136,32 @@ class TextRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q71: semantic contamination equals a driver-side recomputation") {
+    val embs = Tables.embeddings(spark, D)
+    val vecs = Similarity.asDouble(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    graft.functions.GraftFunctions.register(spark)
+    val hashes = embs.select(col("vec_id"),
+      Sketches.phash60(col("vec_id")).as("h")).collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+    val evalIds = hashes.sorted.take(20).map(_._2).toSet
+    def cosX1e4(a: Array[Double], b: Array[Double]): Long = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      math.floor(dab / (math.sqrt(daa) * math.sqrt(dbb)) * 10000 + 0.5).toLong
+    }
+    val expected = vecs.collect { case (id, v) if !evalIds(id) =>
+      val scores = evalIds.toSeq.map(e => cosX1e4(v, vecs(e)))
+      (id, scores.max, scores.count(_ >= 4500).toLong)
+    }.toSeq.sortBy { case (id, mx, _) => (-mx, id) }.take(20)
+
+    val got = Curation.semanticContamination(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(expected.map(_._2).max >= 4500 || expected.nonEmpty)
+  }
+
   test("q67: RRF fusion equals a driver-side fusion of the two rank lists") {
     val pool = 20
     val docs = Tables.documents(spark, D)
