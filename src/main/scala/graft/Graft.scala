@@ -185,6 +185,21 @@ final class Graft(val spark: SparkSession, dataDir: String,
     Clustering.ivfPqSearch(Tables.embeddings(spark, dataDir), queryVecId,
       topK, probes)
 
+  /** Build the persisted IVF-PQ index artifact for `embeddings` under
+    * `dir` (coarse centroids + codebooks + cell-partitioned codes) — the
+    * offline half of the build-once/query-many ANN contract.
+    */
+  def buildAnnIndex(dir: String, m: Int = 4, k: Int = 8): Unit =
+    Clustering.buildIvfPqIndex(Tables.embeddings(spark, dataDir), dir, m, k)
+
+  /** Search a [[buildAnnIndex]] artifact with a raw query vector: no
+    * training, no vector scan — codebooks load as literals and the plan
+    * reads only the (cell-pruned) codes. `probes <= 0` = exhaustive ADC.
+    */
+  def annSearchIndexed(dir: String, query: Array[Double], topK: Int = 10,
+                       probes: Int = 2): DataFrame =
+    Clustering.ivfPqSearchIndexed(spark, dir, query, topK, probes)
+
   /** Train a k-means coarse quantizer over `embeddings` (exact-integer
     * Lloyd) and return the centroids in embedding space, ready for
     * [[annSearchTrained]].

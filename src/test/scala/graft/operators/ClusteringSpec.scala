@@ -83,6 +83,25 @@ class ClusteringSpec extends AnyFunSuite {
       s"3 Lloyd iterations should improve WCSS ($trainedWcss vs $initWcss)")
   }
 
+  test("sample-trained kmeans: full-corpus final assignment, WCSS within " +
+    "bound of full training") {
+    val embs = Tables.embeddings(spark, D)
+    val (_, full) = Clustering.kmeans(embs)
+    val fullWcss = full.agg(sum("dist")).collect()(0).getLong(0)
+    // deterministic hash-sample at 25%: Lloyd rounds see ~125 of 500
+    // vectors, the final assignment sees all 500 — the 100 TB posture
+    val (cents, sampled) = Clustering.kmeans(embs, sampleFraction = 0.25)
+    assert(sampled.count() === 500L, "every corpus vector must be assigned")
+    assert(cents.nonEmpty && cents.head._2.length === 64)
+    val sampledWcss = sampled.agg(sum("dist")).collect()(0).getLong(0)
+    assert(sampledWcss <= (fullWcss * 1.5).toLong,
+      s"sample-trained WCSS $sampledWcss too far above full-trained $fullWcss")
+    // rerun-stable: the hash sample is deterministic, not rand()-based
+    val (cents2, _) = Clustering.kmeans(embs, sampleFraction = 0.25)
+    assert(cents2.view.mapValues(_.toSeq).toMap ===
+      cents.view.mapValues(_.toSeq).toMap)
+  }
+
   test("q54: trainedCentroids rescale exactly and feed an IVF coarse quantizer") {
     val cents = Clustering.trainedCentroids(Tables.embeddings(spark, D))
     assert(cents.size == K)

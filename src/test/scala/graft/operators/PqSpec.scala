@@ -106,6 +106,33 @@ class PqSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "probed cells must contain candidates")
   }
 
+  test("IVF-PQ index artifact: indexed search equals both train-in-call " +
+    "paths, and the search plan never touches a vector column") {
+    val embs = Tables.embeddings(spark, D)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Clustering.buildIvfPqIndex(embs, dir)
+    val q0 = Similarity.asDouble(embs).filter(col("vec_id") === 0L)
+      .collect().head.getSeq[Double](1).toArray
+
+    // probes=0: exhaustive ADC == pqSearch's full ranking
+    val exhaustive = Clustering.ivfPqSearchIndexed(spark, dir, q0,
+      topK = 10, probes = 0, excludeVecId = 0L)
+    assert(exhaustive.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Clustering.pqSearch(embs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+
+    // probes=2: cell-pruned ADC == ivfPqSearch's ranking
+    val probed = Clustering.ivfPqSearchIndexed(spark, dir, q0,
+      topK = 10, probes = 2, excludeVecId = 0L)
+    assert(probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Clustering.ivfPqSearch(embs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+
+    // the indexed plan reads codes only — no embedding/vector column, no
+    // training subtree; the probed variant prunes cell partitions
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"), "search plan must not read vectors")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("pqEncode against frozen codebooks reproduces pqTrain's codes, and " +
     "codebooks survive a parquet round-trip") {
     val embs = Tables.embeddings(spark, D)

@@ -36,16 +36,13 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out.count(_._2 == 1L) > 0, "something must survive")
   }
 
-  test("q66 equals a driver-side brute-force reference on sf0.001") {
-    val result = Clustering.semDedup(embs, T)
-      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
-      .toMap
-
-    // reference: reuse the distributed trainer's assignment (its own
-    // equality with sequential Lloyd is ClusteringSpec's job), then decide
-    // drops with a plain quadratic loop
-    val (_, assigned) = Clustering.kmeans(embs)
-    val byId = Similarity.asDouble(embs).collect()
+  // driver-side brute-force reference at a given k: reuse the distributed
+  // trainer's assignment (its own equality with sequential Lloyd is
+  // ClusteringSpec's job), then decide drops with a plain quadratic loop
+  private def bruteForce(corpus: DataFrame, k: Int)
+  : Map[Long, (Int, Long, Long)] = {
+    val (_, assigned) = Clustering.kmeans(corpus, k)
+    val byId = Similarity.asDouble(corpus).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val rows = assigned.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
@@ -55,17 +52,58 @@ class SemDedupSpec extends AnyFunSuite {
       while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
       math.floor(dab / (math.sqrt(daa) * math.sqrt(dbb)) * 10000 + 0.5).toLong
     }
-    val expected = rows.map { case (id, cid, dist) =>
+    rows.map { case (id, cid, dist) =>
       val dropped = rows.exists { case (rid, rcid, rdist) =>
         rcid == cid && (rdist > dist || (rdist == dist && rid > id)) &&
           cosX1e4(byId(id), byId(rid)) >= T
       }
       id -> ((cid, dist, if (dropped) 0L else 1L))
     }.toMap
+  }
 
+  private def assertMatchesBruteForce(corpus: DataFrame, k: Int): Unit = {
+    val result = Clustering.semDedup(corpus, T, k = k)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val expected = bruteForce(corpus, k)
     assert(result.keySet === expected.keySet, "output must partition the input")
     val diff = expected.collect { case (id, e) if result(id) != e => (id, e, result(id)) }
-    assert(diff.isEmpty, s"mismatches: ${diff.take(5).toList}")
-    assert(expected.values.exists(_._3 == 0L), "fixture must exercise drops")
+    assert(diff.isEmpty, s"k=$k mismatches: ${diff.take(5).toList}")
+    assert(expected.values.exists(_._3 == 0L), s"k=$k must exercise drops")
+  }
+
+  test("q66 equals a driver-side brute-force reference on sf0.001") {
+    // k=8 is also what the corpus-derived default resolves to at the
+    // fixture's 500 vectors (ceil(500/64)), i.e. exactly q66's oracle run
+    assertMatchesBruteForce(embs, 8)
+  }
+
+  test("decision-equality holds at two other k, and planted twins are " +
+    "dropped regardless of k") {
+    import spark.implicits._
+    val twins = embs.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = embs.unionByName(twins)
+    Seq(4, 16).foreach { k =>
+      assertMatchesBruteForce(corpus, k)
+      // an exact twin shares its cluster at ANY k (identical embedding =>
+      // identical argmin), so the lower-id original always loses
+      val out = Clustering.semDedup(corpus, T, k = k)
+        .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+      (0L until 5L).foreach { id =>
+        assert(out(id) === 0L, s"k=$k: original $id must be dropped")
+      }
+    }
+  }
+
+  test("corpus-derived k default scales with the corpus") {
+    // 500 fixture vectors / target 64 => 8; explicit k overrides
+    val derived = Clustering.semDedup(embs, T)
+      .select(max(col("cid"))).collect()(0).getInt(0)
+    assert(derived <= 7, "derived k=8 => cluster ids in [0, 8)")
+    val explicit = Clustering.semDedup(embs, T, k = 4)
+      .select(max(col("cid"))).collect()(0).getInt(0)
+    assert(explicit <= 3, "explicit k=4 => cluster ids in [0, 4)")
   }
 }
