@@ -226,10 +226,11 @@ object Curation {
     *
     * Scale shape: eval sets are small by nature, so the eval side
     * BROADCASTS and the corpus makes one shuffle-free pass up to the
-    * partial-aggregated per-vector max — no self-join, no index. (At an
-    * eval size where the broadcast stops fitting, route the probe through
-    * the q61 LSH bands instead; the report schema is unchanged.) Exact
-    * x1e4 cosine contract, so the ranking hash-checks cross-engine.
+    * partial-aggregated per-vector max — no self-join, no index. At an
+    * eval size where the broadcast stops fitting,
+    * [[semanticContaminationRouted]] switches to the banded
+    * [[semanticContaminationLsh]] probe. Exact x1e4 cosine contract, so
+    * the ranking hash-checks cross-engine.
     */
   def semanticContamination(embs: DataFrame, nEval: Int = 20,
                             thresholdX1e4: Int = 4500,
@@ -252,6 +253,74 @@ object Curation {
       .orderBy(col("max_cos_x1e4").desc, col("vec_id"))
       .limit(topK)
   }
+
+  /** Eval sizes up to this broadcast comfortably (64-dim doubles ~512 B per
+    * vector => ~10 MB at 20k); beyond it [[semanticContaminationRouted]]
+    * takes the banded path.
+    */
+  private val SEMCON_BROADCAST_MAX = 20000
+
+  /** The LSH route for [[semanticContamination]] — the path for eval sets
+    * too large to broadcast: both sides bucket through the q61 random-
+    * hyperplane sign bands ([[Dedup.signBandBuckets]], same fixed plane
+    * set), candidates come from a SHUFFLE EQUI-JOIN on (band, bucket) —
+    * never a cross join — and exact cosine verifies candidates only.
+    *
+    * Contract difference, inherent to scale: only THRESHOLD HITS are
+    * reportable (a vector with no band collision has no candidates, so
+    * "max cosine over the whole eval set" does not exist here). Rows are
+    * corpus vectors with >= 1 verified hit; columns match the broadcast
+    * path. Recall per (corpus, eval) pair at cosine c is
+    * 1 - (1 - p^bandBits)^nBands with p = 1 - acos(c)/pi: the 8x8 default
+    * gives >= 0.9999 at c >= 0.99, ~0.99 at c >= 0.95, ~0.93 at c = 0.90 —
+    * sized for the true-contamination regime (near-copies); for looser
+    * thresholds trade bandBits down exactly as in [[Dedup.embeddingNearDupLsh]].
+    * Precision is 1.0 (exact verification), so reported rows never differ
+    * from the broadcast path — only tail-recall can (CurationSpec pins
+    * equality on a planted-twin fixture).
+    */
+  def semanticContaminationLsh(embs: DataFrame, nEval: Int = 20,
+                               thresholdX1e4: Int = 4500, topK: Int = 20,
+                               bandBits: Int = 8, nBands: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val (e, dim) = Dedup.dimAsserted(embs, 0, "semanticContaminationLsh")
+    val eval = e
+      .select(col("vec_id"), col("emb"), Sketches.phash60(col("vec_id")).as("h"))
+      .orderBy("h", "vec_id").limit(nEval)
+      .select(col("vec_id"), col("emb"))
+    val corpus = e.join(broadcast(eval.select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
+    val cb = Dedup.signBandBuckets(corpus, bandBits, nBands, dim)
+    val eb = Dedup.signBandBuckets(eval, bandBits, nBands, dim)
+      .select(col("vec_id").as("e_id"), col("emb").as("e_emb"),
+        col("band"), col("bv"))
+    // verify before distinct (the q61 trade): a pair colliding in k bands
+    // recomputes the codegen'd cosine k times, but the distinct exchange
+    // then carries 24-byte rows, not two vectors
+    cb.join(eb, Seq("band", "bv"))
+      .select(col("vec_id"), col("e_id"),
+        floor(graft.functions.GraftFunctions.cosine(col("emb"), col("e_emb"))
+          * 10000 + lit(0.5)).cast("long").as("cos"))
+      .distinct()
+      .groupBy("vec_id")
+      .agg(max("cos").as("max_cos_x1e4"),
+        sum(when(col("cos") >= thresholdX1e4, 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") >= 1)
+      .orderBy(col("max_cos_x1e4").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Size-routed entry point: broadcastable eval sets take the exact
+    * one-pass [[semanticContamination]]; larger ones the banded
+    * [[semanticContaminationLsh]] (threshold hits only — see its scaladoc).
+    */
+  def semanticContaminationRouted(embs: DataFrame, nEval: Int = 20,
+                                  thresholdX1e4: Int = 4500,
+                                  topK: Int = 20): DataFrame =
+    if (nEval <= SEMCON_BROADCAST_MAX)
+      semanticContamination(embs, nEval, thresholdX1e4, topK)
+    else
+      semanticContaminationLsh(embs, nEval, thresholdX1e4, topK)
 
   private val SEMCON_N_EVAL = 20
   private val SEMCON_T = 4500

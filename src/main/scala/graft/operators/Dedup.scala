@@ -432,26 +432,34 @@ object Dedup {
     * callers trade bandBits down for recall. Planes are the same fixed
     * deterministic set as the q24 ANN index.
     */
-  def embeddingNearDupLsh(embs: DataFrame, thresholdX1e4: Int,
-                          bandBits: Int = 8, nBands: Int = 8,
-                          dim: Int = 0, cache: Boolean = true): DataFrame = {
-    graft.functions.GraftFunctions.register(embs.sparkSession)
-    // dim <= 0 derives the plane width from the data (one first() on the
-    // index build — negligible); an explicit dim is then ASSERTED per row,
-    // because a mismatch would null every plane dot via zip_with padding and
-    // silently degrade each band join to a quadratic self cross-join.
+  /** The dim-or-derive + per-row width assert shared by every sign-band
+    * consumer: a ragged embedding would null every plane dot via zip_with
+    * padding and silently degrade each band join to a quadratic self
+    * cross-join, so mismatches fail loudly instead.
+    */
+  private[operators] def dimAsserted(embs: DataFrame, dim: Int,
+                                     who: String): (DataFrame, Int) = {
     val actualDim =
       if (dim > 0) dim
       else embs.select(size(col("embedding"))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1) // empty input: any width
         // works — downstream joins produce the correct empty pair set
-    val e0 = Similarity.asDouble(embs)
+    (Similarity.asDouble(embs)
       .withColumn("emb", when(size(col("emb")) === actualDim, col("emb"))
         .otherwise(raise_error(concat(
-          lit(s"embeddingNearDupLsh: embedding dim != $actualDim for vec_id="),
-          col("vec_id").cast("string")))))
-    val e = if (cache) e0.persist() else e0
-    val allPlanes = Similarity.planes(bandBits * nBands, actualDim)
+          lit(s"$who: embedding dim != $actualDim for vec_id="),
+          col("vec_id").cast("string"))))), actualDim)
+  }
+
+  /** Random-hyperplane sign-band buckets over an `(vec_id, emb)` relation:
+    * one row per (vector, band) with the band's `bandBits`-bit sign bucket
+    * — the q61 index relation, shared with the LSH contamination probe.
+    * Planes are the fixed deterministic q24 set, so two relations bucketed
+    * with the same (bandBits, nBands, dim) are join-compatible.
+    */
+  private[operators] def signBandBuckets(e: DataFrame, bandBits: Int,
+                                         nBands: Int, dim: Int): DataFrame = {
+    val allPlanes = Similarity.planes(bandBits * nBands, dim)
     val bandCols = (0 until nBands).map { b =>
       val bucket = (0 until bandBits).map { i =>
         val plane = array(allPlanes(b * bandBits + i).map(lit).toIndexedSeq: _*)
@@ -459,10 +467,20 @@ object Dedup {
       }.reduce(_ bitwiseOR _)
       struct(lit(b).as("band"), bucket.as("bv"))
     }
-    val buckets = e
-      .select(col("vec_id"), col("emb"), explode(array(bandCols: _*)).as("bb"))
+    e.select(col("vec_id"), col("emb"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("emb"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  def embeddingNearDupLsh(embs: DataFrame, thresholdX1e4: Int,
+                          bandBits: Int = 8, nBands: Int = 8,
+                          dim: Int = 0, cache: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    // dim <= 0 derives the plane width from the data (one first() on the
+    // index build — negligible)
+    val (e0, actualDim) = dimAsserted(embs, dim, "embeddingNearDupLsh")
+    val e = if (cache) e0.persist() else e0
+    val buckets = signBandBuckets(e, bandBits, nBands, actualDim)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

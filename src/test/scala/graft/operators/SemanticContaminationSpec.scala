@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+/** q71's scale path: the banded LSH contamination probe must agree with
+  * the broadcast cross-join path on everything it reports — precision is
+  * 1.0 by construction (exact cosine verification), and in the
+  * true-contamination regime (near-copies, cos >= 0.9) the 8x8 banding
+  * recall is effectively 1, so on a planted-twin fixture the two paths'
+  * threshold-hit sets are IDENTICAL, not merely close.
+  */
+class SemanticContaminationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+  private val T = 9000
+
+  test("LSH route equals the broadcast route's threshold hits on a " +
+    "planted-twin eval fixture") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, D)
+    // twin 5 vectors the eval selection will (mostly) pick, re-keyed above
+    // the fixture id range — each twin is an exact copy, so its cosine
+    // against the eval original is ~1.0: true contamination
+    val evalIds = e
+      .select(col("vec_id"), Sketches.phash60(col("vec_id")).as("h"))
+      .orderBy("h", "vec_id").limit(20)
+      .select("vec_id").as[Long].collect()
+    val twins = e.filter(col("vec_id").isin(evalIds.take(5).map(Long.box): _*))
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = e.unionByName(twins)
+
+    val broadcastHits = Curation.semanticContamination(corpus, 20, T, 20)
+      .filter(col("n_hits") >= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lshHits = Curation.semanticContaminationLsh(corpus, 20, T, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(lshHits === broadcastHits,
+      "banded probe must report exactly the broadcast path's hits")
+    assert(lshHits.nonEmpty, "fixture must exercise contamination hits")
+  }
+
+  test("no false positives without planted contamination (fixture max " +
+    "cosine < threshold)") {
+    val e = Tables.embeddings(spark, D)
+    assert(Curation.semanticContaminationLsh(e, 20, T, 20).count() === 0L)
+  }
+
+  test("routed entry point: broadcastable eval sizes take the exact path") {
+    val e = Tables.embeddings(spark, D)
+    val routed = Curation.semanticContaminationRouted(e, 20, 4500, 20)
+      .collect().map(_.toSeq)
+    val exact = Curation.semanticContamination(e, 20, 4500, 20)
+      .collect().map(_.toSeq)
+    assert(routed.toSeq === exact.toSeq)
+  }
+}
