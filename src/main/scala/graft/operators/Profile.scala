@@ -30,12 +30,13 @@ import graft.sources.Tables
   */
 object Profile {
 
-  private sealed trait Kind
-  private case object NumX100 extends Kind // double/int -> x100 BIGINT
-  private case object Millis extends Kind // timestamp -> epoch ms BIGINT
-  private case object Str extends Kind // string -> min_str/max_str
+  sealed trait Kind
+  case object NumX100 extends Kind // double/int -> x100 BIGINT
+  case object Millis extends Kind // timestamp -> epoch ms BIGINT
+  case object Str extends Kind // string -> min_str/max_str
 
-  private val COLS: Seq[(String, Kind)] = Seq(
+  /** The q68 spec: the profiled lineitem columns. */
+  val LINEITEM_COLS: Seq[(String, Kind)] = Seq(
     "l_orderkey" -> NumX100,
     "l_quantity" -> NumX100,
     "l_extendedprice" -> NumX100,
@@ -43,11 +44,29 @@ object Profile {
     "l_shipdate" -> Millis
   )
 
+  /** Derive a profile spec from a schema: numerics/booleans canonicalize
+    * x100, timestamps/dates to epoch millis, strings raw; nested/binary
+    * columns are skipped (profile the extracted features instead).
+    */
+  def columnSpec(df: DataFrame): Seq[(String, Kind)] = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.toSeq.collect {
+      case StructField(n, _: NumericType | BooleanType, _, _) => n -> NumX100
+      case StructField(n, TimestampType | TimestampNTZType | DateType, _, _) =>
+        n -> Millis
+      case StructField(n, StringType, _, _) => n -> Str
+    }
+  }
+
   /** One row per profiled column, ordered by col_name: (col_name, n_rows,
     * n_nulls, n_distinct, min_num, max_num, min_str, max_str) — the
     * numeric/string pair not applicable to the column's type is NULL.
+    * `cols` defaults to every profilable column in the schema; q68 passes
+    * [[LINEITEM_COLS]] explicitly.
     */
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[(String, Kind)] = Nil): DataFrame = {
+    val COLS = if (cols.nonEmpty) cols else columnSpec(df)
+    require(COLS.nonEmpty, "profile: no profilable columns")
     val nullL = lit(null).cast("long")
     val nullS = lit(null).cast("string")
     val pairs = COLS.map { case (name, kind) =>
@@ -61,7 +80,6 @@ object Profile {
       }
       struct(lit(name).as("col_name"), vNum.as("v_num"), vStr.as("v_str"))
     }
-    val strCols = COLS.collect { case (n, Str) => n }
     val grouped = df
       .select(explode(array(pairs: _*)).as("p"))
       .select(col("p.*"))
@@ -83,14 +101,14 @@ object Profile {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q68_profile" -> ((s, d) => profile(Tables.lineitem(s, d)))
+    "q68_profile" -> ((s, d) => profile(Tables.lineitem(s, d), LINEITEM_COLS))
   )
 
   /** The twin runs one select per column over the same canonicalized
     * values (DuckDB has no single-pass unpivot-profile shorthand).
     */
   private def profileOracleSql: String = {
-    val selects = COLS.map { case (name, kind) =>
+    val selects = LINEITEM_COLS.map { case (name, kind) =>
       val v = kind match {
         case NumX100 =>
           s"CAST(FLOOR(CAST($name AS DOUBLE) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"

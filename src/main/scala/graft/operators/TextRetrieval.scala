@@ -143,12 +143,17 @@ object TextRetrieval {
       .withColumn("sem_rank", row_number().over(
         Window.orderBy(col("cos_x1e4").desc, col("doc_id"))).cast("int"))
       .select("doc_id", "sem_rank")
+    // each RRF term handles the full-outer null EXPLICITLY against the raw
+    // join column (absent from a ranker => term 0) — it must never see a
+    // coalesced 0 rank, which would award 1e6/(K+0) to absent documents
+    def rrfTerm(rank: String): Column =
+      when(col(rank).isNull, lit(0L))
+        .otherwise(expr(s"1000000 DIV ($rrfK + $rank)"))
     lexr.join(semr, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
         coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
-        (coalesce(expr(s"1000000 DIV ($rrfK + lex_rank)"), lit(0L)) +
-          coalesce(expr(s"1000000 DIV ($rrfK + sem_rank)"), lit(0L)))
+        (rrfTerm("lex_rank") + rrfTerm("sem_rank"))
           .cast("long").as("rrf_x1e6"))
       .orderBy(col("rrf_x1e6").desc, col("doc_id"))
       .limit(k)

@@ -19,8 +19,8 @@ class ProfileSpec extends AnyFunSuite {
     val n = li.length.toLong
     def x100(d: Double): Long = math.floor(d * 100 + 0.5).toLong
 
-    val got = Profile.profile(Tables.lineitem(spark, D)).collect()
-      .map(r => r.getString(0) -> r).toMap
+    val got = Profile.profile(Tables.lineitem(spark, D), Profile.LINEITEM_COLS)
+      .collect().map(r => r.getString(0) -> r).toMap
     assert(got.keySet === Set("l_orderkey", "l_quantity", "l_extendedprice",
       "l_returnflag", "l_shipdate"))
     got.values.foreach { r =>
@@ -49,5 +49,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(got("l_shipdate").getLong(4) === ship.min)
     assert(got("l_shipdate").getLong(5) === ship.max)
     assert(got("l_shipdate").isNullAt(6) && got("l_shipdate").isNullAt(7))
+  }
+
+  test("generic signature: default spec derives from the schema of any " +
+    "table (region)") {
+    val region = Tables.region(spark, D)
+    val got = Profile.profile(region).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // every region column is profilable (int key + two strings)
+    assert(got.keySet === region.schema.fieldNames.toSet)
+    val rows = region.collect()
+    val names = rows.map(_.getString(1))
+    assert(got("r_name").getLong(1) === rows.length.toLong)
+    assert(got("r_name").getLong(3) === names.distinct.length.toLong)
+    assert(got("r_name").getString(6) === names.min)
+    assert(got("r_regionkey").getLong(4) ===
+      rows.map(_.getInt(0)).min.toLong * 100)
   }
 }
