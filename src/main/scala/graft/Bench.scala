@@ -39,7 +39,12 @@ object Bench {
     }
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // comma-separated subset for targeted regression hunts (BASELINE.md
+    // protocol still grades the full default run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(runOnce) // warm-up pass, untimed
     val results = names.map { n =>
       val ts = (1 to runs).map(_ => runOnce(n)).sorted

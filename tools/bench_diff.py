@@ -40,6 +40,14 @@ EXCEPTIONS = {
     # r4->r5 example (resolved): q22 went 1.06->3.03 s when candidate
     # estimates were replaced by LSH-pruned + exact-verified pairs; r5
     # restored <= ~2 s. Keep this dict empty when nothing is in flight.
+    #
+    # r5->r6: semDedup's k now derives from the corpus (k = ceil(n/64),
+    # VERDICT r5 #3) so the within-cluster pair space stays linear in n —
+    # the 100 TB-correct semantics. At sf0.1 that means k~79 instead of the
+    # old fixed 8, and Lloyd iterations cost O(n*k): q66 ~1.6 -> ~3.3 s.
+    # The extra work IS the semantic upgrade (bounded cluster sizes);
+    # re-baseline next round.
+    "q66_semdedup": "corpus-derived k (ceil(n/64)): k=8 -> k~79 at sf0.1",
 }
 
 
