@@ -98,6 +98,14 @@ final class Graft(val spark: SparkSession, dataDir: String,
     Curation.crossModalPairs(Tables.documents(spark, dataDir),
       Tables.embeddings(spark, dataDir), cache = false)
 
+  /** Perceptual (decoded-pixel) near-dup pairs over an image media
+    * relation — catches re-encodes and recompressions byte-sha misses.
+    * `media` must have the (doc_id, media_type, content) shape.
+    */
+  def imageNearDupes(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    operators.PerceptualHash.perceptualNearDup(
+      operators.PerceptualHash.imageAHash(spark, media), maxHamming)
+
   /** Train/eval contamination report against the deterministic sample. */
   def contamination(perLang: Int = 20): DataFrame =
     Curation.contaminationReport(Tables.documents(spark, dataDir), perLang,
