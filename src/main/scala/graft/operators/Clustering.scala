@@ -86,6 +86,15 @@ object Clustering {
     */
   private val SAMPLE_MOD = 1L << 20
 
+  private def sampleCut(f: Double): Long = (f * SAMPLE_MOD).toLong
+
+  /** The DuckDB twin of the `sampleFraction` training filter — empty for
+    * the exact (full-corpus) variant.
+    */
+  private def sampleWhereSql(f: Double): String =
+    if (f >= 1.0) ""
+    else s"WHERE ${Sketches.phash60Sql("vec_id")} % $SAMPLE_MOD < ${sampleCut(f)}"
+
   /** Train k-means and return (final centroids as (cid -> components),
     * final assignment DataFrame (vec_id, cid, dist)). The per-iteration
     * centroid state is k x dim longs — collected and re-broadcast each
@@ -111,7 +120,7 @@ object Clustering {
       val train =
         if (sampleFraction >= 1.0) q
         else q.filter(Sketches.phash60(col("vec_id")) % SAMPLE_MOD <
-          lit((sampleFraction * SAMPLE_MOD).toLong))
+          lit(sampleCut(sampleFraction)))
       val init = train
         .select(col("vec_id"), col("qv"), Sketches.phash60(col("vec_id")).as("h"))
         .orderBy("h", "vec_id").limit(k)
@@ -203,9 +212,13 @@ object Clustering {
     * sizes (the within-cluster self-join shuffles on cid; a pathological
     * mega-cluster is the k-too-small symptom, fixed by a larger k — pass
     * it explicitly or lower targetClusterSize — not by a different plan).
-    * At 100 TB compose with `kmeans(sampleFraction = ...)`-style sampled
-    * training; the fixture-pinned oracle (q66) runs the exact k=8 variant
-    * (= the derived default at the fixture's 500 vectors).
+    * `sampleFraction` is the training posture dial: Lloyd init +
+    * iterations on the deterministic hash-sample, full-corpus final
+    * assignment — at 100 TB you never Lloyd-iterate the whole corpus.
+    * The catalog q66 RUNS the sampled variant (fraction 1/4) and its
+    * oracle replays the sample filter, so the scale path itself is the
+    * hash-checked path; k derives from the FULL corpus count either way
+    * (= 8 at the fixture's 500 vectors).
     *
     * Keep rule (deterministic): a vector is dropped iff some same-cluster
     * vector with a STRICTLY GREATER (dist-to-centroid, vec_id) has cosine
@@ -222,12 +235,13 @@ object Clustering {
     */
   def semDedup(embs: DataFrame, thresholdX1e4: Int, k: Int = 0,
                iters: Int = ITERS,
-               targetClusterSize: Int = SEMDEDUP_TARGET_CLUSTER): DataFrame = {
+               targetClusterSize: Int = SEMDEDUP_TARGET_CLUSTER,
+               sampleFraction: Double = 1.0): DataFrame = {
     val kk =
       if (k > 0) k
       else math.max(1,
         math.ceil(embs.count().toDouble / targetClusterSize).toInt)
-    val (_, assigned) = kmeans(embs, kk, iters) // (vec_id, cid, dist)
+    val (_, assigned) = kmeans(embs, kk, iters, sampleFraction)
     val j = assigned.join(Similarity.asDouble(embs), "vec_id")
       .select(col("vec_id"), col("cid"), col("dist"), col("emb"))
       .persist()
@@ -669,8 +683,11 @@ object Clustering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_kmeans" -> ((s, d) => kmeansSummary(Tables.embeddings(s, d))),
     // q66 takes the corpus-derived k (= 8 at the fixture's 500 vectors,
-    // which is what the static oracle chain replays)
-    "q66_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d), SEMDEDUP_T)),
+    // which is what the static oracle chain replays) and the SAMPLED
+    // training path — the 100 TB posture is the gated path, not a variant
+    "q66_semdedup" -> ((s, d) =>
+      semDedup(Tables.embeddings(s, d), SEMDEDUP_T,
+        sampleFraction = SEMDEDUP_SAMPLE)),
     "q69_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d))._2),
     // q70/q72 run the INDEXED path: first call per corpus builds the
     // artifact (deterministic — identical to what the oracle replays),
@@ -695,10 +712,14 @@ object Clustering {
   /** The kmeans CTE chain with every CTE name prefixed by `pfx` and the
     * source vector expression parameterized — `fin` becomes `${pfx}fin` =
     * (vec_id, cid, dist). q54 uses the unprefixed whole-vector form; q69
-    * instantiates one prefixed chain per PQ subspace slice.
+    * instantiates one prefixed chain per PQ subspace slice. A non-empty
+    * `trainWhereSql` restricts Lloyd init + iterations to the
+    * deterministic hash-sample (the Spark side's `sampleFraction` twin);
+    * the final assignment always covers the full corpus.
     */
   private[operators] def kmeansCtesSqlFor(pfx: String, vecSql: String,
-                                          dim: Int): String = {
+                                          dim: Int,
+                                          trainWhereSql: String = ""): String = {
     val iterCtes = (1 to ITERS).map { i =>
       val prev = if (i == 1) s"${pfx}c0" else s"${pfx}c${i - 1}"
       // assignment against prev centroids, then per-(cid, dim) sums over
@@ -708,7 +729,7 @@ object Clustering {
          |         CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT) AS dist,
          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |           CAST(list_aggregate(list_transform(e.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])), 'sum') AS BIGINT), c.cid) AS rn
-         |  FROM ${pfx}e e CROSS JOIN $prev c) WHERE rn = 1),
+         |  FROM ${pfx}t e CROSS JOIN $prev c) WHERE rn = 1),
          |${pfx}u$i AS (SELECT cid, p, CAST(SUM(qv[p]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
          |        FROM ${pfx}a$i, unnest(range(1, ${dim + 1})) AS up(p) GROUP BY cid, p),
          |${pfx}n$i AS (SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY p) AS cv FROM ${pfx}u$i GROUP BY cid),
@@ -719,8 +740,9 @@ object Clustering {
        |        list_transform($vecSql, x ->
        |          CAST(FLOOR(x * $QSCALE + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
        |      FROM embeddings),
+       |${pfx}t AS (SELECT * FROM ${pfx}e $trainWhereSql),
        |${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, qv AS cv
-       |       FROM (SELECT vec_id, qv, ${Sketches.phash60Sql("vec_id")} AS h FROM ${pfx}e)
+       |       FROM (SELECT vec_id, qv, ${Sketches.phash60Sql("vec_id")} AS h FROM ${pfx}t)
        |       ORDER BY h, vec_id LIMIT $K),
        |$iterCtes,
        |${pfx}fin AS (SELECT vec_id, cid, dist FROM (
@@ -742,12 +764,19 @@ object Clustering {
        |GROUP BY f.cid
        |ORDER BY f.cid""".stripMargin
 
-  /** q66 twin: the shared kmeans CTEs, then the same within-cluster
+  /** q66's training-sample fraction: Lloyd on a quarter of the corpus,
+    * full-corpus final assignment (see [[semDedup]]).
+    */
+  private val SEMDEDUP_SAMPLE = 0.25
+
+  /** q66 twin: the kmeans CTEs WITH the q66 sample filter on the training
+    * set, then the same within-cluster
     * drop-if-a-greater-(dist, vec_id)-near-dup-exists decision with q40's
     * exact cosine formula.
     */
   private def semDedupOracleSql: String =
-    s"""WITH $kmeansCtesSql,
+    s"""WITH ${kmeansCtesSqlFor("", "embedding::DOUBLE[]", DIM,
+           sampleWhereSql(SEMDEDUP_SAMPLE))},
        |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |j AS (SELECT f.vec_id, f.cid, f.dist, ed.emb
        |      FROM fin f JOIN ed ON f.vec_id = ed.vec_id),

@@ -97,6 +97,25 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled training (the q66 catalog path) still drops every planted " +
+    "twin and partitions the input") {
+    import spark.implicits._
+    val twins = embs.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = embs.unionByName(twins)
+    val out = Clustering.semDedup(corpus, T, sampleFraction = 0.25)
+      .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+    assert(out.size === corpus.count(), "full corpus assigned despite " +
+      "sampled training")
+    // identical embeddings share a cluster under ANY centroid set, so the
+    // keep rule fires regardless of which rows trained the centroids
+    (0L until 5L).foreach { id =>
+      assert(out(id) === 0L, s"sampled training: original $id must drop")
+    }
+    assert(out.count(_._2 == 1L) > 0, "something must survive")
+  }
+
   test("corpus-derived k default scales with the corpus") {
     // 500 fixture vectors / target 64 => 8; explicit k overrides
     val derived = Clustering.semDedup(embs, T)
