@@ -106,6 +106,15 @@ final class Graft(val spark: SparkSession, dataDir: String,
     operators.PerceptualHash.perceptualNearDup(
       operators.PerceptualHash.imageAHash(spark, media), maxHamming)
 
+  /** Frame-level video near-dup over AVI/MJPEG payloads: re-muxes,
+    * frame-dropped copies, and recompressions pair by perceptual frame
+    * hashes, not bytes.
+    */
+  def videoNearDupes(media: DataFrame, everyKth: Int = 1,
+                     maxHamming: Int = 3, minMatched: Int = 2): DataFrame =
+    operators.PerceptualHash.videoNearDup(spark, media, everyKth,
+      maxHamming, minMatched)
+
   /** Train/eval contamination report against the deterministic sample. */
   def contamination(perLang: Int = 20): DataFrame =
     Curation.contaminationReport(Tables.documents(spark, dataDir), perLang,

@@ -173,6 +173,25 @@ object PerceptualHash {
     }.toDF("doc_id", "lo", "hi")
   }
 
+  /** Adds the 8x8 banding rows to any relation carrying (lo, hi): one row
+    * per (input row, band) with the band's byte value — shared by the
+    * image- and frame-granularity joins so the two can never drift.
+    */
+  private def withBands(hashes: DataFrame, carry: Seq[String]): DataFrame = {
+    val bandCols = (0 until 8).map { j =>
+      val half = if (j < 4) col("lo") else col("hi")
+      struct(lit(j).as("band"),
+        shiftright(half, (j % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
+    }
+    val keep = carry.map(col) ++ Seq(col("lo"), col("hi"))
+    hashes.select(keep :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(keep ++ Seq(col("bb.band").as("band"), col("bb.bv").as("bv")): _*)
+  }
+
+  private def hammingCol(a: String, b: String): org.apache.spark.sql.Column =
+    (bit_count(col(s"$a.lo").bitwiseXOR(col(s"$b.lo"))) +
+      bit_count(col(s"$a.hi").bitwiseXOR(col(s"$b.hi")))).cast("int")
+
   /** Hamming-banded near-dup pairs over an aHash relation: 8 bands of 8
     * bits, so any pair with Hamming distance <= 7 shares at least one
     * whole band (pigeonhole) and surfaces from a pure (band, value)
@@ -184,22 +203,78 @@ object PerceptualHash {
     require(maxHamming <= 7,
       s"perceptualNearDup: 8x8 banding is pigeonhole-complete only to " +
         s"Hamming 7, got $maxHamming")
-    val bandCols = (0 until 8).map { j =>
-      val half = if (j < 4) col("lo") else col("hi")
-      struct(lit(j).as("band"),
-        shiftright(half, (j % 4) * 8).bitwiseAND(lit(255L)).as("bv"))
-    }
-    val banded = hashes.select(col("doc_id"), col("lo"), col("hi"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("lo"), col("hi"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val banded = withBands(hashes, Seq("doc_id"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
-          bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("int")
-          .as("hamming"))
+        hammingCol("a", "b").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Frame-level video near-dup: every `everyKth` frame of each AVI/MJPEG
+    * payload is decoded and aHashed ([[aHash64]]), frames pair across
+    * videos through the same banded Hamming join, and per video pair the
+    * evidence aggregates to
+    * (v1, v2, matched_frames, n_frames_1, n_frames_2) — matched_frames
+    * counts DISTINCT v1 frames with a perceptual match in v2, so a
+    * repeated still can never inflate the score. Pairs survive when
+    * matched_frames >= minMatched. Catches re-muxed containers (same
+    * JPEG payloads, new byte layout), frame-dropped copies, and
+    * recompressed frames — none of which byte-sha can pair.
+    *
+    * Scale shape: identical to [[perceptualNearDup]] with frames as the
+    * unit — decode is partition-local, the shuffle carries 20-byte
+    * (video, frame, lo, hi) rows, banding keeps the join equi. No SQL
+    * oracle by nature (JPEG pixel decode has no DuckDB twin — unlike the
+    * q73 lossless fixture); PerceptualHashSpec pins re-mux, subset, and
+    * recompression recall plus disjoint-video rejection. The q73 oracle
+    * already hash-checks the shared decode->hash->band machinery.
+    */
+  def videoNearDup(spark: SparkSession, media: DataFrame, everyKth: Int = 1,
+                   maxHamming: Int = MAX_HAMMING,
+                   minMatched: Int = 2): DataFrame = {
+    import spark.implicits._
+    val k = math.max(1, everyKth)
+    val frameHashes = media.as[Multimodal.MediaRecord].mapPartitions { it =>
+      ImageCodec.initPartition()
+      it.flatMap { rec =>
+        VideoCodec.decode(rec.content).toSeq.flatMap { avi =>
+          avi.frames.zipWithIndex
+            .filter { case (_, i) => i % k == 0 }
+            .flatMap { case (jpeg, i) =>
+              aHash64(jpeg).map(lh => (rec.doc_id, i, lh._1, lh._2))
+            }
+        }
+      }
+    }.toDF("doc_id", "frame_no", "lo", "hi")
+    val framePairs = perceptualNearDupFrames(frameHashes, maxHamming)
+    val counts = frameHashes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"))
+    framePairs.groupBy("v1", "v2")
+      .agg(countDistinct("f1").as("matched_frames"))
+      .filter(col("matched_frames") >= minMatched)
+      .join(counts.withColumnRenamed("doc_id", "v1")
+        .withColumnRenamed("n_frames", "n_frames_1"), "v1")
+      .join(counts.withColumnRenamed("doc_id", "v2")
+        .withColumnRenamed("n_frames", "n_frames_2"), "v2")
+      .select("v1", "v2", "matched_frames", "n_frames_1", "n_frames_2")
+      .orderBy("v1", "v2")
+  }
+
+  /** The banded join at (video, frame) granularity: candidate frame pairs
+    * across DIFFERENT videos, verified by exact popcount.
+    */
+  private def perceptualNearDupFrames(frameHashes: DataFrame,
+                                      maxHamming: Int): DataFrame = {
+    val banded = withBands(frameHashes, Seq("doc_id", "frame_no"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("v1"), col("b.doc_id").as("v2"),
+        col("a.frame_no").as("f1"), col("b.frame_no").as("f2"),
+        hammingCol("a", "b").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

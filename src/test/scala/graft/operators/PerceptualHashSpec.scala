@@ -80,6 +80,73 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(hd <= 6, s"JPEG recompression moved the aHash by $hd bits")
   }
 
+  /** Per-seed frame: a white rectangle on black at a block-aligned,
+    * seed-specific position (seeds >= 20 use a 2x-bigger rectangle at
+    * offset positions) — structurally distinct content, so pairwise aHash
+    * distances are large, and flat regions make the hash JPEG-robust.
+    * (A constant-shifted gradient would NOT work: aHash is invariant to
+    * uniform brightness shifts by construction.)
+    */
+  private def jpegOf(seed: Int): Array[Byte] = {
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    val small = Seq((0, 0), (48, 0), (0, 48), (48, 48), (24, 24), (24, 0))
+    val (rx, ry, rs) =
+      if (seed < 20) { val (a, b) = small(seed % 6); (a, b, 16) }
+      else { val (a, b) = small(seed % 6); ((a + 8) % 32, (b + 16) % 32, 32) }
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val p = if (x >= rx && x < rx + rs && y >= ry && y < ry + rs) 255 else 0
+      img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("video near-dup: re-mux, frame subset, and recompression all pair; " +
+    "disjoint videos never do") {
+    import spark.implicits._
+    val frames = (0 until 6).map(jpegOf)
+    // recompress: decode each frame and JPEG-encode again (new bytes,
+    // near-identical pixels)
+    val recompressed = frames.map { f =>
+      val img = ImageCodec.decode(f).get
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val videos = Seq(
+      Multimodal.MediaRecord(1L, "video/avi",
+        VideoCodec.synthesize(frames, 64, 64)),
+      // re-mux: same JPEG payloads, frames reversed
+      Multimodal.MediaRecord(2L, "video/avi",
+        VideoCodec.synthesize(frames.reverse, 64, 64)),
+      // subset copy: every other frame
+      Multimodal.MediaRecord(3L, "video/avi",
+        VideoCodec.synthesize(frames.zipWithIndex.collect {
+          case (f, i) if i % 2 == 0 => f
+        }, 64, 64)),
+      // recompressed copy
+      Multimodal.MediaRecord(4L, "video/avi",
+        VideoCodec.synthesize(recompressed, 64, 64)),
+      // disjoint content
+      Multimodal.MediaRecord(5L, "video/avi",
+        VideoCodec.synthesize((20 until 26).map(jpegOf), 64, 64)))
+    val media = spark.createDataset(videos).toDF()
+    val got = PerceptualHash.videoNearDup(spark, media, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 1<->2 re-mux: all 6 frames match, both sides report 6 frames
+    assert(got((1L, 2L)) === ((6L, 6L, 6L)))
+    // 1<->3 subset: the 3 kept frames match
+    assert(got((1L, 3L))._1 === 3L)
+    assert(got((1L, 3L))._3 === 3L)
+    // 1<->4 recompression: at least 5 of 6 frames within Hamming 6
+    assert(got((1L, 4L))._1 >= 5L)
+    // disjoint video 5 pairs with nothing
+    assert(!got.keys.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
   test("decoded fixture pixels are exactly the synthesized ones (PNG and " +
     "BMP round-trip)") {
     val media = PerceptualHash.synthesizeImages(Tables.documents(spark, D))
