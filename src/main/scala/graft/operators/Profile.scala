@@ -100,8 +100,49 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** q74: equi-width histogram buckets for the CBO/skew view a profile's
+    * min/max alone cannot give. Buckets partition the CLOSED integer span
+    * [min, max] of the canonicalized value: bucket = (v-min)*nb // span,
+    * span = max-min+1 — pure BIGINT arithmetic, so bucket boundaries (and
+    * the whole histogram) hash-check cross-engine. Emits only non-empty
+    * buckets with their true in-bucket (min, max, count).
+    *
+    * Scale shape: the min/max pre-pass is a tiny two-value aggregate —
+    * and on a real warehouse it's FREE (parquet footer statistics carry
+    * per-column min/max; Spark answers min/max from metadata when rows
+    * carry no deletes) — then ONE hash-aggregate scan over nb-bounded
+    * groups. Never a sort, never a shuffle wider than nb rows.
+    */
+  def histogram(df: DataFrame, column: String, kind: Kind = NumX100,
+                nBuckets: Int = 16): DataFrame = {
+    require(kind != Str, "histogram: equi-width buckets need a numeric or " +
+      "timestamp column (strings have no width)")
+    val v = kind match {
+      case NumX100 => floor(col(column).cast("double") * 100 + lit(0.5)).cast("long")
+      case Millis => unix_millis(col(column).cast("timestamp"))
+      case Str => throw new IllegalArgumentException("unreachable")
+    }
+    val base = df.select(v.as("v")).filter(col("v").isNotNull)
+    val Array(r) = base.agg(min("v"), max("v")).collect()
+    if (r.isNullAt(0)) return base.sparkSession.emptyDataFrame
+      .select(lit(0).as("bucket"), lit(0L).as("n_rows"),
+        lit(0L).as("v_min"), lit(0L).as("v_max"))
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val span = mx - mn + 1
+    // DIV, not `/`: Spark's / on longs is double division, and a float
+    // quotient has no cross-engine exactness contract
+    base
+      .groupBy(expr(s"CAST(((v - $mn) * $nBuckets) DIV $span AS INT)")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("v").as("v_min"), max("v").as("v_max"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q68_profile" -> ((s, d) => profile(Tables.lineitem(s, d), LINEITEM_COLS))
+    "q68_profile" -> ((s, d) => profile(Tables.lineitem(s, d), LINEITEM_COLS)),
+    "q74_histogram" -> ((s, d) =>
+      histogram(Tables.lineitem(s, d), "l_extendedprice", NumX100, 16))
   )
 
   /** The twin runs one select per column over the same canonicalized
@@ -131,6 +172,16 @@ object Profile {
   }
 
   val oracleSql: Map[String, String] = Map(
-    "q68_profile" -> profileOracleSql
+    "q68_profile" -> profileOracleSql,
+    "q74_histogram" ->
+      """WITH v AS (SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100
+        |                 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT MIN(v) AS mn, MAX(v) AS mx, MAX(v) - MIN(v) + 1 AS span FROM v)
+        |SELECT CAST(((v - mn) * 16) // span AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(v) AS BIGINT) AS v_min, CAST(MAX(v) AS BIGINT) AS v_max
+        |FROM v, s
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

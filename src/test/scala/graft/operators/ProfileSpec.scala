@@ -51,6 +51,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(got("l_shipdate").isNullAt(6) && got("l_shipdate").isNullAt(7))
   }
 
+  test("histogram buckets partition the value span and sum to the row " +
+    "count (driver-side recomputation)") {
+    val vals = Tables.lineitem(spark, D).collect()
+      .map(r => math.floor(r.getAs[Double]("l_extendedprice") * 100 + 0.5).toLong)
+    val (mn, mx) = (vals.min, vals.max)
+    val span = mx - mn + 1
+    val expected = vals.groupBy(v => (((v - mn) * 16) / span).toInt)
+      .map { case (b, vs) => b -> ((vs.length.toLong, vs.min, vs.max)) }
+    val got = Profile.histogram(Tables.lineitem(spark, D), "l_extendedprice")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === vals.length.toLong)
+    assert(got.keys.forall(b => b >= 0 && b < 16))
+  }
+
   test("generic signature: default spec derives from the schema of any " +
     "table (region)") {
     val region = Tables.region(spark, D)
