@@ -213,6 +213,38 @@ object PerceptualHash {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental perceptual-index ingest — q58/q64's maintenance idea on
+    * the image modality: the INDEX IS the 16-byte (doc_id, lo, hi) hash
+    * relation (decode runs once, at each image's own ingest), and a new
+    * batch band-joins against index ∪ delta to emit every verified pair
+    * TOUCHING the delta. Ingesting batches B1..Bn and unioning each
+    * batch's pairs yields EXACTLY the whole-corpus [[perceptualNearDup]]
+    * result: banding is pigeonhole-complete and verification exact, and
+    * a cross-batch pair surfaces when its later endpoint ingests (the
+    * earlier one is already in the index). PerceptualHashSpec pins
+    * batch-union equality and ingest-order independence; q75's oracle is
+    * the whole-corpus q73 SQL — the gate hash-checks the maintenance
+    * contract itself. Per-batch cost scales with |delta| x bucket
+    * collisions, never |corpus|²; originals are never re-read.
+    */
+  def incrementalPerceptualPairs(index: DataFrame, delta: DataFrame,
+                                 maxHamming: Int = MAX_HAMMING): DataFrame = {
+    val all = index.unionByName(delta)
+    val allB = withBands(all, Seq("doc_id"))
+    val deltaB = withBands(delta, Seq("doc_id"))
+    allB.as("a").join(deltaB.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      // canonical (least, greatest) orientation dedups band collisions AND
+      // keeps a delta-delta pair from appearing in both directions; the
+      // popcount is symmetric, so it can ride through the distinct
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        hammingCol("a", "b").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame-level video near-dup: every `everyKth` frame of each AVI/MJPEG
     * payload is decoded and aHashed ([[aHash64]]), frames pair across
     * videos through the same banded Hamming join, and per video pair the
@@ -286,7 +318,20 @@ object PerceptualHash {
     "q73_perceptual_neardup" -> ((s, d) =>
       perceptualNearDup(
         imageAHash(s, synthesizeImages(Tables.documents(s, d))))
-        .orderBy("d1", "d2"))
+        .orderBy("d1", "d2")),
+
+    // Q75: the index maintained incrementally — fixture ingested in two
+    // batches, each batch's touching-pairs unioned; the oracle replays the
+    // WHOLE-CORPUS q73 SQL, hash-checking that incremental ingest loses
+    // and invents nothing.
+    "q75_perceptual_index_merge" -> ((s, d) => {
+      val hashes = imageAHash(s, synthesizeImages(Tables.documents(s, d)))
+      val b1 = hashes.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      val b2 = hashes.filter(pmod(col("doc_id"), lit(2L)) =!= 0L)
+      incrementalPerceptualPairs(b1.limit(0), b1)
+        .unionByName(incrementalPerceptualPairs(b1, b2))
+        .orderBy("d1", "d2")
+    })
   )
 
   /** The DuckDB twin recomputes the fixture pixels ANALYTICALLY (the same
@@ -330,6 +375,7 @@ object PerceptualHash {
        |WHERE hamming <= $MAX_HAMMING ORDER BY d1, d2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "q73_perceptual_neardup" -> nearDupOracleSql
+    "q73_perceptual_neardup" -> nearDupOracleSql,
+    "q75_perceptual_index_merge" -> nearDupOracleSql
   )
 }

@@ -147,6 +147,37 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("incremental ingest: batch-union equals the whole-corpus pair set, " +
+    "in either ingest order") {
+    val hashes = PerceptualHash.imageAHash(spark,
+      PerceptualHash.synthesizeImages(Tables.documents(spark, D)))
+    val whole = PerceptualHash.perceptualNearDup(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b1 = hashes.filter(col("doc_id") % 3 === 0)
+    val b2 = hashes.filter(col("doc_id") % 3 =!= 0)
+    def ingest(first: org.apache.spark.sql.DataFrame,
+               second: org.apache.spark.sql.DataFrame) =
+      PerceptualHash.incrementalPerceptualPairs(first.limit(0), first)
+        .unionByName(PerceptualHash.incrementalPerceptualPairs(first, second))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ingest(b1, b2) === whole)
+    assert(ingest(b2, b1) === whole, "ingest order must not matter")
+  }
+
+  test("incremental pairs touch the delta only") {
+    val hashes = PerceptualHash.imageAHash(spark,
+      PerceptualHash.synthesizeImages(Tables.documents(spark, D)))
+    val b1 = hashes.filter(col("doc_id") % 3 === 0)
+    val b2 = hashes.filter(col("doc_id") % 3 =!= 0)
+    val deltaIds = b2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = PerceptualHash.incrementalPerceptualPairs(b1, b2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (d1, d2) =>
+      deltaIds.contains(d1) || deltaIds.contains(d2)
+    }, "no pair may be internal to the pre-existing index")
+  }
+
   test("decoded fixture pixels are exactly the synthesized ones (PNG and " +
     "BMP round-trip)") {
     val media = PerceptualHash.synthesizeImages(Tables.documents(spark, D))
