@@ -245,6 +245,41 @@ object PerceptualHash {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Streaming perceptual-index ingest — the [[incrementalPerceptualPairs]]
+    * maintenance loop as a Structured Streaming sink (the image twin of
+    * `Curation.streamingNearDupIngest`): each micro-batch of media rows
+    * decodes+hashes ONCE, pairs against the accumulated hash index, and
+    * appends its 16-byte hash rows as the next index partition. Both
+    * writes are batch-keyed directory overwrites, so a replayed batch
+    * (at-least-once delivery) lands byte-identically — effective
+    * exactly-once without a transaction log. Stream == batch: unioning
+    * the per-batch pair dumps equals the whole-corpus
+    * [[perceptualNearDup]] (same argument as q75, spec-pinned).
+    */
+  def streamingPerceptualIngest(media: DataFrame, indexDir: String,
+                                pairsDir: String, checkpoint: String,
+                                maxHamming: Int = MAX_HAMMING)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = imageAHash(spark, batch).persist()
+        val index =
+          try spark.read.option("basePath", indexDir).parquet(indexDir)
+            .filter(col("batch") < batchId).drop("batch")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            delta.limit(0) // first batch: no index yet
+          }
+        incrementalPerceptualPairs(index, delta, maxHamming)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        delta.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        delta.unpersist()
+        ()
+      }
+      .start()
+
   /** Frame-level video near-dup: every `everyKth` frame of each AVI/MJPEG
     * payload is decoded and aHashed ([[aHash64]]), frames pair across
     * videos through the same banded Hamming join, and per video pair the

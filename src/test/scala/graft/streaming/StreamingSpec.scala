@@ -387,6 +387,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay === pairsOf(spark.read.parquet(s"$dir/pairs/batch=1")))
   }
 
+  test("streaming perceptual ingest: per-batch pair dumps union == whole " +
+    "corpus; replay reproduces its batch") {
+    import spark.implicits._
+    import graft.operators.PerceptualHash
+    import graft.sources.Tables
+    val media = PerceptualHash.synthesizeImages(
+      Tables.documents(spark, TestSpark.SF0001))
+    val rows = media.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))).toSeq
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-phstream").toString
+    val in = MemoryStream[(Long, String, Array[Byte])](spark)
+    val q = PerceptualHash.streamingPerceptualIngest(
+      in.toDF().toDF("doc_id", "media_type", "content"),
+      s"$dir/index", s"$dir/pairs", ckpt())
+    try {
+      in.addData(evens); q.processAllAvailable()
+      in.addData(odds); q.processAllAvailable()
+    } finally q.stop()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val got = pairsOf(spark.read.parquet(s"$dir/pairs"))
+    val full = pairsOf(PerceptualHash.perceptualNearDup(
+      PerceptualHash.imageAHash(spark, media)))
+    assert(full.nonEmpty && got === full)
+    // replay: batch 1 re-run against the index EXCLUDING its own partition
+    // writes identical content to the same directory
+    val idx0 = spark.read.option("basePath", s"$dir/index")
+      .parquet(s"$dir/index").filter(col("batch") < 1).drop("batch")
+    val replay = pairsOf(PerceptualHash.incrementalPerceptualPairs(idx0,
+      PerceptualHash.imageAHash(spark,
+        spark.createDataset(odds).toDF("doc_id", "media_type", "content"))))
+    assert(replay === pairsOf(spark.read.parquet(s"$dir/pairs/batch=1")))
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     import spark.implicits._
     val in = MemoryStream[(Long, Timestamp, Double)](spark)
