@@ -26,7 +26,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var ok, failed = 0
     val perQuery = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // builder-side iteration aid: GRAFT_VERIFY_ONLY=q76_dsir_select,q50_…
+    // restricts the dump to named queries. The driver never sets it, so the
+    // driver contract (all queries) is unchanged.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val tmp = s"$outDir/.tmp_$name"
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)

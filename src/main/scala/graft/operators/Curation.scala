@@ -326,6 +326,91 @@ object Curation {
   private val SEMCON_T = 4500
   private val SEMCON_TOPK = 20
 
+  // ------------------------------------------------------------- DSIR --
+
+  private val DSIR_PER_LANG = 20
+  private val DSIR_BUCKETS = 64
+  private val DSIR_TOPK = 50
+
+  /** q76: DSIR — data selection via importance resampling over HASHED
+    * n-gram features (Xie et al., NeurIPS 2023). The question "which raw
+    * documents look most like my target domain" is answered without any
+    * vocabulary-sized state: unigrams+bigrams hash into `buckets` fixed
+    * buckets, the target sample and the raw corpus each induce a smoothed
+    * bag-of-buckets multinomial, and a document's importance weight is the
+    * feature-count-weighted sum of per-bucket log-likelihood ratios
+    * log((tc_b+1)/(T+B)) - log((rc_b+1)/(R+B)).
+    *
+    * Portability contract (the q60 idiom): each bucket's log-ratio is
+    * quantized to an x1e6 integer BEFORE the per-document sum, so document
+    * weights are exact BIGINT sums and the ranking hash-checks
+    * cross-engine; the only float ops are per-bucket lns and one final
+    * per-doc division, both identically associated on both engines.
+    *
+    * Scale shape — the reason DSIR is THE importance-sampling method for
+    * 100 TB corpora: one tokenize pass, one (doc_id, bucket) partial-
+    * aggregated shuffle (<= buckets rows per doc), and the entire model
+    * state is two `buckets`-row tables folded into a BROADCAST join; the
+    * target sample is small by construction. Nothing scales with
+    * vocabulary, and the final top-k is TakeOrderedAndProject. The `fdoc`
+    * relation feeds three consumers (raw counts, target counts, weights)
+    * -> persisted, same convention as [[contaminationReport]].
+    */
+  def dsirSelect(docs: DataFrame, perLang: Int = DSIR_PER_LANG,
+                 buckets: Int = DSIR_BUCKETS, topK: Int = DSIR_TOPK,
+                 cache: Boolean = true): DataFrame = {
+    val target = TextAnalysis.stratifiedSample(docs, perLang)
+      .select(col("doc_id"))
+    dsirSelectAgainst(docs, target, buckets, topK, cache)
+  }
+
+  /** [[dsirSelect]] with an explicit target set (spec injection point and
+    * the general API: any (doc_id) relation of in-domain exemplars).
+    */
+  def dsirSelectAgainst(docs: DataFrame, target: DataFrame, buckets: Int,
+                        topK: Int, cache: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+    val uni = tok.select(col("doc_id"), explode(col("l")).as("g"))
+    // 1-based sequence mirrors DuckDB's range(1, len(l)); the size>=2
+    // guard matters because Spark's sequence(1, 0) DESCENDS, not empties
+    val bi = tok.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))")).as("g"))
+    val fdoc0 = uni.unionAll(bi)
+      .select(col("doc_id"), (Sketches.phash60(col("g")) % buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val fdoc = if (cache) fdoc0.persist() else fdoc0
+    val tgtIds = broadcast(target.select(col("doc_id")))
+    val raw = fdoc.groupBy("b").agg(sum("c").as("rc"))
+    val tgt = fdoc.join(tgtIds, Seq("doc_id"))
+      .groupBy("b").agg(sum("c").as("tc"))
+    val totals = raw.agg(sum("rc").as("r_total"))
+      .crossJoin(tgt.agg(sum("tc").as("t_total")))
+    // both sides are <= `buckets` rows, but raw keeps the left-join role;
+    // the broadcast hint keeps the model-state join off the shuffle path
+    // even pre-AQE
+    val lr = raw.join(broadcast(tgt), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log(coalesce(col("tc"), lit(0L)) + lit(1))
+          - log(col("t_total") + lit(buckets))
+          - log(col("rc") + lit(1))
+          + log(col("r_total") + lit(buckets))) * 1000000 + lit(0.5))
+          .cast("long").as("lr"))
+    fdoc.join(tgtIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_feats"),
+        sum(col("c") * col("lr")).cast("long").as("w_x1e6"))
+      .select(col("doc_id"), col("n_feats"), col("w_x1e6"),
+        floor(col("w_x1e6").cast("double") / col("n_feats") + lit(0.5))
+          .cast("long").as("avg_x1e6"))
+      .orderBy(col("avg_x1e6").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_semantic_contamination" -> ((s, d) =>
       semanticContamination(Tables.embeddings(s, d), SEMCON_N_EVAL,
@@ -338,7 +423,8 @@ object Curation {
     "q50_contamination" -> ((s, d) =>
       contaminationReport(Tables.documents(s, d))),
     "q45_crossmodal_dedup" -> ((s, d) =>
-      crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d)))
+      crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q76_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d)))
   )
 
   /** q71 twin: same hash-picked eval set, exact cosine, grouped max/hits. */
@@ -359,7 +445,51 @@ object Curation {
        |ORDER BY max_cos_x1e4 DESC, vec_id
        |LIMIT $SEMCON_TOPK""".stripMargin
 
+  /** q76 twin. Mirrors [[dsirSelectAgainst]] term for term: same target
+    * sample (q42's ranked-hash idiom), same hashed buckets, and the same
+    * log-ratio association `ln(tc+1) - ln(T+B) - ln(rc+1) + ln(R+B)` —
+    * every ln argument is an exact integer (the TF-IDF transcendental
+    * contract), the per-bucket ratio is quantized to x1e6 BEFORE the
+    * per-doc sum, so the only cross-engine float ops are the lns and one
+    * final division. DuckDB `ln` is natural log (`log` is base-10!).
+    */
+  private def dsirOracleSql: String =
+    s"""WITH ranked AS (SELECT doc_id, row_number() OVER
+       |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk
+       |  FROM documents),
+       |tgt_ids AS (SELECT doc_id FROM ranked WHERE rnk <= $DSIR_PER_LANG),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(l) AS g FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+       |  FROM toks, unnest(range(1, len(l))) AS t(i)
+       |  WHERE len(l) >= 2),
+       |fdoc AS (SELECT doc_id, ${Sketches.phash60Sql("g")} % $DSIR_BUCKETS AS b,
+       |           CAST(COUNT(*) AS BIGINT) AS c
+       |         FROM grams GROUP BY 1, 2),
+       |raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rc FROM fdoc GROUP BY b),
+       |tgt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS tc FROM fdoc
+       |        WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY b),
+       |totals AS (SELECT (SELECT CAST(SUM(rc) AS BIGINT) FROM raw) AS r_total,
+       |                  (SELECT CAST(SUM(tc) AS BIGINT) FROM tgt) AS t_total),
+       |lr AS (SELECT raw.b,
+       |         CAST(FLOOR((ln(COALESCE(tc, 0) + 1) - ln(t_total + $DSIR_BUCKETS)
+       |           - ln(rc + 1) + ln(r_total + $DSIR_BUCKETS)) * 1000000
+       |           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lr
+       |       FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN totals)
+       |SELECT f.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+       |       CAST(SUM(c * lr) AS BIGINT) AS w_x1e6,
+       |       CAST(FLOOR(CAST(CAST(SUM(c * lr) AS BIGINT) AS DOUBLE)
+       |         / CAST(SUM(c) AS BIGINT) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_x1e6
+       |FROM fdoc f JOIN lr ON f.b = lr.b
+       |WHERE f.doc_id NOT IN (SELECT doc_id FROM tgt_ids)
+       |GROUP BY f.doc_id
+       |ORDER BY avg_x1e6 DESC, doc_id
+       |LIMIT $DSIR_TOPK""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q76_dsir_select" -> dsirOracleSql,
     "q71_semantic_contamination" -> semanticContaminationOracleSql,
     "q50_contamination" ->
       s"""WITH ranked AS (SELECT doc_id, row_number() OVER

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+/** q76 (DSIR importance resampling) behavioral pins. The value-exactness
+  * of the weights is the DuckDB oracle's job; these tests pin the parts an
+  * oracle can't see: that the ranking actually prefers target-domain-like
+  * documents, that the score is invariant to physical layout, and that the
+  * plan keeps the model state on the broadcast side.
+  */
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  /** Synthetic corpus with a clean domain split: `med*` documents share a
+    * vocabulary disjoint from `web*` documents, and two held-out docs mix
+    * them. Bigrams follow the same split, so feature overlap == domain.
+    */
+  private def fixture = {
+    import spark.implicits._
+    val med = "dose patient trial cohort placebo outcome dose patient"
+    val web = "click buy cheap deal offer click buy now deal offer"
+    val mix = "dose patient click buy trial cohort deal offer"
+    (Seq(
+      ("t1", med), ("t2", med + " cohort placebo"), // target exemplars
+      ("m1", med), ("m2", med + " outcome cohort"), // in-domain, unlabeled
+      ("x1", mix),                                  // half in-domain
+      ("w1", web), ("w2", web + " now cheap")       // out-of-domain
+    ).toDF("doc_id", "text"))
+  }
+
+  test("in-domain documents outrank mixed, mixed outrank out-of-domain") {
+    import spark.implicits._
+    val target = Seq("t1", "t2").toDF("doc_id")
+    val got = Curation.dsirSelectAgainst(fixture, target, buckets = 64,
+        topK = 10, cache = false)
+      .select("doc_id").as[String].collect().toSeq
+    assert(got.length === 5, "target docs must be excluded from selection")
+    assert(!got.contains("t1") && !got.contains("t2"))
+    val rank = got.zipWithIndex.toMap
+    assert(rank("m1") < rank("x1") && rank("m2") < rank("x1"),
+      s"pure in-domain must beat the mixed doc: $got")
+    assert(rank("x1") < rank("w1") && rank("x1") < rank("w2"),
+      s"the mixed doc must beat pure out-of-domain: $got")
+  }
+
+  test("weights are layout-invariant (repartition/shuffle cannot move " +
+    "a score)") {
+    import spark.implicits._
+    val target = Seq("t1", "t2").toDF("doc_id")
+    val a = Curation.dsirSelectAgainst(fixture, target, 64, 10, cache = false)
+      .collect().map(_.toSeq).toSeq
+    val b = Curation.dsirSelectAgainst(fixture.repartition(7), target, 64, 10,
+        cache = false)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("model state stays broadcast-side: no SortMergeJoin against the " +
+    "bucket log-ratio table, and the target-id joins broadcast") {
+    val plan = Curation.dsirSelect(Tables.documents(spark, D), cache = false)
+      .queryExecution.executedPlan.toString
+    // the lr relation is `buckets` rows: it must arrive via broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the only acceptable shuffled joins would be corpus-x-corpus; there
+    // are none in this plan — every join carries a broadcast side
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("fixture-scale end-to-end: selection is deterministic and bounded") {
+    val out = Curation.dsirSelect(Tables.documents(spark, D), cache = false)
+    val rows = out.collect()
+    assert(rows.length === 50)
+    // ranking column is monotone non-increasing in output order
+    val avgs = rows.map(_.getLong(3))
+    assert(avgs.zip(avgs.tail).forall { case (x, y) => x >= y })
+  }
+}
