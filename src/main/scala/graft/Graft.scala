@@ -288,6 +288,35 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def domainMix(budget: Long = 200L): DataFrame =
     TextAnalysis.domainMixSample(Tables.documents(spark, dataDir), budget)
 
+  /** Bigram-LM quality scores (q77) — the word-order-sensitive companion
+    * to [[logprobScores]].
+    */
+  def bigramLogprobScores(): DataFrame =
+    TextAnalysis.bigramLogprob(Tables.documents(spark, dataDir))
+
+  /** Single-pass ANALYZE of any fixture table (q68/q74 family): per-column
+    * count/nulls/distinct/min/max/avg in one scan.
+    */
+  def profileTable(name: String): DataFrame =
+    operators.Profile.profile(table(name))
+
+  /** Equi-width histogram of one column (q74). */
+  def histogram(tableName: String, column: String,
+                nBuckets: Int = 16): DataFrame =
+    operators.Profile.histogram(table(tableName), column,
+      nBuckets = nBuckets)
+
+  /** DSIR data selection (q76): ranks the corpus by importance weight
+    * against a target-domain sample (default: the q42 stratified sample as
+    * the "in-domain" exemplars). Pass an explicit `target` (doc_id
+    * relation) to select against your own domain.
+    */
+  def dsirSelect(target: DataFrame = null, topK: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dataDir)
+    if (target == null) Curation.dsirSelect(docs, topK = topK)
+    else Curation.dsirSelectAgainst(docs, target, 64, topK)
+  }
+
   /** The end-to-end export a training run consumes: curate `documents`
     * (quality gate + near-dup drop), assign the deterministic 90/5/5
     * hash split, and write parquet shards partitioned by (split, lang) —

@@ -161,11 +161,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q77: bigram language-model score — q60's model one order up, the
+    * in-container stand-in for the CCNet-style perplexity gate. The corpus
+    * is its own model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) with
+    * Laplace smoothing over the corpus vocabulary V, a document scores the
+    * mean bigram log-likelihood, and low scorers (incoherent word order,
+    * even with common words) are the flag candidates — which is exactly
+    * what the unigram model CANNOT see.
+    *
+    * Portability is q60's contract: per-bigram-TYPE scores quantize to
+    * x1e6 BIGINTs at the model level (ln of exact-integer-valued doubles
+    * only), per-document aggregation sums exact ints.
+    *
+    * Scale shape — the one way this differs from q60: a bigram model is
+    * NOT broadcastable at corpus scale (|model| grows with corpus, unlike
+    * the unigram vocab), so the lookup is a shuffled equi-join on
+    * (w1, w2). The model side arrives hash-partitioned on w1 from the
+    * context-count join, which satisfies the join's clustered
+    * distribution, so only the probe side shuffles; per-doc reduction is
+    * one partially-aggregated groupBy. Nothing vocabulary-sized ever sits
+    * on the driver.
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+    // 1-based positions; size>=2 guard because sequence(1, 0) DESCENDS
+    val bg = tok.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uc = bc.groupBy("w1").agg(sum("c12").as("c1"))
+    val nv = tok.select(explode(col("l")).as("t"))
+      .agg(countDistinct("t").as("nv"))
+    val model = bc.join(uc, "w1").crossJoin(broadcast(nv))
+      .select(col("w1"), col("w2"),
+        floor((log((col("c12") + lit(1)).cast("double")) -
+          log((col("c1") + col("nv")).cast("double"))) * 1000000 + lit(0.5))
+          .cast("long").as("lp_x1e6"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("lp_x1e6").as("sum_lp_x1e6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("sum_lp_x1e6").cast("double") / col("n_bigrams") + lit(0.5))
+          .cast("long").as("avg_lp_x1e6"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q60: unigram LM quality score (see [[unigramLogprob]]).
     "q60_unigram_logprob" -> ((s, d) =>
       unigramLogprob(Tables.documents(s, d))),
+
+    // Q77: bigram LM quality score (see [[bigramLogprob]]).
+    "q77_bigram_logprob" -> ((s, d) =>
+      bigramLogprob(Tables.documents(s, d))),
 
     // Q56: sqrt-temperature domain mixing (see [[domainMixSample]]).
     "q56_domain_mix" -> ((s, d) =>
@@ -288,6 +341,25 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q77_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        |       FROM toks, unnest(range(1, len(l))) AS t(i)
+        |       WHERE len(l) >= 2),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS nv
+        |      FROM (SELECT unnest(l) AS t FROM toks)),
+        |m AS (SELECT w1, w2,
+        |        CAST(FLOOR((ln(CAST(c12 + 1 AS DOUBLE)) - ln(CAST(c1 + nv AS DOUBLE))) * 1000000
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp
+        |      FROM bc JOIN uc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(FLOOR(CAST(CAST(SUM(lp) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_lp_x1e6
+        |FROM bg JOIN m USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q60_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
