@@ -300,6 +300,21 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def profileTable(name: String): DataFrame =
     operators.Profile.profile(table(name))
 
+  /** Per-source ANALYZE of a table (q78): the same single-scan profile,
+    * one row per (group, column).
+    */
+  def profileTableBy(name: String, groupCol: String): DataFrame =
+    operators.Profile.profileBy(table(name), groupCol)
+
+  /** Learned language-ID via hashed-feature Naive Bayes (q79): trains on
+    * the deterministic stratified sample, returns the held-out confusion
+    * matrix.
+    */
+  def langidConfusion(perLang: Int = operators.Classify.NB_PER_LANG)
+      : DataFrame =
+    operators.Classify.nbLangidConfusion(
+      Tables.documents(spark, dataDir), perLang)
+
   /** Equi-width histogram of one column (q74). */
   def histogram(tableName: String, column: String,
                 nBuckets: Int = 16): DataFrame =

@@ -100,6 +100,61 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** q78: [[profile]] grouped by a key column — the per-source/per-domain
+    * data-quality view a corpus dashboard reads (each ingestion source
+    * gets its own null rates, cardinalities and ranges, so one bad feed
+    * can't hide inside corpus-wide stats). Identical single-scan melt
+    * shape with the group key carried through both aggregates; output is
+    * |groups| x |cols| rows. The group key rides the same exchange the
+    * ungrouped profile already pays — per-group profiling is free at any
+    * scale.
+    */
+  def profileBy(df: DataFrame, groupCol: String,
+                cols: Seq[(String, Kind)] = Nil): DataFrame = {
+    val COLS = if (cols.nonEmpty) cols
+      else columnSpec(df).filterNot(_._1 == groupCol)
+    require(COLS.nonEmpty, "profileBy: no profilable columns")
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val pairs = COLS.map { case (name, kind) =>
+      val c = col(name)
+      val (vNum, vStr) = kind match {
+        case NumX100 => (floor(c.cast("double") * 100 + lit(0.5)).cast("long"), nullS)
+        case Millis => (unix_millis(c.cast("timestamp")), nullS)
+        case Str => (nullL, c)
+      }
+      struct(lit(name).as("col_name"), vNum.as("v_num"), vStr.as("v_str"))
+    }
+    val grouped = df
+      .select(col(groupCol).as("grp"), explode(array(pairs: _*)).as("p"))
+      .select(col("grp"), col("p.*"))
+      .groupBy("grp", "col_name", "v_num", "v_str")
+      .agg(count(lit(1)).as("cnt"))
+    val nonNull = col("v_num").isNotNull || col("v_str").isNotNull
+    grouped.groupBy("grp", "col_name")
+      .agg(
+        sum("cnt").as("n_rows"),
+        coalesce(sum(when(!nonNull, col("cnt"))), lit(0L)).as("n_nulls"),
+        count(when(nonNull, lit(1))).as("n_distinct"),
+        min("v_num").as("min_num"), max("v_num").as("max_num"),
+        min("v_str").as("min_str"), max("v_str").as("max_str"))
+      .select(col("grp").as(groupCol), col("col_name"), col("n_rows"),
+        col("n_nulls"), col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"))
+      .orderBy(groupCol, "col_name")
+  }
+
+  /** The q78 spec: documents columns profiled per ingestion source (text
+    * itself is excluded — min/max over full document bodies would shuffle
+    * megabyte strings for a dashboard number; profile extracted features
+    * instead).
+    */
+  val DOCUMENT_COLS: Seq[(String, Kind)] = Seq(
+    "doc_id" -> NumX100,
+    "lang" -> Str,
+    "n_chars" -> NumX100
+  )
+
   /** q74: equi-width histogram buckets for the CBO/skew view a profile's
     * min/max alone cannot give. Buckets partition the CLOSED integer span
     * [min, max] of the canonicalized value: bucket = (v-min)*nb // span,
@@ -142,7 +197,9 @@ object Profile {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_profile" -> ((s, d) => profile(Tables.lineitem(s, d), LINEITEM_COLS)),
     "q74_histogram" -> ((s, d) =>
-      histogram(Tables.lineitem(s, d), "l_extendedprice", NumX100, 16))
+      histogram(Tables.lineitem(s, d), "l_extendedprice", NumX100, 16)),
+    "q78_profile_by_source" -> ((s, d) =>
+      profileBy(Tables.documents(s, d), "source", DOCUMENT_COLS))
   )
 
   /** The twin runs one select per column over the same canonicalized
@@ -171,8 +228,33 @@ object Profile {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** q78 twin: one grouped select per column, unioned. */
+  private def profileBySourceOracleSql: String = {
+    val selects = DOCUMENT_COLS.map { case (name, kind) =>
+      val v = kind match {
+        case NumX100 =>
+          s"CAST(FLOOR(CAST($name AS DOUBLE) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        case Millis => s"CAST(epoch_ms($name) AS BIGINT)"
+        case Str => name
+      }
+      val (mn, mx, ms, xs) = kind match {
+        case Str => ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "MIN(v)", "MAX(v)")
+        case _ => ("CAST(MIN(v) AS BIGINT)", "CAST(MAX(v) AS BIGINT)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      s"""SELECT source, '$name' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+         |FROM (SELECT source, $v AS v FROM documents) GROUP BY source""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY source, col_name")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q68_profile" -> profileOracleSql,
+    "q78_profile_by_source" -> profileBySourceOracleSql,
     "q74_histogram" ->
       """WITH v AS (SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100
         |                 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v

@@ -67,6 +67,26 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.keys.forall(b => b >= 0 && b < 16))
   }
 
+  test("profileBy: each group's slice equals profile() of that group's " +
+    "rows alone") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, D)
+    val grouped = Profile.profileBy(docs, "source", Profile.DOCUMENT_COLS)
+      .collect()
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(grouped.map(_.getString(0)).distinct.sorted.toSeq ===
+      sources.toSeq)
+    for (src <- sources.take(2)) {
+      val slice = grouped.filter(_.getString(0) == src)
+        .map(r => r.toSeq.drop(1)).sortBy(_.head.toString)
+      val solo = Profile.profile(docs.filter(col("source") === src),
+          Profile.DOCUMENT_COLS)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(slice.toSeq === solo.toSeq, s"group $src slice != solo profile")
+    }
+  }
+
   test("generic signature: default spec derives from the schema of any " +
     "table (region)") {
     val region = Tables.region(spark, D)

@@ -63,13 +63,13 @@ def family(q):
         return "dedup"
     if i in (20, 24, 54, 61, 66, 69, 70, 72):
         return "similarity"
-    if i in (19, 25, 26, 27, 28, 41, 43, 44, 51, 52, 60, 65, 67, 77):
+    if i in (19, 25, 26, 27, 28, 41, 43, 44, 51, 52, 60, 65, 67, 77, 79):
         return "text"
     if i in (42, 46, 47, 48, 50, 53, 55, 56, 71, 76):
         return "prep"
     if i in (32, 57):
         return "curation"
-    if (q.startswith("q16b") or q.startswith("q34b")) or i in (59, 68, 74):
+    if (q.startswith("q16b") or q.startswith("q34b")) or i in (59, 68, 74, 78):
         return "sketch"
     if i in (29, 73, 75):
         return "multimodal"
