@@ -50,8 +50,10 @@ object Classify {
     val nl = tc.groupBy("lang").agg(sum("c").as("n_l"))
     val grid = labeled.select("lang").distinct()
       .crossJoin(spark.range(NB_B).select(col("id").as("b")))
-    val model = grid.join(tc, Seq("lang", "b"), "left")
-      .join(nl, "lang")
+    // tc is <= L x B rows and nl is L rows: broadcast both so the model
+    // build never shuffles (pre-AQE Catalyst can't see the grid is tiny)
+    val model = grid.join(broadcast(tc), Seq("lang", "b"), "left")
+      .join(broadcast(nl), "lang")
       .select(col("lang"), col("b"),
         floor((log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double")) -
           log((col("n_l") + lit(NB_B)).cast("double"))) * 1000000 + lit(0.5))
