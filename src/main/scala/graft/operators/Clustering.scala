@@ -682,9 +682,10 @@ object Clustering {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_kmeans" -> ((s, d) => kmeansSummary(Tables.embeddings(s, d))),
-    // q66 takes the corpus-derived k (= 8 at the fixture's 500 vectors,
-    // which is what the static oracle chain replays) and the SAMPLED
-    // training path — the 100 TB posture is the gated path, not a variant
+    // q66 takes the corpus-derived k (ceil(n/64): 8 at sf0.01's 500
+    // vectors, 79 at sf0.1's 5000 — the oracle derives the same k via a
+    // scalar subquery) and the SAMPLED training path — the 100 TB posture
+    // is the gated path, not a variant
     "q66_semdedup" -> ((s, d) =>
       semDedup(Tables.embeddings(s, d), SEMDEDUP_T,
         sampleFraction = SEMDEDUP_SAMPLE)),
@@ -719,7 +720,8 @@ object Clustering {
     */
   private[operators] def kmeansCtesSqlFor(pfx: String, vecSql: String,
                                           dim: Int,
-                                          trainWhereSql: String = ""): String = {
+                                          trainWhereSql: String = "",
+                                          kSql: String = K.toString): String = {
     val iterCtes = (1 to ITERS).map { i =>
       val prev = if (i == 1) s"${pfx}c0" else s"${pfx}c${i - 1}"
       // assignment against prev centroids, then per-(cid, dim) sums over
@@ -741,9 +743,10 @@ object Clustering {
        |          CAST(FLOOR(x * $QSCALE + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
        |      FROM embeddings),
        |${pfx}t AS (SELECT * FROM ${pfx}e $trainWhereSql),
-       |${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, qv AS cv
-       |       FROM (SELECT vec_id, qv, ${Sketches.phash60Sql("vec_id")} AS h FROM ${pfx}t)
-       |       ORDER BY h, vec_id LIMIT $K),
+       |${pfx}c0 AS (SELECT cid, cv FROM (
+       |       SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, qv AS cv
+       |       FROM (SELECT vec_id, qv, ${Sketches.phash60Sql("vec_id")} AS h FROM ${pfx}t))
+       |       WHERE cid < ($kSql)),
        |$iterCtes,
        |${pfx}fin AS (SELECT vec_id, cid, dist FROM (
        |  SELECT e.vec_id, c.cid,
@@ -774,9 +777,18 @@ object Clustering {
     * drop-if-a-greater-(dist, vec_id)-near-dup-exists decision with q40's
     * exact cosine formula.
     */
+  /** q66's corpus-derived seed count, as SQL: mirrors semDedup's
+    * `max(1, ceil(n / targetClusterSize))` over the FULL corpus (the
+    * sample filter applies to training rows, not to k). CAST to DOUBLE
+    * before dividing — a bare `/ 64.0` would be DuckDB DECIMAL math.
+    */
+  private def semDedupKSql: String =
+    s"(SELECT GREATEST(1, CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / " +
+      s"$SEMDEDUP_TARGET_CLUSTER) AS BIGINT)) FROM embeddings)"
+
   private def semDedupOracleSql: String =
     s"""WITH ${kmeansCtesSqlFor("", "embedding::DOUBLE[]", DIM,
-           sampleWhereSql(SEMDEDUP_SAMPLE))},
+           sampleWhereSql(SEMDEDUP_SAMPLE), semDedupKSql)},
        |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |j AS (SELECT f.vec_id, f.cid, f.dist, ed.emb
        |      FROM fin f JOIN ed ON f.vec_id = ed.vec_id),
