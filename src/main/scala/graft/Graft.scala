@@ -149,6 +149,12 @@ final class Graft(val spark: SparkSession, dataDir: String,
   /** Per-document corpus-level duplicated-passage fraction + keep flag
     * (the CCNet line-dedup signal at 5-gram granularity).
     */
+  /** Maximal cross-document shared-span runs (q80) — the copied-block
+    * detector; long runs are lifted paragraphs/boilerplate.
+    */
+  def sharedSpans(): DataFrame =
+    operators.Repetition.sharedSpanScore(Tables.documents(spark, dataDir))
+
   def dupPassageScore(): DataFrame =
     Repetition.dupPassageScore(Tables.documents(spark, dataDir))
 

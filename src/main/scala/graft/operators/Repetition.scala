@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -134,12 +135,77 @@ object Repetition {
       .orderBy("doc_id")
   }
 
+  /** q80: maximal shared-SPAN length — the copied-block detector q52's
+    * per-gram fraction cannot see. A doc sharing 50 scattered 5-grams and
+    * a doc sharing one contiguous 50-gram block (a lifted paragraph,
+    * boilerplate header, license text — the thing substring-level dedup a
+    * la Lee et al. removes) have the same shared fraction; only the run
+    * structure separates them. Per document: the longest run of
+    * CONSECUTIVE 5-gram positions whose passage occurs in some other
+    * document.
+    *
+    * Shape: the q52 relations plus position indexes. Gaps-and-islands
+    * turns runs into groups (pos - rank over shared positions), so the
+    * whole signal is two hash aggregates and one per-doc window — the
+    * window's partition is a document's grams, never corpus-sized. The
+    * passage-frequency join is on xxhash64 keys (q52's idiom: the shuffle
+    * carries 8-byte keys, not 5-gram strings).
+    */
+  def sharedSpanScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val pos = tok
+      .select(col("doc_id"), posexplode(gramArr(col("tk"), PASSAGE_N)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("ph"))
+    val freq = pos.select("doc_id", "ph").distinct()
+      .groupBy("ph").agg(count(lit(1)).as("nd"))
+    val shared = pos.join(freq, "ph").filter(col("nd") > 1)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = shared
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(sum("run").as("n_shared_pos"), max("run").as("max_shared_run"))
+    val counts = pos.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared_pos"), lit(0L)).as("n_shared_pos"),
+        coalesce(col("max_shared_run"), lit(0L)).as("max_shared_run"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d))),
-    "q52_dup_passages" -> ((s, d) => dupPassageScore(Tables.documents(s, d)))
+    "q52_dup_passages" -> ((s, d) => dupPassageScore(Tables.documents(s, d))),
+    "q80_shared_spans" -> ((s, d) => sharedSpanScore(Tables.documents(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q80_shared_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |pos AS (SELECT doc_id, i - 1 AS pos,
+         |          l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS p
+         |        FROM t, unnest(range(1, len(l) - 3)) AS u(i)
+         |        WHERE len(l) >= $PASSAGE_N),
+         |f AS (SELECT p, COUNT(*) AS nd
+         |      FROM (SELECT DISTINCT doc_id, p FROM pos) GROUP BY p),
+         |sh AS (SELECT doc_id, pos FROM pos JOIN f USING (p) WHERE nd > 1),
+         |runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+         |         FROM (SELECT doc_id, pos,
+         |                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |               FROM sh)
+         |         GROUP BY 1, 2),
+         |r AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_shared_pos,
+         |        CAST(MAX(run) AS BIGINT) AS max_shared_run
+         |      FROM runs GROUP BY 1),
+         |c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM pos GROUP BY 1)
+         |SELECT t.doc_id, COALESCE(c.n_grams, 0) AS n_grams,
+         |       COALESCE(r.n_shared_pos, 0) AS n_shared_pos,
+         |       COALESCE(r.max_shared_run, 0) AS max_shared_run
+         |FROM t LEFT JOIN c USING (doc_id) LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q51_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
          |           WHERE len(string_split(text, ' ')) >= 3),

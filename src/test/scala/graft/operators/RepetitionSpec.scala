@@ -227,4 +227,29 @@ class RepetitionSpec extends AnyFunSuite {
     assert(p(4L) == ((1L, 1L, 0)) && p(5L) == ((1L, 1L, 0)),
       "exact 5-token duplicates share their single passage and are dropped")
   }
+
+  test("q80: a contiguous copied block yields a long max run; the same " +
+    "grams scattered yield runs of 1") {
+    import spark.implicits._
+    val block = (1 to 10).map(i => s"b$i").mkString(" ")  // 10-token block
+    // doc 1 and 2 share the block verbatim -> 6 consecutive shared 5-grams.
+    // doc 3 contains the block's grams CUT APART by unique separators, so
+    // every shared gram is isolated (no two consecutive positions shared).
+    val scattered = (1 to 10).sliding(5).zipWithIndex.map { case (w, i) =>
+      w.map(j => s"b$j").mkString(" ") + s" sep${i}a sep${i}b sep${i}c sep${i}d"
+    }.mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $block u4 u5"),
+      (2L, s"v1 v2 $block v3 v4 v5"),
+      (3L, scattered)
+    ).toDF("doc_id", "text")
+    val got = Repetition.sharedSpanScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._2 === 6L, s"10-token block = 6 consecutive 5-grams: $got")
+    assert(got(2L)._2 === 6L, got.toString)
+    assert(got(3L)._2 === 1L,
+      s"scattered shared grams must never chain into a run: $got")
+    assert(got(3L)._1 >= 6L, "the scattered doc still SHARES many grams — " +
+      "q52's fraction signal cannot separate it from the block copies")
+  }
 }
