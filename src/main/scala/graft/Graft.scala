@@ -294,6 +294,12 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def domainMix(budget: Long = 200L): DataFrame =
     TextAnalysis.domainMixSample(Tables.documents(spark, dataDir), budget)
 
+  /** Token-budget mixture plan (q81): per-domain target tokens, sampling
+    * rate, and repeat epochs under sqrt-temperature weights.
+    */
+  def mixturePlan(budgetTokens: Long = 100000L): DataFrame =
+    TextAnalysis.mixturePlan(Tables.documents(spark, dataDir), budgetTokens)
+
   /** Bigram-LM quality scores (q77) — the word-order-sensitive companion
     * to [[logprobScores]].
     */

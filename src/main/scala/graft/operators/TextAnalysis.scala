@@ -125,6 +125,41 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q81: token-budget mixture planning — the arithmetic a training run
+    * actually consumes after q56 picks the mix shape: per domain, the
+    * TOKEN target under sqrt-temperature weights, the implied sampling
+    * rate, and the repeat-epoch count when a low-resource domain must be
+    * upsampled past 1.0 (rate and epochs are how data loaders are
+    * configured; Chinchilla-style budget in, per-domain plan out).
+    *
+    * One aggregate over the corpus (map-side token counting inside the
+    * scan projection — no token ever shuffles), then #domains-row window
+    * arithmetic. Every output is exact integer math: floor-scaled sqrt
+    * weights (the q56 contract), integer-division targets/rates/epochs —
+    * the plan reproduces bit-for-bit anywhere.
+    */
+  def mixturePlan(docs: DataFrame,
+                  budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame = {
+    val per = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+    per
+      .withColumn("tw", sum("w").over(Window.partitionBy()))
+      .withColumn("target_tokens", expr(s"($budgetTokens * w) div tw"))
+      .withColumn("rate_x1e6",
+        expr("(target_tokens * 1000000) div n_tokens"))
+      .withColumn("epochs",
+        expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .select("lang", "n_docs", "n_tokens", "target_tokens", "rate_x1e6",
+        "epochs")
+      .orderBy("lang")
+  }
+
+  private val MIX_BUDGET_TOKENS = 100000L
+
   /** q60: unigram language-model quality score — the in-container stand-in
     * for the perplexity filter of a training pipeline (KenLM et al. are not
     * in this environment; the MODEL is a stand-in, the Spark shape is the
@@ -223,6 +258,10 @@ object TextAnalysis {
     // Q56: sqrt-temperature domain mixing (see [[domainMixSample]]).
     "q56_domain_mix" -> ((s, d) =>
       domainMixSample(Tables.documents(s, d))),
+
+    // Q81: token-budget mixture planning (see [[mixturePlan]]).
+    "q81_mixture_plan" -> ((s, d) =>
+      mixturePlan(Tables.documents(s, d))),
 
     // Q19 (E-11): per-language top-10 token frequency. Two hash aggregates
     // plus a small window over 5 langs x vocab.
@@ -341,6 +380,22 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q81_mixture_plan" ->
+      s"""WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |      FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs, n_tokens,
+         |        CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w
+         |      FROM per),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+         |q AS (SELECT lang, n_docs, n_tokens,
+         |        ($MIX_BUDGET_TOKENS * w) // tw AS target_tokens
+         |      FROM w, t)
+         |SELECT lang, n_docs, n_tokens, target_tokens,
+         |       (target_tokens * 1000000) // n_tokens AS rate_x1e6,
+         |       (target_tokens + n_tokens - 1) // n_tokens AS epochs
+         |FROM q ORDER BY lang""".stripMargin,
+
     "q77_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |bg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2

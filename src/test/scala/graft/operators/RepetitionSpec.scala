@@ -114,6 +114,27 @@ class RepetitionSpec extends AnyFunSuite {
       s"small domain not upsampled: quota $qSmall/$qBig vs corpus $nSmall/$nBig")
   }
 
+  test("q81: token-budget plan respects the budget, upsamples the " +
+    "low-resource domain, and epochs = ceil(target/available)") {
+    import spark.implicits._
+    val docs = (
+      (1 to 50).map(i => (i.toLong, "tok " * 199 + "tok", "big")) ++  // 200 tokens x 50
+      (51 to 55).map(i => (i.toLong, "tok tok tok tok", "small"))     // 4 tokens x 5
+    ).toDF("doc_id", "text", "lang")
+    val p = TextAnalysis.mixturePlan(docs, budgetTokens = 5000L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (bigN, bigT, bigR, bigE) = p("big")
+    val (smallN, smallT, smallR, smallE) = p("small")
+    assert(bigT + smallT <= 5000L, "targets must not exceed the budget")
+    assert(smallR > bigR,
+      s"sqrt temperature must give the small domain the higher rate: $p")
+    assert(smallE === (smallT + smallN - 1) / smallN &&
+      bigE === (bigT + bigN - 1) / bigN)
+    assert(smallE > 1L, s"the tiny domain must need repeat epochs: $p")
+  }
+
   test("strict curation composes the repetition gates and leaves no near-dups") {
     val docs = Tables.documents(spark, D)
     val strict = Curation.curateStrict(docs).collect()
