@@ -68,14 +68,14 @@ object Classify {
     (model, prior)
   }
 
-  /** Predict a label for every document in `docs` NOT in `labeled` using
-    * a trained (model, prior): returns (doc_id, pred_lang).
+  /** Score EVERY document in `docs` (doc_id, text) against a trained
+    * (model, prior): returns (doc_id, pred_lang). The scoring pass of the
+    * operator — one corpus scan, broadcast model, exact-integer argmax.
     */
-  def nbPredict(docs: DataFrame, labeled: DataFrame,
-                model: DataFrame, prior: DataFrame): DataFrame = {
+  def nbScore(docs: DataFrame, model: DataFrame,
+              prior: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val fd = docs.select(col("doc_id"), col("text"))
-      .join(broadcast(labeled.select("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), (Sketches.phash60(col("t")) % NB_B).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
@@ -90,6 +90,54 @@ object Classify {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("pred_lang"))
+  }
+
+  /** Predict a label for every document in `docs` NOT in `labeled` using
+    * a trained (model, prior): returns (doc_id, pred_lang).
+    */
+  def nbPredict(docs: DataFrame, labeled: DataFrame,
+                model: DataFrame, prior: DataFrame): DataFrame =
+    nbScore(docs.select(col("doc_id"), col("text"))
+      .join(broadcast(labeled.select("doc_id")), Seq("doc_id"), "left_anti"),
+      model, prior)
+
+  /** Persist a trained model as a parquet artifact (the saveCodebooks
+    * pattern): likelihoods and priors as two relations under `path`.
+    */
+  def saveModel(path: String, model: DataFrame, prior: DataFrame): Unit = {
+    model.write.mode("overwrite").parquet(s"$path/likelihoods")
+    prior.write.mode("overwrite").parquet(s"$path/priors")
+  }
+
+  /** Inverse of [[saveModel]]. */
+  def loadModel(path: String, spark: SparkSession)
+  : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/likelihoods"),
+      spark.read.parquet(s"$path/priors"))
+
+  /** Streaming classification against the FROZEN model artifact — the
+    * train-offline / score-online router (language/domain routing at
+    * ingest time). Per micro-batch: [[nbScore]] with the loaded model
+    * (loaded ONCE, broadcast per batch), written to a batch-keyed dir —
+    * the overwrite-by-batch idiom that makes replays effectively
+    * exactly-once (same contract as streamingPqEncode /
+    * streamingPerceptualIngest). State: none — scoring is stateless given
+    * the artifact, so there is no watermark and no state store; the
+    * checkpoint only tracks source offsets.
+    */
+  def streamingClassify(docs: DataFrame, modelPath: String,
+                        outDir: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (model, prior) = loadModel(modelPath, docs.sparkSession)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nbScore(batch, model, prior)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** The q79 catalog entry: train on the q42 stratified sample, predict

@@ -51,6 +51,40 @@ class ClassifySpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("streaming classify against the saved model artifact == batch " +
+    "scoring, incl. across a replayed batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val labeled = fixture.filter(col("doc_id") < 10).select("doc_id", "lang")
+    val (model, prior) = Classify.nbTrain(fixture, labeled)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    Classify.saveModel(s"$dir/model", model, prior)
+    // artifact round-trip preserves the model relations exactly
+    val (m2, p2) = Classify.loadModel(s"$dir/model", spark)
+    assert(m2.collect().map(_.toSeq).toSet ===
+      model.collect().map(_.toSeq).toSet)
+    assert(p2.collect().map(_.toSeq).toSet ===
+      prior.collect().map(_.toSeq).toSet)
+
+    val rows = fixture.select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val (b1, b2) = rows.partition(_._1 < 10)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Classify.streamingClassify(in.toDF().toDF("doc_id", "text"),
+      s"$dir/model", s"$dir/out", s"$dir/ckpt")
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "pred_lang").collect().map(_.toSeq).toSet
+    val batch = Classify.nbScore(fixture, model, prior)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("confusion matrix accounts for every held-out document and the " +
     "model join is broadcast") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)
