@@ -125,6 +125,71 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // ------------------------------------------------------- winnowing --
+
+  private val WIN_K = 4  // tokens per k-gram
+  private val WIN_W = 4  // k-gram hashes per winnowing window
+  // fingerprint = 40 bits of phash60; position packs into the low 20 bits
+  // so argmin-by-(hash, pos) is ONE BIGINT min — portable to any engine
+  private val WIN_FP_MOD = 1L << 40
+  private val WIN_POS_MOD = 1L << 20
+
+  /** q82: winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
+    * the MOSS algorithm) + cross-document fingerprint matching. From each
+    * window of `WIN_W` consecutive k-gram hashes keep the minimal
+    * (hash, pos) — giving the GUARANTEE that any shared token run of
+    * length >= w + k - 1 produces at least one shared fingerprint, while
+    * storing only ~2/(w+1) of all positions. This is the
+    * fingerprint-volume reducer that makes corpus-scale substring
+    * matching affordable: q80 matches every position; winnowing matches
+    * a provably sufficient sample.
+    *
+    * Portability: the per-window argmin is min() over a packed BIGINT
+    * (40-bit hash << 20 | pos) — no struct ordering, no tie ambiguity
+    * (leftmost minimal hash wins), identical in any engine. Scale shape:
+    * one tokenize pass, a per-document sliding window (partition = one
+    * document's grams), distinct selected fingerprints, then the q52/q80
+    * frequency-join idiom over the REDUCED fingerprint relation.
+    */
+  def winnowingFingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+    // posexplode: the 0-based array index IS the gram position —
+    // deterministic under any physical layout
+    val pos = tok.filter(size(col("l")) >= WIN_K)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(l) - ${WIN_K - 1}), " +
+          s"i -> concat_ws(' ', slice(l, i, $WIN_K)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("g"))
+    val packed = pos.select(col("doc_id"), col("pos"),
+      ((Sketches.phash60(col("g")) % WIN_FP_MOD) * WIN_POS_MOD + col("pos"))
+        .as("v"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, WIN_W - 1)
+    val sel = packed
+      .withColumn("m", min("v").over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .filter(col("wn") === WIN_W)             // full windows only
+      // div, not `/`: packed values exceed 2^53, double division would
+      // round — and Spark's / on longs IS double division
+      .select(col("doc_id"), expr(s"m div $WIN_POS_MOD").as("fp"))
+      .distinct()
+    val freq = sel.groupBy("fp").agg(count(lit(1)).as("nd"))
+    val perDoc = sel.join(freq, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_fp"))
+    val counts = pos.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+      .orderBy("doc_id")
+  }
+
   /** q81: token-budget mixture planning — the arithmetic a training run
     * actually consumes after q56 picks the mix shape: per domain, the
     * TOKEN target under sqrt-temperature weights, the implied sampling
@@ -263,6 +328,10 @@ object TextAnalysis {
     "q81_mixture_plan" -> ((s, d) =>
       mixturePlan(Tables.documents(s, d))),
 
+    // Q82: winnowing fingerprints (see [[winnowingFingerprints]]).
+    "q82_winnowing" -> ((s, d) =>
+      winnowingFingerprints(Tables.documents(s, d))),
+
     // Q19 (E-11): per-language top-10 token frequency. Two hash aggregates
     // plus a small window over 5 langs x vocab.
     "q19_token_top10" -> ((s, d) => {
@@ -380,6 +449,34 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q82_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |pos AS (SELECT doc_id, i - 1 AS pos,
+         |          array_to_string(l[i:i+${WIN_K - 1}], ' ') AS g
+         |        FROM t, unnest(range(1, len(l) - ${WIN_K - 2})) AS u(i)
+         |        WHERE len(l) >= $WIN_K),
+         |packed AS (SELECT doc_id, pos,
+         |             (${Sketches.phash60Sql("g")} % $WIN_FP_MOD) * $WIN_POS_MOD + pos AS v
+         |           FROM pos),
+         |win AS (SELECT doc_id, pos,
+         |          MIN(v) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN CURRENT ROW AND ${WIN_W - 1} FOLLOWING) AS m,
+         |          COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN CURRENT ROW AND ${WIN_W - 1} FOLLOWING) AS wn
+         |        FROM packed),
+         |sel AS (SELECT DISTINCT doc_id, m // $WIN_POS_MOD AS fp
+         |        FROM win WHERE wn = $WIN_W),
+         |f AS (SELECT fp, COUNT(*) AS nd FROM sel GROUP BY fp),
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |        CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+         |      FROM sel JOIN f USING (fp) GROUP BY doc_id),
+         |c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM pos GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(c.n_grams, 0) AS n_grams,
+         |       COALESCE(d.n_fp, 0) AS n_fp,
+         |       COALESCE(d.n_shared_fp, 0) AS n_shared_fp
+         |FROM t LEFT JOIN c USING (doc_id) LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q81_mixture_plan" ->
       s"""WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
