@@ -155,6 +155,14 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def sharedSpans(): DataFrame =
     operators.Repetition.sharedSpanScore(Tables.documents(spark, dataDir))
 
+  /** Winnowed fingerprints + cross-doc matches (q82). */
+  def winnowing(): DataFrame =
+    TextAnalysis.winnowingFingerprints(Tables.documents(spark, dataDir))
+
+  /** Per-source distribution-drift scores (q83). */
+  def sourceDrift(): DataFrame =
+    Curation.sourceDrift(Tables.documents(spark, dataDir))
+
   def dupPassageScore(): DataFrame =
     Repetition.dupPassageScore(Tables.documents(spark, dataDir))
 

@@ -411,7 +411,55 @@ object Curation {
       .limit(topK)
   }
 
+  // ------------------------------------------------- source drift --
+
+  private val DRIFT_BUCKETS = 64
+
+  /** q83: per-source distribution drift — KL(source token-bucket dist ||
+    * corpus dist) over hashed buckets, the "which feed changed" monitor a
+    * corpus pipeline alarms on. Smoothed, count-weighted, and quantized
+    * exactly like [[dsirSelectAgainst]]'s weights: per-(source, bucket)
+    * log-ratio terms floor to x1e6 ints BEFORE the per-source sum, the
+    * only float ops are lns of exact integers and one final division.
+    *
+    * Scale shape: one tokenize pass into (source, bucket) counts
+    * (<= sources x buckets rows out of the shuffle), then everything is
+    * broadcast-sized arithmetic. A drifting source scores high because
+    * its mass sits in buckets rare for the corpus — n-gram-level change
+    * detection with no vocabulary state, and the score is comparable
+    * across rounds because the bucketing is fixed.
+    */
+  def sourceDrift(docs: DataFrame,
+                  buckets: Int = DRIFT_BUCKETS): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .select(col("source"), (Sketches.phash60(col("t")) % buckets).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+    val st = sc.groupBy("source").agg(sum("c").as("s_tot"))
+    val cc = sc.groupBy("b").agg(sum("c").as("cb"))
+    val ct = cc.agg(sum("cb").as("c_tot"))
+    sc.join(broadcast(st), "source")
+      .join(broadcast(cc), "b")
+      .crossJoin(broadcast(ct))
+      .select(col("source"), col("s_tot"), col("c"),
+        floor((log((col("c") + lit(1)).cast("double"))
+          - log((col("s_tot") + lit(buckets)).cast("double"))
+          - log((col("cb") + lit(1)).cast("double"))
+          + log((col("c_tot") + lit(buckets)).cast("double"))) * 1000000
+          + lit(0.5)).cast("long").as("lr"))
+      .groupBy("source")
+      .agg(max("s_tot").as("n_tokens"),
+        sum(col("c") * col("lr")).as("w"))
+      .select(col("source"), col("n_tokens"),
+        floor(col("w").cast("double") / col("n_tokens") + lit(0.5))
+          .cast("long").as("drift_x1e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_source_drift" -> ((s, d) =>
+      sourceDrift(Tables.documents(s, d))),
     "q71_semantic_contamination" -> ((s, d) =>
       semanticContamination(Tables.embeddings(s, d), SEMCON_N_EVAL,
         SEMCON_T, SEMCON_TOPK)),
@@ -489,6 +537,27 @@ object Curation {
        |LIMIT $DSIR_TOPK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q83_source_drift" ->
+      s"""WITH sc AS (SELECT source, ${Sketches.phash60Sql("t")} % $DRIFT_BUCKETS AS b,
+         |        CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+         |            FROM documents)
+         |      GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s_tot FROM sc GROUP BY 1),
+         |cc AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM sc GROUP BY 1),
+         |ct AS (SELECT CAST(SUM(cb) AS BIGINT) AS c_tot FROM cc),
+         |lr AS (SELECT sc.source, sc.c, st.s_tot,
+         |         CAST(FLOOR((ln(CAST(sc.c + 1 AS DOUBLE))
+         |           - ln(CAST(st.s_tot + $DRIFT_BUCKETS AS DOUBLE))
+         |           - ln(CAST(cc.cb + 1 AS DOUBLE))
+         |           + ln(CAST(ct.c_tot + $DRIFT_BUCKETS AS DOUBLE))) * 1000000
+         |           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lr
+         |       FROM sc JOIN st USING (source) JOIN cc USING (b) CROSS JOIN ct)
+         |SELECT source, CAST(MAX(s_tot) AS BIGINT) AS n_tokens,
+         |       CAST(FLOOR(CAST(CAST(SUM(c * lr) AS BIGINT) AS DOUBLE)
+         |         / MAX(s_tot) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS drift_x1e6
+         |FROM lr GROUP BY source ORDER BY source""".stripMargin,
+
     "q76_dsir_select" -> dsirOracleSql,
     "q71_semantic_contamination" -> semanticContaminationOracleSql,
     "q50_contamination" ->

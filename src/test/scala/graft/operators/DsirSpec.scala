@@ -71,6 +71,26 @@ class DsirSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q83: a source with alien vocabulary drifts far above sources " +
+    "drawn from the shared distribution") {
+    import spark.implicits._
+    val common = "the data spark query table join row filter group sort"
+    val alien = "zzq1 zzq2 zzq3 zzq4 zzq5 zzq6 zzq7 zzq8 zzq9 zzq10"
+    val docs = (
+      (1 to 20).map(i => (i.toLong, common, s"src${i % 4}")) ++
+      (21 to 25).map(i => (i.toLong, alien, "bad_feed"))
+    ).toDF("doc_id", "text", "source")
+    val d = Curation.sourceDrift(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val normals = (0 to 3).map(i => d(s"src$i"))
+    assert(normals.forall(n => d("bad_feed") > n + 100000),
+      s"alien source must dominate drift by a wide margin: $d")
+    // layout invariance
+    val d2 = Curation.sourceDrift(docs.repartition(9))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d2 === d)
+  }
+
   test("fixture-scale end-to-end: selection is deterministic and bounded") {
     val out = Curation.dsirSelect(Tables.documents(spark, D), cache = false)
     val rows = out.collect()
