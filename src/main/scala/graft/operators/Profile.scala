@@ -64,7 +64,22 @@ object Profile {
     * `cols` defaults to every profilable column in the schema; q68 passes
     * [[LINEITEM_COLS]] explicitly.
     */
-  def profile(df: DataFrame, cols: Seq[(String, Kind)] = Nil): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[(String, Kind)] = Nil): DataFrame =
+    profileFromIndex(profileIndex(df, cols))
+
+  /** The MERGEABLE half of [[profile]]: the canonicalized
+    * (col_name, v_num, v_str, cnt) value-count relation. This is the
+    * incremental-ANALYZE artifact — value counts are exactly mergeable
+    * (sum per value group), unlike finished statistics (n_distinct of a
+    * union is not the sum of n_distincts). An append-only corpus keeps
+    * one index per ingested partition and merges; no 100 TB rescan to
+    * refresh table stats. Size is bounded by per-column value
+    * cardinality at the published x100/epoch-ms resolution; if that
+    * approaches row count, swap in the q16b HLL registers (mergeable by
+    * max) for the distinct component — nothing else changes.
+    */
+  def profileIndex(df: DataFrame, cols: Seq[(String, Kind)] = Nil)
+  : DataFrame = {
     val COLS = if (cols.nonEmpty) cols else columnSpec(df)
     require(COLS.nonEmpty, "profile: no profilable columns")
     val nullL = lit(null).cast("long")
@@ -80,11 +95,25 @@ object Profile {
       }
       struct(lit(name).as("col_name"), vNum.as("v_num"), vStr.as("v_str"))
     }
-    val grouped = df
-      .select(explode(array(pairs: _*)).as("p"))
+    df.select(explode(array(pairs: _*)).as("p"))
       .select(col("p.*"))
       .groupBy("col_name", "v_num", "v_str")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge profile indexes built over disjoint row sets: one value-group
+    * re-aggregation over relations already keyed by value — the exchange
+    * carries index rows (bounded by value cardinality), never data rows.
+    */
+  def mergeProfileIndexes(indexes: DataFrame*): DataFrame = {
+    require(indexes.nonEmpty, "mergeProfileIndexes: nothing to merge")
+    indexes.reduce(_.unionAll(_))
+      .groupBy("col_name", "v_num", "v_str")
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Finalize statistics from a (merged) [[profileIndex]]. */
+  def profileFromIndex(grouped: DataFrame): DataFrame = {
     val nonNull = col("v_num").isNotNull || col("v_str").isNotNull
     grouped.groupBy("col_name")
       .agg(
@@ -199,7 +228,18 @@ object Profile {
     "q74_histogram" -> ((s, d) =>
       histogram(Tables.lineitem(s, d), "l_extendedprice", NumX100, 16)),
     "q78_profile_by_source" -> ((s, d) =>
-      profileBy(Tables.documents(s, d), "source", DOCUMENT_COLS))
+      profileBy(Tables.documents(s, d), "source", DOCUMENT_COLS)),
+    // q84: the incremental path must reproduce the full-scan statistics
+    // EXACTLY — build per-partition indexes over a deterministic split,
+    // merge, finalize; the oracle is q68's whole-table SQL
+    "q84_profile_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val even = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+      val odd = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+      profileFromIndex(mergeProfileIndexes(
+        profileIndex(even, LINEITEM_COLS),
+        profileIndex(odd, LINEITEM_COLS)))
+    })
   )
 
   /** The twin runs one select per column over the same canonicalized
@@ -254,6 +294,8 @@ object Profile {
 
   val oracleSql: Map[String, String] = Map(
     "q68_profile" -> profileOracleSql,
+    // the merge path must equal the full scan — same twin as q68
+    "q84_profile_merge" -> profileOracleSql,
     "q78_profile_by_source" -> profileBySourceOracleSql,
     "q74_histogram" ->
       """WITH v AS (SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100

@@ -87,6 +87,31 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("profileIndex: a 3-way split merged equals the direct profile, " +
+    "including non-additive n_distinct") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val li = Tables.lineitem(spark, D)
+    val parts = (0 to 2).map(i =>
+      Profile.profileIndex(li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+        Profile.LINEITEM_COLS))
+    val merged = Profile.profileFromIndex(
+        Profile.mergeProfileIndexes(parts: _*))
+      .collect().map(_.toSeq).toSeq
+    val direct = Profile.profile(li, Profile.LINEITEM_COLS)
+      .collect().map(_.toSeq).toSeq
+    assert(merged === direct)
+    // the reason the artifact is value counts, not finished stats: the
+    // sum of per-part n_distincts over-counts values present in several
+    // parts — if this ever equals the true distinct count the fixture
+    // stopped exercising the property
+    val naive = parts.map(p => Profile.profileFromIndex(p)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap)
+    val trueDistinct = direct.map(r => r.head -> r(3)).toMap
+    val overcount = naive.map(_("l_quantity")).sum
+    assert(overcount > trueDistinct("l_quantity").asInstanceOf[Long],
+      "fixture must exercise cross-part value overlap")
+  }
+
   test("generic signature: default spec derives from the schema of any " +
     "table (region)") {
     val region = Tables.region(spark, D)

@@ -69,7 +69,7 @@ def family(q):
         return "prep"
     if i in (32, 57):
         return "curation"
-    if (q.startswith("q16b") or q.startswith("q34b")) or i in (59, 68, 74, 78, 83):
+    if (q.startswith("q16b") or q.startswith("q34b")) or i in (59, 68, 74, 78, 83, 84):
         return "sketch"
     if i in (29, 73, 75):
         return "multimodal"
