@@ -163,7 +163,57 @@ object Prep {
       .orderBy("pos")
   }
 
+  // --------------------------------------------------- snapshot diff --
+
+  /** Compare two corpus snapshots by content hash: (doc_id, status) for
+    * every difference — `added` (only in B), `removed` (only in A),
+    * `changed` (both, different sha256). The dataset-versioning primitive
+    * between crawls/ingest runs: downstream incremental operators (q58
+    * dedup index, q64 near-dup index, q84 profile merge) consume exactly
+    * the `added`+`changed` delta instead of the snapshot.
+    *
+    * Shape: one shuffle per side on doc_id into a full outer join —
+    * comparing 32-byte hashes, never text (the projection carries
+    * (doc_id, sha) only, asserted by the pruned ReadSchema at the scan).
+    * At 100 TB both snapshots are id-bucketed on disk, and the join is
+    * exchange-free.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val ha = a.select(col("doc_id"), sha2(col("text"), 256).as("ha"))
+    val hb = b.select(col("doc_id"), sha2(col("text"), 256).as("hb"))
+    ha.join(hb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("same").as("status"))
+      .filter(col("status") =!= "same")
+      .orderBy("doc_id")
+  }
+
+  /** q85's deterministic synthetic snapshot B, derived from A by hash
+    * class: h%10==0 removed, ==1 text-revised, ==2 duplicated as a new
+    * doc (id + 1e6) — so the diff exercises every status. The oracle
+    * reconstructs B from the same definition.
+    */
+  def syntheticNextSnapshot(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val h = Sketches.phash60(col("doc_id")) % 10
+    val kept = docs.filter(h =!= 0)
+      .select(col("doc_id"),
+        when(h === 1, concat(col("text"), lit(" rev"))).otherwise(col("text"))
+          .as("text"))
+    val added = docs.filter(h === 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    kept.unionAll(added)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q85: snapshot diff over the synthetic next crawl.
+    "q85_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      snapshotDiff(docs, syntheticNextSnapshot(docs))
+    }),
     "q46_quantize_embeddings" -> ((s, d) =>
       quantizeEmbeddings(Tables.embeddings(s, d))),
     "q47_chunk_documents" -> ((s, d) =>
@@ -173,6 +223,29 @@ object Prep {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle compares TEXT equality directly — the same decision the
+    // sha comparison makes (no collisions at fixture scale), immune to
+    // hash-format differences between engines
+    "q85_snapshot_diff" ->
+      s"""WITH src AS (SELECT doc_id, text,
+         |        ${Sketches.phash60Sql("doc_id")} % 10 AS h FROM documents),
+         |b AS (SELECT doc_id,
+         |        CASE WHEN h = 1 THEN text || ' rev' ELSE text END AS text
+         |      FROM src WHERE h <> 0
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, text FROM src WHERE h = 2)
+         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |       CASE WHEN a.doc_id IS NULL THEN 'added'
+         |            WHEN b.doc_id IS NULL THEN 'removed'
+         |            WHEN a.text <> b.text THEN 'changed'
+         |            ELSE 'same' END AS status
+         |FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |WHERE CASE WHEN a.doc_id IS NULL THEN 'added'
+         |           WHEN b.doc_id IS NULL THEN 'removed'
+         |           WHEN a.text <> b.text THEN 'changed'
+         |           ELSE 'same' END <> 'same'
+         |ORDER BY doc_id""".stripMargin,
+
     "q46_quantize_embeddings" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |s AS (SELECT vec_id, emb,

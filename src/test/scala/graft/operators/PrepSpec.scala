@@ -95,4 +95,29 @@ class PrepSpec extends AnyFunSuite {
       assert(chunk0(doc) == fps(doc), s"doc $doc chunk-0 fp != q28 fp")
     }
   }
+
+  test("q85: snapshot diff reports exactly the planted adds/removes/" +
+    "changes and nothing for identical docs") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"),
+      (5L, "epsilon")).toDF("doc_id", "text")
+    val got = Prep.snapshotDiff(a, b)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+  }
+
+  test("q85: the synthetic snapshot exercises every status and the diff " +
+    "is layout-invariant") {
+    val docs = Tables.documents(spark, D)
+    val diff = Prep.snapshotDiff(docs, Prep.syntheticNextSnapshot(docs))
+    val rows = diff.collect()
+    val byStatus = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byStatus.keySet === Set("added", "removed", "changed"), byStatus)
+    val shuffled = Prep.snapshotDiff(docs.repartition(11),
+        Prep.syntheticNextSnapshot(docs.repartition(7)))
+      .collect().map(_.toSeq).toSeq
+    assert(shuffled === rows.map(_.toSeq).toSeq)
+  }
 }
