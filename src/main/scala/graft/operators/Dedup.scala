@@ -665,6 +665,27 @@ object Dedup {
       jaccardPairsLshVerified(Tables.documents(s, d), 800)
         .orderBy("d1", "d2")),
 
+    // Q86: split-leakage audit — near-dup pairs straddling the q48
+    // train/val/test assignment. A near-duplicate of a test document
+    // sitting in train is eval contamination the exact-hash split can
+    // never see (identical docs hash to the SAME split only when ids
+    // collide — near-dups don't). Composes the q22 verified pairs with
+    // the q48 split expression; at 100 TB the leak report is the gate a
+    // release pipeline runs after every re-split.
+    "q86_split_leakage" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val h = pmod(Sketches.phash60(c), lit(100L))
+        when(h < 90, lit("train")).when(h < 95, lit("val"))
+          .otherwise(lit("test"))
+      }
+      jaccardPairsLshVerified(Tables.documents(s, d), 800)
+        .select(col("d1"), col("d2"), col("jaccard_x1e3"),
+          splitOf(col("d1")).as("split1"), splitOf(col("d2")).as("split2"))
+        .filter(col("split1") =!= col("split2"))
+        .orderBy("d1", "d2")
+    }),
+
     // Q64: incremental near-dup maintenance — the corpus ingested as two
     // batches (even/odd doc_id), each batch's pairs found against the
     // index state at its ingest, unioned. Same oracle as q22: incremental
@@ -755,7 +776,38 @@ object Dedup {
        |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= $thresholdX1e3
        |ORDER BY d1, d2""".stripMargin
 
+  /** q86 twin: the q22 exact-pair chain with the q48 split CASE applied
+    * to both endpoints.
+    */
+  private def splitLeakageOracleSql: String = {
+    def splitSql(x: String) =
+      s"""CASE WHEN ${Sketches.phash60Sql(x)} % 100 < 90 THEN 'train'
+         |     WHEN ${Sketches.phash60Sql(x)} % 100 < 95 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+       |       WHERE len(l) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2,
+       |            CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) AS jaccard_x1e3
+       |          FROM inter
+       |          JOIN cnt c1 ON c1.doc_id = d1
+       |          JOIN cnt c2 ON c2.doc_id = d2
+       |          WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800)
+       |SELECT d1, d2, jaccard_x1e3,
+       |       ${splitSql("d1")} AS split1,
+       |       ${splitSql("d2")} AS split2
+       |FROM pairs
+       |WHERE ${splitSql("d1")} <> ${splitSql("d2")}
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q86_split_leakage" -> splitLeakageOracleSql,
     "q58_dedup_merge" ->
       """SELECT sha256(text) AS content_hash,
         |       MIN(doc_id) AS keep_id,

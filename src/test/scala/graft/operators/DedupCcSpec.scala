@@ -69,4 +69,50 @@ class DedupCcSpec extends AnyFunSuite {
     assert(starRounds * 2 < propRounds,
       s"contraction ($starRounds) must beat propagation ($propRounds) decisively")
   }
+
+  test("q86: a planted cross-split near-dup pair is reported; " +
+    "driver-side recomputation from q22 pairs + split map agrees") {
+    import org.apache.spark.sql.functions._
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    graft.functions.GraftFunctions.register(spark2)
+    // find two ids in different splits by evaluating the split hash
+    val splits = spark2.range(1, 200)
+      .select(col("id"),
+        pmod(graft.functions.GraftFunctions.phash60(col("id")), lit(100L))
+          .as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = splits.collectFirst { case (i, h) if h < 90 => i }.get
+    val testId = splits.collectFirst { case (i, h) if h >= 95 => i }.get
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (trainId, text), (testId, text + " w11"),
+      (9999L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsLshVerified(docs, 800)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((math.min(trainId, testId), math.max(trainId, testId))))
+
+    // fixture-scale: q86 output == q22 pairs filtered by differing splits
+    val D = graft.TestSpark.SF001
+    val pairSplits = Dedup.queries("q22_minhash_lsh")(spark2, D)
+      .select("d1", "d2", "jaccard_x1e3").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def splitOf(id: Long): String = {
+      val h = spark2.range(id, id + 1)
+        .select(pmod(graft.functions.GraftFunctions.phash60(col("id")),
+          lit(100L))).collect()(0).getLong(0)
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }
+    val expected = pairSplits.collect {
+      case (d1, d2, j) if splitOf(d1) != splitOf(d2) => (d1, d2, j)
+    }.toSet
+    val q86 = Dedup.queries("q86_split_leakage")(spark2, D)
+      .select("d1", "d2", "jaccard_x1e3").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(q86 === expected)
+    assert(q86.nonEmpty, "fixture must exercise at least one leak")
+  }
 }
+
