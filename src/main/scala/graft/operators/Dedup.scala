@@ -216,6 +216,63 @@ object Dedup {
     exactJaccardFilter(inter, sh, thresholdX1e3, cache)
   }
 
+  private val EXC_TOKENS = 12
+
+  /** q87's planted inclusions: docs in hash class phash60(id)%50==0 emit
+    * their first [[EXC_TOKENS]] tokens as a new document (id + 2e6) — a
+    * deterministic "quote of a larger document" both engines replay.
+    */
+  def withPlantedExcerpts(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val excerpts = docs
+      .filter(Sketches.phash60(col("doc_id")) % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, EXC_TOKENS))
+          .as("text"))
+    docs.select("doc_id", "text").unionAll(excerpts)
+  }
+
+  /** q87: containment pairs — the ASYMMETRIC near-dup regime symmetric
+    * Jaccard is blind to. A 12-token excerpt inside a 300-token document
+    * has J ~ 0.03 (no dedup gate fires) but containment
+    * |A∩B| / min(|A|,|B|) = 1.0: quote inclusion, boilerplate embedding,
+    * the doc-inside-doc case substring dedup papers call out. Reported
+    * pairs are the containment-only set (containment >= contMin, Jaccard
+    * < jacMax) with both scores, so the operator complements rather than
+    * duplicates q21/q22.
+    *
+    * Same relations and scale shape as [[jaccardPairs]]: the inverted
+    * shingle join is document-frequency-bounded (never all-pairs); at
+    * 100 TB the q22 banding prunes candidates first and this scoring runs
+    * on candidates — containment is one more column off the same
+    * (nboth, n1, n2) triple.
+    */
+  def containmentPairs(docs: DataFrame, contMinX1e3: Int = 900,
+                       jacMaxX1e3: Int = 800,
+                       cache: Boolean = true): DataFrame = {
+    val sh0 = hashedShingles(docs)
+    val sh = if (cache) sh0.persist() else sh0
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("nboth"))
+    val cnt0 = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cnt = if (cache) cnt0.persist() else cnt0
+    val jac = floor(col("nboth") * lit(1000.0) /
+      (col("c1.n") + col("c2.n") - col("nboth")) + lit(0.5)).cast("long")
+    val cont = floor(col("nboth") * lit(1000.0) /
+      least(col("c1.n"), col("c2.n")) + lit(0.5)).cast("long")
+    inter
+      .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"), jac.as("jaccard_x1e3"),
+        cont.as("containment_x1e3"))
+      .filter(col("containment_x1e3") >= contMinX1e3 &&
+        col("jaccard_x1e3") < jacMaxX1e3)
+      .orderBy("d1", "d2")
+  }
+
   /** Join intersection counts with per-doc shingle counts and apply the
     * scaled-integer Jaccard threshold (shared tail of the exact and the
     * LSH-verified paths — one definition, one oracle meaning). The count
@@ -644,6 +701,11 @@ object Dedup {
         .select("keep_id", "n_copies")
         .orderBy("keep_id")),
 
+    // Q87: containment-only pairs over the corpus + planted excerpts
+    // (asymmetric inclusion — the quote-in-document case Jaccard misses).
+    "q87_containment" -> ((s, d) =>
+      containmentPairs(withPlantedExcerpts(Tables.documents(s, d)))),
+
     // Q21: exact trigram-Jaccard near-dup pairs (threshold 0.6). The
     // inverted-index join is exact; at 100 TB the q22 LSH pass prunes the
     // candidate space first and this join runs only on candidates.
@@ -806,7 +868,34 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** q87 twin: the exact chain over documents + replayed excerpts. */
+  private def containmentOracleSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+       |        UNION ALL
+       |        SELECT doc_id + 2000000,
+       |               array_to_string((string_split(text, ' '))[1:$EXC_TOKENS], ' ')
+       |        FROM documents
+       |        WHERE ${Sketches.phash60Sql("doc_id")} % 50 = 0),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM base),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+       |       WHERE len(l) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |sc AS (SELECT d1, d2,
+       |         CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) AS jaccard_x1e3,
+       |         CAST(FLOOR(nboth * 1000.0 / LEAST(c1.n, c2.n) + 0.5) AS BIGINT) AS containment_x1e3
+       |       FROM inter
+       |       JOIN cnt c1 ON c1.doc_id = d1
+       |       JOIN cnt c2 ON c2.doc_id = d2)
+       |SELECT d1, d2, jaccard_x1e3, containment_x1e3
+       |FROM sc WHERE containment_x1e3 >= 900 AND jaccard_x1e3 < 800
+       |ORDER BY d1, d2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q87_containment" -> containmentOracleSql,
     "q86_split_leakage" -> splitLeakageOracleSql,
     "q58_dedup_merge" ->
       """SELECT sha256(text) AS content_hash,

@@ -114,5 +114,28 @@ class DedupCcSpec extends AnyFunSuite {
     assert(q86 === expected)
     assert(q86.nonEmpty, "fixture must exercise at least one leak")
   }
+
+  test("q87: an embedded excerpt is containment-caught and Jaccard-" +
+    "missed; symmetric twins are excluded") {
+    import org.apache.spark.sql.functions._
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 12).map(i => s"w$i").mkString(" ")   // prefix excerpt
+    val docs = Seq(
+      (1L, big), (2L, quote),                 // asymmetric inclusion
+      (3L, big + " tail"), (4L, big + " fin") // symmetric near-identical
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set((1L, 2L), (2L, 3L), (2L, 4L)),
+      s"excerpt must pair with each containing doc and nothing else: $got")
+    val (jac, cont) = got((1L, 2L))
+    assert(cont === 1000L, s"full inclusion must score containment 1.0: $got")
+    assert(jac < 800L, s"the same pair must sit below the Jaccard gate: $got")
+    // the symmetric near-identical pair (3,4) is high-Jaccard — excluded
+    assert(!got.contains((3L, 4L)))
+  }
 }
 
