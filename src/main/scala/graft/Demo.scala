@@ -96,6 +96,27 @@ object Demo {
       s"(${loaded.size} codebook entries persisted+reloaded); ADC top-3:")
     g.pqSearch(topK = 3).show(truncate = false)
 
+    println("[22] DSIR selection (top docs most like the stratified " +
+      "target sample):")
+    g.dsirSelect(topK = 5).show(truncate = false)
+
+    println("[23] per-source drift scores (KL vs corpus):")
+    g.sourceDrift().show(5, truncate = false)
+
+    println("[24] mixture plan (token budget 100k):")
+    g.mixturePlan().show(truncate = false)
+
+    val diff = graft.operators.Prep.snapshotDiff(
+      g.table("documents"),
+      graft.operators.Prep.syntheticNextSnapshot(g.table("documents")))
+    println(s"[25] snapshot diff vs synthetic next crawl: " +
+      diff.groupBy("status").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+
+    println(s"[26] split-leakage audit: " +
+      s"${g.query("q86_split_leakage").count()} near-dup pair(s) straddle " +
+      "train/val/test")
+
     spark.stop()
   }
 }

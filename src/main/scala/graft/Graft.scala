@@ -163,6 +163,20 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def sourceDrift(): DataFrame =
     Curation.sourceDrift(Tables.documents(spark, dataDir))
 
+  /** Snapshot diff against another corpus version (q85). */
+  def diffSnapshots(other: DataFrame): DataFrame =
+    operators.Prep.snapshotDiff(Tables.documents(spark, dataDir), other)
+
+  /** Near-dup pairs that straddle the train/val/test split (q86). */
+  def splitLeakage(): DataFrame =
+    SparkEntry.queries("q86_split_leakage")(spark, dataDir)
+
+  /** Asymmetric containment pairs — quote-in-document inclusions (q87). */
+  def containmentDupes(): DataFrame =
+    operators.Dedup.containmentPairs(
+      Tables.documents(spark, dataDir).select("doc_id", "text"),
+      cache = false)
+
   def dupPassageScore(): DataFrame =
     Repetition.dupPassageScore(Tables.documents(spark, dataDir))
 
