@@ -431,21 +431,51 @@ object Curation {
     */
   def sourceDrift(docs: DataFrame,
                   buckets: Int = DRIFT_BUCKETS): DataFrame = {
+    val sc = bucketCounts(docs, buckets)
+    // the reference derives from the per-source counts — ONE tokenize
+    // pass serves both sides of the comparison
+    driftFrom(sc, sc.groupBy("b").agg(sum("c").as("cb")), buckets)
+  }
+
+  /** Per-(source, bucket) hashed token counts — the scored side. */
+  private def bucketCounts(docs: DataFrame, buckets: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sc = docs
-      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("t"))
       .select(col("source"), (Sketches.phash60(col("t")) % buckets).as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** The frozen side of the drift comparison: corpus-wide bucket counts
+    * (b, cb) — `buckets` rows, the artifact a monitoring deployment
+    * persists once and scores every incoming batch against.
+    */
+  def referenceBuckets(docs: DataFrame,
+                      buckets: Int = DRIFT_BUCKETS): DataFrame =
+    bucketCounts(docs, buckets).groupBy("b").agg(sum("c").as("cb"))
+
+  /** [[sourceDrift]] with an explicit reference distribution — the
+    * general form: the scored docs need not be the corpus the reference
+    * was built from (that asymmetry IS the monitoring use case).
+    */
+  def driftAgainst(docs: DataFrame, reference: DataFrame,
+                   buckets: Int = DRIFT_BUCKETS): DataFrame =
+    driftFrom(bucketCounts(docs, buckets), reference, buckets)
+
+  private def driftFrom(sc: DataFrame, cc: DataFrame,
+                        buckets: Int): DataFrame = {
     val st = sc.groupBy("source").agg(sum("c").as("s_tot"))
-    val cc = sc.groupBy("b").agg(sum("c").as("cb"))
     val ct = cc.agg(sum("cb").as("c_tot"))
+    // left join + zero-fill: a scored bucket absent from a FROZEN
+    // reference still carries its mass through the smoothing term (in
+    // the self-referential q83 case every bucket is present, so this is
+    // value-identical to the oracle's inner join)
     sc.join(broadcast(st), "source")
-      .join(broadcast(cc), "b")
+      .join(broadcast(cc), Seq("b"), "left")
       .crossJoin(broadcast(ct))
       .select(col("source"), col("s_tot"), col("c"),
         floor((log((col("c") + lit(1)).cast("double"))
           - log((col("s_tot") + lit(buckets)).cast("double"))
-          - log((col("cb") + lit(1)).cast("double"))
+          - log((coalesce(col("cb"), lit(0L)) + lit(1)).cast("double"))
           + log((col("c_tot") + lit(buckets)).cast("double"))) * 1000000
           + lit(0.5)).cast("long").as("lr"))
       .groupBy("source")
@@ -455,6 +485,33 @@ object Curation {
         floor(col("w").cast("double") / col("n_tokens") + lit(0.5))
           .cast("long").as("drift_x1e6"))
       .orderBy("source")
+  }
+
+  /** Persist a drift reference distribution as a parquet artifact. */
+  def saveDriftReference(path: String, reference: DataFrame): Unit =
+    reference.write.mode("overwrite").parquet(path)
+
+  /** Streaming drift monitoring against the FROZEN reference artifact —
+    * the deployed form of q83: the corpus distribution is built offline
+    * once, and every incoming micro-batch's per-source drift is scored
+    * against it (batch-keyed dir overwrite, the effectively-exactly-once
+    * idiom shared with streamingClassify / streamingPqEncode). Stateless
+    * per batch; the checkpoint tracks only source offsets.
+    */
+  def streamingDrift(docs: DataFrame, referencePath: String,
+                     outDir: String, checkpoint: String,
+                     buckets: Int = DRIFT_BUCKETS)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = docs.sparkSession.read.parquet(referencePath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftAgainst(batch, ref, buckets)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

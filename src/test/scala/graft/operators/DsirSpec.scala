@@ -91,6 +91,43 @@ class DsirSpec extends AnyFunSuite {
     assert(d2 === d)
   }
 
+  test("q83 streaming: per-batch drift against the frozen reference " +
+    "artifact equals the batch path, and a drifted batch alarms") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val common = "the data spark query table join row filter group sort"
+    val corpus = (1 to 40).map(i => (i.toLong, common, s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    Curation.saveDriftReference(s"$dir/ref",
+      Curation.referenceBuckets(corpus))
+
+    val b1 = Seq((100L, common, "feed"))                      // in-dist
+    val b2 = Seq((101L, "zq1 zq2 zq3 zq4 zq5 zq6", "feed"))   // alien
+    val in = MemoryStream[(Long, String, String)](spark)
+    val q = Curation.streamingDrift(
+      in.toDF().toDF("doc_id", "text", "source"),
+      s"$dir/ref", s"$dir/out", s"$dir/ckpt")
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val ref = spark.read.parquet(s"$dir/ref")
+    def batchDrift(rows: Seq[(Long, String, String)]) =
+      Curation.driftAgainst(rows.toDF("doc_id", "text", "source"), ref)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val s1 = spark.read.parquet(s"$dir/out/batch=0")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val s2 = spark.read.parquet(s"$dir/out/batch=1")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(s1 === batchDrift(b1) && s2 === batchDrift(b2),
+      "streamed per-batch drift must equal the batch path")
+    assert(s2("feed") > s1("feed") + 100000,
+      s"the alien batch must alarm far above the in-distribution one: " +
+        s"$s1 vs $s2")
+  }
+
   test("fixture-scale end-to-end: selection is deterministic and bounded") {
     val out = Curation.dsirSelect(Tables.documents(spark, D), cache = false)
     val rows = out.collect()
