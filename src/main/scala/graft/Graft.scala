@@ -362,8 +362,9 @@ final class Graft(val spark: SparkSession, dataDir: String,
     */
   def dsirSelect(target: DataFrame = null, topK: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dataDir)
-    if (target == null) Curation.dsirSelect(docs, topK = topK)
-    else Curation.dsirSelectAgainst(docs, target, 64, topK)
+    // facade convention: long-lived sessions pin no cache blocks
+    if (target == null) Curation.dsirSelect(docs, topK = topK, cache = false)
+    else Curation.dsirSelectAgainst(docs, target, 64, topK, cache = false)
   }
 
   /** The end-to-end export a training run consumes: curate `documents`
