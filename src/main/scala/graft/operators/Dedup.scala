@@ -679,7 +679,56 @@ object Dedup {
       .filter(col("jaccard_x1e3") >= thresholdX1e3)
   }
 
+  /** The q48 90/5/5 hash-split expression, shared by the audit (q86) and
+    * the repair (q88) so the two can never desynchronize.
+    */
+  private[operators] def hashSplitOf(c: Column): Column = {
+    val h = pmod(Sketches.phash60(c), lit(100L))
+    when(h < 90, lit("train")).when(h < 95, lit("val")).otherwise(lit("test"))
+  }
+
+  /** q88: leakage-free train/val/test split — the REPAIR for what the q86
+    * audit detects. A per-document hash split (q48) puts near-duplicate
+    * pairs on opposite sides of the train/eval fence with probability
+    * ~2·5%·95% per pair; the fix is to make the split a pure function of
+    * the near-dup COMPONENT, not the document: every doc is assigned the
+    * q48 hash split of its component representative (the component's min
+    * doc_id from q49's connected components), singletons of their own id.
+    * No verified near-dup pair can then straddle splits (both endpoints
+    * share a representative by construction), while singleton documents —
+    * the overwhelming mass of a real corpus — keep their q48 assignment
+    * bit-for-bit, so re-splitting an already-released corpus moves only
+    * docs that gained a duplicate.
+    *
+    * Scale shape: the component relation is pair-graph-sized (only docs
+    * appearing in some verified pair — tiny next to the corpus), so the
+    * repair join is a broadcast against the corpus scan; everything
+    * upstream is the already-scale-shaped q22 LSH + q49 star-contraction
+    * pipeline. Output mirrors q48's per-split doc/token counts plus
+    * `n_moved` — how many docs the repair relocated vs naive q48 (the
+    * quantity a release manager reports next to the q86 leak count).
+    */
+  def leakFreeSplit(docs: DataFrame, thresholdX1e3: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val comps = nearDupClusters(docs.select("doc_id", "text"), thresholdX1e3)
+    val rep = coalesce(col("cluster_id"), col("doc_id"))
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(broadcast(comps), Seq("doc_id"), "left")
+      .select(col("nt"), hashSplitOf(rep).as("split"),
+        when(hashSplitOf(rep) =!= hashSplitOf(col("doc_id")), 1L)
+          .otherwise(0L).as("moved"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        sum("moved").as("n_moved"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q88: leakage-free split assignment (see [[leakFreeSplit]]).
+    "q88_leakfree_split" -> ((s, d) =>
+      leakFreeSplit(Tables.documents(s, d), 800)),
 
     // Q58: incremental dedup-index maintenance — the corpus split into two
     // ingest batches, each indexed independently, merged; the oracle
@@ -736,14 +785,10 @@ object Dedup {
     // release pipeline runs after every re-split.
     "q86_split_leakage" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      def splitOf(c: org.apache.spark.sql.Column) = {
-        val h = pmod(Sketches.phash60(c), lit(100L))
-        when(h < 90, lit("train")).when(h < 95, lit("val"))
-          .otherwise(lit("test"))
-      }
       jaccardPairsLshVerified(Tables.documents(s, d), 800)
         .select(col("d1"), col("d2"), col("jaccard_x1e3"),
-          splitOf(col("d1")).as("split1"), splitOf(col("d2")).as("split2"))
+          hashSplitOf(col("d1")).as("split1"),
+          hashSplitOf(col("d2")).as("split2"))
         .filter(col("split1") =!= col("split2"))
         .orderBy("d1", "d2")
     }),
@@ -894,7 +939,47 @@ object Dedup {
        |FROM sc WHERE containment_x1e3 >= 900 AND jaccard_x1e3 < 800
        |ORDER BY d1, d2""".stripMargin
 
+  /** q88 twin: q49's transitive-closure components LEFT-joined onto the
+    * corpus, split CASE over the component representative.
+    */
+  private def leakFreeSplitOracleSql: String = {
+    def splitSql(x: String) =
+      s"""CASE WHEN ${Sketches.phash60Sql(x)} % 100 < 90 THEN 'train'
+         |     WHEN ${Sketches.phash60Sql(x)} % 100 < 95 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+       |       WHERE len(l) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2 FROM inter
+       |          JOIN cnt c1 ON c1.doc_id = d1
+       |          JOIN cnt c2 ON c2.doc_id = d2
+       |          WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a),
+       |comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |assigned AS (
+       |  SELECT len(string_split(d.text, ' ')) AS nt,
+       |         ${splitSql("COALESCE(c.cluster_id, d.doc_id)")} AS split,
+       |         CASE WHEN ${splitSql("COALESCE(c.cluster_id, d.doc_id)")}
+       |                <> ${splitSql("d.doc_id")} THEN 1 ELSE 0 END AS moved
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(moved) AS BIGINT) AS n_moved
+       |FROM assigned GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q88_leakfree_split" -> leakFreeSplitOracleSql,
     "q87_containment" -> containmentOracleSql,
     "q86_split_leakage" -> splitLeakageOracleSql,
     "q58_dedup_merge" ->
