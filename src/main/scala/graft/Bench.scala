@@ -70,6 +70,12 @@ object Bench {
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // The driver keeps only a ~2.2 KB stdout tail; the full per-query line
+    // above is ~8 KB and gets truncated mid-JSON (BENCH_r05/r07/r08 all
+    // recorded "parsed": null). So the LAST line is a compact summary that
+    // always survives the tail window — full detail stays in bench_out.json
+    // and in the full line above.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_runs":$runs,"sf":"$sfDir","detail":"bench_out.json"}""")
     spark.stop()
   }
 }

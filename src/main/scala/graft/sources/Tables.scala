@@ -25,17 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Two pieces let us read it WITHOUT mutating the shared
-    * session conf: an explicit schema (ts as long) skips footer schema
-    * inference — the step that throws PARQUET_TYPE_ILLEGAL and ignores
-    * per-read options — and the legacy nanosAsLong conf passed as a PER-READ
-    * option lands in this relation's hadoop conf, where the executor-side
-    * row-group readers consult it. The timestamp is then rebuilt with exact
-    * integer arithmetic (`div`, not `/` — nano epochs exceed 2^53 so double
-    * division would lose precision).
+  /** `events.ts` has shipped as both INT64 TIMESTAMP(NANOS) (early fixture
+    * generations) and TIMESTAMP(MICROS) (current ones). Spark's parquet
+    * reader rejects NANOS outright unless the legacy nanosAsLong path is
+    * taken, while MICROS needs nothing special — and applying the nanos
+    * shim to a micros file silently scales every timestamp 1000× down
+    * (Jan 2024 → ~1970). So the reader is footer-adaptive: it inspects the
+    * parquet logical type annotation of `ts` (driver-side, one footer read)
+    * and branches.
+    *
+    * NANOS branch mechanics: an explicit schema (ts as long) skips footer
+    * schema inference — the step that throws PARQUET_TYPE_ILLEGAL and
+    * ignores per-read options — and the legacy nanosAsLong conf passed as a
+    * PER-READ option lands in this relation's hadoop conf, where the
+    * executor-side row-group readers consult it. The timestamp is then
+    * rebuilt with exact integer arithmetic (`div`, not `/` — nano epochs
+    * exceed 2^53 so double division would lose precision).
     */
-  private val EVENTS_SCHEMA = org.apache.spark.sql.types.StructType(Seq(
+  private val EVENTS_NS_SCHEMA = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
@@ -43,12 +50,53 @@ object Tables {
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
 
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.schema(EVENTS_SCHEMA)
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    if (tsIsNanos(s, path))
+      s.read.schema(EVENTS_NS_SCHEMA)
+        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else
+      // timestamp[us] without a zone infers as TIMESTAMP_NTZ; downstream
+      // event analytics (unix_micros, watermarks) expect TIMESTAMP. The
+      // session TZ is pinned to UTC (Sessions.scala:15), so the cast is an
+      // exact identity on the underlying micros — same instant DuckDB sees.
+      load(spark = s, sfDir = d, name = "events")
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+  }
+
+  /** True iff the parquet `ts` column is annotated TIMESTAMP with NANOS
+    * unit. One driver-side footer read of a single data file — O(KB), no
+    * row data touched; at cluster scale this is the same footer the
+    * scheduler reads anyway for row-group planning.
+    */
+  private[graft] def tsIsNanos(s: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val hconf = s.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val dataFile =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .minBy(_.getName.toString)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, hconf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField("ts") && (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      })
+    } finally reader.close()
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
