@@ -241,21 +241,62 @@ object Dedup {
     * < jacMax) with both scores, so the operator complements rather than
     * duplicates q21/q22.
     *
-    * Same relations and scale shape as [[jaccardPairs]]: the inverted
-    * shingle join is document-frequency-bounded (never all-pairs); at
-    * 100 TB the q22 banding prunes candidates first and this scoring runs
-    * on candidates — containment is one more column off the same
-    * (nboth, n1, n2) triple.
+    * Candidate generation is a PREFIX-FILTERED probe (the PPJoin/All-Pairs
+    * family's prefix filter, specialized to overlap/min containment), NOT a
+    * full inverted self-join — MinHash banding can't stand in here because
+    * containment pairs have low Jaccard by construction:
+    *
+    *  - order every document's shingles by GLOBAL rarity (document
+    *    frequency ascending, shingle hash as tie-break);
+    *  - a pair with containment >= t shares >= ceil(t*n) of the smaller
+    *    side's n shingles, so at most floor((1-t)*n) of them miss the other
+    *    doc — any floor((1-t)*n)+1 of its shingles must hit. Each doc
+    *    therefore indexes only that PREFIX (~10% of its shingles at t=0.9);
+    *  - candidates = prefix-side join against the full inverted index. A
+    *    corpus-hot shingle (df=d) almost never survives into a rarest-first
+    *    prefix, so it contributes ~0 candidates instead of the d^2 rows the
+    *    old self-join paid; join volume is rare-shingle-bounded.
+    *
+    * The filter is EXACT (every qualifying pair is caught via its min
+    * side's prefix — DedupSpec pins output equality with the brute-force
+    * pair set), and verification computes (nboth, n1, n2) on candidates
+    * only, the same candidates-only shape as [[jaccardPairsLshVerified]].
+    * At 100 TB this keeps the one asymmetric-dedup path in the catalog
+    * bucketed-not-all-pairs.
     */
   def containmentPairs(docs: DataFrame, contMinX1e3: Int = 900,
                        jacMaxX1e3: Int = 800,
                        cache: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh0 = hashedShingles(docs)
     val sh = if (cache) sh0.persist() else sh0
-    val inter = sh.as("a")
+    // the final score rounds half-up, so containment as low as
+    // (contMin - 0.5)/1000 still reports >= contMin — size the prefix for
+    // that effective threshold or rounding-boundary pairs could be missed
+    val tEff = (contMinX1e3 - 0.5) / 1000.0
+    val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(dfRel, "shingle")
+      .select(col("doc_id"), col("shingle"),
+        count(lit(1)).over(byDoc).as("n"),
+        row_number().over(byDoc.orderBy(col("df"), col("shingle"))).as("rk"))
+    val prefix = ranked
+      .filter(col("rk") <= floor((lit(1.0) - lit(tEff)) * col("n")) + lit(1))
+      .select("doc_id", "shingle")
+    val cand = prefix.as("p")
+      .join(sh.as("f"),
+        col("p.shingle") === col("f.shingle") &&
+          col("p.doc_id") =!= col("f.doc_id"))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("d1"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("d2"))
+      .distinct()
+    // exact intersection counts restricted to candidates — join sizes scale
+    // with |candidates| x shingles-per-doc, never corpus^2
+    val inter = cand
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        col("d2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("nboth"))
     val cnt0 = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cnt = if (cache) cnt0.persist() else cnt0
@@ -711,6 +752,15 @@ object Dedup {
   def leakFreeSplit(docs: DataFrame, thresholdX1e3: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val comps = nearDupClusters(docs.select("doc_id", "text"), thresholdX1e3)
+    splitRepairReport(docs, comps)
+  }
+
+  /** Shared q88/q89 tail: assign every doc the hash split of its component
+    * representative (its own id when singleton), aggregate per-split
+    * doc/token/moved counts. The component relation is pair-graph-sized,
+    * so the corpus join broadcasts.
+    */
+  private def splitRepairReport(docs: DataFrame, comps: DataFrame): DataFrame = {
     val rep = coalesce(col("cluster_id"), col("doc_id"))
     docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
@@ -724,11 +774,53 @@ object Dedup {
       .orderBy("split")
   }
 
+  /** q89: CONTAINMENT-AWARE leak-free split. q88 keys its repair on q49's
+    * symmetric near-dup components only — but an asymmetric containment
+    * pair (a 12-token quote inside a 300-token document: Jaccard ~0.03,
+    * containment 1.0) is invisible to that graph, so quote and source can
+    * still straddle train/test and leak eval text into training. This
+    * variant unions the q87 containment edges into the component graph
+    * before contraction: excerpt and container then share a representative
+    * by construction and always land in the same split.
+    *
+    * Edge cover is complete at the declared gates: Jaccard edges carry
+    * every pair >= threshold; containment edges carry containment >= cont
+    * with Jaccard < threshold (q87's gate is jacMax = the same 0.8) — so
+    * (jac >= t) OR (cont >= c) pairs all enter the union.
+    *
+    * Scale shape: both edge generators are candidates-only (q22 banding
+    * for Jaccard, rarest-prefix probe for containment); the union is two
+    * pair-graph-sized relations; contraction and the broadcast repair join
+    * are exactly q88's. Output schema mirrors q88 for direct comparison.
+    */
+  def leakFreeSplitContainment(docs: DataFrame, thresholdX1e3: Int = 800,
+                               contMinX1e3: Int = 900,
+                               cache: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val d = docs.select("doc_id", "text")
+    val edges = jaccardPairsLshVerified(d, thresholdX1e3, cache)
+      .select("d1", "d2")
+      .unionAll(
+        containmentPairs(d, contMinX1e3, jacMaxX1e3 = thresholdX1e3, cache)
+          .select("d1", "d2"))
+      .distinct()
+    val (comps, _) = ccStarContract(edges)
+    splitRepairReport(docs, comps)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q88: leakage-free split assignment (see [[leakFreeSplit]]).
     "q88_leakfree_split" -> ((s, d) =>
       leakFreeSplit(Tables.documents(s, d), 800)),
+
+    // Q89: containment-aware leak-free split over the corpus + planted
+    // excerpts — the fixture where q88's Jaccard-only repair measurably
+    // leaks (excerpt and source doc hash to different splits) and this
+    // variant provably cannot (see [[leakFreeSplitContainment]]).
+    "q89_leakfree_containment" -> ((s, d) =>
+      leakFreeSplitContainment(
+        withPlantedExcerpts(Tables.documents(s, d)))),
 
     // Q58: incremental dedup-index maintenance — the corpus split into two
     // ingest batches, each indexed independently, merged; the oracle
@@ -978,7 +1070,55 @@ object Dedup {
        |ORDER BY split""".stripMargin
   }
 
+  /** q89 twin: documents + replayed excerpts, components over the UNION of
+    * Jaccard (>= 0.8) and containment (>= 0.9) edges, split CASE over the
+    * component representative — the q88 twin widened by the q87 edge set.
+    */
+  private def leakFreeContainmentOracleSql: String = {
+    def splitSql(x: String) =
+      s"""CASE WHEN ${Sketches.phash60Sql(x)} % 100 < 90 THEN 'train'
+         |     WHEN ${Sketches.phash60Sql(x)} % 100 < 95 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+       |        UNION ALL
+       |        SELECT doc_id + 2000000,
+       |               array_to_string((string_split(text, ' '))[1:$EXC_TOKENS], ' ')
+       |        FROM documents
+       |        WHERE ${Sketches.phash60Sql("doc_id")} % 50 = 0),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM base),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+       |       WHERE len(l) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2 FROM inter
+       |          JOIN cnt c1 ON c1.doc_id = d1
+       |          JOIN cnt c2 ON c2.doc_id = d2
+       |          WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800
+       |             OR CAST(FLOOR(nboth * 1000.0 / LEAST(c1.n, c2.n) + 0.5) AS BIGINT) >= 900),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a),
+       |comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |assigned AS (
+       |  SELECT len(string_split(d.text, ' ')) AS nt,
+       |         ${splitSql("COALESCE(c.cluster_id, d.doc_id)")} AS split,
+       |         CASE WHEN ${splitSql("COALESCE(c.cluster_id, d.doc_id)")}
+       |                <> ${splitSql("d.doc_id")} THEN 1 ELSE 0 END AS moved
+       |  FROM base d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(moved) AS BIGINT) AS n_moved
+       |FROM assigned GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q89_leakfree_containment" -> leakFreeContainmentOracleSql,
     "q88_leakfree_split" -> leakFreeSplitOracleSql,
     "q87_containment" -> containmentOracleSql,
     "q86_split_leakage" -> splitLeakageOracleSql,
