@@ -225,6 +225,21 @@ final class CdcEngine(val store: KeyValueStore,
     synchronized(log.toSeq).toDF("value")
   }
 
+  private var drainOffset: Int = 0 // producer-side cursor (independent of processCdc's)
+
+  /** Drain envelopes appended since the last drain — the producer half of
+    * feeding an EXTERNAL streaming consumer (AcceptanceDemo writes these to
+    * the file stream a forked `InvalidationRestartMain` lifetime reads).
+    * Separate cursor from [[processCdc]]'s consumer offset: draining for an
+    * external consumer must not mark records consumed for the in-process
+    * one.
+    */
+  def drainChangeLog(): Seq[String] = synchronized {
+    val slice = log.drop(drainOffset).toSeq
+    drainOffset = log.length
+    slice
+  }
+
   /** Scenario-3 consumer (SURVEY.md s3.3): run the O-11..O-14 dataflow over
     * the change log SINCE THE LAST PASS and DEL each key — incremental
     * consumption from a committed offset, exactly like the reference's
