@@ -267,9 +267,18 @@ object Dedup {
   def containmentPairs(docs: DataFrame, contMinX1e3: Int = 900,
                        jacMaxX1e3: Int = 800,
                        cache: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh0 = hashedShingles(docs)
     val sh = if (cache) sh0.persist() else sh0
+    containmentPairsFromHashed(sh, contMinX1e3, jacMaxX1e3, cache)
+  }
+
+  /** [[containmentPairs]] over a caller-supplied hashed-shingle relation
+    * (see [[jaccardPairsLshVerifiedFromHashed]] for why).
+    */
+  private[operators] def containmentPairsFromHashed(
+      sh: DataFrame, contMinX1e3: Int, jacMaxX1e3: Int,
+      cache: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the final score rounds half-up, so containment as low as
     // (contMin - 0.5)/1000 still reports >= contMin — size the prefix for
     // that effective threshold or rounding-boundary pairs could be missed
@@ -352,6 +361,15 @@ object Dedup {
     // means the corpus is tokenized once for the whole pipeline.
     val sh0 = hashedShingles(docs)
     val sh = if (cache) sh0.persist() else sh0
+    jaccardPairsLshVerifiedFromHashed(sh, thresholdX1e3, cache)
+  }
+
+  /** [[jaccardPairsLshVerified]] over a caller-supplied hashed-shingle
+    * relation — lets a composite pipeline (q89) tokenize the corpus ONCE
+    * and feed both the Jaccard and the containment edge generators.
+    */
+  private[operators] def jaccardPairsLshVerifiedFromHashed(
+      sh: DataFrame, thresholdX1e3: Int, cache: Boolean): DataFrame = {
     // the signature table feeds BOTH bucket-join sides; one side arrives
     // via BroadcastExchange, which never reuses the other side's shuffle,
     // so without persist the 64-min aggregate runs twice (plan-verified)
@@ -797,12 +815,17 @@ object Dedup {
                                contMinX1e3: Int = 900,
                                cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val d = docs.select("doc_id", "text")
-    val edges = jaccardPairsLshVerified(d, thresholdX1e3, cache)
+    // ONE hashed-shingle relation feeds BOTH edge generators — the corpus
+    // is tokenized+exploded once for the whole composite pipeline (at
+    // 100 TB the tokenize pass dominates; everything downstream is
+    // candidates-shaped)
+    val sh0 = hashedShingles(docs.select("doc_id", "text"))
+    val sh = if (cache) sh0.persist() else sh0
+    val edges = jaccardPairsLshVerifiedFromHashed(sh, thresholdX1e3, cache)
       .select("d1", "d2")
       .unionAll(
-        containmentPairs(d, contMinX1e3, jacMaxX1e3 = thresholdX1e3, cache)
-          .select("d1", "d2"))
+        containmentPairsFromHashed(sh, contMinX1e3,
+          jacMaxX1e3 = thresholdX1e3, cache).select("d1", "d2"))
       .distinct()
     val (comps, _) = ccStarContract(edges)
     splitRepairReport(docs, comps)
