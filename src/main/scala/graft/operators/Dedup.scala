@@ -275,9 +275,14 @@ object Dedup {
   /** [[containmentPairs]] over a caller-supplied hashed-shingle relation
     * (see [[jaccardPairsLshVerifiedFromHashed]] for why).
     */
-  private[operators] def containmentPairsFromHashed(
-      sh: DataFrame, contMinX1e3: Int, jacMaxX1e3: Int,
-      cache: Boolean): DataFrame = {
+  /** q87's candidate generator, exposed for the pruning spec: distinct
+    * (d1 < d2) pairs sharing at least one shingle from either side's
+    * rarest-first prefix. Exactness argument in [[containmentPairs]];
+    * the spec additionally pins the PRUNING claim — a corpus-hot shingle
+    * must produce ~0 candidates, not df² of them.
+    */
+  private[operators] def containmentCandidates(
+      sh: DataFrame, contMinX1e3: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the final score rounds half-up, so containment as low as
     // (contMin - 0.5)/1000 still reports >= contMin — size the prefix for
@@ -292,13 +297,19 @@ object Dedup {
     val prefix = ranked
       .filter(col("rk") <= floor((lit(1.0) - lit(tEff)) * col("n")) + lit(1))
       .select("doc_id", "shingle")
-    val cand = prefix.as("p")
+    prefix.as("p")
       .join(sh.as("f"),
         col("p.shingle") === col("f.shingle") &&
           col("p.doc_id") =!= col("f.doc_id"))
       .select(least(col("p.doc_id"), col("f.doc_id")).as("d1"),
         greatest(col("p.doc_id"), col("f.doc_id")).as("d2"))
       .distinct()
+  }
+
+  private[operators] def containmentPairsFromHashed(
+      sh: DataFrame, contMinX1e3: Int, jacMaxX1e3: Int,
+      cache: Boolean): DataFrame = {
+    val cand = containmentCandidates(sh, contMinX1e3)
     // exact intersection counts restricted to candidates — join sizes scale
     // with |candidates| x shingles-per-doc, never corpus^2
     val inter = cand

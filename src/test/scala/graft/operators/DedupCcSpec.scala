@@ -180,6 +180,35 @@ class DedupCcSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must exercise at least one containment pair")
   }
 
+  test("q87: a corpus-hot shingle generates ZERO candidates (the df^2 " +
+    "explosion the prefix filter exists to kill), true containment still found") {
+    import org.apache.spark.sql.functions._
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // 200 docs all sharing the trigram "hot hot hot" + 10 unique tokens
+    // each; a full inverted self-join would emit C(200,2) = 19900 candidate
+    // rows from the hot shingle alone. Rarest-first prefixes never admit a
+    // df=200 shingle, so those pairs must not materialize.
+    val base = (1 to 200).map { i =>
+      (i.toLong, "hot hot hot " + (1 to 10).map(j => s"u${i}x$j").mkString(" "))
+    }
+    // planted true containment: a 7-token prefix excerpt of doc 1
+    val excerpt = (1000L, "hot hot hot u1x1 u1x2 u1x3 u1x4")
+    val docs = (base :+ excerpt).toDF("doc_id", "text")
+    val sh = Dedup.hashedShingles(docs)
+    val cand = Dedup.containmentCandidates(sh, 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 1000L)),
+      s"the true containment pair must survive pruning: $cand")
+    assert(cand.size <= 5,
+      s"hot-shingle pairs must be pruned (got ${cand.size} candidates; " +
+        "a full self-join would emit 19900)")
+    val got = Dedup.containmentPairs(docs, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.keySet === Set((1L, 1000L)) && got((1L, 1000L)) === 1000L,
+      s"only the planted inclusion qualifies, at containment 1.0: $got")
+  }
+
   test("q89: containment-aware repair closes the quote-in-document leak " +
     "q88's Jaccard-only components miss") {
     import org.apache.spark.sql.functions._
