@@ -291,6 +291,23 @@ final class Graft(val spark: SparkSession, dataDir: String,
     Dedup.incrementalNearDupPairs(index,
       Dedup.nearDupIndex(newDocs.select("doc_id", "text")), jaccardX1e3)
 
+  /** The CONTAINMENT index over `documents` (per-doc shingle array +
+    * rarest-first prefix) — the asymmetric analogue of [[nearDupIndex]]
+    * (q90 contract: union of per-batch pairs == whole-corpus q87).
+    */
+  def containmentIndex(): DataFrame =
+    Dedup.containmentIndex(
+      Tables.documents(spark, dataDir).select("doc_id", "text"))
+
+  /** Containment pairs a new `(doc_id, text)` batch introduces against an
+    * existing [[containmentIndex]] relation.
+    */
+  def ingestContainmentPairs(index: DataFrame, newDocs: DataFrame,
+                             contMinX1e3: Int = 900): DataFrame =
+    Dedup.incrementalContainmentPairs(index,
+      Dedup.containmentIndex(newDocs.select("doc_id", "text"), contMinX1e3),
+      contMinX1e3)
+
   /** Per-user gap-based sessions over `events` (batch twin of the
     * streaming session_window pipeline).
     */

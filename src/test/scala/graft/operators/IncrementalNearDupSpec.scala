@@ -51,4 +51,47 @@ class IncrementalNearDupSpec extends AnyFunSuite {
       Dedup.queries("q64_neardup_incremental")(spark, TestSpark.SF0001))
     assert(q64 === full)
   }
+
+  // ---- q90: the same contract lifted to the asymmetric containment regime ----
+
+  private def collect4(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+
+  private lazy val docsExc = Dedup.withPlantedExcerpts(docs)
+  private lazy val fullCont = collect4(Dedup.containmentPairs(docsExc, cache = false))
+
+  test("q90: two-batch ingest == whole-corpus containment pairs " +
+    "(stale index-time prefixes stay exact)") {
+    assert(fullCont.nonEmpty, "fixture must contain containment pairs")
+    // hash-parity split so source-excerpt pairs cross batches (doc_id
+    // parity would keep them together — excerpt id = source + 2e6)
+    graft.functions.GraftFunctions.register(spark)
+    val h = pmod(graft.functions.GraftFunctions.phash60(col("doc_id")), lit(2L))
+    val a = Dedup.containmentIndex(docsExc.filter(h === 0))
+    val b = Dedup.containmentIndex(docsExc.filter(h =!= 0))
+    val inc = Dedup.incrementalContainmentPairs(a.limit(0), a)
+      .union(Dedup.incrementalContainmentPairs(a, b))
+    assert(collect4(inc) === fullCont)
+  }
+
+  test("q90: three-batch ingest in any order == whole-corpus containment pairs") {
+    val batches = (0 to 2).map(m =>
+      Dedup.containmentIndex(docsExc.filter(col("doc_id") % 3 === m)))
+    val order = Seq(batches(1), batches(2), batches(0))
+    val inc = order.zipWithIndex.map { case (delta, i) =>
+      val index = order.take(i)
+        .reduceOption(_ unionByName _)
+        .getOrElse(delta.limit(0))
+      Dedup.incrementalContainmentPairs(index, delta)
+    }.reduce(_ union _)
+    assert(collect4(inc) === fullCont)
+  }
+
+  test("q90 catalog query matches the whole-corpus q87 result") {
+    val q90 = collect4(
+      Dedup.queries("q90_containment_incremental")(spark, TestSpark.SF0001))
+    assert(q90 === fullCont)
+  }
 }
