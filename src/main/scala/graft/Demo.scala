@@ -75,6 +75,20 @@ object Demo {
     println(s"[17] incremental ingest: ${newPairs.count()} near-dup pair(s) " +
       "introduced by the new batch (q64 contract)")
 
+    // the same append-only contract for ASYMMETRIC (quote-in-document)
+    // dedup: index the even docs' shingle prefixes, then ingest a batch
+    // containing QUOTES of indexed documents — the inclusion pairs a
+    // symmetric near-dup ingest (above) is blind to
+    val evenDocs = docsTbl.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val cIdx = graft.operators.Dedup.containmentIndex(evenDocs)
+    val quotes = graft.operators.Dedup.withPlantedExcerpts(evenDocs)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 2000000L)
+    val cPairs = g.ingestContainmentPairs(cIdx, quotes)
+    println(s"[17b] containment ingest: ${cPairs.count()} inclusion pair(s) " +
+      s"from a ${quotes.count()}-quote batch vs a ${cIdx.count()}-doc index " +
+      "(q90 contract)")
+
     println("[18] BPE tokenizer training (3 merges learned from the corpus):")
     g.trainTokenizer().show(truncate = false)
 
