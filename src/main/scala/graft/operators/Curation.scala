@@ -181,6 +181,43 @@ object Curation {
       }
       .start()
 
+  /** Streaming CONTAINMENT ingest — [[streamingNearDupIngest]]'s contract
+    * in the asymmetric regime (q90 driven by Structured Streaming): each
+    * micro-batch is indexed ([[Dedup.containmentIndex]]), its inclusion
+    * pairs against the accumulated index land in `pairsDir/batch=<id>`,
+    * its index rows in `indexDir/batch=<id>`. Same effective-exactly-once
+    * posture: per-batch-directory overwrites keyed by the checkpointed
+    * batchId, index read excludes the current batch's partition. Union of
+    * `pairsDir` over any run == the whole-corpus q87 pair set
+    * (StreamingSpec pins two-batch equality and replay idempotency —
+    * exactness under stale per-batch document frequencies is the q90
+    * argument: any floor((1-t)n)+1-subset is a valid prefix).
+    */
+  def streamingContainmentIngest(docs: DataFrame, indexDir: String,
+                                 pairsDir: String, checkpoint: String,
+                                 contMinX1e3: Int = 900)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = Dedup.containmentIndex(
+          batch.select("doc_id", "text"), contMinX1e3).persist()
+        val index =
+          try spark.read.option("basePath", indexDir).parquet(indexDir)
+            .filter(col("batch") < batchId).drop("batch")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            delta.limit(0) // first batch: no index yet
+          }
+        Dedup.incrementalContainmentPairs(index, delta, contMinX1e3)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        delta.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        delta.unpersist()
+        ()
+      }
+      .start()
+
   /** Train/eval contamination report: for every document OUTSIDE the eval
     * sample, the fraction of its distinct trigram shingles that also occur
     * in any eval-sample document (x1e3), reported when nonzero. This is

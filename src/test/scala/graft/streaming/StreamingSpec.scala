@@ -387,6 +387,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay === pairsOf(spark.read.parquet(s"$dir/pairs/batch=1")))
   }
 
+  test("streaming containment ingest: per-batch pairs union == whole " +
+    "corpus q87; replay reproduces its batch") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    import graft.sources.Tables
+    // corpus + planted excerpts so inclusion pairs exist; hash-parity
+    // batches so source-excerpt pairs CROSS the stream batches
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Dedup.withPlantedExcerpts(
+      Tables.documents(spark, TestSpark.SF0001).select("doc_id", "text"))
+    val withH = corpus.withColumn("h",
+      pmod(graft.functions.GraftFunctions.phash60(col("doc_id")), lit(2L)))
+    val rows = withH.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val (evens, odds) = rows.partition(_._3 == 0L)
+    val dir = Files.createTempDirectory("graft-contstream").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Curation.streamingContainmentIngest(
+      in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/pairs", ckpt())
+    try {
+      in.addData(evens.map(t => (t._1, t._2))); q.processAllAvailable()
+      in.addData(odds.map(t => (t._1, t._2))); q.processAllAvailable()
+    } finally q.stop()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "jaccard_x1e3", "containment_x1e3").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val got = pairsOf(spark.read.parquet(s"$dir/pairs"))
+    val full = pairsOf(Dedup.containmentPairs(corpus, cache = false))
+    assert(full.nonEmpty && got === full)
+    // replay: batch 1 re-run against the index EXCLUDING its own partition
+    // writes identical content to the same directory
+    val idx0 = spark.read.option("basePath", s"$dir/index")
+      .parquet(s"$dir/index").filter(col("batch") < 1).drop("batch")
+    val replay = pairsOf(Dedup.incrementalContainmentPairs(
+      idx0, Dedup.containmentIndex(
+        odds.map(t => (t._1, t._2)).toDF("doc_id", "text"))))
+    assert(replay === pairsOf(spark.read.parquet(s"$dir/pairs/batch=1")))
+  }
+
   test("streaming perceptual ingest: per-batch pair dumps union == whole " +
     "corpus; replay reproduces its batch") {
     import spark.implicits._
