@@ -112,6 +112,54 @@ class FixtureContractSpec extends AnyFunSuite {
     }
   }
 
+  test("the NANOS branch still works: a synthetic TIMESTAMP(NANOS) events " +
+    "file is footer-detected and rescaled to exact micros") {
+    // no driver fixture carries ns anymore (us since the Aug-13 regen), so
+    // the legacy branch gets its own hand-written parquet — written with
+    // parquet-mr directly because Spark cannot produce TIMESTAMP(NANOS).
+    // Guards the reader against a future regen BACK to ns.
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsfixture")
+    val file = new Path(s"$dir/events.parquet")
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LTA.timestampType(false, LTA.TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LTA.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LTA.stringType()).named("props")
+      .named("events")
+    val gf = new SimpleGroupFactory(schema)
+    val w = ExampleParquetWriter.builder(file)
+      .withConf(spark.sessionState.newHadoopConf())
+      .withType(schema).build()
+    val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
+    (0 until 3).foreach { i =>
+      val g = gf.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", baseNs + i * 1500L) // sub-microsecond deltas
+      g.add("user_id", 7L)
+      g.add("event_type", "signup")
+      g.add("value", 1.5)
+      g.add("props", """{"k": 1}""")
+      w.write(g)
+    }
+    w.close()
+    assert(Tables.tsIsNanos(spark, file.toString), "footer must report NANOS")
+    val df = Tables.events(spark, dir.toString)
+    assert(df.schema("ts").dataType == TimestampType)
+    val micros = df.select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // integer ns->us division, never double math: +1500 ns truncates to
+    // +1 us, +3000 ns to +3 us
+    assert(micros == Seq(baseNs / 1000, baseNs / 1000 + 1, baseNs / 1000 + 3),
+      s"ns must rescale to exact micros: $micros")
+  }
+
   test("row counts > 0 and timestamp ranges inside the declared epoch") {
     val dir = sfDirs.head
     // events declared to start 2024-01-01 (FIXTURES.md); orders/lineitem are
