@@ -64,7 +64,13 @@ object Verify {
         failed += 1
       }
     }
+    // restrict the oracle map to the dumped subset when GRAFT_VERIFY_ONLY
+    // is set, so the self-compare (and any other consumer of this dir)
+    // grades exactly what was dumped instead of reporting the undumped
+    // queries as failures. The driver never sets the env var, so the
+    // driver contract (full map) is unchanged.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
