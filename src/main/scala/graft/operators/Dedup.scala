@@ -348,11 +348,21 @@ object Dedup {
     * sorts each doc's (df, shingle) list locally (arrays are
     * document-sized). Measured 8.1 → ~5 s on the q90 ingest at sf0.1.
     */
-  private def rarestPrefix(sh: DataFrame, contMinX1e3: Int): DataFrame = {
+  private[operators] def rarestPrefix(sh: DataFrame, contMinX1e3: Int): DataFrame = {
     // the final score rounds half-up, so containment as low as
-    // (contMin - 0.5)/1000 still reports >= contMin — size the prefix for
-    // that effective threshold or rounding-boundary pairs could be missed
-    val tEff = (contMinX1e3 - 0.5) / 1000.0
+    // tEff = (contMin - 0.5)/1000 = (2*contMin - 1)/2000 still reports
+    // >= contMin — size the prefix for that effective threshold or
+    // rounding-boundary pairs could be missed. Prefix length must be the
+    // EXACT n - ceil(tEff*n) + 1; computing it as floor((1-tEff)*n)+1 in
+    // doubles is one SHORT for ~665 (threshold, n) combos (tEff is not
+    // representable; e.g. contMin=613, n=80 gives 31 vs the required 32),
+    // so do the ceil on the exact rational with integer arithmetic:
+    // ceil((2t-1)*n / 2000) = ((2t-1)*n + 1999) div 2000. The products stay
+    // < 2^53 for any realistic per-doc shingle count, so the long-typed
+    // floor-division below is exact.
+    val num = lit(2L * contMinX1e3 - 1)
+    val n = size(col("ds")).cast("long")
+    val need = floor((num * n + lit(1999L)) / lit(2000L)).cast("long")
     val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     sh.join(dfRel, "shingle")
       .groupBy("doc_id")
@@ -361,7 +371,7 @@ object Dedup {
         sort_array(transform(col("ds"), x => x.getField("shingle"))).as("sh"),
         transform(
           slice(sort_array(col("ds")), lit(1),
-            (floor((lit(1.0) - lit(tEff)) * size(col("ds"))) + lit(1)).cast("int")),
+            (n - need + lit(1L)).cast("int")),
           x => x.getField("shingle")).as("pref"))
   }
 

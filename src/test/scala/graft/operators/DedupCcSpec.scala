@@ -268,5 +268,32 @@ class DedupCcSpec extends AnyFunSuite {
       s"containment-aware assignment must leave no near-dup or containment edge straddling splits")
     assert(edges.count() > 0, "fixture must exercise at least one edge")
   }
+
+  test("prefix length is the EXACT n - ceil(tEff*n) + 1 at a double-rounding " +
+    "boundary (contMin=613, n=80: float math yields 31, the theorem needs 32)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // adversarial boundary: two docs, 80 distinct shingles each, exactly 49
+    // shared. containment = round(49*1000/80) = round(612.5) = 613 — right AT
+    // the threshold. Misses per doc = 31, so the exact prefix-filter length
+    // is 32; floor((1 - (613-0.5)/1000)*80)+1 computed in doubles gives 31
+    // because 0.3875 isn't representable, and with the 31 df=1 unique
+    // shingles sorting rarest-first BOTH prefixes would then hold only
+    // non-shared shingles — the qualifying pair would silently vanish.
+    val shared = (1L to 49L).map(s => Seq((1L, s), (2L, s))).flatten
+    val uniq = (1L to 31L).flatMap(u => Seq((1L, 1000L + u), (2L, 2000L + u)))
+    val sh = (shared ++ uniq).toDF("doc_id", "shingle")
+    val pref = Dedup.rarestPrefix(sh, 613)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert(pref(1L).size == 32 && pref(2L).size == 32,
+      s"prefix must be 32 shingles (31 misses + 1): ${pref.view.mapValues(_.size).toMap}")
+    assert(pref(1L).exists(_ <= 49L) && pref(2L).exists(_ <= 49L),
+      "each 32-element prefix must reach at least one shared shingle")
+    val got = Dedup.containmentPairsFromHashed(sh, 613, 800, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 613L)),
+      s"the rounding-boundary pair must be found at exactly containment 613: ${got.toSeq}")
+  }
 }
 
