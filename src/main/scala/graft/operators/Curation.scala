@@ -139,23 +139,98 @@ object Curation {
       .dropDuplicates("content_hash")
       .select("doc_id", "lang", "n_tokens", "quality_x1e3")
 
+  /** Directory-partition fanout of the persisted incremental indexes: each
+    * batch's rows land under `<probe-key bucket>=K` subdirectories so a
+    * later batch's probe enumerates (and READS) only the buckets its own
+    * keys hash into. 32 matches the test parallelism; a 100 TB deployment
+    * raises it (the bucket count is a layout constant baked into one
+    * index, not a cross-run contract — changing it means rebuilding the
+    * index, same as any bucketed table).
+    */
+  private[operators] val IDX_BUCKETS = 32L
+
+  private def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(IDX_BUCKETS))
+
+  /** Enumerate the `batch=K/<bkCol>=B` partition directories of a bucketed
+    * incremental index with K < `batchId` (replay safety: a failed
+    * attempt's own partition is invisible to its retry) and B in `bkts`
+    * (the probe pruning). A MISSING base dir means "first batch, no index
+    * yet" and returns Nil; any OTHER filesystem failure propagates so a
+    * transient mid-run error fails the batch loudly instead of silently
+    * emitting within-batch pairs only.
+    */
+  private[operators] def prunedBatchPaths(spark: SparkSession, dir: String,
+                                          batchId: Long, bkCol: String,
+                                          bkts: Set[Long]): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Nil
+    require(fs.getFileStatus(base).isDirectory,
+      s"incremental index path $dir exists but is not a directory")
+    val wanted = bkts.map(b => s"$bkCol=$b")
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        s.getPath.getName.stripPrefix("batch=").toLong < batchId)
+      .flatMap(s => fs.listStatus(s.getPath).toSeq)
+      .filter(c => c.isDirectory && wanted.contains(c.getPath.getName))
+      .map(_.getPath.toString)
+  }
+
+  /** Read the pruned subset of a bucketed incremental index, with
+    * `schemaLike`'s columns; empty (zero paths) reads come back as an
+    * empty frame of the same shape.
+    */
+  private[operators] def readPrunedIndex(spark: SparkSession, dir: String,
+                                         batchId: Long, bkCol: String,
+                                         bkts: Set[Long],
+                                         schemaLike: DataFrame): DataFrame = {
+    val paths = prunedBatchPaths(spark, dir, batchId, bkCol, bkts)
+    val cols = schemaLike.columns.map(col).toSeq
+    if (paths.isEmpty) schemaLike.limit(0)
+    else spark.read.option("basePath", dir).parquet(paths: _*)
+      .select(cols: _*)
+  }
+
+  private def writeBucketedBatch(df: DataFrame, dir: String, batchId: Long,
+                                 bkCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(bkCol)
+      .parquet(s"$dir/batch=$batchId")
+
+  /** Collect a bucket-id column to a driver Set — bounded by IDX_BUCKETS
+    * values by construction, the same ≤page-of-longs driver state as a
+    * broadcast threshold, never data-sized.
+    */
+  private def bucketSet(df: DataFrame, c: String): Set[Long] =
+    df.select(col(c)).distinct().collect().map(_.getLong(0)).toSet
+
   /** Streaming NEAR-dup ingest — the q64 incremental contract driven by
     * Structured Streaming: each micro-batch of `(doc_id, text)` docs is
     * indexed ([[Dedup.nearDupIndex]]), its verified pairs against the
     * accumulated index land in `pairsDir/batch=<id>`, and its index rows
-    * in `indexDir/batch=<id>`.
+    * under `indexDir` in a BUCKETED two-relation layout:
     *
-    * Effective exactly-once WITHOUT a transactional table format: both
+    *   - `indexDir/docs/batch=<id>/dbkt=<doc_id mod 32>/` — doc-keyed
+    *     `(doc_id, sig, sh)` rows (the verify side);
+    *   - `indexDir/bands/batch=<id>/bb=<bh mod 32>/` — the banded
+    *     `(doc_id, band, bh)` posting projection (the probe side).
+    *
+    * A later batch reads ONLY the bucket directories its own band hashes
+    * (then its candidates' doc ids) fall into — per-batch probe I/O scales
+    * with the delta's bucket coverage, not with the accumulated corpus,
+    * which is what makes a long-running 100 TB stream viable (the old
+    * layout re-read the ENTIRE index every micro-batch). Both bucket sets
+    * are driver-collected but bounded at IDX_BUCKETS values each.
+    *
+    * Effective exactly-once WITHOUT a transactional table format: all
     * writes are per-batch-directory overwrites keyed by the checkpointed
     * batchId, so a replayed batch rewrites its own directories
     * deterministically, and the index read excludes the current batchId's
     * partition — a half-written failed attempt can neither duplicate
     * index rows nor leak into its own candidate join. Union of
     * `pairsDir` over any run == the whole-corpus q22 pair set
-    * (StreamingSpec pins two-batch equality and replay idempotency).
-    * At 100 TB each batch directory is delta-sized; periodic compaction
-    * of `indexDir` into the (band, bh)-bucketed layout (SCALING.md) is
-    * an offline concern, exactly like q58's exact-hash index.
+    * (StreamingSpec pins two-batch equality and replay idempotency;
+    * IncrementalIndexSpec pins the strict-subset file pruning).
     */
   def streamingNearDupIngest(docs: DataFrame, indexDir: String,
                              pairsDir: String, checkpoint: String,
@@ -167,16 +242,24 @@ object Curation {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val delta = Dedup.nearDupIndex(batch.select("doc_id", "text")).persist()
-        val index =
-          try spark.read.option("basePath", indexDir).parquet(indexDir)
-            .filter(col("batch") < batchId).drop("batch")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            delta.limit(0) // first batch: no index yet
-          }
-        Dedup.incrementalNearDupPairs(index, delta, thresholdX1e3)
+        val deltaB = Dedup.bandBuckets(delta.select("doc_id", "sig"),
+            carrySig = false)
+          .withColumn("bb", bucketOf(col("bh"))).persist()
+        val idxBands = readPrunedIndex(spark, s"$indexDir/bands", batchId,
+          "bb", bucketSet(deltaB, "bb"), deltaB.drop("bb"))
+        val cand = Dedup.nearDupCandidates(
+          idxBands.unionByName(deltaB.drop("bb")), deltaB.drop("bb")).persist()
+        val dbkts = bucketSet(
+          cand.select(explode(array(col("d1"), col("d2"))).as("id"))
+            .select(bucketOf(col("id")).as("dbkt")), "dbkt")
+        val idxDocs = readPrunedIndex(spark, s"$indexDir/docs", batchId,
+          "dbkt", dbkts, delta)
+        Dedup.nearDupVerify(cand, idxDocs.unionByName(delta), thresholdX1e3)
           .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        delta.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        delta.unpersist()
+        writeBucketedBatch(delta.withColumn("dbkt", bucketOf(col("doc_id"))),
+          s"$indexDir/docs", batchId, "dbkt")
+        writeBucketedBatch(deltaB, s"$indexDir/bands", batchId, "bb")
+        cand.unpersist(); deltaB.unpersist(); delta.unpersist()
         ()
       }
       .start()
@@ -185,13 +268,29 @@ object Curation {
     * in the asymmetric regime (q90 driven by Structured Streaming): each
     * micro-batch is indexed ([[Dedup.containmentIndex]]), its inclusion
     * pairs against the accumulated index land in `pairsDir/batch=<id>`,
-    * its index rows in `indexDir/batch=<id>`. Same effective-exactly-once
+    * its index rows under `indexDir` in the bucketed two-relation layout:
+    *
+    *   - `indexDir/docs/batch=<id>/dbkt=<doc_id mod 32>/` — doc-keyed
+    *     `(doc_id, sh, pref)` rows (the verify side);
+    *   - `indexDir/post/batch=<id>/sbkt=<shingle mod 32>/` — exploded
+    *     `(doc_id, shingle, is_pref)` postings (the probe side;
+    *     `is_pref` marks the doc's rarest-prefix subset so BOTH probe
+    *     directions read the one relation).
+    *
+    * The candidate probe needs index postings only for shingles the delta
+    * itself carries (direction 1 probes delta prefixes against index
+    * postings; direction 2 probes index PREFIX postings against delta
+    * shingles, and prefix ⊆ full keeps its buckets inside the delta's full
+    * set), so each micro-batch enumerates and reads only the matching
+    * `sbkt` directories — probe I/O scales with the delta's bucket
+    * coverage, not the accumulated corpus. Same effective-exactly-once
     * posture: per-batch-directory overwrites keyed by the checkpointed
     * batchId, index read excludes the current batch's partition. Union of
     * `pairsDir` over any run == the whole-corpus q87 pair set
     * (StreamingSpec pins two-batch equality and replay idempotency —
     * exactness under stale per-batch document frequencies is the q90
-    * argument: any floor((1-t)n)+1-subset is a valid prefix).
+    * argument: any exact-length subset of a doc's shingles is a valid
+    * prefix).
     */
   def streamingContainmentIngest(docs: DataFrame, indexDir: String,
                                  pairsDir: String, checkpoint: String,
@@ -204,16 +303,36 @@ object Curation {
         val spark = batch.sparkSession
         val delta = Dedup.containmentIndex(
           batch.select("doc_id", "text"), contMinX1e3).persist()
-        val index =
-          try spark.read.option("basePath", indexDir).parquet(indexDir)
-            .filter(col("batch") < batchId).drop("batch")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            delta.limit(0) // first batch: no index yet
-          }
-        Dedup.incrementalContainmentPairs(index, delta, contMinX1e3)
+        // exploded postings; is_pref via array membership (pref is the
+        // doc's rarest ~(1-t) fraction, so the per-row scan is small)
+        val deltaPost = delta
+          .select(col("doc_id"), explode(col("sh")).as("shingle"),
+            array_contains(col("pref"), col("shingle")).as("is_pref"))
+          .withColumn("sbkt", bucketOf(col("shingle"))).persist()
+        val idxPost = readPrunedIndex(spark, s"$indexDir/post", batchId,
+          "sbkt", bucketSet(deltaPost, "sbkt"), deltaPost.drop("sbkt"))
+        val allPost = idxPost.unionByName(deltaPost.drop("sbkt"))
+        def half(p: DataFrame, f: DataFrame) = p.as("p")
+          .join(f.as("f"),
+            col("p.shingle") === col("f.shingle") &&
+              col("p.doc_id") =!= col("f.doc_id"))
+          .select(least(col("p.doc_id"), col("f.doc_id")).as("d1"),
+            greatest(col("p.doc_id"), col("f.doc_id")).as("d2"))
+        val cand = half(deltaPost.filter(col("is_pref")), allPost)
+          .union(half(allPost.filter(col("is_pref")), deltaPost.drop("sbkt")))
+          .distinct().persist()
+        val dbkts = bucketSet(
+          cand.select(explode(array(col("d1"), col("d2"))).as("id"))
+            .select(bucketOf(col("id")).as("dbkt")), "dbkt")
+        val idxDocs = readPrunedIndex(spark, s"$indexDir/docs", batchId,
+          "dbkt", dbkts, delta)
+        Dedup.containmentVerify(cand, idxDocs.unionByName(delta),
+            contMinX1e3, 800)
           .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        delta.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        delta.unpersist()
+        writeBucketedBatch(delta.withColumn("dbkt", bucketOf(col("doc_id"))),
+          s"$indexDir/docs", batchId, "dbkt")
+        writeBucketedBatch(deltaPost, s"$indexDir/post", batchId, "sbkt")
+        cand.unpersist(); deltaPost.unpersist(); delta.unpersist()
         ()
       }
       .start()

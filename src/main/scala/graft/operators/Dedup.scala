@@ -83,7 +83,7 @@ object Dedup {
     * the signature array along for consumers that compute the minhash
     * estimate on collisions.
     */
-  private def bandBuckets(sig: DataFrame, carrySig: Boolean): DataFrame = {
+  private[operators] def bandBuckets(sig: DataFrame, carrySig: Boolean): DataFrame = {
     val bandCols = (0 until N_BANDS).map { b =>
       val cols = (0 until ROWS_PER_BAND).map(r =>
         element_at(col("sig"), b * ROWS_PER_BAND + r + 1))
@@ -406,13 +406,25 @@ object Dedup {
     val cand = half(pref(delta), full(all))
       .union(half(pref(all), full(delta)))
       .distinct()
+    containmentVerify(cand, all, contMinX1e3, jacMaxX1e3)
+  }
+
+  /** Containment + Jaccard verification of candidate pairs against a
+    * doc-keyed `(doc_id, sh, …)` relation covering every candidate
+    * endpoint — local `array_intersect` over the carried arrays (the q90
+    * verify tail, shared by the in-memory and the persisted-bucketed-index
+    * paths).
+    */
+  private[operators] def containmentVerify(cand: DataFrame, docs: DataFrame,
+                                           contMinX1e3: Int,
+                                           jacMaxX1e3: Int): DataFrame = {
     val jac = floor(col("nboth") * lit(1000.0) /
       (col("n1") + col("n2") - col("nboth")) + lit(0.5)).cast("long")
     val cont = floor(col("nboth") * lit(1000.0) /
       least(col("n1"), col("n2")) + lit(0.5)).cast("long")
     cand
-      .join(all.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(all.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("nboth"),
         size(col("sh1")).cast("long").as("n1"),
@@ -816,20 +828,40 @@ object Dedup {
     val all = index.unionByName(delta)
     val allB = bandBuckets(all.select("doc_id", "sig"), carrySig = false)
     val deltaB = bandBuckets(delta.select("doc_id", "sig"), carrySig = false)
-    // canonical (least, greatest) orientation both dedups band collisions
-    // and stops a delta-delta pair from appearing in both directions
-    val cand = allB.as("a")
+    nearDupVerify(nearDupCandidates(allB, deltaB), all, thresholdX1e3)
+  }
+
+  /** Band-collision candidates of a banded delta against a banded corpus
+    * (which must INCLUDE the delta's own band rows so delta-delta pairs
+    * appear). Canonical (least, greatest) orientation both dedups band
+    * collisions and stops a delta-delta pair from appearing in both
+    * directions. Factored out of [[incrementalNearDupPairs]] so the
+    * bucketed persisted-index ingest (Curation) can feed it a
+    * partition-pruned corpus side instead of a full index scan.
+    */
+  private[operators] def nearDupCandidates(allB: DataFrame,
+                                           deltaB: DataFrame): DataFrame =
+    allB.as("a")
       .join(deltaB.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against a doc-keyed
+    * `(doc_id, …, sh)` relation that must cover every candidate endpoint —
+    * a LOCAL `array_intersect` over the carried arrays, never a
+    * corpus-wide shingle join (the q64 verify tail, shared by the
+    * in-memory and the persisted-bucketed-index paths).
+    */
+  private[operators] def nearDupVerify(cand: DataFrame, docs: DataFrame,
+                                       thresholdX1e3: Int): DataFrame = {
     val jac = floor(col("nboth") * lit(1000.0) /
       (col("n1") + col("n2") - col("nboth")) + lit(0.5)).cast("long")
     cand
-      .join(all.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(all.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("nboth"),
         size(col("sh1")).cast("long").as("n1"),

@@ -380,8 +380,9 @@ class StreamingSpec extends AnyFunSuite {
     // replay posture: a retry of batch 1 reads the index EXCLUDING its own
     // partition (even if a failed attempt already wrote it) and overwrites
     // the same directory with identical content
-    val idx0 = spark.read.option("basePath", s"$dir/index")
-      .parquet(s"$dir/index").filter(col("batch") < 1).drop("batch")
+    val idx0 = spark.read.option("basePath", s"$dir/index/docs")
+      .parquet(s"$dir/index/docs").filter(col("batch") < 1)
+      .select("doc_id", "sig", "sh")
     val replay = pairsOf(Dedup.incrementalNearDupPairs(
       idx0, Dedup.nearDupIndex(odds.toDF("doc_id", "text")), 800))
     assert(replay === pairsOf(spark.read.parquet(s"$dir/pairs/batch=1")))
@@ -420,8 +421,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(full.nonEmpty && got === full)
     // replay: batch 1 re-run against the index EXCLUDING its own partition
     // writes identical content to the same directory
-    val idx0 = spark.read.option("basePath", s"$dir/index")
-      .parquet(s"$dir/index").filter(col("batch") < 1).drop("batch")
+    val idx0 = spark.read.option("basePath", s"$dir/index/docs")
+      .parquet(s"$dir/index/docs").filter(col("batch") < 1)
+      .select("doc_id", "sh", "pref")
     val replay = pairsOf(Dedup.incrementalContainmentPairs(
       idx0, Dedup.containmentIndex(
         odds.map(t => (t._1, t._2)).toDF("doc_id", "text"))))
