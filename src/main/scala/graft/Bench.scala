@@ -45,23 +45,74 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // Box-state sampling: a degraded or contended machine is the recorded
+    // alternative hypothesis for any regression (NOTES rounds 6/9), so the
+    // artifact carries the evidence to defend itself — 1-min loadavg and
+    // MemAvailable per query, wall-clock timestamps per query, and the
+    // CONTROL-query medians vs the committed idle-box reference
+    // (tools/bench_ref.json). bench_diff.py reads all three to label a
+    // family failure environment-vs-code without hand forensics.
+    def load1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def memAvailGb(): Double =
+      try {
+        val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+          .collectFirst { case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong }
+        kb.map(_ / 1048576.0).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+
+    val wallStart = java.time.Instant.now()
+    val loadStart = load1(); val memStart = memAvailGb()
     names.foreach(runOnce) // warm-up pass, untimed
     val results = names.map { n =>
+      val t0 = System.currentTimeMillis() / 1000
       val ts = (1 to runs).map(_ => runOnce(n)).sorted
-      n -> ts // sorted samples; median = ts(runs / 2)
+      (n, ts, t0, load1(), memAvailGb()) // sorted samples; median = ts(runs/2)
     }
+    val wallEnd = java.time.Instant.now()
+    val loadEnd = load1(); val memEnd = memAvailGb()
+
     val qs = results
-      .map { case (k, ts) => "\"" + k + "\":" + f"${ts(runs / 2)}%.3f" }
+      .map { case (k, ts, _, _, _) => "\"" + k + "\":" + f"${ts(runs / 2)}%.3f" }
       .mkString("{", ",", "}")
     val stats = results
-      .map { case (k, ts) =>
+      .map { case (k, ts, t0, l1, mem) =>
         "\"" + k + "\":" +
-          f"""{"med":${ts(runs / 2)}%.3f,"min":${ts.head}%.3f,"max":${ts.last}%.3f}"""
+          f"""{"med":${ts(runs / 2)}%.3f,"min":${ts.head}%.3f,"max":${ts.last}%.3f,"t":$t0,"l1":$l1%.1f,"mem_gb":$mem%.1f}"""
       }
       .mkString("{", ",", "}")
+    // Controls: three fixed queries spanning the cost range whose sources
+    // change rarely; their medians against the committed idle-box reference
+    // give a uniform-slowdown box factor (median of the three ratios). The
+    // r9 driver run showed interference can ALSO be selective (controls
+    // clean, heavy aggregates 5x) — that case is caught by bench_diff's
+    // run-minimum and idle-reference tiers, not this factor.
+    val controlRef = Map("q01_scan" -> 0.062, "q22_minhash_lsh" -> 1.744,
+      "q57_curation_strict" -> 3.524) // tools/bench_ref.json medians
+    val ctl = results.collect {
+      case (k, ts, _, _, _) if controlRef.contains(k) && ts(runs / 2) > 0 =>
+        k -> ts(runs / 2)
+    }.toMap
+    val boxFactor: Option[Double] = if (ctl.size == controlRef.size) {
+      val rs = ctl.map { case (k, v) => v / controlRef(k) }.toSeq.sorted
+      Some(rs(rs.size / 2))
+    } else None
+    val controls = (ctl.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" } :+
+      s""""ref":${controlRef.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")}""" :+
+      f""""box_factor":${boxFactor.map(b => f"$b%.3f").getOrElse("null")}%s""")
+      .mkString("{", ",", "}")
+    val env =
+      f"""{"start":"$wallStart","end":"$wallEnd","load1_start":$loadStart%.1f,"load1_end":$loadEnd%.1f,"mem_gb_start":$memStart%.1f,"mem_gb_end":$memEnd%.1f}"""
+
     val total = results.map(_._2(runs / 2)).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$stats,"n_runs":$runs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$stats,"controls":$controls,"env":$env,"n_runs":$runs,"sf":"$sfDir"}"""
     // stdout is the driver contract (bare line — build.sbt routes forked run
     // output through StdoutOutput so sbt adds no "[info] " prefix); the file
     // copy is a fallback the driver (or a human) can read if stdout is ever
@@ -75,7 +126,7 @@ object Bench {
     // recorded "parsed": null). So the LAST line is a compact summary that
     // always survives the tail window — full detail stays in bench_out.json
     // and in the full line above.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_runs":$runs,"sf":"$sfDir","detail":"bench_out.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_runs":$runs,"sf":"$sfDir","box_factor":${boxFactor.map(b => f"$b%.3f").getOrElse("null")}%s,"detail":"bench_out.json"}""")
     spark.stop()
   }
 }
