@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Build-once curation-index artifact shared by the q87/q89/q90 catalog
+  * queries (the `Clustering.ensureIvfPqIndex` pattern applied to text
+  * dedup): ONE relation `(doc_id, sig, sh, pref)` over the planted corpus —
+  * minhash signature, sorted distinct hashed-shingle array, and the
+  * exact-length rarest-first containment prefix — built with a single
+  * tokenize+explode pass and persisted content-keyed.
+  *
+  * Why: q87, q89 and q90 each re-derived hashed shingles, document
+  * frequencies and prefixes from raw text on every invocation, although
+  * all three consume the same corpus. At 100 TB the tokenize pass IS the
+  * dominant cost, and it is also the part that never changes between
+  * queries over an immutable corpus snapshot — exactly what an artifact
+  * amortizes. Every downstream probe (band join, prefix probe, local
+  * array_intersect verify) reads the arrays, never the text.
+  *
+  * The directory is CONTENT-KEYED — md5 of (corpus path, row count,
+  * doc_id checksum, contMin, N_HASHES, artifact version) — so a stale
+  * artifact can never serve a different corpus, threshold, or algorithm
+  * revision; it just misses and rebuilds.
+  */
+object DedupArtifacts {
+
+  private def artifactRoot: String =
+    sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "/root/repo/target/graft-artifacts")
+
+  private val ARTIFACT_VERSION = 1
+
+  private val builtDirs = scala.collection.mutable.Set[String]()
+  // (sfDir, contMin) -> resolved dir: fixtures are immutable, so the
+  // corpus fingerprint needs computing once per corpus per session
+  private val dirCache = scala.collection.mutable.Map[String, String]()
+
+  /** The in-memory curation-index relation `(doc_id, sig, sh, pref)` —
+    * the artifact's content, also consumed directly by equality specs.
+    * One hashed-shingle pass feeds both aggregates.
+    */
+  private[operators] def buildCurationIndex(docs: DataFrame,
+                                            contMinX1e3: Int): DataFrame = {
+    val sh = Dedup.hashedShingles(docs)
+    Dedup.nearDupIndexFromHashed(sh).select("doc_id", "sig")
+      .join(Dedup.rarestPrefix(sh, contMinX1e3), "doc_id")
+  }
+
+  /** Resolve (building if absent) the artifact directory for the planted
+    * corpus of `sfDir` at `contMinX1e3`.
+    */
+  private[graft] def ensureCurationIndex(spark: SparkSession, sfDir: String,
+                                         contMinX1e3: Int = 900): String =
+    dirCache.synchronized {
+      dirCache.getOrElseUpdate(s"$sfDir|$contMinX1e3",
+        ensureUncached(spark, sfDir, contMinX1e3))
+    }
+
+  private def ensureUncached(spark: SparkSession, sfDir: String,
+                             contMinX1e3: Int): String = {
+    val docs = Dedup.withPlantedExcerpts(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val fp = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
+      .collect()(0)
+    val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}" +
+      s"|cont=$contMinX1e3|nh=64|v=$ARTIFACT_VERSION"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dir = s"$artifactRoot/curidx_$digest"
+    this.synchronized {
+      if (!builtDirs.contains(dir)) {
+        val marker = new java.io.File(s"$dir/_GRAFT_INDEX_OK")
+        if (!marker.exists()) {
+          buildCurationIndex(docs, contMinX1e3)
+            .write.mode("overwrite").parquet(dir)
+          marker.createNewFile()
+        }
+        builtDirs += dir
+      }
+    }
+    dir
+  }
+}

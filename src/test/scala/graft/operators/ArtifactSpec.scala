@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+/** The build-once curation-index artifact (q87/q89/q90) must be a pure
+  * CACHE: every from-index query path returns bit-identical output to its
+  * from-raw-text twin on the fixture corpus. The artifact build itself is
+  * also exercised through the content-keyed ensure path (same-session
+  * memoization + on-disk marker).
+  */
+class ArtifactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plantedDocs =
+    Dedup.withPlantedExcerpts(
+      Tables.documents(spark, TestSpark.SF0001).select("doc_id", "text"))
+
+  private lazy val idx =
+    DedupArtifacts.buildCurationIndex(plantedDocs, 900).persist()
+
+  test("containmentPairsFromIndex == containmentPairs on the planted corpus") {
+    val fromIdx = containmentRows(
+      Dedup.containmentPairsFromIndex(idx, 900, 800))
+    val direct = containmentRows(
+      Dedup.containmentPairs(plantedDocs, cache = false))
+    assert(fromIdx.nonEmpty && fromIdx === direct,
+      s"missing=${direct -- fromIdx} extra=${fromIdx -- direct}")
+  }
+
+  private def containmentRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("d1", "d2", "jaccard_x1e3", "containment_x1e3").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("leakFreeSplitContainmentFromIndex == leakFreeSplitContainment") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val fromIdx = rows(
+      Dedup.leakFreeSplitContainmentFromIndex(plantedDocs, idx))
+    val direct = rows(
+      Dedup.leakFreeSplitContainment(plantedDocs, cache = false))
+    assert(fromIdx === direct)
+  }
+
+  test("ensureCurationIndex is content-keyed and builds once per session") {
+    val d1 = DedupArtifacts.ensureCurationIndex(spark, TestSpark.SF0001)
+    val d2 = DedupArtifacts.ensureCurationIndex(spark, TestSpark.SF0001)
+    assert(d1 === d2)
+    assert(new java.io.File(s"$d1/_GRAFT_INDEX_OK").exists())
+    // the persisted relation matches the in-memory build
+    val stored = spark.read.parquet(d1)
+    assert(stored.columns.sorted.toSeq ===
+      Seq("doc_id", "pref", "sh", "sig"))
+    assert(stored.count() === idx.count())
+  }
+}
