@@ -69,9 +69,12 @@ object Tables {
   }
 
   /** True iff the parquet `ts` column is annotated TIMESTAMP with NANOS
-    * unit. One driver-side footer read of a single data file — O(KB), no
-    * row data touched; at cluster scale this is the same footer the
-    * scheduler reads anyway for row-group planning.
+    * unit. Driver-side footer reads only — O(KB) per file, no row data
+    * touched; at cluster scale this is the same footer the scheduler
+    * reads anyway for row-group planning. When the dataset is a directory
+    * with several data files, ALL footers must agree: the whole-dataset
+    * reader applies ONE unit branch, so a mixed-unit regen would silently
+    * decode some files at 1000x the wrong scale — fail loudly instead.
     */
   private[graft] def tsIsNanos(s: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
@@ -81,21 +84,29 @@ object Tables {
     val hconf = s.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
-    val dataFile =
+    val dataFiles =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .minBy(_.getName.toString)
-      else p
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, hconf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      schema.containsField("ts") && (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-        case _ => false
-      })
-    } finally reader.close()
+          .sortBy(_.getName.toString).toSeq
+      else Seq(p)
+    def nanosOf(f: Path): Boolean = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") && (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      } finally reader.close()
+    }
+    val units = dataFiles.map(f => f -> nanosOf(f))
+    require(units.map(_._2).distinct.size <= 1,
+      s"mixed timestamp units across data files of $path: " +
+        units.map { case (f, n) => s"${f.getName}=${if (n) "ns" else "us"}" }
+          .mkString(", "))
+    units.headOption.exists(_._2)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -74,7 +74,16 @@ final class MiniRespServer extends AutoCloseable {
           in.read(); in.read() // \r\n
           new String(buf, UTF_8)
         }
-        parts.head.toUpperCase match {
+        // arity per command, checked BEFORE indexing into parts: a short
+        // SET must get a -ERR reply like real Redis ("wrong number of
+        // arguments"), not an escaped IndexOutOfBounds that silently
+        // closes the connection and leaves the client blocked until EOF
+        val cmd = if (parts.isEmpty) "" else parts.head.toUpperCase
+        val arity = Map("PING" -> 1, "SET" -> 3, "GET" -> 2, "DEL" -> 2,
+          "DBSIZE" -> 1)
+        if (arity.get(cmd).exists(_ != parts.length)) {
+          reply(s"-ERR wrong number of arguments for '${cmd.toLowerCase}' command\r\n")
+        } else cmd match {
           case "PING"   => reply("+PONG\r\n")
           case "SET"    => data.put(parts(1), parts(2)); reply("+OK\r\n")
           case "GET"    =>

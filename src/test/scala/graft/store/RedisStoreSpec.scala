@@ -34,6 +34,25 @@ class RedisStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.del("weird")
   }
 
+  test("a short-arity command gets -ERR on the wire, and the connection survives") {
+    // raw socket: a buggy client sending SET with one argument must see a
+    // protocol error (real Redis's 'wrong number of arguments'), not a
+    // silent close that blocks it until EOF
+    val sock = new java.net.Socket("127.0.0.1", server.port)
+    try {
+      val out = sock.getOutputStream
+      out.write("*2\r\n$3\r\nSET\r\n$1\r\nk\r\n".getBytes("UTF-8")); out.flush()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val err = in.readLine()
+      assert(err != null && err.startsWith("-ERR wrong number of arguments"),
+        s"got: $err")
+      // same connection still serves well-formed commands afterwards
+      out.write("*1\r\n$4\r\nPING\r\n".getBytes("UTF-8")); out.flush()
+      assert(in.readLine() === "+PONG")
+    } finally sock.close()
+  }
+
   test("reconnects once after the server drops the connection") {
     store.put("a", "1")
     server.dropConnections()          // simulate cache-tier failover
