@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Linear-scale growth smoke for the containment family (VERDICT r9 #4):
+  * replicate the planted corpus R times with DISTINCT content per replica
+  * (doc_id offset + a per-replica token suffix, so each replica keeps the
+  * original's pair structure but shares no shingle across replicas), then
+  * measure candidate counts and wall time of the q87/q89/q90 shapes at 1x
+  * and Rx. The prefix filter's claim is that candidates and time grow
+  * ~linearly in corpus size when the new content is unrelated — an
+  * all-pairs-shaped bug would grow them ~quadratically. Run via
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.operators.GrowthSmoke"
+  * Measured numbers live in SCALING.md; GrowthSpec pins the count
+  * linearity (exactly Rx pairs, ~linear candidates) at sf0.001.
+  */
+object GrowthSmoke {
+
+  /** R copies of the corpus: replica 0 verbatim; replica r shifts doc_id
+    * by r*1e7 and suffixes every token with "_r<r>", preserving per-doc
+    * token counts, df distribution and pair structure inside the replica
+    * while guaranteeing zero shared shingles across replicas.
+    */
+  private[operators] def replicate(docs: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        array_join(
+          transform(split(col("text"), " "), t => concat(t, lit(s"_r$r"))),
+          " ").as("text"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = graft.Sessions.localFromEnv(defaultCpus = "32", logLevel = "ERROR")
+    val base = Dedup.withPlantedExcerpts(
+      graft.sources.Tables.documents(spark, sfDir).select("doc_id", "text"))
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    for (scale <- Seq(1, 10)) {
+      val corpus = replicate(base, scale)
+      val (idx, tBuild) = timed {
+        val i = DedupArtifacts.buildCurationIndex(corpus, 900).persist()
+        i.count(); i
+      }
+      val (nCand, tCand) = timed(
+        Dedup.containmentCandidates(Dedup.hashedShingles(corpus), 900).count())
+      val (nPairs, tQ87) = timed(
+        Dedup.containmentPairsFromIndex(idx, 900, 800).count())
+      val (_, tQ89) = timed(
+        Dedup.leakFreeSplitContainmentFromIndex(corpus, idx).count())
+      val (nInc, tQ90) = timed {
+        val h = pmod(graft.operators.Sketches.phash60(col("doc_id")), lit(2L))
+        val slim = idx.select("doc_id", "sh", "pref")
+        val a = slim.filter(h === 0).persist()
+        val n = Dedup.incrementalContainmentPairs(a.limit(0), a)
+          .union(Dedup.incrementalContainmentPairs(a, slim.filter(h =!= 0)))
+          .count()
+        a.unpersist(); n
+      }
+      println(f"[growth] scale=${scale}%2d docs=${corpus.count()}%7d " +
+        f"cand=$nCand%8d pairs=$nPairs%6d inc_pairs=$nInc%6d " +
+        f"t_build=$tBuild%6.2f t_cand=$tCand%6.2f t_q87=$tQ87%6.2f " +
+        f"t_q89=$tQ89%6.2f t_q90=$tQ90%6.2f")
+      idx.unpersist()
+    }
+    spark.stop()
+  }
+}

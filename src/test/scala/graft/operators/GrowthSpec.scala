@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.Tables
+
+/** Pins the prefix filter's SCALE claim, not just its correctness: on a
+  * corpus replicated 10x with distinct content (GrowthSmoke.replicate —
+  * same pair structure per replica, zero shared shingles across
+  * replicas), qualifying pairs must grow EXACTLY 10x and candidates
+  * ~linearly. An all-pairs-shaped regression would grow candidates ~100x
+  * and fail loudly here long before a 100 TB corpus does.
+  */
+class GrowthSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("10x distinct-content replication grows containment pairs exactly " +
+    "10x and candidates ~linearly") {
+    val base = Dedup.withPlantedExcerpts(
+      Tables.documents(spark, TestSpark.SF0001).select("doc_id", "text"))
+    def measure(scale: Int): (Long, Long) = {
+      val corpus = GrowthSmoke.replicate(base, scale)
+      val sh = Dedup.hashedShingles(corpus).persist()
+      val cand = Dedup.containmentCandidates(sh, 900).count()
+      val pairs = Dedup.containmentPairsFromHashed(sh, 900, 800,
+        cache = false).count()
+      sh.unpersist()
+      (cand, pairs)
+    }
+    val (cand1, pairs1) = measure(1)
+    val (cand10, pairs10) = measure(10)
+    assert(pairs1 > 0, "fixture must exercise containment pairs")
+    assert(pairs10 === 10 * pairs1,
+      s"replicas share no shingles, so pairs must be exactly 10x: " +
+        s"$pairs10 vs 10*$pairs1")
+    assert(cand10 <= 15L * cand1,
+      s"candidates must stay ~linear (all-pairs would be ~100x): " +
+        s"$cand10 vs $cand1")
+  }
+}
