@@ -91,8 +91,8 @@ object Bench {
     // r9 driver run showed interference can ALSO be selective (controls
     // clean, heavy aggregates 5x) — that case is caught by bench_diff's
     // run-minimum and idle-reference tiers, not this factor.
-    val controlRef = Map("q01_scan" -> 0.062, "q22_minhash_lsh" -> 1.744,
-      "q57_curation_strict" -> 3.524) // tools/bench_ref.json medians
+    val controlRef = Map("q01_scan" -> 0.066, "q22_minhash_lsh" -> 1.632,
+      "q57_curation_strict" -> 4.180) // tools/bench_ref.json medians (r10)
     val ctl = results.collect {
       case (k, ts, _, _, _) if controlRef.contains(k) && ts(runs / 2) > 0 =>
         k -> ts(runs / 2)
