@@ -168,6 +168,7 @@ object Curation {
     if (!fs.exists(base)) return Nil
     require(fs.getFileStatus(base).isDirectory,
       s"incremental index path $dir exists but is not a directory")
+    recoverCompaction(fs, base)
     val wanted = bkts.map(b => s"$bkCol=$b")
     fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
@@ -175,6 +176,101 @@ object Curation {
       .flatMap(s => fs.listStatus(s.getPath).toSeq)
       .filter(c => c.isDirectory && wanted.contains(c.getPath.getName))
       .map(_.getPath.toString)
+  }
+
+  private val COMPACT_TMP = ".compact-tmp"
+  private val COMPACT_MARKER = ".compact-commit"
+
+  /** Finish (or roll back) a compaction that crashed mid-protocol —
+    * idempotent, run before every index read. The commit MARKER is the
+    * pivot: before it exists the original batch dirs are authoritative
+    * and a leftover tmp is deleted; once it exists the merged tmp is
+    * authoritative (deletes of the originals may have begun), so recovery
+    * deletes the remaining merged-in originals, publishes tmp as
+    * `batch=0`, and clears the marker. The marker file records the
+    * compaction's `upToBatch` so recovery knows which dirs were merged.
+    */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                base: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(base, COMPACT_TMP)
+    val marker = new org.apache.hadoop.fs.Path(base, COMPACT_MARKER)
+    if (fs.exists(marker)) {
+      val upTo = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+      // if tmp is gone the rename already happened and batch=0 IS the
+      // compacted output — keep it; otherwise any batch=0 present is an
+      // unmerged original and goes with the rest
+      val keepZero = !fs.exists(tmp)
+      fs.listStatus(base).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && n.startsWith("batch=") && {
+            val k = n.stripPrefix("batch=").toLong
+            k < upTo && (k > 0 || !keepZero)
+          }
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+      if (fs.exists(tmp))
+        require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
+          s"could not publish $tmp under $base")
+      fs.delete(marker, false)
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true) // died before commit: originals are authoritative
+    }
+  }
+
+  /** Compact the accumulated batch directories of a bucketed incremental
+    * index (both the near-dup `docs`/`bands` and the containment
+    * `docs`/`post` layouts) into ONE `batch=0` directory per relation,
+    * preserving the bucket partitioning. A stream of B batches otherwise
+    * accumulates B directories per relation, and every probe's
+    * enumeration (plus the filesystem's file count) grows with B even
+    * though each read is bucket-pruned — periodic compaction caps both.
+    *
+    * MUST only be called with `upToBatch` <= the stream's committed
+    * frontier (no batch < upToBatch can be replayed afterwards — its
+    * directory no longer exists; Structured Streaming only ever replays
+    * the last uncommitted batch, so compacting up to the checkpoint's
+    * committed batch id is always safe, e.g. between runs or from a
+    * maintenance job). Pair outputs are untouched. Crash-safe via a
+    * write-tmp / commit-marker / delete / publish protocol whose every
+    * state is recoverable ([[recoverCompaction]], invoked before every
+    * index read; IncrementalIndexSpec pins both crash windows).
+    */
+  def compactIncrementalIndex(spark: SparkSession, indexDir: String,
+                              upToBatch: Long): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    for (rel <- Seq("docs", "bands", "post", "pbands")) {
+      val base = new org.apache.hadoop.fs.Path(s"$indexDir/$rel")
+      val fs = base.getFileSystem(hconf)
+      if (fs.exists(base)) {
+        recoverCompaction(fs, base)
+        val bkCol = rel match {
+          case "docs" => "dbkt"; case "bands" => "bb"; case "post" => "sbkt"
+          case "pbands" => "pb"
+        }
+        val batches = fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+            s.getPath.getName.stripPrefix("batch=").toLong < upToBatch)
+        if (batches.size > 1) {
+          val tmp = new org.apache.hadoop.fs.Path(base, COMPACT_TMP)
+          spark.read.option("basePath", base.toString)
+            .parquet(batches.map(_.getPath.toString): _*)
+            .drop("batch")
+            .write.mode("overwrite").partitionBy(bkCol).parquet(tmp.toString)
+          val marker = new org.apache.hadoop.fs.Path(base, COMPACT_MARKER)
+          val out = fs.create(marker, true)
+          try out.write(s"$upToBatch\n".getBytes("UTF-8")) finally out.close()
+          batches.foreach(s => fs.delete(s.getPath, true))
+          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
+            s"could not publish $tmp under $base")
+          fs.delete(marker, false)
+        }
+      }
+    }
   }
 
   /** Read the pruned subset of a bucketed incremental index, with
@@ -192,8 +288,9 @@ object Curation {
       .select(cols: _*)
   }
 
-  private def writeBucketedBatch(df: DataFrame, dir: String, batchId: Long,
-                                 bkCol: String): Unit =
+  private[operators] def writeBucketedBatch(df: DataFrame, dir: String,
+                                            batchId: Long,
+                                            bkCol: String): Unit =
     df.write.mode("overwrite").partitionBy(bkCol)
       .parquet(s"$dir/batch=$batchId")
 
@@ -201,7 +298,7 @@ object Curation {
     * values by construction, the same ≤page-of-longs driver state as a
     * broadcast threshold, never data-sized.
     */
-  private def bucketSet(df: DataFrame, c: String): Set[Long] =
+  private[operators] def bucketSet(df: DataFrame, c: String): Set[Long] =
     df.select(col(c)).distinct().collect().map(_.getLong(0)).toSet
 
   /** Streaming NEAR-dup ingest — the q64 incremental contract driven by
@@ -240,29 +337,39 @@ object Curation {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val delta = Dedup.nearDupIndex(batch.select("doc_id", "text")).persist()
-        val deltaB = Dedup.bandBuckets(delta.select("doc_id", "sig"),
-            carrySig = false)
-          .withColumn("bb", bucketOf(col("bh"))).persist()
-        val idxBands = readPrunedIndex(spark, s"$indexDir/bands", batchId,
-          "bb", bucketSet(deltaB, "bb"), deltaB.drop("bb"))
-        val cand = Dedup.nearDupCandidates(
-          idxBands.unionByName(deltaB.drop("bb")), deltaB.drop("bb")).persist()
-        val dbkts = bucketSet(
-          cand.select(explode(array(col("d1"), col("d2"))).as("id"))
-            .select(bucketOf(col("id")).as("dbkt")), "dbkt")
-        val idxDocs = readPrunedIndex(spark, s"$indexDir/docs", batchId,
-          "dbkt", dbkts, delta)
-        Dedup.nearDupVerify(cand, idxDocs.unionByName(delta), thresholdX1e3)
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        writeBucketedBatch(delta.withColumn("dbkt", bucketOf(col("doc_id"))),
-          s"$indexDir/docs", batchId, "dbkt")
-        writeBucketedBatch(deltaB, s"$indexDir/bands", batchId, "bb")
-        cand.unpersist(); deltaB.unpersist(); delta.unpersist()
-        ()
+        nearDupIngestBatch(batch, batchId, indexDir, pairsDir, thresholdX1e3)
       }
       .start()
+
+  /** One micro-batch of the near-dup ingest (the foreachBatch body,
+    * factored out so maintenance flows — e.g. an ingest resuming after
+    * [[compactIncrementalIndex]] — are testable without a live stream).
+    */
+  private[operators] def nearDupIngestBatch(batch: DataFrame, batchId: Long,
+                                            indexDir: String, pairsDir: String,
+                                            thresholdX1e3: Int): Unit = {
+    val spark = batch.sparkSession
+    val delta = Dedup.nearDupIndex(batch.select("doc_id", "text")).persist()
+    val deltaB = Dedup.bandBuckets(delta.select("doc_id", "sig"),
+        carrySig = false)
+      .withColumn("bb", bucketOf(col("bh"))).persist()
+    val idxBands = readPrunedIndex(spark, s"$indexDir/bands", batchId,
+      "bb", bucketSet(deltaB, "bb"), deltaB.drop("bb"))
+    val cand = Dedup.nearDupCandidates(
+      idxBands.unionByName(deltaB.drop("bb")), deltaB.drop("bb")).persist()
+    val dbkts = bucketSet(
+      cand.select(explode(array(col("d1"), col("d2"))).as("id"))
+        .select(bucketOf(col("id")).as("dbkt")), "dbkt")
+    val idxDocs = readPrunedIndex(spark, s"$indexDir/docs", batchId,
+      "dbkt", dbkts, delta)
+    Dedup.nearDupVerify(cand, idxDocs.unionByName(delta), thresholdX1e3)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    writeBucketedBatch(delta.withColumn("dbkt", bucketOf(col("doc_id"))),
+      s"$indexDir/docs", batchId, "dbkt")
+    writeBucketedBatch(deltaB, s"$indexDir/bands", batchId, "bb")
+    cand.unpersist(); deltaB.unpersist(); delta.unpersist()
+    ()
+  }
 
   /** Streaming CONTAINMENT ingest — [[streamingNearDupIngest]]'s contract
     * in the asymmetric regime (q90 driven by Structured Streaming): each
@@ -300,42 +407,52 @@ object Curation {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val delta = Dedup.containmentIndex(
-          batch.select("doc_id", "text"), contMinX1e3).persist()
-        // exploded postings; is_pref via array membership (pref is the
-        // doc's rarest ~(1-t) fraction, so the per-row scan is small)
-        val deltaPost = delta
-          .select(col("doc_id"), explode(col("sh")).as("shingle"),
-            array_contains(col("pref"), col("shingle")).as("is_pref"))
-          .withColumn("sbkt", bucketOf(col("shingle"))).persist()
-        val idxPost = readPrunedIndex(spark, s"$indexDir/post", batchId,
-          "sbkt", bucketSet(deltaPost, "sbkt"), deltaPost.drop("sbkt"))
-        val allPost = idxPost.unionByName(deltaPost.drop("sbkt"))
-        def half(p: DataFrame, f: DataFrame) = p.as("p")
-          .join(f.as("f"),
-            col("p.shingle") === col("f.shingle") &&
-              col("p.doc_id") =!= col("f.doc_id"))
-          .select(least(col("p.doc_id"), col("f.doc_id")).as("d1"),
-            greatest(col("p.doc_id"), col("f.doc_id")).as("d2"))
-        val cand = half(deltaPost.filter(col("is_pref")), allPost)
-          .union(half(allPost.filter(col("is_pref")), deltaPost.drop("sbkt")))
-          .distinct().persist()
-        val dbkts = bucketSet(
-          cand.select(explode(array(col("d1"), col("d2"))).as("id"))
-            .select(bucketOf(col("id")).as("dbkt")), "dbkt")
-        val idxDocs = readPrunedIndex(spark, s"$indexDir/docs", batchId,
-          "dbkt", dbkts, delta)
-        Dedup.containmentVerify(cand, idxDocs.unionByName(delta),
-            contMinX1e3, 800)
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        writeBucketedBatch(delta.withColumn("dbkt", bucketOf(col("doc_id"))),
-          s"$indexDir/docs", batchId, "dbkt")
-        writeBucketedBatch(deltaPost, s"$indexDir/post", batchId, "sbkt")
-        cand.unpersist(); deltaPost.unpersist(); delta.unpersist()
-        ()
+        containmentIngestBatch(batch, batchId, indexDir, pairsDir, contMinX1e3)
       }
       .start()
+
+  /** One micro-batch of the containment ingest (the foreachBatch body,
+    * factored out like [[nearDupIngestBatch]]).
+    */
+  private[operators] def containmentIngestBatch(batch: DataFrame,
+                                                batchId: Long, indexDir: String,
+                                                pairsDir: String,
+                                                contMinX1e3: Int): Unit = {
+    val spark = batch.sparkSession
+    val delta = Dedup.containmentIndex(
+      batch.select("doc_id", "text"), contMinX1e3).persist()
+    // exploded postings; is_pref via array membership (pref is the
+    // doc's rarest ~(1-t) fraction, so the per-row scan is small)
+    val deltaPost = delta
+      .select(col("doc_id"), explode(col("sh")).as("shingle"),
+        array_contains(col("pref"), col("shingle")).as("is_pref"))
+      .withColumn("sbkt", bucketOf(col("shingle"))).persist()
+    val idxPost = readPrunedIndex(spark, s"$indexDir/post", batchId,
+      "sbkt", bucketSet(deltaPost, "sbkt"), deltaPost.drop("sbkt"))
+    val allPost = idxPost.unionByName(deltaPost.drop("sbkt"))
+    def half(p: DataFrame, f: DataFrame) = p.as("p")
+      .join(f.as("f"),
+        col("p.shingle") === col("f.shingle") &&
+          col("p.doc_id") =!= col("f.doc_id"))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("d1"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("d2"))
+    val cand = half(deltaPost.filter(col("is_pref")), allPost)
+      .union(half(allPost.filter(col("is_pref")), deltaPost.drop("sbkt")))
+      .distinct().persist()
+    val dbkts = bucketSet(
+      cand.select(explode(array(col("d1"), col("d2"))).as("id"))
+        .select(bucketOf(col("id")).as("dbkt")), "dbkt")
+    val idxDocs = readPrunedIndex(spark, s"$indexDir/docs", batchId,
+      "dbkt", dbkts, delta)
+    Dedup.containmentVerify(cand, idxDocs.unionByName(delta),
+        contMinX1e3, 800)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    writeBucketedBatch(delta.withColumn("dbkt", bucketOf(col("doc_id"))),
+      s"$indexDir/docs", batchId, "dbkt")
+    writeBucketedBatch(deltaPost, s"$indexDir/post", batchId, "sbkt")
+    cand.unpersist(); deltaPost.unpersist(); delta.unpersist()
+    ()
+  }
 
   /** Train/eval contamination report: for every document OUTSIDE the eval
     * sample, the fraction of its distinct trigram shingles that also occur

@@ -249,12 +249,17 @@ object PerceptualHash {
     * maintenance loop as a Structured Streaming sink (the image twin of
     * `Curation.streamingNearDupIngest`): each micro-batch of media rows
     * decodes+hashes ONCE, pairs against the accumulated hash index, and
-    * appends its 16-byte hash rows as the next index partition. Both
-    * writes are batch-keyed directory overwrites, so a replayed batch
-    * (at-least-once delivery) lands byte-identically — effective
-    * exactly-once without a transaction log. Stream == batch: unioning
-    * the per-batch pair dumps equals the whole-corpus
+    * persists its banded hash rows BUCKETED by probe key —
+    * `indexDir/pbands/batch=<id>/pb=<(band*256+bv) mod 32>/` — so a later
+    * batch enumerates and reads only the bucket directories its own band
+    * values fall into (the Curation round-10 layout; the hash rows carry
+    * lo/hi, so the ONE relation serves both the candidate join and the
+    * popcount verify). Writes are batch-keyed directory overwrites, so a
+    * replayed batch (at-least-once delivery) lands byte-identically —
+    * effective exactly-once without a transaction log. Stream == batch:
+    * unioning the per-batch pair dumps equals the whole-corpus
     * [[perceptualNearDup]] (same argument as q75, spec-pinned).
+    * `Curation.compactIncrementalIndex` covers the pbands relation too.
     */
   def streamingPerceptualIngest(media: DataFrame, indexDir: String,
                                 pairsDir: String, checkpoint: String,
@@ -264,21 +269,38 @@ object PerceptualHash {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val delta = imageAHash(spark, batch).persist()
-        val index =
-          try spark.read.option("basePath", indexDir).parquet(indexDir)
-            .filter(col("batch") < batchId).drop("batch")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            delta.limit(0) // first batch: no index yet
-          }
-        incrementalPerceptualPairs(index, delta, maxHamming)
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        delta.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        delta.unpersist()
-        ()
+        perceptualIngestBatch(batch, batchId, indexDir, pairsDir, maxHamming)
       }
       .start()
+
+  /** One micro-batch of the perceptual ingest (the foreachBatch body,
+    * factored out like `Curation.nearDupIngestBatch`).
+    */
+  private[operators] def perceptualIngestBatch(batch: DataFrame,
+                                               batchId: Long, indexDir: String,
+                                               pairsDir: String,
+                                               maxHamming: Int): Unit = {
+    val spark = batch.sparkSession
+    val delta = imageAHash(spark, batch).persist()
+    val deltaB = withBands(delta, Seq("doc_id"))
+      .withColumn("pb", pmod(col("band") * 256 + col("bv"),
+        lit(Curation.IDX_BUCKETS))).persist()
+    val idxB = Curation.readPrunedIndex(spark, s"$indexDir/pbands", batchId,
+      "pb", Curation.bucketSet(deltaB, "pb"), deltaB.drop("pb"))
+    idxB.unionByName(deltaB.drop("pb")).as("a")
+      .join(deltaB.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        hammingCol("a", "b").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    Curation.writeBucketedBatch(deltaB, s"$indexDir/pbands", batchId, "pb")
+    deltaB.unpersist(); delta.unpersist()
+    ()
+  }
 
   /** Frame-level video near-dup: every `everyKth` frame of each AVI/MJPEG
     * payload is decoded and aHashed ([[aHash64]]), frames pair across

@@ -95,6 +95,104 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assertStrictSubset(s"$idx/post", "sbkt", sbkts)
   }
 
+  test("compaction merges batch dirs into one, and a post-compaction " +
+    "ingest still finds exactly the cross-batch pairs") {
+    import spark.implicits._
+    val all = Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // three batches: thirds by doc_id mod 3; stream the first two, then
+    // compact, then ingest the third through the factored batch body
+    val parts = all.groupBy(_._1 % 3)
+    val dir = Files.createTempDirectory("graft-iidx-cmp").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Curation.streamingNearDupIngest(in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/pairs", ckpt())
+    try {
+      in.addData(parts(0L)); q.processAllAvailable()
+      in.addData(parts(1L)); q.processAllAvailable()
+    } finally q.stop()
+    Curation.compactIncrementalIndex(spark, s"$dir/index", 2L)
+    def batchDirs(rel: String) =
+      new java.io.File(s"$dir/index/$rel").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).sorted.toSeq
+    assert(batchDirs("docs") === Seq("batch=0") &&
+      batchDirs("bands") === Seq("batch=0"),
+      "compaction must leave exactly one batch dir per relation")
+    Curation.nearDupIngestBatch(parts(2L).toDF("doc_id", "text"), 2L,
+      s"$dir/index", s"$dir/pairs", 800)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "jaccard_x1e3").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = pairsOf(spark.read.parquet(s"$dir/pairs"))
+    val full = pairsOf(Dedup.jaccardPairsLshVerified(
+      all.toDF("doc_id", "text"), 800, cache = false))
+    assert(full.nonEmpty && got === full,
+      "pairs union across compaction must equal the whole-corpus result")
+  }
+
+  test("compaction crash recovery: tmp-before-commit is rolled back, " +
+    "tmp-after-commit is published") {
+    import spark.implicits._
+    val all = Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (evens, odds) = all.partition(_._1 % 2 == 0)
+    def ingested(): String = {
+      val dir = Files.createTempDirectory("graft-iidx-crash").toString
+      val in = MemoryStream[(Long, String)](spark)
+      val q = Curation.streamingNearDupIngest(in.toDF().toDF("doc_id", "text"),
+        s"$dir/index", s"$dir/pairs", ckpt())
+      try {
+        in.addData(evens); q.processAllAvailable()
+        in.addData(odds); q.processAllAvailable()
+      } finally q.stop()
+      dir
+    }
+    def rowCount(dir: String): Long =
+      spark.read.option("basePath", s"$dir/index/bands")
+        .parquet(s"$dir/index/bands").count()
+    // window 1: compaction died BEFORE the commit marker — a stray tmp
+    // must be discarded, originals stay authoritative
+    val d1 = ingested()
+    val before = rowCount(d1)
+    val bands1 = new java.io.File(s"$d1/index/bands")
+    val tmp1 = new java.io.File(bands1, ".compact-tmp")
+    assert(tmp1.mkdir())
+    // a read triggers recovery via prunedBatchPaths
+    assert(Curation.prunedBatchPaths(spark, s"$d1/index/bands", 2L, "bb",
+      (0L until Curation.IDX_BUCKETS).toSet).nonEmpty)
+    assert(!tmp1.exists(), "uncommitted tmp must be rolled back")
+    assert(rowCount(d1) === before)
+    // window 2: compaction died AFTER committing (marker present, originals
+    // deleted, tmp not yet published) — recovery must publish tmp
+    val d2 = ingested()
+    val total = rowCount(d2)
+    val bands2 = new java.io.File(s"$d2/index/bands")
+    // manufacture the committed state: merge by hand into tmp
+    val merged = spark.read.option("basePath", s"$d2/index/bands")
+      .parquet(s"$d2/index/bands").drop("batch")
+    merged.write.mode("overwrite").partitionBy("bb")
+      .parquet(s"$d2/index/bands/.compact-tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d2/index/bands/.compact-commit"), "2\n")
+    new java.io.File(bands2, "batch=0").listFiles().foreach(deleteRec)
+    deleteRec(new java.io.File(bands2, "batch=0"))
+    deleteRec(new java.io.File(bands2, "batch=1"))
+    assert(Curation.prunedBatchPaths(spark, s"$d2/index/bands", 2L, "bb",
+      (0L until Curation.IDX_BUCKETS).toSet).nonEmpty)
+    assert(new java.io.File(bands2, "batch=0").exists() &&
+      !new java.io.File(bands2, ".compact-tmp").exists() &&
+      !new java.io.File(bands2, ".compact-commit").exists())
+    assert(rowCount(d2) === total, "published compacted rows must equal the originals")
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(); ()
+  }
+
   test("a missing index dir means first-batch-empty, but an unreadable one " +
     "fails loudly instead of silently dropping cross-batch pairs") {
     val missing = Files.createTempDirectory("graft-iidx-none").toString + "/nope"

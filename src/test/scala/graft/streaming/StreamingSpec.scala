@@ -457,9 +457,11 @@ class StreamingSpec extends AnyFunSuite {
       PerceptualHash.imageAHash(spark, media)))
     assert(full.nonEmpty && got === full)
     // replay: batch 1 re-run against the index EXCLUDING its own partition
-    // writes identical content to the same directory
-    val idx0 = spark.read.option("basePath", s"$dir/index")
-      .parquet(s"$dir/index").filter(col("batch") < 1).drop("batch")
+    // writes identical content to the same directory (doc-keyed hash rows
+    // recovered from the banded layout: 8 band rows per doc -> distinct)
+    val idx0 = spark.read.option("basePath", s"$dir/index/pbands")
+      .parquet(s"$dir/index/pbands").filter(col("batch") < 1)
+      .select("doc_id", "lo", "hi").distinct()
     val replay = pairsOf(PerceptualHash.incrementalPerceptualPairs(idx0,
       PerceptualHash.imageAHash(spark,
         spark.createDataset(odds).toDF("doc_id", "media_type", "content"))))
