@@ -208,12 +208,135 @@ object Prep {
     kept.unionAll(added)
   }
 
+  /** q91: per-document engagement weights from the event log — the
+    * popularity/quality signal a training pipeline mines from behavioral
+    * logs (clicks, views, purchases referencing an item) to up-weight
+    * documents users actually engage with. Events reference their
+    * document through `props.k` (the q30 JSON surface); per document the
+    * query emits event count, distinct engaged users, total value (in
+    * exact integer cents — never a float sum across engines), and a
+    * sampling weight proportional to the doc's share of total engaged
+    * value (x1e6).
+    *
+    * Scale shape: the event log is the 100 TB side, so it aggregates
+    * FIRST — map-side partial (k, count/users/cents) then one shuffle of
+    * doc-sized aggregate rows; the corpus join sees one row per engaged
+    * doc, never raw events. The total for the weight is a scalar
+    * crossJoin-broadcast (q44's corpus-stats idiom), not a global window.
+    */
+  def engagementWeights(events: DataFrame, docs: DataFrame): DataFrame = {
+    val perDoc = events
+      .select(
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("doc_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        col("user_id"))
+      .filter(col("doc_id").isNotNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum("cents").as("value_cents"))
+    val joined = docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+    val total = joined.agg(sum("value_cents").as("total_cents"))
+    joined.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_events"), col("n_users"),
+        col("value_cents"),
+        when(col("total_cents") > 0,
+          floor(col("value_cents") * lit(1000000.0) / col("total_cents")
+            + lit(0.5)).cast("long")).otherwise(0L).as("weight_x1e6"))
+      .orderBy("doc_id")
+  }
+
+  /** q92: crawl-over-crawl n-gram NOVELTY — for every document of the
+    * next snapshot, the fraction of its distinct trigram shingles unseen
+    * in the previous crawl (x1e3). The freshness/staleness signal behind
+    * "how much genuinely new text did this crawl add": re-crawled and
+    * re-hosted copies score 0, revisions score by their changed span,
+    * novel documents score 1000. Composes the q85 synthetic-next-snapshot
+    * fixture with the q50 shingle machinery.
+    *
+    * Scale shape: both sides reduce to distinct 8-byte [[Sketches.phash60]]
+    * shingle keys (portable, so the DuckDB twin replays the identical
+    * join); the membership probe is one hash-join on those keys and the
+    * per-doc ratio a pre-partitioned aggregate — never a string shuffle,
+    * never all-pairs.
+    */
+  def ngramNovelty(docs: DataFrame, next: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val seen = Dedup.shingles(docs)
+      .select(Sketches.phash60(col("shingle")).as("h")).distinct()
+    val nextSh = Dedup.shingles(next)
+      .select(col("doc_id"), Sketches.phash60(col("shingle")).as("h"))
+    val per = nextSh
+      .join(seen.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+    next.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_x1e3",
+        when(col("n_shingles") > 0,
+          floor(col("n_novel") * lit(1000.0) / col("n_shingles") + lit(0.5))
+            .cast("long")).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** q93: deterministic seeded GLOBAL SHUFFLE + sharding — the final
+    * "shuffle the corpus before training" step, without `rand()` (which
+    * is neither reproducible across retries nor replayable by an
+    * oracle). Order is the 60-bit portable hash of (seed | doc_id):
+    * uniformly pseudorandom, stable under re-runs and task retries, and
+    * re-seedable per epoch by changing one string. Emits
+    * (shard, pos, doc_id) — exactly the manifest a trainer's data
+    * loader consumes.
+    *
+    * Scale shape: this is what makes a 100 TB shuffle tractable — ONE
+    * hash-partition exchange on `shard` and a per-shard sort (each
+    * shard is corpus/shards-sized), never a global sort; writing with
+    * partitionBy(shard) then streams each shard independently. The
+    * window's partition is the shard, so position assignment is the
+    * same per-partition sort the exchange already did.
+    */
+  def globalShuffle(docs: DataFrame, shards: Int = 8,
+                    seed: String = "s42"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val h = Sketches.phash60(
+      concat(lit(seed + "|"), col("doc_id").cast("string")))
+    val d = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    d.select(col("shard"), row_number().over(w).cast("long").as("pos"),
+        col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q85: snapshot diff over the synthetic next crawl.
     "q85_snapshot_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       snapshotDiff(docs, syntheticNextSnapshot(docs))
     }),
+
+    // Q91: engagement weights from the event log (props.k -> doc_id).
+    "q91_engagement_weight" -> ((s, d) =>
+      engagementWeights(Tables.events(s, d), Tables.documents(s, d))),
+
+    // Q92: n-gram novelty of the synthetic next crawl vs the current one.
+    "q92_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ngramNovelty(docs, syntheticNextSnapshot(docs))
+    }),
+
+    // Q93: seeded deterministic corpus shuffle into 8 training shards.
+    "q93_global_shuffle" -> ((s, d) =>
+      globalShuffle(Tables.documents(s, d))),
     "q46_quantize_embeddings" -> ((s, d) =>
       quantizeEmbeddings(Tables.embeddings(s, d))),
     "q47_chunk_documents" -> ((s, d) =>
@@ -223,6 +346,75 @@ object Prep {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q91_engagement_weight" ->
+      """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS doc_id,
+        |        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, user_id
+        |      FROM events
+        |      WHERE json_extract(props, '$.k') IS NOT NULL),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |          CAST(SUM(cents) AS BIGINT) AS value_cents
+        |        FROM e GROUP BY doc_id),
+        |j AS (SELECT d.doc_id,
+        |        COALESCE(a.n_events, 0) AS n_events,
+        |        COALESCE(a.n_users, 0) AS n_users,
+        |        COALESCE(a.value_cents, 0) AS value_cents
+        |      FROM documents d LEFT JOIN agg a USING (doc_id)),
+        |t AS (SELECT SUM(value_cents) AS total_cents FROM j)
+        |SELECT j.doc_id, j.n_events, j.n_users, j.value_cents,
+        |       CASE WHEN t.total_cents > 0
+        |            THEN CAST(FLOOR(j.value_cents * 1000000.0 / t.total_cents
+        |                 + 0.5) AS BIGINT)
+        |            ELSE 0 END AS weight_x1e6
+        |FROM j CROSS JOIN t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q92_ngram_novelty" ->
+      s"""WITH src AS (SELECT doc_id, text,
+         |        ${Sketches.phash60Sql("doc_id")} % 10 AS h FROM documents),
+         |b AS (SELECT doc_id,
+         |        CASE WHEN h = 1 THEN text || ' rev' ELSE text END AS text
+         |      FROM src WHERE h <> 0
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, text FROM src WHERE h = 2),
+         |atoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |ash AS (SELECT DISTINCT
+         |          ${Sketches.phash60Sql("sh")} AS h
+         |        FROM (SELECT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+         |              FROM atoks, unnest(range(1, len(l) - 1)) AS t(i)
+         |              WHERE len(l) >= 3)),
+         |btoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM b),
+         |bsh AS (SELECT DISTINCT doc_id,
+         |          ${Sketches.phash60Sql("sh")} AS h
+         |        FROM (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+         |              FROM btoks, unnest(range(1, len(l) - 1)) AS t(i)
+         |              WHERE len(l) >= 3)),
+         |per AS (SELECT bsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |          CAST(SUM(CASE WHEN ash.h IS NULL THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_novel
+         |        FROM bsh LEFT JOIN ash ON bsh.h = ash.h
+         |        GROUP BY bsh.doc_id)
+         |SELECT b.doc_id,
+         |       COALESCE(per.n_shingles, 0) AS n_shingles,
+         |       COALESCE(per.n_novel, 0) AS n_novel,
+         |       CASE WHEN COALESCE(per.n_shingles, 0) > 0
+         |            THEN CAST(FLOOR(per.n_novel * 1000.0 / per.n_shingles
+         |                 + 0.5) AS BIGINT)
+         |            ELSE 0 END AS novelty_x1e3
+         |FROM b LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q93_global_shuffle" ->
+      s"""WITH d AS (SELECT doc_id,
+         |        ${Sketches.phash60Sql("'s42|' || CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents)
+         |SELECT h % 8 AS shard,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |            AS BIGINT) AS pos,
+         |       doc_id
+         |FROM d
+         |ORDER BY shard, pos""".stripMargin,
+
     // the oracle compares TEXT equality directly — the same decision the
     // sha comparison makes (no collisions at fixture scale), immune to
     // hash-format differences between engines

@@ -108,6 +108,72 @@ class PrepSpec extends AnyFunSuite {
     assert(got === Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
   }
 
+  test("q91: engagement aggregates planted events exactly and weights " +
+    "sum to ~1e6 over the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val events = Seq(
+      (10L, 100L, "click", 2.50, """{"k": 1}"""),
+      (11L, 100L, "click", 1.50, """{"k": 1}"""),
+      (12L, 200L, "view", 6.00, """{"k": 2}"""),
+      (13L, 300L, "view", 1.00, null.asInstanceOf[String]), // no k: dropped
+      (14L, 400L, "click", 9.99, """{"k": 77}""")           // k outside corpus
+    ).toDF("event_id", "user_id", "event_type", "value", "props")
+    val got = Prep.engagementWeights(events, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 2 events, 1 user, 400 cents; doc 2: 1 event, 1 user, 600
+    // cents; doc 3: nothing. total over the CORPUS join = 1000 cents.
+    assert(got === Map(
+      1L -> (2L, 1L, 400L, 400000L),
+      2L -> (1L, 1L, 600L, 600000L),
+      3L -> (0L, 0L, 0L, 0L)))
+    val weights = Prep.engagementWeights(
+      Tables.events(spark, D), Tables.documents(spark, D))
+      .agg(org.apache.spark.sql.functions.sum("weight_x1e6"))
+      .collect()(0).getLong(0)
+    assert(weights > 990000L && weights < 1010000L,
+      s"weights must sum to ~1e6 (rounding slack): $weights")
+  }
+
+  test("q92: an unchanged doc scores 0 novelty, a fully new doc 1000, " +
+    "a revision in between") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "one two three four five"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val b = Seq(
+      (1L, "one two three four five"),            // unchanged -> 0
+      (2L, "alpha beta gamma delta EXTRA"),        // one new trigram window
+      (3L, "wholly novel text never seen before")) // all new -> 1000
+      .toDF("doc_id", "text")
+    val got = Prep.ngramNovelty(a, b)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got(1L) === ((3L, 0L)))
+    assert(got(3L)._2 === 1000L)
+    // doc 2 gained "gamma delta EXTRA" and "beta gamma delta" stays: 1 of
+    // 3 shingles is novel (the new last window)
+    assert(got(2L) === ((3L, 333L)), s"got ${got(2L)}")
+  }
+
+  test("q93: the shuffle is deterministic, seed-sensitive, and positions " +
+    "tile each shard contiguously") {
+    val docs = Tables.documents(spark, D)
+    def rows(seed: String) = Prep.globalShuffle(docs, seed = seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val r1 = rows("s42")
+    assert(r1 === rows("s42"), "same seed must reproduce the order exactly")
+    val r2 = rows("other-epoch")
+    assert(r1 !== r2, "a different seed must produce a different order")
+    assert(r1.map(_._3).toSet === r2.map(_._3).toSet,
+      "every doc appears exactly once under any seed")
+    // per shard: positions are 1..n with no gaps
+    r1.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.map(_._2).sorted === (1L to rs.length).toSeq,
+        s"shard $shard positions must tile 1..n")
+    }
+  }
+
   test("q85: the synthetic snapshot exercises every status and the diff " +
     "is layout-invariant") {
     val docs = Tables.documents(spark, D)
