@@ -150,10 +150,38 @@ object Bpe {
       .stripMargin
   }
 
+  /** q97: the full tokenizer LIFECYCLE as one query — train the merge
+    * table on the corpus (q65), ENCODE the corpus with it, and emit the
+    * resulting token-vocabulary statistics (token -> total occurrences
+    * weighted by word count). This is the artifact a pipeline actually
+    * ships to the trainer: the learned subword vocabulary with its
+    * frequency mass, and the check that encode is consistent with
+    * training (merged symbols appear, their parts' counts drop).
+    *
+    * 100 TB shape: identical to q65 — ONE corpus scan builds the
+    * (word, count) vocabulary; training AND encoding then run over the
+    * vocabulary relation (orders of magnitude smaller), and the output
+    * is vocabulary-sized. Encoding a new corpus against a frozen merge
+    * table is [[applyMerges]] on its own vocab — no retraining.
+    */
+  def encodeCorpusStats(docs: DataFrame, nMerges: Int = N_MERGES): DataFrame = {
+    val merges = trainBpe(docs, nMerges).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    applyMerges(vocab(docs), merges)
+      .select(col("cnt"), explode(col("syms")).as("token"))
+      .groupBy("token")
+      .agg(sum("cnt").as("n_occ"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q65: the learned merge table over the documents corpus.
     "q65_bpe_merges" -> ((s, d) =>
-      trainBpe(Tables.documents(s, d).select("text")))
+      trainBpe(Tables.documents(s, d).select("text"))),
+
+    // Q97: train + encode + token-vocabulary statistics.
+    "q97_bpe_encode" -> ((s, d) =>
+      encodeCorpusStats(Tables.documents(s, d).select("text")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -169,6 +197,20 @@ object Bpe {
          |SELECT * FROM (
          |$finals
          |) ORDER BY it""".stripMargin
+    },
+
+    // q97 twin: the q65 training chain carried one step further — explode
+    // the final vocabulary's symbol arrays into weighted token counts.
+    "q97_bpe_encode" -> {
+      val iters = (1 to N_MERGES).map(iterSql).mkString(",\n")
+      s"""WITH v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+         |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |            WHERE len(w) > 0 GROUP BY w),
+         |$iters
+         |SELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occ
+         |FROM (SELECT cnt, unnest(syms) AS token FROM v$N_MERGES)
+         |GROUP BY token
+         |ORDER BY token""".stripMargin
     }
   )
 }

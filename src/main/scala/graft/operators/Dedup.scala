@@ -677,6 +677,35 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** q95: CANONICAL SELECTION per near-dup cluster — after q49 groups
+    * near-duplicates, the pipeline must decide which copy to KEEP. The
+    * policy here is the standard one: the highest-quality member (the
+    * q26 quality score), doc_id ascending as the deterministic tiebreak.
+    * Emits one row per multi-member cluster: the keeper, its quality,
+    * and the member count (so `n_members - 1` is the drop count).
+    *
+    * 100 TB shape: the cluster relation is pair-graph-sized (only docs
+    * that appear in some near-dup pair), quality is a per-row codegen
+    * expression on the corpus scan, and the argmax is a single hash
+    * aggregate via `max(struct(quality, -doc_id, doc_id))` — partial
+    * aggregation applies, no window over the corpus, no sort except the
+    * final presentation ORDER BY.
+    */
+  def clusterCanonical(docs: DataFrame, thresholdX1e3: Int,
+                       cache: Boolean = true): DataFrame = {
+    val labels = nearDupClusters(docs, thresholdX1e3, cache)
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.qualityCol.as("quality_x1e3"))
+    labels.join(q, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_x1e3"), (-col("doc_id")).as("neg_id"),
+          col("doc_id").as("keep_id"))).as("best"))
+      .select(col("cluster_id"), col("best.keep_id").as("keep_id"),
+        col("best.quality_x1e3").as("keep_quality_x1e3"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Exact embedding-cosine near-dup pairs: every (v1 < v2) with
     * floor-scaled cosine >= thresholdX1e4. This is the quadratic exact
     * baseline (the embedding analogue of [[jaccardPairs]]) and the oracle
@@ -1144,6 +1173,10 @@ object Dedup {
     "q49_neardup_clusters" -> ((s, d) =>
       nearDupClusters(Tables.documents(s, d).select("doc_id", "text"), 800)),
 
+    // Q95: canonical (keep-best-quality) selection per q49 cluster.
+    "q95_cluster_canonical" -> ((s, d) =>
+      clusterCanonical(Tables.documents(s, d).select("doc_id", "text"), 800)),
+
     // Q40: exact embedding-cosine near-dup pairs. The synthetic corpus has
     // no true duplicates (max pairwise cosine ~0.51 at sf0.01), so the demo
     // threshold 0.45 sits in the far tail (p99 ~0.29) and returns a small
@@ -1200,6 +1233,31 @@ object Dedup {
     * banding model. Threshold interpolated from the one Scala constant the
     * Spark side uses (the ADVICE r4 q57 lesson).
     */
+  /** The q49 connected-components label derivation as a shared CTE chain
+    * (requires a `WITH RECURSIVE` prefix) ending in
+    * `labels` = (doc_id, cluster_id) — q95's canonical selection replays
+    * it verbatim before picking keepers.
+    */
+  private def ccLabelsCtesSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+      |       WHERE len(l) >= 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM inter
+      |          JOIN cnt c1 ON c1.doc_id = d1
+      |          JOIN cnt c2 ON c2.doc_id = d2
+      |          WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a),
+      |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
   private def verifiedPairsOracle(thresholdX1e3: Int): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
@@ -1376,25 +1434,26 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin,
 
     "q49_neardup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
-        |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
-        |       WHERE len(l) >= 3),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (SELECT d1, d2 FROM inter
-        |          JOIN cnt c1 ON c1.doc_id = d1
-        |          JOIN cnt c2 ON c2.doc_id = d2
-        |          WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-        |  UNION
-        |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a)
-        |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ccLabelsCtesSql
+         |SELECT doc_id, cluster_id FROM labels
+         |ORDER BY doc_id""".stripMargin,
+
+    // q95 twin: the q49 label chain + the q26 quality expression, keeper
+    // picked by the same (quality DESC, doc_id ASC) total order.
+    "q95_cluster_canonical" ->
+      s"""WITH RECURSIVE $ccLabelsCtesSql,
+         |q AS (SELECT doc_id, ${TextAnalysis.QUALITY_SQL} AS quality_x1e3
+         |      FROM documents),
+         |r AS (SELECT l.cluster_id, l.doc_id, q.quality_x1e3,
+         |        ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |          ORDER BY q.quality_x1e3 DESC, l.doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |      FROM labels l JOIN q ON l.doc_id = q.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id,
+         |       quality_x1e3 AS keep_quality_x1e3,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
 
     "q23_simhash_pairs" -> simhashOracleSql,
 

@@ -317,6 +317,37 @@ object Prep {
       .orderBy("shard", "pos")
   }
 
+  /** q94: incremental CRAWL DEDUP against a historical corpus via a Bloom
+    * pre-filter — "which documents of the new crawl are genuinely new
+    * text" without ever shuffling the history. Exact-content dedup (the
+    * q18 regime) across snapshots (the q85/q92 fixture): re-crawled
+    * pages and re-hosted copies are dropped, revisions and novel pages
+    * survive.
+    *
+    * 100 TB shape: the historical corpus reduces to a Bloom filter at
+    * ~2 bytes/doc (distributed build, `bit_or` partial aggregates — see
+    * [[BloomJoin.buildBloom]]), broadcast once. Bloom-NEGATIVE crawl rows
+    * are definitely new (no false negatives) and never enter a join;
+    * only the positive slice — true duplicates plus the ~0.1% false
+    * positives — is verified by an exact anti-join against the history's
+    * 32-byte content hashes. Result is EXACTLY `crawl ANTI JOIN history
+    * ON text`, which is why the oracle is plain SQL.
+    */
+  def crawlDedupBloom(history: DataFrame, crawl: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(history.sparkSession)
+    val words = BloomJoin.buildBloom(history.select("text"), "text")
+    val flagged = crawl.select(col("doc_id"), col("text"),
+      graft.functions.GraftFunctions.bloomMightContain(
+        xxhash64(col("text")), words, BloomJoin.K).as("maybe"))
+    val definiteNew = flagged.filter(!col("maybe"))
+    val verifiedNew = flagged.filter(col("maybe"))
+      .join(history.select(sha2(col("text"), 256).as("hh")).distinct(),
+        sha2(col("text"), 256) === col("hh"), "left_anti")
+    def out(d: DataFrame) = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    out(definiteNew).unionAll(out(verifiedNew)).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q85: snapshot diff over the synthetic next crawl.
     "q85_snapshot_diff" -> ((s, d) => {
@@ -337,6 +368,12 @@ object Prep {
     // Q93: seeded deterministic corpus shuffle into 8 training shards.
     "q93_global_shuffle" -> ((s, d) =>
       globalShuffle(Tables.documents(s, d))),
+
+    // Q94: new-crawl exact dedup against the current corpus as history.
+    "q94_crawl_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      crawlDedupBloom(docs, syntheticNextSnapshot(docs))
+    }),
     "q46_quantize_embeddings" -> ((s, d) =>
       quantizeEmbeddings(Tables.embeddings(s, d))),
     "q47_chunk_documents" -> ((s, d) =>
@@ -402,6 +439,22 @@ object Prep {
          |                 + 0.5) AS BIGINT)
          |            ELSE 0 END AS novelty_x1e3
          |FROM b LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the Bloom stage is result-invisible by construction (no false
+    // negatives; the exact anti-join removes false positives), so the
+    // twin is the plain anti-join on text equality
+    "q94_crawl_dedup" ->
+      s"""WITH src AS (SELECT doc_id, text,
+         |        ${Sketches.phash60Sql("doc_id")} % 10 AS h FROM documents),
+         |b AS (SELECT doc_id,
+         |        CASE WHEN h = 1 THEN text || ' rev' ELSE text END AS text
+         |      FROM src WHERE h <> 0
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, text FROM src WHERE h = 2)
+         |SELECT b.doc_id,
+         |       CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tokens
+         |FROM b ANTI JOIN documents d ON b.text = d.text
          |ORDER BY doc_id""".stripMargin,
 
     "q93_global_shuffle" ->

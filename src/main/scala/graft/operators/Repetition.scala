@@ -51,7 +51,7 @@ object Repetition {
     * DESCENDS for stop < 0 instead of returning empty, which would
     * fabricate grams from wrap-around indices.
     */
-  private def gramArr(tk: Column, n: Int): Column =
+  private[operators] def gramArr(tk: Column, n: Int): Column =
     if (n == 1) tk
     else when(size(tk) >= n,
       transform(sequence(lit(0), size(tk) - n), i =>
@@ -175,13 +175,90 @@ object Repetition {
       .orderBy("doc_id")
   }
 
+  /** q98: exact-substring DEDUP ACCOUNTING (Lee et al. 2022's removal
+    * regime, first-occurrence-wins) — q80 DETECTS copied blocks; this
+    * operator decides what a span-level deduper would strip. Every
+    * `PASSAGE_N`-gram occurring in more than one document is owned by its
+    * lowest doc_id; in every OTHER document, the tokens covered by such
+    * foreign shared grams are removal mass. Emits per document the exact
+    * union-of-intervals token coverage: `n_dup_tokens` and the kept
+    * fraction (x1e3).
+    *
+    * The union of equal-length sorted intervals has a closed window form:
+    * each gram at `pos` covers [pos, pos+N-1], so its marginal
+    * contribution is N for the first gram of a doc and
+    * min(N, pos - lag(pos)) after — no interval sweep, no explode to
+    * token granularity (which would multiply the relation by N).
+    *
+    * 100 TB shape: q80's exact machinery — 8-byte xxhash64 passage keys,
+    * one (ph -> owner, nd) hash aggregate, one join back, one per-doc
+    * window over the doc's own grams. Never corpus-sized partitions,
+    * never all-pairs.
+    */
+  def spanDedupStats(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val pos = tok
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(gramArr(col("tk"), PASSAGE_N)))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        xxhash64(col("col")).as("ph"))
+    val own = pos.groupBy("ph")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+    val foreign = pos.join(own, "ph")
+      .filter(col("nd") > 1 && col("doc_id") =!= col("owner"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = foreign
+      .withColumn("lagpos", lag(col("pos"), 1).over(w))
+      .withColumn("add", when(col("lagpos").isNull, lit(PASSAGE_N.toLong))
+        .otherwise(least(lit(PASSAGE_N.toLong),
+          (col("pos") - col("lagpos")).cast("long"))))
+      .groupBy("doc_id").agg(sum("add").as("n_dup_tokens"))
+    tok.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("keep_x1e3",
+        floor((col("n_tokens") - col("n_dup_tokens")).cast("double")
+          * lit(1000.0) / col("n_tokens") + lit(0.5)).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d))),
     "q52_dup_passages" -> ((s, d) => dupPassageScore(Tables.documents(s, d))),
-    "q80_shared_spans" -> ((s, d) => sharedSpanScore(Tables.documents(s, d)))
+    "q80_shared_spans" -> ((s, d) => sharedSpanScore(Tables.documents(s, d))),
+    "q98_span_dedup" -> ((s, d) => spanDedupStats(Tables.documents(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q98 twin: same passage generation as q80, ownership by MIN(doc_id),
+    // identical closed-form union-of-intervals window.
+    "q98_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |pos AS (SELECT doc_id, i - 1 AS pos,
+         |          l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS p
+         |        FROM t, unnest(range(1, len(l) - 3)) AS u(i)
+         |        WHERE len(l) >= $PASSAGE_N),
+         |own AS (SELECT p, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS nd
+         |        FROM pos GROUP BY p),
+         |fr AS (SELECT doc_id, pos FROM pos JOIN own USING (p)
+         |       WHERE nd > 1 AND doc_id <> owner),
+         |cov AS (SELECT doc_id,
+         |          CAST(SUM(CASE WHEN lagpos IS NULL THEN $PASSAGE_N
+         |                        ELSE LEAST($PASSAGE_N, pos - lagpos) END)
+         |               AS BIGINT) AS n_dup_tokens
+         |        FROM (SELECT doc_id, pos,
+         |                LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+         |              FROM fr)
+         |        GROUP BY doc_id),
+         |n AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM t)
+         |SELECT n.doc_id, n.n_tokens,
+         |       COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+         |       CAST(FLOOR(CAST((n.n_tokens - COALESCE(c.n_dup_tokens, 0)) * 1000 AS DOUBLE)
+         |            / n.n_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT) AS keep_x1e3
+         |FROM n LEFT JOIN cov c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q80_shared_spans" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          |pos AS (SELECT doc_id, i - 1 AS pos,

@@ -159,6 +159,41 @@ object TextRetrieval {
       .limit(k)
   }
 
+  /** q96: positional PHRASE SEARCH against a corpus-derived query — the
+    * exact-phrase retrieval primitive (BM25 ranks bags of words; a phrase
+    * query additionally constrains token ADJACENCY, which needs positional
+    * postings). The query phrase is derived, not hard-coded: the globally
+    * most frequent `n`-gram (ties broken lexicographically), so the same
+    * phrase falls out of any corpus at any scale and the DuckDB twin can
+    * re-derive it. Emits every matching document with its hit count and
+    * first match position.
+    *
+    * 100 TB shape: positional postings are a flatMap off the token array
+    * (no shuffle); the phrase derivation is a map-side-combined (gram ->
+    * count) aggregate whose result reduces to ONE broadcast row; the
+    * search pass filters AT THE GENERATOR against that broadcast scalar,
+    * so the second scan shuffles only actual hits (a production system
+    * would serve this from a persisted postings index — this is the
+    * index-build + one-query shape). The corpus never self-joins.
+    */
+  def phraseSearch(docs: DataFrame, n: Int = 3): DataFrame = {
+    val occ = docs.select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        posexplode(Repetition.gramArr(col("tk"), n)).as(Seq("pos", "g")))
+    // min over (-count, gram) = highest count, lexicographically-smallest
+    // gram on ties — one row, broadcast
+    val top = occ.groupBy("g").agg(count(lit(1)).as("c"))
+      .agg(min(struct((-col("c")).as("negc"), col("g").as("g"))).as("t"))
+      .select(col("t.g").as("phrase"))
+    occ.join(broadcast(top), col("g") === col("phrase"))
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .select("doc_id", "phrase", "n_hits", "first_pos")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q41: top-3 TF-IDF terms per document.
     "q41_tfidf_terms" -> ((s, d) =>
@@ -172,7 +207,11 @@ object TextRetrieval {
     // ranker (query vector = embedding of vec_id 0).
     "q67_hybrid_search" -> ((s, d) =>
       hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
-        QUERY_TERMS))
+        QUERY_TERMS)),
+
+    // Q96: exact-phrase search for the corpus's most frequent trigram.
+    "q96_phrase_search" -> ((s, d) =>
+      phraseSearch(Tables.documents(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -221,7 +260,25 @@ object TextRetrieval {
          |            COALESCE(1000000 // ($RRF_K + s.sem_rank), 0) AS BIGINT) AS rrf_x1e6
          |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
          |ORDER BY rrf_x1e6 DESC, doc_id
-         |LIMIT 10""".stripMargin
+         |LIMIT 10""".stripMargin,
+
+    // q96 twin: identical positional trigram generation (1-based range i
+    // maps to 0-based pos = i-1), identical (count DESC, gram ASC) phrase
+    // derivation, identical hit aggregation.
+    "q96_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |occ AS (SELECT doc_id, i - 1 AS pos,
+        |          l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+        |        FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+        |        WHERE len(l) >= 3),
+        |top AS (SELECT g FROM occ GROUP BY g
+        |        ORDER BY COUNT(*) DESC, g ASC LIMIT 1)
+        |SELECT o.doc_id, t.g AS phrase,
+        |       CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |       CAST(MIN(o.pos) AS BIGINT) AS first_pos
+        |FROM occ o JOIN top t ON o.g = t.g
+        |GROUP BY o.doc_id, t.g
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** The q44 BM25 pipeline as a shared CTE prefix ending in

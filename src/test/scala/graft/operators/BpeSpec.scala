@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.TestSpark
 
 /** The distributed BPE trainer must reproduce the sequential reference
@@ -94,5 +95,35 @@ class BpeSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq === (1L to Bpe.N_MERGES))
     // each merged symbol is the concatenation of its parts
     out.foreach(r => assert(r.getString(3) === r.getString(1) + r.getString(2)))
+  }
+
+  test("q97: encoded token mass conserves characters and reflects the merges") {
+    import spark.implicits._
+    val docs = Seq("low low low low low lower lower newest newest newest " +
+      "newest newest newest widest widest widest").toDF("text")
+    val merges = Bpe.trainBpe(docs).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val stats = Bpe.encodeCorpusStats(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // character mass is invariant under merging: sum(len(token) * n_occ)
+    // must equal the total non-space characters of the corpus
+    val charMass = stats.map { case (t, n) => t.length * n }.sum
+    val expected = docs.collect().map(_.getString(0).replace(" ", "").length).sum
+    assert(charMass === expected, s"char mass $charMass != $expected")
+    // every trained merged symbol appears in the encoded vocabulary (it
+    // won its iteration, so some word still contains it or a successor;
+    // with 3 merges over this corpus the final merge survives verbatim)
+    val lastMerged = merges.last._3
+    assert(stats.contains(lastMerged),
+      s"final merged symbol $lastMerged missing from ${stats.keySet}")
+    // driver-side cross-check: re-encode with applyMerges and re-count
+    val enc = Bpe.applyMerges(
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")),
+      merges.map(m => (m._1, m._2)).toSeq)
+      .collect()
+      .flatMap(r => r.getSeq[String](2).map(_ -> r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(stats === enc)
   }
 }

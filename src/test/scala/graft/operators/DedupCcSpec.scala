@@ -295,5 +295,38 @@ class DedupCcSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 613L)),
       s"the rounding-boundary pair must be found at exactly containment 613: ${got.toSeq}")
   }
+
+  test("q95: the canonical keeper is the (quality DESC, doc_id ASC) argmax " +
+    "of every cluster, and singletons never appear") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // two near-dup clusters (trigram Jaccard >= 0.8) + one unpaired doc
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today extra"),
+      (3L, "completely unrelated standalone document with its own words"),
+      (4L, "pack my box with five dozen liquor jugs promptly now"),
+      (5L, "pack my box with five dozen liquor jugs promptly now indeed")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(docs, 800, cache = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.map(_._2).distinct.length == 2, s"two clusters: ${labels.toSeq}")
+    val quality = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextAnalysis.qualityCol.as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Dedup.clusterCanonical(docs, 800, cache = false).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    assert(out.keySet == byCluster.keySet, "one output row per cluster")
+    byCluster.foreach { case (cid, members) =>
+      val bestId = members.map(d => (quality(d), d))
+        .sortBy { case (q, d) => (-q, d) }.head._2
+      val (keepId, keepQ, n) = out(cid)
+      assert(keepId == bestId, s"cluster $cid keeper $keepId, want $bestId")
+      assert(keepQ == quality(bestId), s"cluster $cid keeper quality")
+      assert(n == members.length.toLong, s"cluster $cid member count")
+    }
+    assert(!out.values.exists(_._3 < 2L), "no singleton clusters in output")
+  }
 }
 

@@ -186,4 +186,31 @@ class PrepSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(shuffled === rows.map(_.toSeq).toSeq)
   }
+
+  test("q94: bloom crawl dedup equals the plain anti-join on the fixture") {
+    val docs = Tables.documents(spark, D)
+    val crawl = Prep.syntheticNextSnapshot(docs)
+    val got = Prep.crawlDedupBloom(docs, crawl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = crawl
+      .join(docs.select("text").distinct(), Seq("text"), "left_anti")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    assert(got === expected)
+    assert(got.nonEmpty, "revised docs must survive as new text")
+  }
+
+  test("q94: exact copies are dropped, revisions and novel docs survive") {
+    import spark.implicits._
+    val hist = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val crawl = Seq(
+      (10L, "a b c d"),     // exact copy of history -> dropped
+      (11L, "e f g h rev"), // revision -> kept
+      (12L, "x y z")        // novel -> kept
+    ).toDF("doc_id", "text")
+    val got = Prep.crawlDedupBloom(hist, crawl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((11L, 5L), (12L, 3L)))
+  }
 }

@@ -73,6 +73,54 @@ class RepetitionSpec extends AnyFunSuite {
     assert(rows.exists(_.getInt(4) == 0), "fixture should drop some near-dups")
   }
 
+  test("q98: dup-token coverage matches an interval-union recomputation " +
+    "on every fixture document") {
+    val texts = Tables.documents(spark, D)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // driver-side truth: token-level coverage via an actual boolean array,
+    // NOT the closed-form window (independent derivation)
+    val occ = texts.map { case (id, t) => id -> grams(t.split(" "), 5) }.toMap
+    val owner = occ.toSeq
+      .flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (p, ids) =>
+        p -> (ids.map(_._2).min, ids.map(_._2).distinct.size) }
+    val rows = Repetition.queries("q98_span_dedup")(spark, D).collect()
+    assert(rows.map(_.getLong(0)).toSet == occ.keySet)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val toks = texts.toMap.apply(id).split(" ")
+      val covered = new Array[Boolean](toks.length)
+      occ(id).zipWithIndex.foreach { case (p, pos) =>
+        val (own, nd) = owner(p)
+        if (nd > 1 && own != id) (pos until pos + 5).foreach(covered(_) = true)
+      }
+      val dup = covered.count(identity).toLong
+      assert(r.getLong(1) == toks.length.toLong, s"doc $id n_tokens")
+      assert(r.getLong(2) == dup, s"doc $id n_dup_tokens")
+      assert(r.getLong(3) == ratioX1e3(toks.length - dup, toks.length.toLong),
+        s"doc $id keep_x1e3")
+    }
+    assert(rows.exists(_.getLong(2) > 0), "fixture must contain foreign spans")
+  }
+
+  test("q98: overlapping foreign spans are counted once and the owner " +
+    "keeps its copy for free") {
+    import spark.implicits._
+    // doc 1 owns the passage; doc 2 lifts tokens 0..6 (grams at pos 0,1,2
+    // overlap -> union is 7 tokens, not 15); doc 3 is clean
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g x y z"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = Repetition.spanDedupStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((0L, 1000L)), "owner doc is untouched")
+    assert(out(2L) == ((7L, 300L)), "union coverage 7 of 10 -> keep 300")
+    assert(out(3L) == ((0L, 1000L)), "clean doc untouched")
+  }
+
   test("q56: quotas match the sqrt-allocation math and fill with smallest-hash docs") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, D)

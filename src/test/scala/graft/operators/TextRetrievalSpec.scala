@@ -196,4 +196,34 @@ class TextRetrievalSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 0) && expected.exists(_._3 > 0),
       "fixture must exercise both rankers")
   }
+
+  test("q96: phrase search finds the planted dominant trigram with exact positions") {
+    import spark.implicits._
+    // "alpha beta gamma" occurs 3x (doc 1 once, doc 2 twice); every other
+    // trigram at most 2x, so it is the derived phrase
+    val docs = Seq(
+      (1L, "x y z alpha beta gamma p q"),
+      (2L, "alpha beta gamma u v alpha beta gamma"),
+      (3L, "no match here at all"),
+      (4L, "alpha beta delta alpha beta delta")
+    ).toDF("doc_id", "text")
+    val out = TextRetrieval.phraseSearch(docs).collect()
+    assert(out.forall(_.getString(1) == "alpha beta gamma"))
+    val byDoc = out.map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(byDoc.keySet == Set(1L, 2L))
+    assert(byDoc(1L) == ((1L, 3L)), "doc 1: one hit at position 3")
+    assert(byDoc(2L) == ((2L, 0L)), "doc 2: two hits, first at position 0")
+  }
+
+  test("q96: ties break to the lexicographically smallest phrase") {
+    import spark.implicits._
+    // "b b b" and "a a a" both occur twice; the tie must pick "a a a"
+    val docs = Seq(
+      (1L, "b b b b z a a a"),
+      (2L, "a a a q")
+    ).toDF("doc_id", "text")
+    // doc1: "b b b" twice, "a a a" once; doc2: "a a a" once -> both at 2
+    val out = TextRetrieval.phraseSearch(docs).collect()
+    assert(out.nonEmpty && out.forall(_.getString(1) == "a a a"))
+  }
 }
