@@ -680,7 +680,72 @@ object Clustering {
   /** q72 probe count (of K=8 coarse cells). */
   private val IVFPQ_PROBES = 2
 
+  /** q99: LINEAR PROBE of embedding quality — the standard "are these
+    * embeddings any good for this labeling" measurement: train a
+    * nearest-class-centroid classifier on a hash-split 80% of the labeled
+    * vectors, report per-class accuracy on the held-out 20%. (Nearest
+    * centroid IS a linear classifier: argmin_c ||x − mu_c||^2 =
+    * argmax_c (x·mu_c − ||mu_c||^2/2).)
+    *
+    * Determinism/portability: vectors quantize once to x1e4 BIGINTs, so
+    * the per-class sums S_c, the dot products x·S_c, and ||S_c||^2 are
+    * EXACT integers (|x| < 0.58, 64 dims: exact to ~1e7 rows/class —
+    * beyond that the production path carries per-dim double means, same
+    * plan); the only floats are two divisions of exact integers per
+    * (vector, class) score, identical IEEE sequences in both engines. The
+    * 80/20 split is the portable-hash idiom (phash60(vec_id) % 5).
+    * Prediction tie-break: smallest label.
+    *
+    * 100 TB shape: training is ONE partial-aggregating (label, dim)
+    * groupBy; the model (k x dim + k counts) is broadcast-sized; scoring
+    * is a map-side broadcast join + per-vector argmax aggregate. One pass
+    * over train, one over eval, no corpus self-join, no global sort.
+    *
+    * On the synthetic fixture the labels carry ~chance linear signal and
+    * the probe reports exactly that (the MEASUREMENT is the contract);
+    * ClusteringSpec additionally pins 100% accuracy on a planted
+    * linearly-separable corpus, so the probe provably detects signal
+    * when it exists.
+    */
+  def linearProbe(embs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val q = embs.select(col("vec_id"), col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
+        .as("q"),
+      pmod(Sketches.phash60(col("vec_id").cast("string")), lit(5L)).as("h"))
+    val tr = q.filter(col("h") =!= 0)
+    val ev = q.filter(col("h") === 0)
+    val tq = tr.select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy("label", "pos").agg(sum("qv").as("s"))
+    val cn = tr.groupBy("label").agg(count(lit(1)).as("n"))
+    val ssq = tq.groupBy("label").agg(sum(col("s") * col("s")).as("ss"))
+    val cent = tq.join(cn, "label").join(ssq, "label")
+      .withColumnRenamed("label", "cand")
+    val evx = ev.select(col("vec_id"), col("label").as("true_label"),
+      posexplode(col("q")).as(Seq("pos", "qv")))
+    val dots = evx.join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "true_label", "cand", "n", "ss")
+      .agg(sum(col("qv") * col("s")).as("dot"))
+    val score = col("dot").cast("double") / col("n") -
+      col("ss").cast("double") / (lit(2.0) * col("n") * col("n"))
+    dots
+      .select(col("vec_id"), col("true_label"), col("cand"), score.as("sc"))
+      .groupBy("vec_id", "true_label")
+      .agg(min(struct((-col("sc")).as("negs"), col("cand").as("p"))).as("b"))
+      .select(col("true_label").as("label"), col("b.p").as("pred"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_x1e3",
+        floor(col("n_correct") * lit(1000.0) / col("n_eval") + lit(0.5))
+          .cast("long"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_linear_probe" -> ((s, d) => linearProbe(Tables.embeddings(s, d))),
     "q54_kmeans" -> ((s, d) => kmeansSummary(Tables.embeddings(s, d))),
     // q66 takes the corpus-derived k (ceil(n/64): 8 at sf0.01's 500
     // vectors, 79 at sf0.1's 5000 — the oracle derives the same k via a
@@ -884,7 +949,46 @@ object Clustering {
        |LIMIT 10""".stripMargin
   }
 
+  // q99 twin: identical quantization, hash split, exact-integer class
+  // sums, and the same two-exact-int-division score; 1-based list index
+  // mirrors Spark's 0-based posexplode (the join key is internal to each
+  // engine).
+  private def linearProbeOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        list_transform(embedding::DOUBLE[],
+       |          x -> CAST(FLOOR(x * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q,
+       |        ${Sketches.phash60Sql("CAST(vec_id AS VARCHAR)")} % 5 AS h
+       |      FROM embeddings),
+       |tr AS (SELECT * FROM e WHERE h <> 0),
+       |ev AS (SELECT * FROM e WHERE h = 0),
+       |tq AS (SELECT label, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS s
+       |       FROM tr, unnest(range(1, len(q) + 1)) AS u(i) GROUP BY 1, 2),
+       |cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1),
+       |ss AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS ss FROM tq GROUP BY 1),
+       |evx AS (SELECT vec_id, label AS true_label, i AS pos, q[i] AS qv
+       |        FROM ev, unnest(range(1, len(q) + 1)) AS u(i)),
+       |dots AS (SELECT evx.vec_id, evx.true_label, tq.label AS cand,
+       |           CAST(SUM(evx.qv * tq.s) AS BIGINT) AS dot
+       |         FROM evx JOIN tq ON evx.pos = tq.pos GROUP BY 1, 2, 3),
+       |sc AS (SELECT d.vec_id, d.true_label, d.cand,
+       |         CAST(d.dot AS DOUBLE) / cn.n
+       |           - CAST(ss.ss AS DOUBLE) / (CAST(2 AS DOUBLE) * cn.n * cn.n) AS sc
+       |       FROM dots d JOIN cn ON d.cand = cn.label
+       |                   JOIN ss ON d.cand = ss.label),
+       |pred AS (SELECT true_label AS label, cand AS pred,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sc DESC, cand) AS rn
+       |         FROM sc)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       CAST(FLOOR(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1000 AS DOUBLE)
+       |            / COUNT(*) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS acc_x1e3
+       |FROM pred WHERE rn = 1
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q99_linear_probe" -> linearProbeOracleSql,
     "q54_kmeans" -> kmeansOracleSql,
     "q66_semdedup" -> semDedupOracleSql,
     "q69_pq_train" -> pqOracleSql,

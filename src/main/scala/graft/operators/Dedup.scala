@@ -483,6 +483,43 @@ object Dedup {
     splitRepairReport(docs, comps)
   }
 
+  /** The q22 verified-pair set computed FROM a curation-index relation
+    * `(doc_id, sig, sh, …)` instead of raw text: band candidates from the
+    * carried minhash signatures, exact-Jaccard verification as a local
+    * `array_intersect` over the carried shingle arrays. Same pair set as
+    * [[jaccardPairsLshVerified]] (one definition of exact Jaccard;
+    * ArtifactSpec pins the equality) — the build-once/query-many form the
+    * q49/q86/q88/q95 consumers share so the corpus is tokenized once per
+    * snapshot, not once per query.
+    */
+  private[operators] def verifiedPairsFromIndex(idx: DataFrame,
+                                                thresholdX1e3: Int): DataFrame =
+    nearDupVerify(minhashCandidatePairs(idx.select("doc_id", "sig")), idx,
+      thresholdX1e3)
+
+  /** q49's labels from the curation-index artifact (see
+    * [[verifiedPairsFromIndex]]).
+    */
+  private[operators] def nearDupClustersFromIndex(idx: DataFrame,
+                                                  thresholdX1e3: Int): DataFrame = {
+    val (labels, _) = ccStarContract(
+      verifiedPairsFromIndex(idx, thresholdX1e3).select("d1", "d2"))
+    labels.orderBy("doc_id")
+  }
+
+  /** q88 from the curation-index artifact: index-derived Jaccard edges,
+    * q49 contraction, and the one corpus scan the report itself needs
+    * (per-split token counts) — the raw-corpus twin of
+    * [[leakFreeSplitContainmentFromIndex]] without containment edges.
+    */
+  private[operators] def leakFreeSplitFromIndex(docs: DataFrame,
+      idx: DataFrame, thresholdX1e3: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val (comps, _) = ccStarContract(
+      verifiedPairsFromIndex(idx, thresholdX1e3).select("d1", "d2"))
+    splitRepairReport(docs, comps)
+  }
+
   /** Join intersection counts with per-doc shingle counts and apply the
     * scaled-integer Jaccard threshold (shared tail of the exact and the
     * LSH-verified paths — one definition, one oracle meaning). The count
@@ -692,8 +729,15 @@ object Dedup {
     * final presentation ORDER BY.
     */
   def clusterCanonical(docs: DataFrame, thresholdX1e3: Int,
-                       cache: Boolean = true): DataFrame = {
-    val labels = nearDupClusters(docs, thresholdX1e3, cache)
+                       cache: Boolean = true): DataFrame =
+    clusterCanonicalFromLabels(docs,
+      nearDupClusters(docs, thresholdX1e3, cache))
+
+  /** [[clusterCanonical]] with the cluster labels supplied by the caller
+    * (e.g. derived from the persisted curation-index artifact).
+    */
+  private[operators] def clusterCanonicalFromLabels(docs: DataFrame,
+      labels: DataFrame): DataFrame = {
     val q = docs.select(col("doc_id"),
       TextAnalysis.qualityCol.as("quality_x1e3"))
     labels.join(q, Seq("doc_id"))
@@ -1047,9 +1091,11 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Q88: leakage-free split assignment (see [[leakFreeSplit]]).
+    // Q88: leakage-free split assignment (see [[leakFreeSplit]]), edges
+    // from the shared raw-corpus artifact (the q89 treatment).
     "q88_leakfree_split" -> ((s, d) =>
-      leakFreeSplit(Tables.documents(s, d), 800)),
+      leakFreeSplitFromIndex(Tables.documents(s, d),
+        s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)),
 
     // Q89: containment-aware leak-free split over the corpus + planted
     // excerpts — the fixture where q88's Jaccard-only repair measurably
@@ -1148,7 +1194,11 @@ object Dedup {
     // release pipeline runs after every re-split.
     "q86_split_leakage" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      jaccardPairsLshVerified(Tables.documents(s, d), 800)
+      // build-once: verified pairs from the raw-corpus curation-index
+      // artifact (shared with q49/q64/q88/q95; ArtifactSpec pins the
+      // pair-set equality with the from-text path)
+      verifiedPairsFromIndex(
+          s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)
         .select(col("d1"), col("d2"), col("jaccard_x1e3"),
           hashSplitOf(col("d1")).as("split1"),
           hashSplitOf(col("d2")).as("split2"))
@@ -1159,23 +1209,31 @@ object Dedup {
     // Q64: incremental near-dup maintenance — the corpus ingested as two
     // batches (even/odd doc_id), each batch's pairs found against the
     // index state at its ingest, unioned. Same oracle as q22: incremental
-    // == whole-corpus is the contract, hash-checked.
+    // == whole-corpus is the contract, hash-checked. The batch indexes
+    // are doc-parity SLICES of the shared raw-corpus artifact (the q90
+    // treatment); what this run measures is the incremental probe+verify.
     "q64_neardup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val idxA = nearDupIndex(docs.filter(col("doc_id") % 2 === 0)).persist()
-      val idxB = nearDupIndex(docs.filter(col("doc_id") % 2 =!= 0))
+      val idx = s.read
+        .parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false))
+        .select("doc_id", "sig", "sh")
+      val idxA = idx.filter(col("doc_id") % 2 === 0).persist()
+      val idxB = idx.filter(col("doc_id") % 2 =!= 0)
       incrementalNearDupPairs(idxA.limit(0), idxA, 800)
         .union(incrementalNearDupPairs(idxA, idxB, 800))
         .orderBy("d1", "d2")
     }),
 
-    // Q49: near-dup connected components (clusters) at Jaccard >= 0.8.
+    // Q49: near-dup connected components (clusters) at Jaccard >= 0.8,
+    // from the shared raw-corpus artifact.
     "q49_neardup_clusters" -> ((s, d) =>
-      nearDupClusters(Tables.documents(s, d).select("doc_id", "text"), 800)),
+      nearDupClustersFromIndex(
+        s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)),
 
     // Q95: canonical (keep-best-quality) selection per q49 cluster.
     "q95_cluster_canonical" -> ((s, d) =>
-      clusterCanonical(Tables.documents(s, d).select("doc_id", "text"), 800)),
+      clusterCanonicalFromLabels(Tables.documents(s, d).select("doc_id", "text"),
+        nearDupClustersFromIndex(
+          s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800))),
 
     // Q40: exact embedding-cosine near-dup pairs. The synthetic corpus has
     // no true duplicates (max pairwise cosine ~0.51 at sf0.01), so the demo

@@ -51,21 +51,28 @@ object DedupArtifacts {
   /** Resolve (building if absent) the artifact directory for the planted
     * corpus of `sfDir` at `contMinX1e3`.
     */
+  /** `planted = true` (default) builds over the corpus + planted excerpts
+    * (the q87/q89/q90 fixture); `planted = false` over the raw documents
+    * table — the q49/q64/q86/q88/q95 consumers, which never see the
+    * excerpt fixture. The two are distinct artifacts with distinct
+    * content keys; a consumer can never read the wrong corpus.
+    */
   private[graft] def ensureCurationIndex(spark: SparkSession, sfDir: String,
-                                         contMinX1e3: Int = 900): String =
+                                         contMinX1e3: Int = 900,
+                                         planted: Boolean = true): String =
     dirCache.synchronized {
-      dirCache.getOrElseUpdate(s"$sfDir|$contMinX1e3",
-        ensureUncached(spark, sfDir, contMinX1e3))
+      dirCache.getOrElseUpdate(s"$sfDir|$contMinX1e3|planted=$planted",
+        ensureUncached(spark, sfDir, contMinX1e3, planted))
     }
 
   private def ensureUncached(spark: SparkSession, sfDir: String,
-                             contMinX1e3: Int): String = {
-    val docs = Dedup.withPlantedExcerpts(
-      Tables.documents(spark, sfDir).select("doc_id", "text"))
+                             contMinX1e3: Int, planted: Boolean): String = {
+    val raw = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docs = if (planted) Dedup.withPlantedExcerpts(raw) else raw
     val fp = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
       .collect()(0)
     val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}" +
-      s"|cont=$contMinX1e3|nh=64|v=$ARTIFACT_VERSION"
+      s"|cont=$contMinX1e3|nh=64|planted=$planted|v=$ARTIFACT_VERSION"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dir = s"$artifactRoot/curidx_$digest"

@@ -58,4 +58,44 @@ class ArtifactSpec extends AnyFunSuite {
       Seq("doc_id", "pref", "sh", "sig"))
     assert(stored.count() === idx.count())
   }
+
+  private def rawDocs =
+    Tables.documents(spark, TestSpark.SF0001).select("doc_id", "text")
+
+  private lazy val rawIdx =
+    DedupArtifacts.buildCurationIndex(rawDocs, 900).persist()
+
+  test("verifiedPairsFromIndex == jaccardPairsLshVerified on the raw corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "jaccard_x1e3").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromIdx = rows(Dedup.verifiedPairsFromIndex(rawIdx, 800))
+    val direct = rows(Dedup.jaccardPairsLshVerified(rawDocs, 800, cache = false))
+    assert(fromIdx.nonEmpty && fromIdx === direct,
+      s"missing=${direct -- fromIdx} extra=${fromIdx -- direct}")
+  }
+
+  test("nearDupClustersFromIndex == nearDupClusters; " +
+    "leakFreeSplitFromIndex == leakFreeSplit") {
+    val lblIdx = Dedup.nearDupClustersFromIndex(rawIdx, 800).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lblDirect = Dedup.nearDupClusters(rawDocs, 800, cache = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lblIdx === lblDirect)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val fromIdx = rows(Dedup.leakFreeSplitFromIndex(rawDocs, rawIdx, 800))
+    val direct = rows(Dedup.leakFreeSplit(rawDocs, 800))
+    assert(fromIdx === direct)
+  }
+
+  test("raw and planted artifacts resolve to distinct content-keyed dirs") {
+    val p = DedupArtifacts.ensureCurationIndex(spark, TestSpark.SF0001)
+    val r = DedupArtifacts.ensureCurationIndex(spark, TestSpark.SF0001,
+      planted = false)
+    assert(p !== r, "planted and raw corpora must never share an artifact")
+    assert(spark.read.parquet(r).count() === rawIdx.count())
+  }
 }

@@ -112,4 +112,66 @@ class ClusteringSpec extends AnyFunSuite {
     // distinct centroids: the trainer must not collapse all clusters
     assert(cents.values.map(_.toSeq).toSet.size == K)
   }
+
+  test("q99: per-class probe accuracy equals a sequential nearest-centroid " +
+    "recomputation over the hash split") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Tables.embeddings(spark, D)
+      .select(col("vec_id"), col("label").cast("long"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long")).as("q"),
+        pmod(Sketches.phash60(col("vec_id").cast("string")), lit(5L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getLong(3)))
+    val (ev, tr) = rows.partition(_._4 == 0L)
+    assert(ev.nonEmpty && tr.nonEmpty, "split must populate both sides")
+    val byLabel = tr.groupBy(_._2)
+    val sums = byLabel.view.mapValues { vs =>
+      val s = new Array[Long](vs.head._3.length)
+      vs.foreach(v => v._3.indices.foreach(i => s(i) += v._3(i)))
+      (s, vs.length.toLong)
+    }.toMap
+    def predict(q: Array[Long]): Long =
+      sums.toSeq.map { case (lbl, (s, n)) =>
+        val dot = q.indices.map(i => q(i) * s(i)).sum
+        val ss = s.map(x => x * x).sum
+        (lbl, dot.toDouble / n - ss.toDouble / (2.0 * n * n))
+      }.minBy { case (lbl, sc) => (-sc, lbl) }._1
+    val expected = ev.groupBy(_._2).view.mapValues { vs =>
+      val correct = vs.count(v => predict(v._3) == v._2).toLong
+      (vs.length.toLong, correct,
+        math.floor(correct * 1000.0 / vs.length + 0.5).toLong)
+    }.toMap
+    val got = Clustering.linearProbe(Tables.embeddings(spark, D)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    // the fixture's labels carry ~chance linear signal (that IS the
+    // measurement — the probe reports it faithfully); totals must cover
+    // the full eval split
+    assert(got.values.map(_._1).sum === ev.length.toLong)
+  }
+
+  test("q99: the probe detects planted linear signal at 100% accuracy") {
+    import spark.implicits._
+    // class c = one-hot basis vector e_c plus a small deterministic
+    // perturbation on a DIFFERENT coordinate — linearly separable by
+    // construction, so nearest-centroid must score every eval vec right
+    val vecs = (0L until 200L).map { id =>
+      val c = (id % 4).toInt
+      val arr = new Array[Float](8)
+      arr(c) = 1.0f
+      arr(4 + c) = 0.1f * ((id % 7).toInt + 1)
+      (id, arr.toSeq, c)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val out = Clustering.linearProbe(df).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1),
+        s"class ${r.getLong(0)}: all eval members must classify correctly")
+      assert(r.getLong(3) === 1000L)
+    }
+  }
 }
