@@ -103,9 +103,13 @@ object Curation {
     * cross-engine compare never depends on null-vs-NaN dataframe coercion.
     */
   def crossModalPairs(docs: DataFrame, embs: DataFrame,
-                      cache: Boolean = true): DataFrame = {
-    val txt = Dedup.jaccardPairsLshVerified(
-      docs.select(col("doc_id"), col("text")), 800, cache = cache)
+                      cache: Boolean = true,
+                      txtPairs: Option[DataFrame] = None): DataFrame = {
+    // txtPairs lets the catalog entry supply the verified pair set from
+    // the shared raw-corpus curation-index artifact (same pair set by
+    // ArtifactSpec's equality pin) instead of re-tokenizing per query
+    val txt = txtPairs.getOrElse(Dedup.jaccardPairsLshVerified(
+      docs.select(col("doc_id"), col("text")), 800, cache = cache))
     val emb = Dedup.embeddingNearDupPairs(embs, 4500)
     txt.as("t")
       .join(emb.as("e"),
@@ -801,7 +805,10 @@ object Curation {
     "q50_contamination" -> ((s, d) =>
       contaminationReport(Tables.documents(s, d))),
     "q45_crossmodal_dedup" -> ((s, d) =>
-      crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d))),
+      crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d),
+        txtPairs = Some(Dedup.verifiedPairsFromIndex(
+          s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)),
+          800)))),
     "q76_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d)))
   )
 

@@ -111,7 +111,59 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** q100: ANN INDEX-QUALITY EVAL — recall@k of the q24c multi-probe LSH
+    * index against brute-force ground truth, per query. Building an
+    * approximate index (q24/q24b/q24c/q70/q72) is half the story; a
+    * pipeline must also MEASURE what the approximation loses before
+    * trusting it at 100 TB, and that measurement is itself a query worth
+    * gating: both the index and the truth are deterministic here, so even
+    * the recall report hash-checks cross-engine.
+    *
+    * Scale shape: ground truth is one broadcast pass of the (tiny,
+    * hash-picked) query set against the corpus — the honest O(nQueries x
+    * corpus) cost of truth, which is why production evals sample queries;
+    * the approximate side is the q24c bucket equi-join. Ties at the k-cut
+    * are impossible ambiguity: both sides rank by the SAME
+    * (cos_x1e4 DESC, vec_id) total order.
+    */
+  def annRecall(embs: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val e = asDouble(embs)
+      .withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM))
+    val q0 = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("bucket").as("qb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_x1e4").desc, col("vec_id"))
+    def topk(cand: DataFrame) = cand
+      .select(col("q_id"), col("vec_id"),
+        floor(cosine(col("emb"), col("qe")) * 10000 + lit(0.5))
+          .cast("long").as("cos_x1e4"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id")
+    val truth = topk(e.crossJoin(broadcast(q0.select("q_id", "qe")))
+      .filter(col("vec_id") =!= col("q_id")))
+    val masks = (0L +: (0 until N_PLANES).map(i => 1L << i)).map(lit)
+    val qmp = q0.withColumn("m", explode(array(masks: _*)))
+      .select(col("q_id"), col("qe"), col("qb").bitwiseXOR(col("m")).as("bucket"))
+    val approx = topk(e.join(broadcast(qmp), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id")))
+    truth.as("t")
+      .join(approx.as("a"),
+        col("t.q_id") === col("a.q_id") && col("t.vec_id") === col("a.vec_id"),
+        "left")
+      .groupBy(col("t.q_id").as("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("a.vec_id").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall_x1e3",
+        floor(col("n_hit") * lit(1000.0) / col("n_truth") + lit(0.5))
+          .cast("long"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q100: recall@3 of the q24c multi-probe index vs brute force.
+    "q100_ann_recall" -> ((s, d) => annRecall(Tables.embeddings(s, d))),
 
     // Q20 (E-10): exact cosine top-5 of vec_id=0.
     "q20_cosine_topk" -> ((s, d) => {
@@ -225,6 +277,43 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q100 twin: the q24c approximate chain + the q20b brute-force chain,
+    // joined per (query, neighbor), recall grouped per query.
+    "q100_ann_recall" -> {
+      val masks = (0L +: (0 until N_PLANES).map(i => 1L << i))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb,
+         |        ${bucketSqlExpr("emb")} AS bucket
+         |      FROM e),
+         |q0 AS (SELECT vec_id AS q_id, emb AS qe, bucket AS qb FROM b WHERE vec_id < 5),
+         |qm AS (SELECT q_id, qe, xor(qb, m) AS bucket
+         |       FROM q0, unnest($masks) AS t(m)),
+         |acand AS (SELECT q_id, b.vec_id AS vec_id,
+         |            CAST(FLOOR(${COS_SQL.format("b.emb", "qe", "b.emb", "b.emb", "qe", "qe")}
+         |              * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+         |          FROM b JOIN qm USING (bucket) WHERE b.vec_id <> q_id),
+         |apr AS (SELECT q_id, vec_id FROM (
+         |          SELECT *, row_number() OVER
+         |            (PARTITION BY q_id ORDER BY cos_x1e4 DESC, vec_id) AS rnk
+         |          FROM acand) WHERE rnk <= 3),
+         |tcand AS (SELECT q_id, e.vec_id AS vec_id,
+         |            CAST(FLOOR(${COS_SQL.format("e.emb", "qe", "e.emb", "e.emb", "qe", "qe")}
+         |              * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+         |          FROM e, q0 WHERE e.vec_id <> q_id),
+         |tru AS (SELECT q_id, vec_id FROM (
+         |          SELECT *, row_number() OVER
+         |            (PARTITION BY q_id ORDER BY cos_x1e4 DESC, vec_id) AS rnk
+         |          FROM tcand) WHERE rnk <= 3)
+         |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       CAST(FLOOR(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000 AS DOUBLE)
+         |            / COUNT(*) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS recall_x1e3
+         |FROM tru t LEFT JOIN apr a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |GROUP BY t.q_id
+         |ORDER BY t.q_id""".stripMargin
+    },
+
     "q24c_ann_multiprobe" -> {
       val masks = (0L +: (0 until N_PLANES).map(i => 1L << i))
         .mkString("[", ", ", "]")

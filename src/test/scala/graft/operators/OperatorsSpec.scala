@@ -220,6 +220,37 @@ class OperatorsSpec extends AnyFunSuite {
       "1-flip probes added no candidates for any query on this corpus")
   }
 
+  test("q100: per-query recall equals a driver-side set comparison of the " +
+    "multi-probe top-3 against brute-force truth") {
+    val emb = Tables.embeddings(spark, D)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosX(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5).toLong
+    }
+    val approx = Similarity.queries("q24c_ann_multiprobe")(spark, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 5L).map { q =>
+      val truth = emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosX(emb(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      val hit = truth.count(v => approx((q, v))).toLong
+      q -> ((truth.size.toLong, hit,
+        math.floor(hit * 1000.0 / truth.size + 0.5).toLong))
+    }.toMap
+    val got = Similarity.queries("q100_ann_recall")(spark, D).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    assert(got.values.forall { case (n, h, _) => n == 3L && h <= 3L })
+  }
+
   test("IVF ANN recall: probed-cell candidates score identically to brute force") {
     val ivf = Similarity.queries("q24b_ann_ivf")(spark, D).collect()
     assert(ivf.nonEmpty)
