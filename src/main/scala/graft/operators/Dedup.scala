@@ -507,6 +507,72 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Total rank mass for [[dupCentrality]], and the damping split 85/15.
+    * 1e12 leaves ~3 significant decimal digits per node at a billion docs
+    * while 85*mass stays far under BIGINT range.
+    */
+  private val RANK_SCALE = 1000000000000L
+
+  /** q101: DUPLICATION CENTRALITY — damped PageRank over the verified
+    * near-dup graph. A doc's rank measures how centrally it sits in the
+    * duplication structure: boilerplate/template hubs (one page near-dup'd
+    * by many spokes which are themselves duplicated) score far above an
+    * isolated mutual pair, which a flat degree count can't distinguish.
+    * Curation uses the rank as a down-weighting signal the per-pair views
+    * (q22) and flat components (q49) don't expose.
+    *
+    * Exactly reproducible across engines: ranks are BIGINT shares of
+    * [[RANK_SCALE]]; each iteration is r'(u) = (15*(SCALE div n)) div 100
+    * + (85 * sum_{v->u} (r(v) div deg(v))) div 100 — every step integer
+    * division of non-negative values, so Spark `DIV` == DuckDB `//` and
+    * the whole fixpoint prefix hash-checks. Dangling (isolated) docs keep
+    * the base rank and contribute nothing (the standard simplification;
+    * rank mass is not re-injected — documented, both engines identical).
+    *
+    * 100 TB shape: edges come from the LSH-verified pair set (never
+    * all-pairs); each of the `iters` rounds is ONE edge-sized equi-join
+    * plus ONE partial-aggregating groupBy on the destination key — no
+    * global sort, no driver-side graph. The only driver scalar is n.
+    */
+  def dupCentrality(docs: DataFrame, idx: DataFrame, thresholdX1e3: Int,
+                    iters: Int = 3): DataFrame = {
+    val pairs = verifiedPairsFromIndex(idx, thresholdX1e3).select("d1", "d2")
+    pageRank(docs.select("doc_id"), pairs, iters)
+  }
+
+  /** The rank fixpoint prefix behind [[dupCentrality]]: `pairs` (d1, d2)
+    * symmetrize into directed edges; `iters` rounds of the integer
+    * recurrence; output (doc_id, deg, rank_x1e12) per node.
+    */
+  private[operators] def pageRank(nodes0: DataFrame, pairs: DataFrame,
+                                  iters: Int): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val nodes = nodes0.persist()
+    val n = nodes.count() // bounded driver state: one scalar
+    val r0 = RANK_SCALE / n
+    val base = (15L * r0) / 100L
+    var ranks = nodes.select(col("doc_id"), lit(r0).as("r"))
+    (1 to iters).foreach { _ =>
+      val inflow = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(expr("r DIV deg")).as("s"))
+      ranks = nodes.join(inflow, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          s"$base + (85 * coalesce(s, 0)) DIV 100 AS r")
+    }
+    nodes
+      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("deg"))
+      .join(ranks, "doc_id")
+      .select(col("doc_id"), col("deg"), col("r").as("rank_x1e12"))
+      .orderBy("doc_id")
+  }
+
   /** q88 from the curation-index artifact: index-derived Jaccard edges,
     * q49 contraction, and the one corpus scan the report itself needs
     * (per-split token counts) — the raw-corpus twin of
@@ -1229,6 +1295,13 @@ object Dedup {
       nearDupClustersFromIndex(
         s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)),
 
+    // Q101: duplication centrality — integer PageRank over the verified
+    // near-dup graph (template-hub detection), edges from the shared
+    // raw-corpus artifact.
+    "q101_dup_centrality" -> ((s, d) =>
+      dupCentrality(Tables.documents(s, d),
+        s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)),
+
     // Q95: canonical (keep-best-quality) selection per q49 cluster.
     "q95_cluster_canonical" -> ((s, d) =>
       clusterCanonicalFromLabels(Tables.documents(s, d).select("doc_id", "text"),
@@ -1332,6 +1405,52 @@ object Dedup {
        |JOIN cnt c2 ON c2.doc_id = d2
        |WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= $thresholdX1e3
        |ORDER BY d1, d2""".stripMargin
+
+  /** q101 twin: the q22 exact-pair chain, symmetrized into edges, then the
+    * PageRank fixpoint prefix unrolled one CTE pair per iteration — the
+    * same integer recurrence as [[dupCentrality]] (`//` == Spark `DIV` on
+    * the non-negative operands used here). n is a CROSS JOIN scalar.
+    */
+  private def dupCentralityOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+         |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+         |       WHERE len(l) >= 3),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT d1, d2 FROM inter
+         |          JOIN cnt c1 ON c1.doc_id = d1
+         |          JOIN cnt c2 ON c2.doc_id = d2
+         |          WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= 800),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT nodes.doc_id, $RANK_SCALE // nn.n AS r
+         |       FROM nodes CROSS JOIN nn)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS doc_id, CAST(SUM(p.r // g.deg) AS BIGINT) AS s
+         |        FROM edges e JOIN r${k - 1} p ON p.doc_id = e.src
+         |        JOIN deg g ON g.src = e.src
+         |        GROUP BY 1),
+         |r$k AS (SELECT nodes.doc_id,
+         |          (15 * ($RANK_SCALE // nn.n)) // 100
+         |            + (85 * COALESCE(c$k.s, 0)) // 100 AS r
+         |        FROM nodes CROSS JOIN nn
+         |        LEFT JOIN c$k ON c$k.doc_id = nodes.doc_id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + its +
+      s"""
+         |SELECT nd.doc_id, COALESCE(g.deg, 0) AS deg, rf.r AS rank_x1e12
+         |FROM nodes nd
+         |LEFT JOIN deg g ON g.src = nd.doc_id
+         |JOIN r$iters rf ON rf.doc_id = nd.doc_id
+         |ORDER BY nd.doc_id""".stripMargin
+  }
 
   /** q86 twin: the q22 exact-pair chain with the q48 split CASE applied
     * to both endpoints.
@@ -1483,6 +1602,7 @@ object Dedup {
     "q88_leakfree_split" -> leakFreeSplitOracleSql,
     "q87_containment" -> containmentOracleSql,
     "q86_split_leakage" -> splitLeakageOracleSql,
+    "q101_dup_centrality" -> dupCentralityOracleSql(3),
     "q58_dedup_merge" ->
       """SELECT sha256(text) AS content_hash,
         |       MIN(doc_id) AS keep_id,
