@@ -744,7 +744,70 @@ object Clustering {
       .orderBy("label")
   }
 
+  /** q102: TOP-PRINCIPAL-COMPONENT PROJECTION — the dominant direction of
+    * the (mean-centered) embedding cloud via power iteration, and every
+    * vector's coefficient along it. The classic post-processing lever for
+    * embedding pipelines ("all-but-the-top": the top component is usually
+    * a corpus-frequency artifact; subtracting it sharpens cosine
+    * similarity for dedup/retrieval) and the 1-D version of a PCA trainer
+    * expressed as pure Spark aggregates.
+    *
+    * Determinism/portability: vectors quantize once to x1e4 BIGINTs;
+    * per-dim means are integer divisions of exact sums; each power step
+    * is dot = sum_i c_i*v_i per row (exact BIGINT), scaled down by DIV
+    * 1e4, accumulated into w_i = sum_rows c_i*(dot DIV 1e4), then
+    * renormalized to ~x1e4 by w DIV max(1, max|w| DIV 1e4). Integer
+    * division here is TRUNCATION toward zero in Spark (`DIV`), DuckDB
+    * (`//`) and Scala (`/`) alike — spec-pinned — so driver-side
+    * renormalization and the DuckDB CTE replay agree bit for bit.
+    * Sign convention: fixed by v0 = (1e4, ..., 1e4).
+    *
+    * 100 TB shape: the dim-sized mean and direction are the ONLY driver
+    * state (the kmeans-centroid pattern); each iteration is one narrow
+    * pass over the persisted centered relation — the dot is a per-row
+    * array fold (no join, no shuffle), the w update a partial-aggregating
+    * 64-key groupBy. Nothing is quadratic in n or dim. Integer headroom:
+    * |w| <= n * 2e4 * 2.6e6 stays under BIGINT to ~1e8 rows per
+    * partition-group; beyond that raise the DIV scale one decade.
+    */
+  def pc1Projection(embs: DataFrame, iters: Int = 3): DataFrame = {
+    val q = embs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
+        .as("q"))
+      .persist()
+    val n = q.count() // bounded driver state: one scalar
+    val dim = q.select(size(col("q"))).first().getInt(0)
+    val sums = q.select(posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy("pos").agg(sum("qv").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mean = (0 until dim).map(i => sums.getOrElse(i, 0L) / n)
+    val mLit = array(mean.map(lit): _*)
+    val c = q.select(col("vec_id"),
+      zip_with(col("q"), mLit, (a, b) => a - b).as("c")).persist()
+
+    def dotCol(v: IndexedSeq[Long]): Column =
+      aggregate(zip_with(col("c"), array(v.map(lit): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+
+    var v: IndexedSeq[Long] = IndexedSeq.fill(dim)(10000L)
+    (1 to iters).foreach { _ =>
+      val w = c.select(col("c"), dotCol(v).as("dot"))
+        .select(col("c"), expr("dot DIV 10000").as("ds"))
+        .select(col("ds"), posexplode(col("c")).as(Seq("pos", "cv")))
+        .groupBy("pos").agg(sum(col("cv") * col("ds")).as("w")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val warr = (0 until dim).map(i => w.getOrElse(i, 0L))
+      val d = math.max(1L, warr.map(math.abs).max / 10000L)
+      v = warr.map(_ / d)
+    }
+    c.select(col("vec_id"), dotCol(v).as("dot"))
+      .selectExpr("vec_id", "dot DIV 10000 AS proj_x1e4")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_pc1_projection" -> ((s, d) => pc1Projection(Tables.embeddings(s, d))),
     "q99_linear_probe" -> ((s, d) => linearProbe(Tables.embeddings(s, d))),
     "q54_kmeans" -> ((s, d) => kmeansSummary(Tables.embeddings(s, d))),
     // q66 takes the corpus-derived k (ceil(n/64): 8 at sf0.01's 500
@@ -987,7 +1050,44 @@ object Clustering {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
+  // q102 twin: identical quantization, integer mean, and power steps —
+  // one (d, w, vm, v) CTE quartet per iteration; `//` truncates toward
+  // zero exactly like Spark DIV and the driver-side Scala `/`, so the
+  // renormalized direction and every projection reproduce bit for bit.
+  private def pc1OracleSql(iters: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |        x -> CAST(FLOOR(x * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+         |      FROM embeddings),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+         |ex AS (SELECT vec_id, i AS pos, q[i] AS qv
+         |       FROM e, unnest(range(1, len(q) + 1)) AS u(i)),
+         |mn AS (SELECT pos, CAST(SUM(qv) AS BIGINT) // nn.n AS m
+         |       FROM ex CROSS JOIN nn GROUP BY pos, nn.n),
+         |cx AS (SELECT ex.vec_id, ex.pos, ex.qv - mn.m AS c
+         |       FROM ex JOIN mn ON ex.pos = mn.pos),
+         |v0 AS (SELECT DISTINCT pos, CAST(10000 AS BIGINT) AS v FROM ex)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""d$k AS (SELECT cx.vec_id, CAST(SUM(cx.c * v${k - 1}.v) AS BIGINT) // 10000 AS ds
+         |        FROM cx JOIN v${k - 1} ON cx.pos = v${k - 1}.pos
+         |        GROUP BY cx.vec_id),
+         |w$k AS (SELECT cx.pos, CAST(SUM(cx.c * d$k.ds) AS BIGINT) AS w
+         |        FROM cx JOIN d$k ON cx.vec_id = d$k.vec_id
+         |        GROUP BY cx.pos),
+         |vm$k AS (SELECT GREATEST(CAST(1 AS BIGINT),
+         |           CAST(MAX(ABS(w)) AS BIGINT) // 10000) AS dd FROM w$k),
+         |v$k AS (SELECT pos, w // vm$k.dd AS v FROM w$k CROSS JOIN vm$k)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + its +
+      s"""
+         |SELECT cx.vec_id, CAST(SUM(cx.c * vf.v) AS BIGINT) // 10000 AS proj_x1e4
+         |FROM cx JOIN v$iters vf ON cx.pos = vf.pos
+         |GROUP BY cx.vec_id
+         |ORDER BY vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q102_pc1_projection" -> pc1OracleSql(3),
     "q99_linear_probe" -> linearProbeOracleSql,
     "q54_kmeans" -> kmeansOracleSql,
     "q66_semdedup" -> semDedupOracleSql,
