@@ -348,7 +348,70 @@ object Prep {
     out(definiteNew).unionAll(out(verifiedNew)).orderBy("doc_id")
   }
 
+  /** q103: DETERMINISTIC WEIGHTED SAMPLING — draw a k-doc subsample whose
+    * inclusion odds scale with a per-doc weight (here: n_chars, i.e.
+    * content mass; engagement or quality plug in identically), yet is
+    * fully reproducible across runs, retries, and layouts. Each doc gets
+    * the priority key phash60(seed|doc_id) DIV weight — an inverse-
+    * weighted variant of the hash-rank idiom behind q42/q48 (the
+    * integer-arithmetic cousin of Efraimidis-Spirakis A-Res keys) — and
+    * the k smallest (priority, doc_id) win: doubling a weight can only
+    * lower (improve) a doc's priority, weight-1 docs face plain hash
+    * order, and everything is exact BIGINT so the sample hash-checks.
+    *
+    * 100 TB shape: one map-side pass computes keys; the global k-cut is
+    * orderBy+limit, which Spark executes as TakeOrdered (per-partition
+    * top-k, single tiny reduce) — no full sort, no global shuffle.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 200,
+                     seed: String = "ws42"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        greatest(col("n_chars").cast("long"), lit(1L)).as("weight"),
+        Sketches.phash60(
+          concat(lit(seed + "|"), col("doc_id").cast("string"))).as("h"))
+      .selectExpr("doc_id", "weight", "h DIV weight AS priority")
+      .orderBy("priority", "doc_id")
+      .limit(k)
+  }
+
+  /** q104: LENGTH-BUCKET PADDING REPORT — assign every doc to its
+    * next-power-of-two token-length bucket and report, per bucket, the
+    * batch count at a fixed batch size and the padding waste if each
+    * batch pads to the bucket ceiling. This is the measurement behind
+    * length-bucketed batching (the cheap alternative to q53's exact
+    * packing): comparing `waste_x1e3` across bucketings tells a training
+    * pipeline whether bucketed batches are tight enough to skip the
+    * packing pass. Bucket = 2^length(bin(n_tok - 1)) — the portable
+    * bit-length idiom the HLL rho shares — and every output column is
+    * exact integer arithmetic.
+    *
+    * 100 TB shape: one map-side pass to token counts + bucket keys, one
+    * partial-aggregating groupBy over <=40 bucket keys. Nothing sorts
+    * the corpus; the report is bucket-cardinality-sized.
+    */
+  def lengthBuckets(docs: DataFrame, batchSize: Int = 64): DataFrame =
+    docs.select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .selectExpr("n_tok",
+        "CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(power(2, length(bin(n_tok - 1))) AS BIGINT) END AS bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .selectExpr("bucket", "n_docs", "sum_tokens",
+        s"(n_docs + ${batchSize - 1}) DIV $batchSize AS n_batches",
+        "n_docs * bucket AS padded_tokens",
+        "((n_docs * bucket - sum_tokens) * 1000) DIV (n_docs * bucket) AS waste_x1e3")
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q103: weighted deterministic subsample (weight = content mass).
+    "q103_weighted_sample" -> ((s, d) =>
+      weightedSample(Tables.documents(s, d))),
+
+    // Q104: padding-efficiency report for length-bucketed batching.
+    "q104_length_buckets" -> ((s, d) =>
+      lengthBuckets(Tables.documents(s, d))),
+
     // Q85: snapshot diff over the synthetic next crawl.
     "q85_snapshot_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -383,6 +446,31 @@ object Prep {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q103_weighted_sample" ->
+      s"""SELECT doc_id, GREATEST(n_chars, 1) AS weight,
+         |       ${Sketches.phash60Sql("'ws42|' || CAST(doc_id AS VARCHAR)")}
+         |         // GREATEST(n_chars, 1) AS priority
+         |FROM documents
+         |ORDER BY priority, doc_id
+         |LIMIT 200""".stripMargin,
+
+    "q104_length_buckets" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+        |b AS (SELECT n_tok,
+        |        CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+        |             ELSE CAST(POWER(2, length(bin(n_tok - 1))) AS BIGINT)
+        |        END AS bucket
+        |      FROM t),
+        |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, n_docs, sum_tokens,
+        |       (n_docs + 63) // 64 AS n_batches,
+        |       n_docs * bucket AS padded_tokens,
+        |       ((n_docs * bucket - sum_tokens) * 1000) // (n_docs * bucket) AS waste_x1e3
+        |FROM g
+        |ORDER BY bucket""".stripMargin,
+
     "q91_engagement_weight" ->
       """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS doc_id,
         |        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, user_id

@@ -213,4 +213,54 @@ class PrepSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((11L, 5L), (12L, 3L)))
   }
+
+  test("q103: heavy weights dominate, doubling a weight only improves its " +
+    "priority, and the sample is layout-invariant") {
+    import spark.implicits._
+    def corpus(wOf: Long => Long) = (1L to 50L)
+      .map(i => (i, "txt", "en", "src", wOf(i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // one planted heavyweight: priority = h DIV 1e9 ~ 0-ish, always wins
+    val heavy = corpus(i => if (i == 17L) 1000000000L else 50L)
+    val top = Prep.weightedSample(heavy, k = 5).collect()
+    assert(top.map(_.getLong(0)).contains(17L), "1e9-weight doc must be sampled")
+    // monotonicity: doubling doc 3's weight cannot worsen its priority
+    val p1 = Prep.weightedSample(corpus(_ => 50L), k = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val p2 = Prep.weightedSample(corpus(i => if (i == 3L) 100L else 50L), k = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p2(3L) <= p1(3L), "doubled weight must not raise the priority key")
+    assert((1L to 50L).filter(_ != 3L).forall(i => p1(i) == p2(i)))
+    // layout invariance on the fixture + weights actually matter there
+    val a = Prep.weightedSample(Tables.documents(spark, D)).collect().toSeq
+    val b = Prep.weightedSample(Tables.documents(spark, D).repartition(7))
+      .collect().toSeq
+    assert(a === b, "repartition must not change the sample")
+    val unweighted = Prep.weightedSample(
+      Tables.documents(spark, D).withColumn("n_chars", lit(1L))).collect()
+      .map(_.getLong(0)).toSet
+    assert(a.map(_.getLong(0)).toSet != unweighted,
+      "the weighted sample must differ from plain hash order on the fixture")
+  }
+
+  test("q104: power-of-two bucket boundaries and exact waste accounting") {
+    import spark.implicits._
+    val docs = Seq(1, 2, 3, 4, 5, 8, 9, 64, 65).zipWithIndex.map {
+      case (n, i) => (i.toLong, (1 to n).map(t => s"w$t").mkString(" "),
+        "en", "src", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Prep.lengthBuckets(docs, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // buckets: 1->1; 2->2; 3,4->4; 5,8->8; 9->16; 64->64; 65->128
+    assert(rows.keySet === Set(1L, 2L, 4L, 8L, 16L, 64L, 128L))
+    assert(rows(4L)._1 === 2L && rows(4L)._2 === 7L, "n=3,4 share bucket 4")
+    assert(rows(8L)._1 === 2L && rows(8L)._2 === 13L, "n=5,8 share bucket 8")
+    // waste for bucket 4: padded 8, tokens 7 -> 1000/8 = 125
+    assert(rows(4L)._4 === 8L && rows(4L)._5 === 125L)
+    // batch count at size 2: 2 docs -> 1 batch; singletons -> 1
+    assert(rows(4L)._3 === 1L && rows(128L)._3 === 1L)
+    // zero waste when every doc exactly fills its bucket
+    assert(rows(1L)._5 === 0L && rows(2L)._5 === 0L && rows(64L)._5 === 0L)
+  }
 }
