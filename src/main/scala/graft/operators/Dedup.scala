@@ -573,6 +573,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q106: INCREMENTAL NEAR-DUP CLUSTERS — fold a batch of new documents
+    * into existing connected-component labels without re-running CC over
+    * the whole corpus. The old graph enters the contraction COMPRESSED to
+    * its star edges (doc -> component representative, one edge per
+    * labeled doc): star edges connect exactly the components the original
+    * edges did, the representative IS the component's min doc_id, and
+    * every previously-labeled doc appears as an edge endpoint — so CC
+    * over (old star edges UNION delta pairs) equals CC from scratch,
+    * label for label (q49's min-doc convention included). The q58/q64/
+    * q84/q90 mergeable-index contract, lifted to graph state.
+    *
+    * 100 TB shape: per batch the work is the delta's candidate probe
+    * (bucketed index layout) + contraction over (labeled docs + delta
+    * edges) — the labeled-doc relation is corpus-linear but each
+    * round of the star contraction converges in O(log n) rounds over
+    * edges that are mostly already stars, and nothing rebuilds the
+    * historical pair set.
+    */
+  def incrementalNearDupClusters(idxOld: DataFrame, idxDelta: DataFrame,
+                                 labelsOld: DataFrame,
+                                 thresholdX1e3: Int): DataFrame = {
+    val deltaPairs = incrementalNearDupPairs(idxOld, idxDelta, thresholdX1e3)
+      .select("d1", "d2")
+    val oldEdges = labelsOld.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("d1"), col("cluster_id").as("d2"))
+    // constraint barrier: the probe/label plans feeding this union can
+    // carry inferred constraints that reference attributes outside their
+    // own output (seen with localCheckpoint-derived lineage), and the
+    // contraction's first eager checkpoint then dies inside the
+    // optimizer's Union constraint rewrite (key-not-found). An RDD
+    // round-trip yields a clean leaf with identical rows/schema; in
+    // production the labels arrive from storage and this is a
+    // no-op-shaped guard.
+    val edges0 = deltaPairs.union(oldEdges).distinct()
+    val edges = labelsOld.sparkSession
+      .createDataFrame(edges0.rdd, edges0.schema)
+    val (labels, _) = ccStarContract(edges)
+    labels.orderBy("doc_id")
+  }
+
   /** q88 from the curation-index artifact: index-derived Jaccard edges,
     * q49 contraction, and the one corpus scan the report itself needs
     * (per-split token counts) — the raw-corpus twin of
@@ -1295,6 +1335,20 @@ object Dedup {
       nearDupClustersFromIndex(
         s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)),
 
+    // Q106: incremental cluster maintenance — even docs labeled first,
+    // odd docs folded into those labels; contract: == q49 from scratch
+    // (same oracle).
+    "q106_cc_incremental" -> ((s, d) => {
+      val idx = s.read
+        .parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false))
+        .select("doc_id", "sig", "sh")
+      val idxA = idx.filter(col("doc_id") % 2 === 0).persist()
+      val idxB = idx.filter(col("doc_id") % 2 =!= 0)
+      val (labelsA, _) = ccStarContract(
+        incrementalNearDupPairs(idxA.limit(0), idxA, 800).select("d1", "d2"))
+      incrementalNearDupClusters(idxA, idxB, labelsA, 800)
+    }),
+
     // Q101: duplication centrality — integer PageRank over the verified
     // near-dup graph (template-hub detection), edges from the shared
     // raw-corpus artifact.
@@ -1612,6 +1666,13 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin,
 
     "q49_neardup_clusters" ->
+      s"""WITH RECURSIVE $ccLabelsCtesSql
+         |SELECT doc_id, cluster_id FROM labels
+         |ORDER BY doc_id""".stripMargin,
+
+    // q106 shares q49's oracle: folding batches into existing labels must
+    // reproduce the from-scratch components label for label.
+    "q106_cc_incremental" ->
       s"""WITH RECURSIVE $ccLabelsCtesSql
          |SELECT doc_id, cluster_id FROM labels
          |ORDER BY doc_id""".stripMargin,

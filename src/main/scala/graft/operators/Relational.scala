@@ -34,7 +34,55 @@ object Relational {
   private val revenue: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** q105: FUNNEL ANALYTICS over the event stream — how many users reach
+    * each stage of an ordered event sequence, where stage k counts only
+    * events STRICTLY AFTER the user's stage-(k-1) anchor time (the classic
+    * conversion funnel; re-orderings don't count). Output is one row per
+    * stage with exact-integer user counts and step/overall conversion
+    * ratios x1e3.
+    *
+    * Shape: per-stage min-timestamp aggregates keyed on user_id. Stage k
+    * is one equi-join against the stage-(k-1) anchors (same key, so the
+    * exchange is reused across stages) plus one partial-aggregating
+    * groupBy; the report is stages-many rows, the final window runs over
+    * those rows only — no corpus-wide sort anywhere.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    var anchor = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts_us").as("t"))
+    var stageCounts = Seq(
+      anchor.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("stage"), lit(stages.head).as("event_type"),
+          col("n_users")))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      anchor = ev.filter(col("event_type") === st)
+        .join(anchor.withColumnRenamed("t", "prev_t"), "user_id")
+        .filter(col("ts_us") > col("prev_t"))
+        .groupBy("user_id").agg(min("ts_us").as("t"))
+      stageCounts :+= anchor.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    val w = Window.orderBy("stage") // stages-many rows: tiny by contract
+    stageCounts.reduce(_ unionAll _)
+      .select(col("stage"), col("event_type"), col("n_users"),
+        lag(col("n_users"), 1).over(w).as("prev"),
+        first(col("n_users")).over(w).as("frst"))
+      .selectExpr("stage", "event_type", "n_users",
+        "CAST(CASE WHEN prev IS NULL THEN 1000 WHEN prev = 0 THEN 0 " +
+          "ELSE (n_users * 1000) DIV prev END AS BIGINT) AS conv_prev_x1e3",
+        "CAST(CASE WHEN frst = 0 THEN 0 " +
+          "ELSE (n_users * 1000) DIV frst END AS BIGINT) AS conv_first_x1e3")
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q105: three-stage conversion funnel over the event stream.
+    "q105_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
 
     // Q8 (E-2): filter + project + arithmetic. The shipdate range and
     // discount predicates are pushed into the parquet scan (PushedFilters);
@@ -326,6 +374,35 @@ object Relational {
     floor(c * lit(factor) + lit(0.5)).cast("long")
 
   val oracleSql: Map[String, String] = Map(
+    "q105_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts_us > s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+        |       GROUP BY e.user_id),
+        |c AS (SELECT 1 AS stage, 'view' AS event_type,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+        |      UNION ALL SELECT 2, 'click',
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase',
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)),
+        |r AS (SELECT stage, event_type, n_users,
+        |        lag(n_users) OVER (ORDER BY stage) AS prev,
+        |        first_value(n_users) OVER (ORDER BY stage) AS frst
+        |      FROM c)
+        |SELECT stage, event_type, n_users,
+        |       CAST(CASE WHEN prev IS NULL THEN 1000 WHEN prev = 0 THEN 0
+        |            ELSE (n_users * 1000) // prev END AS BIGINT) AS conv_prev_x1e3,
+        |       CAST(CASE WHEN frst = 0 THEN 0
+        |            ELSE (n_users * 1000) // frst END AS BIGINT) AS conv_first_x1e3
+        |FROM r
+        |ORDER BY stage""".stripMargin,
     "q55_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
         |w AS (SELECT user_id, event_id, value, ts_us,

@@ -94,4 +94,51 @@ class IncrementalNearDupSpec extends AnyFunSuite {
       Dedup.queries("q90_containment_incremental")(spark, TestSpark.SF0001))
     assert(q90 === fullCont)
   }
+
+  // ---- q106: the incremental contract lifted to component LABELS ----
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val fullLabels = labelSet(Dedup.ccStarContract(
+    Dedup.jaccardPairsLshVerified(docs, 800).select("d1", "d2"))._1)
+
+  test("q106: folding the odd batch into even-batch labels == from-scratch " +
+    "q49, in either ingest order") {
+    assert(fullLabels.nonEmpty)
+    val a = Dedup.nearDupIndex(docs.filter(col("doc_id") % 2 === 0))
+    val b = Dedup.nearDupIndex(docs.filter(col("doc_id") % 2 =!= 0))
+    def seed(idx: DataFrame) = Dedup.ccStarContract(
+      Dedup.incrementalNearDupPairs(idx.limit(0), idx, 800)
+        .select("d1", "d2"))._1
+    assert(labelSet(Dedup.incrementalNearDupClusters(a, b, seed(a), 800))
+      === fullLabels, "even first")
+    assert(labelSet(Dedup.incrementalNearDupClusters(b, a, seed(b), 800))
+      === fullLabels, "odd first")
+  }
+
+  test("q106: a delta doc bridging two existing components relabels both " +
+    "to the global min") {
+    import spark.implicits._
+    // S = 40 shared tokens; T1 = S+A, T2 = S+B (8 own tokens each):
+    // J(T1,T2) ~ 0.70 < 0.8, J(S,T1) = J(S,T2) ~ 0.83 >= 0.8 — so {1,2}
+    // and {3,4} are separate components until bridge doc 5 (= S) arrives.
+    val s40 = (1 to 40).map(i => s"t$i")
+    val t1 = (s40 ++ (1 to 8).map(i => s"a$i")).mkString(" ")
+    val t2 = (s40 ++ (1 to 8).map(i => s"b$i")).mkString(" ")
+    val batchA = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2))
+      .toDF("doc_id", "text")
+    val batchB = Seq((5L, s40.mkString(" "))).toDF("doc_id", "text")
+    val idxA = Dedup.nearDupIndex(batchA)
+    val idxB = Dedup.nearDupIndex(batchB)
+    val labelsA = Dedup.ccStarContract(
+      Dedup.incrementalNearDupPairs(idxA.limit(0), idxA, 800)
+        .select("d1", "d2"))._1
+    assert(labelSet(labelsA) === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)),
+      "two separate components before the bridge")
+    val merged = labelSet(
+      Dedup.incrementalNearDupClusters(idxA, idxB, labelsA, 800))
+    assert(merged === (1L to 5L).map(_ -> 1L).toSet,
+      "bridge doc must merge both components onto the global min label")
+  }
 }

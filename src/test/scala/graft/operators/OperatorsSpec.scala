@@ -382,4 +382,25 @@ class OperatorsSpec extends AnyFunSuite {
     // the only exchange is the final sort's range partitioning
     assert("Exchange".r.findAllIn(plan).size === 1, s"unexpected shuffle:\n$plan")
   }
+
+  test("q105 funnel: stages count only strictly-ordered progressions") {
+    import spark.implicits._
+    // u1 completes in order; u2's purchase precedes its click (stage 3
+    // must NOT count); u3 only views; u4 skips the entry stage entirely.
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "view", 1L), (2L, "purchase", 2L), (2L, "click", 3L),
+      (3L, "view", 5L),
+      (4L, "click", 1L), (4L, "purchase", 2L))
+      .toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val got = Relational.funnel(ev).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1, "view", 3L, 1000L, 1000L),
+      (2, "click", 2L, 666L, 666L),
+      (3, "purchase", 1L, 500L, 333L)))
+  }
 }

@@ -69,13 +69,9 @@ EXCEPTIONS = {
     # estimates were replaced by LSH-pruned + exact-verified pairs; r5
     # restored <= ~2 s. Keep this dict empty when nothing is in flight.
     #
-    # r5->r6: semDedup's k now derives from the corpus (k = ceil(n/64),
-    # VERDICT r5 #3) so the within-cluster pair space stays linear in n —
-    # the 100 TB-correct semantics. At sf0.1 that means k~79 instead of the
-    # old fixed 8, and Lloyd iterations cost O(n*k): q66 ~1.6 -> ~3.3 s.
-    # The extra work IS the semantic upgrade (bounded cluster sizes);
-    # re-baseline next round.
-    "q66_semdedup": "corpus-derived k (ceil(n/64)): k=8 -> k~79 at sf0.1",
+    # r5->r6 (resolved, entry retired round 10): q66 semDedup's
+    # corpus-derived k (ceil(n/64)) — sampled training clawed the cost
+    # back by r6 (1.8 s) and every artifact since grades it in-family.
 }
 
 
@@ -87,7 +83,7 @@ def family(q):
         return "relational"
     if i <= 7 or i == 33:
         return "cdc"
-    if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101):
+    if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106):
         return "dedup"
     if i in (20, 24, 54, 61, 66, 69, 70, 72, 99, 100, 102):
         return "similarity"
