@@ -91,8 +91,8 @@ object Bench {
     // r9 driver run showed interference can ALSO be selective (controls
     // clean, heavy aggregates 5x) — that case is caught by bench_diff's
     // run-minimum and idle-reference tiers, not this factor.
-    val controlRef = Map("q01_scan" -> 0.066, "q22_minhash_lsh" -> 1.632,
-      "q57_curation_strict" -> 4.180) // tools/bench_ref.json medians (r10)
+    val controlRef = Map("q01_scan" -> 0.045, "q22_minhash_lsh" -> 1.251,
+      "q57_curation_strict" -> 2.407) // tools/bench_ref.json medians (r10, 115-query idle run)
     val ctl = results.collect {
       case (k, ts, _, _, _) if controlRef.contains(k) && ts(runs / 2) > 0 =>
         k -> ts(runs / 2)

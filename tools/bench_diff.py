@@ -39,8 +39,8 @@ import sys
 # Control queries: medians recorded by the committed idle-box reference run
 # (tools/bench_ref.json provenance block). Must match Bench.scala's
 # controlRef so artifacts and this tool compute the same factor.
-REF_CONTROLS = {"q01_scan": 0.066, "q22_minhash_lsh": 1.632,
-                "q57_curation_strict": 4.180}
+REF_CONTROLS = {"q01_scan": 0.045, "q22_minhash_lsh": 1.251,
+                "q57_curation_strict": 2.407}
 REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_ref.json")
 
