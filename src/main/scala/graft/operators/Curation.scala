@@ -403,6 +403,72 @@ object Curation {
     * argument: any exact-length subset of a doc's shingles is a valid
     * prefix).
     */
+  /** Streaming CLUSTER-LABEL maintenance — the q106 fold driven by
+    * Structured Streaming: each micro-batch runs the full near-dup ingest
+    * ([[nearDupIngestBatch]]: bucketed index + per-batch verified pairs),
+    * then folds its fresh pairs into the previous batch's component
+    * labels ([[Dedup.foldClusterLabels]]) and overwrites the COMPLETE
+    * label state at `labelsDir/batch=<id>`. The label state is full-state
+    * (not append-only), so replay safety comes from reading the LATEST
+    * batch directory strictly BELOW the current checkpointed batchId — a
+    * retried batch re-reads its predecessor's state and rewrites its own
+    * directory deterministically. After any prefix of the stream,
+    * `labelsDir/batch=<latest>` equals q49 over every document ingested
+    * so far (StreamingSpec pins the two-batch case against the
+    * whole-corpus labels).
+    */
+  def streamingClusterIngest(docs: DataFrame, indexDir: String,
+                             pairsDir: String, labelsDir: String,
+                             checkpoint: String,
+                             thresholdX1e3: Int = JACCARD_MIN)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        clusterIngestBatch(batch, batchId, indexDir, pairsDir, labelsDir,
+          thresholdX1e3)
+      }
+      .start()
+
+  /** One micro-batch of the cluster-label ingest (the foreachBatch body,
+    * factored out like [[nearDupIngestBatch]]).
+    */
+  private[graft] def clusterIngestBatch(batch: DataFrame, batchId: Long,
+                                            indexDir: String, pairsDir: String,
+                                            labelsDir: String,
+                                            thresholdX1e3: Int): Unit = {
+    val spark = batch.sparkSession
+    nearDupIngestBatch(batch, batchId, indexDir, pairsDir, thresholdX1e3)
+    val deltaPairs = spark.read.parquet(s"$pairsDir/batch=$batchId")
+      .select("d1", "d2")
+    Dedup.foldClusterLabels(latestLabels(spark, labelsDir, batchId), deltaPairs)
+      .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+  }
+
+  /** The newest complete label state strictly below `batchId` (replay
+    * safety: a retried batch never reads its own partial write). A
+    * MISSING labels root means "first batch"; any other filesystem
+    * failure propagates (the [[readPrunedIndex]] policy).
+    */
+  private def latestLabels(spark: SparkSession, labelsDir: String,
+                           batchId: Long): DataFrame = {
+    val empty = spark.range(0)
+      .selectExpr("id AS doc_id", "id AS cluster_id")
+    val base = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return empty
+    require(fs.getFileStatus(base).isDirectory,
+      s"label-state path $labelsDir exists but is not a directory")
+    val prior = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ < batchId)
+    if (prior.isEmpty) empty
+    else spark.read.parquet(s"$labelsDir/batch=${prior.max}")
+      .select("doc_id", "cluster_id")
+  }
+
   def streamingContainmentIngest(docs: DataFrame, indexDir: String,
                                  pairsDir: String, checkpoint: String,
                                  contMinX1e3: Int = 900)

@@ -593,9 +593,18 @@ object Dedup {
     */
   def incrementalNearDupClusters(idxOld: DataFrame, idxDelta: DataFrame,
                                  labelsOld: DataFrame,
-                                 thresholdX1e3: Int): DataFrame = {
-    val deltaPairs = incrementalNearDupPairs(idxOld, idxDelta, thresholdX1e3)
-      .select("d1", "d2")
+                                 thresholdX1e3: Int): DataFrame =
+    foldClusterLabels(labelsOld,
+      incrementalNearDupPairs(idxOld, idxDelta, thresholdX1e3)
+        .select("d1", "d2"))
+
+  /** The label-state fold behind [[incrementalNearDupClusters]] and the
+    * streaming cluster ingest: old labels as star edges + the delta's
+    * pair edges, one contraction. Exactness argument in
+    * [[incrementalNearDupClusters]]'s doc.
+    */
+  private[operators] def foldClusterLabels(labelsOld: DataFrame,
+                                           deltaPairs: DataFrame): DataFrame = {
     val oldEdges = labelsOld.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("d1"), col("cluster_id").as("d2"))
     // constraint barrier: the probe/label plans feeding this union can
@@ -606,7 +615,7 @@ object Dedup {
     // round-trip yields a clean leaf with identical rows/schema; in
     // production the labels arrive from storage and this is a
     // no-op-shaped guard.
-    val edges0 = deltaPairs.union(oldEdges).distinct()
+    val edges0 = deltaPairs.select("d1", "d2").union(oldEdges).distinct()
     val edges = labelsOld.sparkSession
       .createDataFrame(edges0.rdd, edges0.schema)
     val (labels, _) = ccStarContract(edges)

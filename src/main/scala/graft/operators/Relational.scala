@@ -79,10 +79,39 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** q108: RETENTION COHORTS — for each signup-day cohort, how many users
+    * were active again k days later. Days are epoch-day integers
+    * (unix_micros DIV 86.4e9 — no calendar functions, so both engines
+    * bucket identically and the matrix is exact integers end to end).
+    * Cohort = the user's FIRST signup day; activity = any event type on
+    * or after it.
+    *
+    * Shape: one pass to (user, day) distinct activity, one tiny aggregate
+    * for cohort anchors, one equi-join on user_id, one partial-
+    * aggregating groupBy on (cohort_day, offset) — the output is
+    * cohort x horizon sized, never event-stream sized.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("c_day"))
+    val act = ev.select("user_id", "day").distinct()
+    cohort.join(act, "user_id")
+      .filter(col("day") >= col("c_day"))
+      .groupBy(col("c_day").as("cohort_day"),
+        (col("day") - col("c_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, day) is distinct already
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q105: three-stage conversion funnel over the event stream.
     "q105_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+
+    // Q108: signup-cohort retention matrix over the event stream.
+    "q108_retention" -> ((s, d) => retention(Tables.events(s, d))),
 
     // Q8 (E-2): filter + project + arithmetic. The shipdate range and
     // discount predicates are pushed into the parquet scan (PushedFilters);
@@ -374,6 +403,18 @@ object Relational {
     floor(c * lit(factor) + lit(0.5)).cast("long")
 
   val oracleSql: Map[String, String] = Map(
+    "q108_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS c_day FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT c.c_day AS cohort_day, a.day - c.c_day AS day_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM c JOIN a ON a.user_id = c.user_id AND a.day >= c.c_day
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "q105_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e

@@ -33,7 +33,7 @@ object TextRetrieval {
 
   private val BM25_K1 = 1.2
   private val BM25_B = 0.75
-  private val QUERY_TERMS = Seq("spark", "vector", "stream")
+  private[operators] val QUERY_TERMS = Seq("spark", "vector", "stream")
 
   /** Top-k TF-IDF terms per document over any (doc_id, text) relation.
     * tf and df are exact longs; the only float ops are one division, one
@@ -75,11 +75,22 @@ object TextRetrieval {
     // constants cost one extra pass over O(docs) rows, not a re-scan
     val lens0 = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
     val lens = if (cache) lens0.persist() else lens0
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    bm25Score(tf, lens, terms, k)
+  }
+
+  /** The shared scoring tail behind [[bm25Search]] and
+    * [[bm25SearchFromIndex]]: one BM25 definition, one float-order
+    * contract (per-term conditional sums added in literal term order), so
+    * the from-text and from-index paths are hash-identical by
+    * construction.
+    */
+  private def bm25Score(tf: DataFrame, lens: DataFrame,
+                        terms: Seq[String], k: Int): DataFrame = {
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
@@ -104,6 +115,35 @@ object TextRetrieval {
         floor(total * 10000 + lit(0.5)).cast("long").as("bm25_x1e4"))
       .orderBy(col("bm25_x1e4").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** q107: the full inverted-index relation for a document batch — one
+    * row per (doc_id, term) with the term frequency, document length
+    * denormalized onto every posting. Indexes of DISJOINT batches merge
+    * by plain union (tf is per-doc, dl is per-doc, df/N/avgdl derive
+    * from the merged relation), which is the whole incremental story:
+    * a new crawl appends its postings, nothing re-tokenizes history.
+    */
+  def bm25Index(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** q107: BM25 top-k straight off a (merged) [[bm25Index]] relation —
+    * no text scan. The query-term filter hits the postings relation
+    * first, so only matching postings shuffle; corpus stats come from
+    * the per-doc (doc_id, dl) projection of the same index. Bit-for-bit
+    * equal to [[bm25Search]] on the same corpus (shared [[bm25Score]]
+    * tail; spec- and oracle-pinned).
+    */
+  def bm25SearchFromIndex(index: DataFrame, rawTerms: Seq[String],
+                          k: Int): DataFrame = {
+    val terms = rawTerms.distinct
+    require(terms.nonEmpty, "bm25SearchFromIndex needs at least one query term")
+    val lens = index.select("doc_id", "dl").distinct().persist()
+    val tf = index.filter(col("term").isin(terms: _*))
+      .select("doc_id", "term", "tf")
+    bm25Score(tf, lens, terms, k)
   }
 
   private val RRF_K = 60
@@ -203,6 +243,16 @@ object TextRetrieval {
     "q44_bm25_search" -> ((s, d) =>
       bm25Search(Tables.documents(s, d), QUERY_TERMS, 10)),
 
+    // Q107: the corpus ingested as two disjoint batches, each reduced to
+    // its inverted index; search runs off the MERGED index — contract:
+    // == q44 off the raw text (same oracle).
+    "q107_bm25_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxA = bm25Index(docs.filter(col("doc_id") % 2 === 0))
+      val idxB = bm25Index(docs.filter(col("doc_id") % 2 =!= 0))
+      bm25SearchFromIndex(idxA.unionByName(idxB), QUERY_TERMS, 10)
+    }),
+
     // Q67: RRF hybrid of the q44 lexical ranker and the q20 semantic
     // ranker (query vector = embedding of vec_id 0).
     "q67_hybrid_search" -> ((s, d) =>
@@ -228,6 +278,14 @@ object TextRetrieval {
         |    (PARTITION BY doc_id ORDER BY tfidf_x1e4 DESC, term) AS INT) AS rnk FROM scored)
         |SELECT doc_id, term, tfidf_x1e4, rnk FROM ranked WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    // q107 shares q44's oracle: scoring off the merged incremental index
+    // must reproduce the from-text search bit for bit.
+    "q107_bm25_incremental" ->
+      s"""WITH $bm25CtesSql
+         |SELECT doc_id, bm25_x1e4 FROM bm25
+         |ORDER BY bm25_x1e4 DESC, doc_id
+         |LIMIT 10""".stripMargin,
 
     "q44_bm25_search" ->
       s"""WITH $bm25CtesSql

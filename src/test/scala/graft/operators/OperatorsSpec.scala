@@ -403,4 +403,29 @@ class OperatorsSpec extends AnyFunSuite {
       (2, "click", 2L, 666L, 666L),
       (3, "purchase", 1L, 500L, 333L)))
   }
+
+  test("q108 retention: cohort anchors at first signup, pre-signup and " +
+    "never-signed users excluded") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      // u1: signs up day 0, active days 0 and 2 (two events on day 2
+      // must count once)
+      (1L, "signup", 0L), (1L, "click", 2 * day), (1L, "view", 2 * day + 5L),
+      // u2: signs up day 0 (twice — first wins), active day 0 only
+      (2L, "signup", 10L), (2L, "signup", day),
+      // u3: active but never signs up — excluded entirely
+      (3L, "click", 0L),
+      // u4: activity BEFORE its day-3 signup must not count
+      (4L, "view", day), (4L, "signup", 3 * day), (4L, "purchase", 4 * day))
+      .toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val got = Relational.retention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // u2's day-1 signup also counts as activity on day 1
+    assert(got === Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (3L, 0L, 1L), (3L, 1L, 1L)))
+  }
 }

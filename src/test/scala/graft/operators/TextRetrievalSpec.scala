@@ -226,4 +226,27 @@ class TextRetrievalSpec extends AnyFunSuite {
     val out = TextRetrieval.phraseSearch(docs).collect()
     assert(out.nonEmpty && out.forall(_.getString(1) == "a a a"))
   }
+
+  test("q107: search off a merged incremental index == from-text BM25, " +
+    "for any batch split") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, D)
+    val direct = TextRetrieval.bm25Search(docs, TextRetrieval.QUERY_TERMS, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(direct.nonEmpty)
+    val two = TextRetrieval.bm25SearchFromIndex(
+      TextRetrieval.bm25Index(docs.filter(col("doc_id") % 2 === 0))
+        .unionByName(TextRetrieval.bm25Index(docs.filter(col("doc_id") % 2 =!= 0))),
+      TextRetrieval.QUERY_TERMS, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(two === direct, "two-batch merge must equal the from-text search")
+    // three batches, merged in a scrambled order — union order irrelevant
+    val thirds = (0 to 2).map(m =>
+      TextRetrieval.bm25Index(docs.filter(col("doc_id") % 3 === m)))
+    val three = TextRetrieval.bm25SearchFromIndex(
+      thirds(2).unionByName(thirds(0)).unionByName(thirds(1)),
+      TextRetrieval.QUERY_TERMS, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(three === direct, "three-batch scrambled merge must equal direct")
+  }
 }

@@ -388,6 +388,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay === pairsOf(spark.read.parquet(s"$dir/pairs/batch=1")))
   }
 
+  test("streaming cluster ingest: label state after each batch == q49 over " +
+    "everything ingested so far; replay re-reads the predecessor state") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    import graft.sources.Tables
+    val corpus = Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text")
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-ccstream").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Curation.streamingClusterIngest(in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/pairs", s"$dir/labels", ckpt())
+    try {
+      in.addData(evens); q.processAllAvailable()
+      in.addData(odds); q.processAllAvailable()
+    } finally q.stop()
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fromScratch(d: org.apache.spark.sql.DataFrame) =
+      labelsOf(Dedup.nearDupClusters(d, 800, cache = false))
+    val afterB0 = labelsOf(spark.read.parquet(s"$dir/labels/batch=0"))
+    assert(afterB0 === fromScratch(evens.toDF("doc_id", "text")),
+      "batch-0 state == q49 over the even half")
+    val afterB1 = labelsOf(spark.read.parquet(s"$dir/labels/batch=1"))
+    assert(afterB1.nonEmpty && afterB1 === fromScratch(corpus),
+      "batch-1 state == q49 over the whole corpus")
+    // replay posture: re-running batch 1's fold against the batch-0 state
+    // (NEVER its own directory) reproduces the committed batch-1 state
+    Curation.clusterIngestBatch(odds.toDF("doc_id", "text"), 1L,
+      s"$dir/index", s"$dir/pairs", s"$dir/labels", 800)
+    assert(labelsOf(spark.read.parquet(s"$dir/labels/batch=1")) === afterB1)
+  }
+
   test("streaming containment ingest: per-batch pairs union == whole " +
     "corpus q87; replay reproduces its batch") {
     import spark.implicits._
