@@ -308,6 +308,63 @@ final class Graft(val spark: SparkSession, dataDir: String,
       Dedup.containmentIndex(newDocs.select("doc_id", "text"), contMinX1e3),
       contMinX1e3)
 
+  /** Updated component labels after folding a new `(doc_id, text)` batch
+    * into existing [[nearDupClusters]] labels (q106 contract: == q49 from
+    * scratch over the union).
+    */
+  def ingestClusterLabels(index: DataFrame, newDocs: DataFrame,
+                          labels: DataFrame,
+                          jaccardX1e3: Int = 800): DataFrame =
+    Dedup.incrementalNearDupClusters(index,
+      Dedup.nearDupIndex(newDocs.select("doc_id", "text")), labels,
+      jaccardX1e3)
+
+  /** Duplication centrality (q101): damped integer PageRank over the
+    * verified near-dup graph — template/boilerplate hubs rank highest.
+    */
+  def dupCentrality(jaccardX1e3: Int = 800, iters: Int = 3): DataFrame =
+    Dedup.dupCentrality(Tables.documents(spark, dataDir),
+      spark.read.parquet(operators.DedupArtifacts
+        .ensureCurationIndex(spark, dataDir, planted = false)),
+      jaccardX1e3, iters)
+
+  /** Top-principal-component projection of the embedding cloud (q102 —
+    * the "all-but-the-top" direction and each vector's coefficient).
+    */
+  def pc1Projection(iters: Int = 3): DataFrame =
+    Clustering.pc1Projection(Tables.embeddings(spark, dataDir), iters)
+
+  /** Deterministic weight-proportional subsample of `documents` (q103);
+    * weight = content mass by default.
+    */
+  def weightedSample(k: Int = 200, seed: String = "ws42"): DataFrame =
+    Prep.weightedSample(Tables.documents(spark, dataDir), k, seed)
+
+  /** Padding-efficiency report for length-bucketed batching (q104). */
+  def lengthBuckets(batchSize: Int = 64): DataFrame =
+    Prep.lengthBuckets(Tables.documents(spark, dataDir), batchSize)
+
+  /** Conversion funnel over `events` (q105; strictly-ordered stages). */
+  def funnel(stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    operators.Relational.funnel(Tables.events(spark, dataDir), stages)
+
+  /** Signup-cohort retention matrix over `events` (q108). */
+  def retention(): DataFrame =
+    operators.Relational.retention(Tables.events(spark, dataDir))
+
+  /** The BM25 inverted index over `documents` (q107) — persist it, merge
+    * later batches by union, and search with [[bm25SearchIndexed]].
+    */
+  def bm25Index(): DataFrame =
+    TextRetrieval.bm25Index(Tables.documents(spark, dataDir))
+
+  /** BM25 top-k off a (merged) [[bm25Index]] relation — no text scan;
+    * bit-for-bit equal to [[search]] on the same corpus.
+    */
+  def bm25SearchIndexed(index: DataFrame, terms: Seq[String],
+                        k: Int = 10): DataFrame =
+    TextRetrieval.bm25SearchFromIndex(index, terms, k)
+
   /** Per-user gap-based sessions over `events` (batch twin of the
     * streaming session_window pipeline).
     */

@@ -89,4 +89,28 @@ class GraftSpec extends AnyFunSuite {
     assert(g.domainMix(budget = 50L)
       .agg(org.apache.spark.sql.functions.sum("n_sampled")).head.getLong(0) <= 50L)
   }
+
+  test("analytics and index conveniences added in round 10 run end to end") {
+    assert(g.dupCentrality().columns.toSeq === Seq("doc_id", "deg", "rank_x1e12"))
+    assert(g.pc1Projection().columns.toSeq === Seq("vec_id", "proj_x1e4"))
+    assert(g.weightedSample(k = 10).count() === 10L)
+    assert(g.lengthBuckets().columns.contains("waste_x1e3"))
+    val f = g.funnel().collect()
+    assert(f.length === 3 && f.head.getLong(2) >= f.last.getLong(2),
+      "funnel stages must be monotonically non-increasing")
+    assert(g.retention().columns.toSeq ===
+      Seq("cohort_day", "day_offset", "n_active"))
+    val idx = g.bm25Index()
+    val viaIdx = g.bm25SearchIndexed(idx, Seq("spark", "vector"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaIdx === g.search(Seq("spark", "vector"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "indexed BM25 must equal the from-text search")
+    val labels0 = g.nearDupClusters()
+    val folded = g.ingestClusterLabels(g.nearDupIndex(),
+      g.table("documents").select("doc_id", "text").limit(0), labels0)
+    assert(folded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      labels0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "folding an empty batch must leave labels unchanged")
+  }
 }

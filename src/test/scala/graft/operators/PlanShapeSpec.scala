@@ -117,4 +117,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\([^)]*_salt".r.findFirstIn(plan).isDefined,
       s"the join exchange must partition on the salt so skewed keys spread:\n$plan")
   }
+
+  test("q102: the power-iteration output plan never joins — dots are per-row folds") {
+    val plan = finalPlan("q102_pc1_projection")
+    assert(!plan.contains("Join"),
+      s"the projection pass must be a map-side array fold, no join:\n$plan")
+  }
+
+  test("q103: the weighted k-cut is TakeOrdered, not a global sort") {
+    val plan = finalPlan("q103_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as per-partition top-k:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global range sort for a k-cut:\n$plan")
+  }
+
+  test("q101: rank iterations are equi-joins — no cartesian/nested-loop anywhere") {
+    val plan = finalPlan("q101_dup_centrality")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"message passing must stay equi-join shaped:\n$plan")
+  }
+
+  test("q105: single-partition work is stage-count sized — one one-row reduce per stage") {
+    val plan = finalPlan("q105_funnel")
+    assert(plan.contains("Window"), "conversion ratios are window functions")
+    // each stage's global count reduces partial map-side counts to one row;
+    // nothing event-stream-sized may pass through a single partition
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 4,
+      s"single-partition exchanges must be one-per-stage reduces only:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"stage counts must combine map-side before the one-row reduce:\n$plan")
+  }
 }
