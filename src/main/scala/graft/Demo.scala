@@ -131,6 +131,26 @@ object Demo {
       s"${g.query("q86_split_leakage").count()} near-dup pair(s) straddle " +
       "train/val/test")
 
+    val hubs = g.dupCentrality().orderBy(
+      org.apache.spark.sql.functions.col("rank_x1e12").desc).limit(3).collect()
+    println("[27] duplication-centrality hubs (top 3 by PageRank): " +
+      hubs.map(r => s"doc=${r.getLong(0)} deg=${r.getLong(1)}").mkString(" "))
+
+    println("[28] top-principal-component projection (first rows):")
+    g.pc1Projection().show(3, truncate = false)
+
+    val funnelRows = g.funnel().collect()
+    println("[29] conversion funnel view->click->purchase: " +
+      funnelRows.map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(" -> "))
+
+    val bmIdx = g.bm25Index()
+    println(s"[30] BM25 off the persisted-index path (== stage [8] search): " +
+      g.bm25SearchIndexed(bmIdx, Seq("spark", "vector"), k = 3).collect()
+        .map(r => s"doc=${r.getLong(0)}").mkString(" "))
+
+    println(s"[31] weighted sample (content-mass priority, k=5): " +
+      g.weightedSample(k = 5).collect().map(_.getLong(0)).mkString(", "))
+
     spark.stop()
   }
 }
