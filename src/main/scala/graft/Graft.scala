@@ -352,6 +352,14 @@ final class Graft(val spark: SparkSession, dataDir: String,
   def retention(): DataFrame =
     operators.Relational.retention(Tables.events(spark, dataDir))
 
+  /** Cross-source shared-vocabulary matrix (q109 — mirror-feed detector). */
+  def sourceOverlap(): DataFrame =
+    Curation.sourceOverlap(Tables.documents(spark, dataDir))
+
+  /** Hourly burst flags per event type (q110; 2x trailing-3h mean). */
+  def bursts(): DataFrame =
+    operators.Relational.burstDetection(Tables.events(spark, dataDir))
+
   /** The BM25 inverted index over `documents` (q107) — persist it, merge
     * later batches by union, and search with [[bm25SearchIndexed]].
     */

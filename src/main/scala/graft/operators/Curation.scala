@@ -772,6 +772,49 @@ object Curation {
     * detection with no vocabulary state, and the score is comparable
     * across rounds because the bucketing is fixed.
     */
+  /** q109: CROSS-SOURCE OVERLAP MATRIX — for every source pair, how much
+    * of their shingle vocabulary is shared: `overlap_x1e3` (overlap
+    * coefficient, shared / smaller side — the "feed B republishes feed A"
+    * signal even when A is much larger) and `jaccard_x1e3`. The q83 drift
+    * monitor says WHICH source changed; this says which sources copy
+    * EACH OTHER — the input for collapsing mirror feeds before they bias
+    * the domain mix (q56/q81).
+    *
+    * Shape: one tokenize pass to distinct (source, shingle-hash) rows
+    * (8-byte portable phash60 keys, the q92 treatment), then an inverted
+    * self-join on the hash — per-shingle fan-out is bounded by the number
+    * of sources carrying it, and the output is source-pair sized. At
+    * thousands of sources, swap the self-join for a bounded collect_set
+    * per shingle + pair explode (same result, caps the per-key product);
+    * only pairs sharing at least one shingle appear (inner-join
+    * semantics, both engines).
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - 3), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))).as("shingle"))
+      .select(col("source"), Sketches.phash60(col("shingle")).as("h"))
+      .distinct().persist()
+    val cnt = sh.groupBy("source").agg(count(lit(1)).as("n")).persist()
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("nboth"))
+    inter
+      .join(broadcast(cnt.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(cnt.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .selectExpr("s1", "s2", "nboth",
+        "(nboth * 1000) DIV least(n1, n2) AS overlap_x1e3",
+        "(nboth * 1000) DIV (n1 + n2 - nboth) AS jaccard_x1e3")
+      .orderBy("s1", "s2")
+  }
+
   def sourceDrift(docs: DataFrame,
                   buckets: Int = DRIFT_BUCKETS): DataFrame = {
     val sc = bucketCounts(docs, buckets)
@@ -858,6 +901,10 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q109: which sources copy each other (mirror-feed detector).
+    "q109_source_overlap" -> ((s, d) =>
+      sourceOverlap(Tables.documents(s, d))),
+
     "q83_source_drift" -> ((s, d) =>
       sourceDrift(Tables.documents(s, d))),
     "q71_semantic_contamination" -> ((s, d) =>
@@ -940,6 +987,25 @@ object Curation {
        |LIMIT $DSIR_TOPK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q109_source_overlap" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |         ${Sketches.phash60Sql("l[i] || ' ' || l[i+1] || ' ' || l[i+2]")} AS h
+         |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+         |       WHERE len(l) >= 3),
+         |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.source AS s1, b.source AS s2,
+         |            CAST(COUNT(*) AS BIGINT) AS nboth
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT s1, s2, nboth,
+         |       (nboth * 1000) // LEAST(c1.n, c2.n) AS overlap_x1e3,
+         |       (nboth * 1000) // (c1.n + c2.n - nboth) AS jaccard_x1e3
+         |FROM inter
+         |JOIN cnt c1 ON c1.source = s1
+         |JOIN cnt c2 ON c2.source = s2
+         |ORDER BY s1, s2""".stripMargin,
+
     "q83_source_drift" ->
       s"""WITH sc AS (SELECT source, ${Sketches.phash60Sql("t")} % $DRIFT_BUCKETS AS b,
          |        CAST(COUNT(*) AS BIGINT) AS c

@@ -105,6 +105,35 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q110: BURST DETECTION over the event stream — hourly counts per
+    * event type flagged when they reach `factorX100`/100 times the mean
+    * of the previous `window` OBSERVED hours (gaps skip, documented).
+    * Division-free exactness: the threshold test multiplies through
+    * (n * 100 * n_prev >= factor * base_sum), so the flag is pure integer
+    * comparison and the report hash-checks. Hours are epoch-hour integers
+    * (no calendar functions).
+    *
+    * Shape: one partial-aggregating groupBy to hourly counts (output is
+    * type x hour sized), then a per-type ordered window over that small
+    * relation — the event stream itself is never sorted.
+    */
+  def burstDetection(events: DataFrame, factorX100: Int = 200,
+                     window: Int = 3): DataFrame = {
+    val hourly = events.select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-window, -1)
+    hourly
+      .select(col("event_type"), col("h"), col("n"),
+        coalesce(sum("n").over(w), lit(0L)).as("base_sum"),
+        count("n").over(w).as("n_prev"))
+      .selectExpr("event_type", "h", "n", "base_sum", "n_prev",
+        s"CAST(CASE WHEN n_prev = $window AND n * 100 * n_prev >= " +
+          s"$factorX100 * base_sum THEN 1 ELSE 0 END AS BIGINT) AS burst")
+      .orderBy("event_type", "h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q105: three-stage conversion funnel over the event stream.
@@ -112,6 +141,9 @@ object Relational {
 
     // Q108: signup-cohort retention matrix over the event stream.
     "q108_retention" -> ((s, d) => retention(Tables.events(s, d))),
+
+    // Q110: hourly burst flags per event type (2x trailing-3h mean).
+    "q110_burst_detection" -> ((s, d) => burstDetection(Tables.events(s, d))),
 
     // Q8 (E-2): filter + project + arithmetic. The shipdate range and
     // discount predicates are pushed into the parquet scan (PushedFilters);
@@ -403,6 +435,22 @@ object Relational {
     floor(c * lit(factor) + lit(0.5)).cast("long")
 
   val oracleSql: Map[String, String] = Map(
+    "q110_burst_detection" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+        |c AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, h, n,
+        |        CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base_sum,
+        |        CAST(COUNT(n) OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev
+        |      FROM c)
+        |SELECT event_type, h, n, base_sum, n_prev,
+        |       CAST(CASE WHEN n_prev = 3 AND n * 100 * n_prev >= 200 * base_sum
+        |            THEN 1 ELSE 0 END AS BIGINT) AS burst
+        |FROM w
+        |ORDER BY event_type, h""".stripMargin,
+
     "q108_retention" ->
       """WITH e AS (SELECT user_id, event_type,
         |        epoch_us(ts) // 86400000000 AS day FROM events),

@@ -136,4 +136,25 @@ class DsirSpec extends AnyFunSuite {
     val avgs = rows.map(_.getLong(3))
     assert(avgs.zip(avgs.tail).forall { case (x, y) => x >= y })
   }
+
+  test("q109: overlap matrix reports exactly the planted shared-shingle " +
+    "fractions; disjoint sources emit no row") {
+    import spark.implicits._
+    // A: tokens a1..a40 (38 distinct trigram shingles). B: a1..a20 then
+    // b1..b20 — shares the 18 shingles fully inside the common prefix,
+    // carries 38 total. C: disjoint vocabulary.
+    val aToks = (1 to 40).map(i => s"a$i")
+    val bToks = (1 to 20).map(i => s"a$i") ++ (1 to 20).map(i => s"b$i")
+    val cToks = (1 to 40).map(i => s"c$i")
+    val docs = Seq(
+      (1L, aToks.mkString(" "), "en", "srcA", 0L),
+      (2L, bToks.mkString(" "), "en", "srcB", 0L),
+      (3L, cToks.mkString(" "), "en", "srcC", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // overlap = 18*1000 DIV 38 = 473; jaccard = 18*1000 DIV 58 = 310
+    assert(got === Seq(("srcA", "srcB", 18L, 473L, 310L)))
+  }
 }

@@ -428,4 +428,31 @@ class OperatorsSpec extends AnyFunSuite {
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
       (3L, 0L, 1L), (3L, 1L, 1L)))
   }
+
+  test("q110 burst: flags 2x-over-trailing-mean hours, needs a full window, " +
+    "and windows over observed hours") {
+    import spark.implicits._
+    val hr = 3600000000L
+    def at(h: Long, i: Long) = h * hr + i
+    val ev =
+      // type x: hours 0..2 at n=2, hour 3 at n=4 (burst: 4*300 >= 200*6),
+      // hour 4 back to n=2 (base 8 -> no burst)
+      ((0L to 2L).flatMap(h => Seq(at(h, 0), at(h, 1))) ++
+        (0L until 4L).map(i => at(3, i)) ++ Seq(at(4, 0), at(4, 1)))
+        .map(us => ("x", us)) ++
+      // type y: observed hours 0,1,5,6 — hour 6's window is hours {0,1,5}
+      Seq(at(0, 0), at(1, 0), at(5, 0), at(6, 0), at(6, 1), at(6, 2))
+        .map(us => ("y", us))
+    val df = ev.toDF("event_type", "us")
+      .select(col("event_type"), expr("timestamp_micros(us)").as("ts"))
+    val got = Relational.burstDetection(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("x", 0L, 2L, 0L, 0L, 0L), ("x", 1L, 2L, 2L, 1L, 0L),
+      ("x", 2L, 2L, 4L, 2L, 0L), ("x", 3L, 4L, 6L, 3L, 1L),
+      ("x", 4L, 2L, 8L, 3L, 0L),
+      ("y", 0L, 1L, 0L, 0L, 0L), ("y", 1L, 1L, 1L, 1L, 0L),
+      ("y", 5L, 1L, 2L, 2L, 0L), ("y", 6L, 3L, 3L, 3L, 1L)))
+  }
 }

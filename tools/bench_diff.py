@@ -83,7 +83,7 @@ def family(q):
         return "relational"
     if i <= 7 or i == 33:
         return "cdc"
-    if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106):
+    if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106, 109):
         return "dedup"
     if i in (20, 24, 54, 61, 66, 69, 70, 72, 99, 100, 102):
         return "similarity"
