@@ -71,6 +71,29 @@ object GrowthSmoke {
         f"t_q89=$tQ89%6.2f t_q90=$tQ90%6.2f")
       idx.unpersist()
     }
+
+    // near-dup GRAPH family (q22 pairs -> q49 labels -> q101 ranks): same
+    // replication regime over the raw corpus; pair/label counts must grow
+    // exactly Rx and the PageRank/contraction wall times ~linearly
+    val rawBase = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    for (scale <- Seq(1, 10)) {
+      val corpus = GrowthSmoke.replicate(rawBase, scale)
+      val (pairs, tPairs) = timed {
+        val p = Dedup.jaccardPairsLshVerified(corpus, 800, cache = false)
+          .select("d1", "d2").persist()
+        p.count(); p
+      }
+      val nPairs = pairs.count()
+      val (nLabels, tCc) = timed(
+        Dedup.nearDupClusters(corpus, 800, cache = false).count())
+      val (_, tPr) = timed(
+        Dedup.pageRank(corpus.select("doc_id"), pairs, iters = 3).count())
+      println(f"[growth-graph] scale=${scale}%2d docs=${corpus.count()}%7d " +
+        f"pairs=$nPairs%6d labels=$nLabels%6d " +
+        f"t_pairs=$tPairs%6.2f t_cc=$tCc%6.2f t_pagerank=$tPr%6.2f")
+      pairs.unpersist()
+    }
     spark.stop()
   }
 }

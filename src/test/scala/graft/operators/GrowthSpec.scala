@@ -38,4 +38,37 @@ class GrowthSpec extends AnyFunSuite {
       s"candidates must stay ~linear (all-pairs would be ~100x): " +
         s"$cand10 vs $cand1")
   }
+
+  test("10x replication grows the near-dup graph linearly and PageRank " +
+    "treats isomorphic replicas identically") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text")
+    def measure(scale: Int): (Long, Long) = {
+      val corpus = GrowthSmoke.replicate(base, scale)
+      val pairs = Dedup.jaccardPairsLshVerified(corpus, 800, cache = false)
+      (pairs.count(), Dedup.nearDupClusters(corpus, 800, cache = false).count())
+    }
+    val (p1, l1) = measure(1)
+    val (p10, l10) = measure(10)
+    assert(p1 > 0 && p10 === 10 * p1,
+      s"replicas share no shingles: pairs must be exactly 10x ($p10 vs 10*$p1)")
+    assert(l10 === 10 * l1,
+      s"labeled docs must be exactly 10x ($l10 vs 10*$l1)")
+    // isomorphism invariance: within one 10x run, every replica's rank
+    // multiset equals replica 0's — PageRank sees identical subgraphs
+    val corpus = GrowthSmoke.replicate(base, 10)
+    val pr = Dedup.pageRank(corpus.select("doc_id"),
+      Dedup.jaccardPairsLshVerified(corpus, 800, cache = false)
+        .select("d1", "d2"), iters = 3).persist()
+    def multiset(r: Int) = pr
+      .filter(col("doc_id") >= r * 10000000L &&
+        col("doc_id") < (r + 1) * 10000000L)
+      .groupBy("deg", "rank_x1e12").count()
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val m0 = multiset(0)
+    assert(m0.nonEmpty && multiset(5) === m0 && multiset(9) === m0,
+      "isomorphic replicas must carry identical (deg, rank) multisets")
+    pr.unpersist()
+  }
 }
