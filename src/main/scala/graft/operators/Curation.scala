@@ -469,6 +469,55 @@ object Curation {
       .select("doc_id", "cluster_id")
   }
 
+  /** Streaming BURST monitoring — q110 as a long-running stream: each
+    * micro-batch reduces to its (event_type, hour, n) PARTIAL counts
+    * (additive, so the persisted index is mergeable by construction) and
+    * overwrites `countsDir/batch=<id>`; [[burstsFromCounts]] computes the
+    * q110 flag report off the summed index at any time, equal to the
+    * batch computation over every event ingested so far. Counts are the
+    * cheapest possible state (type x hour rows per batch) — the raw
+    * stream is never retained.
+    */
+  def streamingBurstIngest(events: DataFrame, countsDir: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Relational.hourlyCounts(batch)
+          .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The q110 burst report off a [[streamingBurstIngest]] counts index:
+    * sum the per-batch partials, run the identical flag tail.
+    */
+  def burstsFromCounts(spark: SparkSession, countsDir: String): DataFrame =
+    Relational.burstFlags(
+      spark.read.parquet(countsDir)
+        .groupBy("event_type", "h").agg(sum("n").as("n")))
+
+  /** Retire superseded label-state directories left by
+    * [[streamingClusterIngest]] — the state is full-per-batch, so only
+    * the newest is ever read by consumers and only its PREDECESSOR can
+    * still be read by a replay of the newest batch. `keep` defaults to 2
+    * for exactly that reason; delete-only and idempotent, so a crash
+    * mid-prune just leaves more history than asked.
+    */
+  def pruneLabelStates(spark: SparkSession, labelsDir: String,
+                       keep: Int = 2): Unit = {
+    require(keep >= 2, "keep >= 2: the newest state plus its replay anchor")
+    val base = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    val batches = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
+    batches.dropRight(keep).foreach(s => fs.delete(s.getPath, true))
+  }
+
   def streamingContainmentIngest(docs: DataFrame, indexDir: String,
                                  pairsDir: String, checkpoint: String,
                                  contMinX1e3: Int = 900)

@@ -118,10 +118,24 @@ object Relational {
     * relation — the event stream itself is never sorted.
     */
   def burstDetection(events: DataFrame, factorX100: Int = 200,
-                     window: Int = 3): DataFrame = {
-    val hourly = events.select(col("event_type"),
+                     window: Int = 3): DataFrame =
+    burstFlags(hourlyCounts(events), factorX100, window)
+
+  /** The (event_type, h, n) hourly-count relation — ADDITIVE, which is
+    * the whole monitoring story: per-batch partial counts persisted by
+    * the streaming ingest sum to exactly this relation, so flags off the
+    * merged index equal the batch computation ([[burstFlags]]).
+    */
+  private[graft] def hourlyCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
         expr("unix_micros(ts) DIV 3600000000").as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+
+  /** The flag tail over an (event_type, h, n) relation (pre-summed if it
+    * came from partial counts).
+    */
+  private[graft] def burstFlags(hourly: DataFrame, factorX100: Int = 200,
+                                window: Int = 3): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("h")
       .rowsBetween(-window, -1)
     hourly

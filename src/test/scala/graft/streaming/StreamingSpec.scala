@@ -423,6 +423,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(labelsOf(spark.read.parquet(s"$dir/labels/batch=1")) === afterB1)
   }
 
+  test("streaming burst ingest: flags off the summed counts index == the " +
+    "batch q110 over everything ingested; superseded label states prune") {
+    import spark.implicits._
+    import graft.operators.{Curation, Relational}
+    val hr = 3600000000L
+    val all = (0L to 5L).flatMap(h =>
+      (0L until (if (h == 4L) 6L else 2L)).map(i => ("x", h * hr + i)))
+    val (b0, b1) = all.partition(_._2 < 3 * hr)
+    def toEvents(rows: Seq[(String, Long)]) = rows.toDF("event_type", "us")
+      .select(col("event_type"), expr("timestamp_micros(us)").as("ts"))
+    val dir = Files.createTempDirectory("graft-burststream").toString
+    val in = MemoryStream[(String, Long)](spark)
+    val q = Curation.streamingBurstIngest(
+      in.toDF().toDF("event_type", "us")
+        .select(col("event_type"), expr("timestamp_micros(us)").as("ts")),
+      s"$dir/counts", ckpt())
+    try {
+      in.addData(b0); q.processAllAvailable()
+      in.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows(Curation.burstsFromCounts(spark, s"$dir/counts")) ===
+      rows(Relational.burstDetection(toEvents(all))),
+      "merged partial counts must reproduce the batch monitor exactly")
+    // label-state pruning: only the newest two batch dirs survive
+    import spark.implicits._
+    (0L to 3L).foreach(k => Seq((k, k)).toDF("doc_id", "cluster_id")
+      .write.mode("overwrite").parquet(s"$dir/labels/batch=$k"))
+    Curation.pruneLabelStates(spark, s"$dir/labels")
+    val left = new java.io.File(s"$dir/labels").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(left === Seq("batch=2", "batch=3"))
+    assert(spark.read.parquet(s"$dir/labels/batch=3").count() === 1L)
+  }
+
   test("streaming containment ingest: per-batch pairs union == whole " +
     "corpus q87; replay reproduces its batch") {
     import spark.implicits._
