@@ -138,6 +138,163 @@ object Dedup {
       .distinct()
   }
 
+  // ---------------------------------------------------- LSH calibration --
+
+  private val CAL_HASHES = 64
+  private val CAL_ROWS = ROWS_PER_BAND      // 4 rows/band — the q22 banding
+  private val CAL_BANDS = CAL_HASHES / CAL_ROWS
+
+  /** Portable 64-permutation MinHash signature (columns m0..m63) over the
+    * STRING shingles. The production pipeline (q22) minhashes xxhash64'd
+    * shingles — fast but with no DuckDB twin; this calibration family uses
+    * the md5-derived [[Sketches.phash60]] seeded per permutation so the
+    * oracle replays every signature bit-for-bit. Both are minwise families
+    * over the same shingle sets, and the S-curve being measured depends
+    * only on the (bands, rows) geometry and minwise uniformity — not on
+    * which concrete hash realizes it.
+    */
+  private[operators] def calSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val aggs = (0 until CAL_HASHES).map(i =>
+      min(Sketches.phash60(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
+    shingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** q112's planted similarity GRADIENT (the q87 planted-excerpt idiom):
+    * docs in hash class c = phash60(id)%10, c in 1..5, emit a prefix copy
+    * keeping (5+c)/10 of their tokens as doc id+3e6. Prefix shingles are a
+    * subset of the parent's, so each pair's trigram Jaccard is ~(m-2)/(n-2)
+    * — a deterministic ladder spanning the 0.6..1.0 buckets that both
+    * engines replay, giving the S-curve something to measure at every
+    * similarity level (the natural fixture corpus clusters at one bucket).
+    */
+  def withPlantedRevisions(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val h = Sketches.phash60(col("doc_id")) % 10
+    val toks = split(col("text"), " ")
+    val planted = docs
+      .filter(h.between(1L, 5L))
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          floor((size(toks) * (h + lit(5))).cast("double") / 10).cast("int")))
+          .as("text"))
+    docs.select("doc_id", "text").unionAll(planted)
+  }
+
+  /** The [[withPlantedRevisions]] corpus as a DuckDB CTE body (relation
+    * columns: doc_id, text).
+    */
+  private def plantedRevisionsSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |      UNION ALL
+       |      SELECT doc_id + 3000000 AS doc_id,
+       |             array_to_string(l[1:CAST((len(l) * (h + 5)) // 10 AS INT)], ' ') AS text
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS l,
+       |              ${Sketches.phash60Sql("doc_id")} % 10 AS h
+       |            FROM documents)
+       |      WHERE h BETWEEN 1 AND 5""".stripMargin
+
+  /** Per-pair calibration relation: exact Jaccard (>= threshold), the
+    * 64-hash estimate's match count, and whether the 16x4 banding catches
+    * the pair (some band's 4 rows all collide).
+    */
+  private[operators] def calibrationPairs(docs: DataFrame,
+                                          thresholdX1e3: Int): DataFrame = {
+    val pairs = jaccardPairs(docs, thresholdX1e3)
+    val sig = calSignatures(docs)
+    val a = sig.toDF(sig.columns.map(_ + "_a"): _*)
+    val b = sig.toDF(sig.columns.map(_ + "_b"): _*)
+    val matches = (0 until CAL_HASHES).map(i =>
+      when(col(s"m${i}_a") === col(s"m${i}_b"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val caught = (0 until CAL_BANDS).map { bnd =>
+      (0 until CAL_ROWS).map(r =>
+        col(s"m${bnd * CAL_ROWS + r}_a") === col(s"m${bnd * CAL_ROWS + r}_b"))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    pairs.join(a, pairs("d1") === a("doc_id_a"))
+      .join(b, pairs("d2") === b("doc_id_b"))
+      .select(col("d1"), col("d2"), col("jaccard_x1e3"),
+        matches.as("n_match"),
+        when(caught, lit(1L)).otherwise(lit(0L)).as("caught"))
+  }
+
+  /** q112: EMPIRICAL LSH S-CURVE — per exact-Jaccard bucket (0.6-0.7, ...,
+    * 1.0), how many true pairs the q22-geometry banding (16 bands x 4
+    * rows) would catch, plus the minhash estimator's mean absolute error.
+    * This is the calibration report a pipeline runs on a corpus SAMPLE
+    * before committing band parameters for the full 100 TB pass: the
+    * recall column is the measured catch probability 1-(1-J^r)^b at the
+    * corpus's actual similarity distribution, and the error column
+    * certifies the 64-hash estimator's resolution. (The q22 contract —
+    * verified-LSH equals exact at t=0.8 — is a yes/no pin at one
+    * threshold; this measures the whole curve below it.)
+    *
+    * Scale shape: the signature is ONE hash-aggregate over the shingle
+    * pass (64 map-side partial mins, doc-sized output); the eval join is
+    * pair-graph-sized against the doc-sized signature relation (two
+    * hash joins on doc ids); the report is bucket-sized. The exact-pair
+    * ground truth reuses q21's inverted-index join — on a sample corpus
+    * by construction, exactly how the harness is meant to run.
+    */
+  def lshCalibration(docs: DataFrame, thresholdX1e3: Int = 600): DataFrame =
+    calibrationPairs(docs, thresholdX1e3)
+      .selectExpr("jaccard_x1e3 DIV 100 AS jac_bucket", "caught",
+        s"(n_match * 1000) DIV $CAL_HASHES AS est_x1e3", "jaccard_x1e3")
+      .selectExpr("jac_bucket", "caught",
+        "CASE WHEN est_x1e3 > jaccard_x1e3 THEN est_x1e3 - jaccard_x1e3 " +
+          "ELSE jaccard_x1e3 - est_x1e3 END AS aerr")
+      .groupBy("jac_bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum("caught").as("n_caught"),
+        sum("aerr").as("sum_abs_err"))
+      .selectExpr("jac_bucket", "n_pairs", "n_caught",
+        "(n_caught * 1000) DIV n_pairs AS recall_x1e3",
+        "sum_abs_err DIV n_pairs AS mean_abs_err_x1e3")
+      .orderBy("jac_bucket")
+
+  /** The q112 DuckDB twin, generated from the same (hashes, bands, rows)
+    * constants so the two can never drift.
+    */
+  private def lshCalibrationOracle(thresholdX1e3: Int): String = {
+    val sigCols = (0 until CAL_HASHES)
+      .map(i => s"MIN(${Sketches.phash60Sql(s"'$i|' || shingle")}) AS m$i")
+      .mkString(", ")
+    val matches = (0 until CAL_HASHES)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val caught = (0 until CAL_BANDS).map { bnd =>
+      "(" + (0 until CAL_ROWS)
+        .map(r => s"a.m${bnd * CAL_ROWS + r} = b.m${bnd * CAL_ROWS + r}")
+        .mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    s"""WITH corpus AS ($plantedRevisionsSql),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+       |       WHERE len(l) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS nboth
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2,
+       |            CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) AS j
+       |          FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+       |          WHERE CAST(FLOOR(nboth * 1000.0 / (c1.n + c2.n - nboth) + 0.5) AS BIGINT) >= $thresholdX1e3),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |per AS (SELECT p.j // 100 AS jac_bucket,
+       |          CASE WHEN $caught THEN 1 ELSE 0 END AS caught,
+       |          (($matches) * 1000) // $CAL_HASHES AS est, p.j AS j
+       |        FROM pairs p JOIN sig a ON p.d1 = a.doc_id JOIN sig b ON p.d2 = b.doc_id)
+       |SELECT jac_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(caught) AS BIGINT) AS n_caught,
+       |       (CAST(SUM(caught) AS BIGINT) * 1000) // COUNT(*) AS recall_x1e3,
+       |       CAST(SUM(CASE WHEN est > j THEN est - j ELSE j - est END) AS BIGINT)
+       |         // COUNT(*) AS mean_abs_err_x1e3
+       |FROM per
+       |GROUP BY jac_bucket
+       |ORDER BY jac_bucket""".stripMargin
+  }
+
   private val SIMHASH_BITS = 60   // width of the portable md5-derived hash
   private val SIMHASH_BLOCKS = 4  // 4 x 15-bit blocks: pigeonhole-complete
   private val BLOCK_BITS = SIMHASH_BITS / SIMHASH_BLOCKS
@@ -1206,6 +1363,12 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Q112: empirical LSH S-curve + minhash-estimator error by exact-
+    // Jaccard bucket, over the corpus + planted similarity gradient
+    // (see [[lshCalibration]] / [[withPlantedRevisions]]).
+    "q112_lsh_calibration" -> ((s, d) =>
+      lshCalibration(withPlantedRevisions(Tables.documents(s, d)))),
+
     // Q88: leakage-free split assignment (see [[leakFreeSplit]]), edges
     // from the shared raw-corpus artifact (the q89 treatment).
     "q88_leakfree_split" -> ((s, d) =>
@@ -1658,6 +1821,7 @@ object Dedup {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q112_lsh_calibration" -> lshCalibrationOracle(600),
     // q90 shares q87's whole-corpus oracle: batch-split ingest + union
     // must reproduce the direct computation exactly.
     "q90_containment_incremental" -> containmentOracleSql,

@@ -403,7 +403,57 @@ object Prep {
         "((n_docs * bucket - sum_tokens) * 1000) DIV (n_docs * bucket) AS waste_x1e3")
       .orderBy("bucket")
 
+  private val SOURCE_CAP = 20
+
+  /** q111: PER-DOMAIN CAP — keep at most `cap` documents per source, the
+    * C4/RefinedWeb-style guard against any single domain (template farms,
+    * mirrors, wikis) dominating the training mix. The keep rule is the
+    * catalog's deterministic idiom: each doc gets priority
+    * `phash60(seed|doc_id)` and a source keeps its `cap` smallest
+    * (priority, doc_id) — reproducible across runs, task retries, and
+    * layouts, and a uniform random subsample of every trimmed domain.
+    *
+    * The SEMANTICS are q42's per-group hash-rank filter; what this
+    * operator adds is the execution shape for a zipfian corpus: a
+    * domain-count aggregate (rows = #domains) splits the corpus into
+    * under-cap sources — which pass through a broadcast anti-join with NO
+    * sort, NO window, and NO exchange — and the over-cap slice, which
+    * alone pays the per-source rank. On a web corpus where the long tail
+    * of domains carries most rows, the window exchange shrinks from
+    * corpus-sized to head-domain-sized (and Spark's WindowGroupLimit
+    * prunes each over-cap group to ~cap rows before the final rank
+    * filter). The spec pins output equality with the naive
+    * all-rows-through-the-window plan; the oracle IS that naive plan in
+    * SQL. If the over-cap domain list itself outgrew a broadcast
+    * (millions of trimmed domains), the same split runs as a shuffle
+    * semi/anti join — the routing logic is unchanged.
+    */
+  def sourceCap(docs: DataFrame, cap: Int = SOURCE_CAP,
+                seed: String = "sc42"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("source"),
+      Sketches.phash60(
+        concat(lit(seed + "|"), col("doc_id").cast("string"))).as("h"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val over = counts.filter(col("n_source") > cap).select("source")
+    val under = d.join(broadcast(over), Seq("source"), "left_anti")
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    val trimmed = d.join(broadcast(over), Seq("source"), "left_semi")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+    under.select("source", "doc_id")
+      .unionAll(trimmed.select("source", "doc_id"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        when(col("n_source") > cap, lit(1L)).otherwise(lit(0L)).as("capped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q111: per-source document cap (domain balancing).
+    "q111_source_cap" -> ((s, d) => sourceCap(Tables.documents(s, d))),
+
     // Q103: weighted deterministic subsample (weight = content mass).
     "q103_weighted_sample" -> ((s, d) =>
       weightedSample(Tables.documents(s, d))),
@@ -446,6 +496,24 @@ object Prep {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle is deliberately the NAIVE single-window plan — equality
+    // with it is what certifies the under/over-cap routed execution
+    "q111_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |        ${Sketches.phash60Sql("'sc42|' || CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents),
+         |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+         |      FROM d GROUP BY source),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+         |      FROM d)
+         |SELECT r.doc_id, r.source, c.n_source,
+         |       CASE WHEN c.n_source > $SOURCE_CAP THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS capped
+         |FROM r JOIN c USING (source)
+         |WHERE rn <= $SOURCE_CAP
+         |ORDER BY doc_id""".stripMargin,
+
     "q103_weighted_sample" ->
       s"""SELECT doc_id, GREATEST(n_chars, 1) AS weight,
          |       ${Sketches.phash60Sql("'ws42|' || CAST(doc_id AS VARCHAR)")}

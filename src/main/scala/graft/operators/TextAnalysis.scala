@@ -310,7 +310,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q113: 10 nested hash slices; width = ceil(2^60 / 10) so every 60-bit
+  // hash lands in slice 0..9 under pure integer division (no doubles — a
+  // 60-bit value does not survive a double round-trip).
+  private val GROWTH_SLICES = 10
+  private val GROWTH_SLICE_W: Long =
+    (1152921504606846976L + GROWTH_SLICES - 1) / GROWTH_SLICES
+
+  /** q113: VOCABULARY-GROWTH curve (the Heaps-law measurement) over nested
+    * hash slices — how many NEW distinct token types each additional tenth
+    * of the corpus contributes. Because membership in slice `k` is
+    * `phash60(doc_id) DIV sliceWidth == k`, the union of slices `0..k` is a
+    * uniform without-replacement sample nested inside the union of
+    * `0..k+1` — exactly the subset chain a scaling-law study draws — so
+    * `cum_types` vs `cum_tokens` IS the type-growth curve, measured without
+    * ever ordering the corpus. The curve is the decision input for "does
+    * more of this source still add vocabulary, or only repetition"
+    * (contrast q92, which scores novelty crawl-over-crawl rather than
+    * within one corpus).
+    *
+    * 100 TB shape: one tokenize pass; a `(token -> min slice)` aggregate
+    * whose state is vocabulary-sized (map-side partial mins, one shuffle
+    * keyed by token — the same key the q41/q60 vocab aggregates already
+    * shuffle on); then two 10-row relations and a window over 10 rows.
+    * Nothing global-sorts, nothing is all-pairs, and the only wide columns
+    * (token strings) exist for one exchange. Every output is an exact
+    * BIGINT so the curve hash-checks against the naive oracle.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("h", Sketches.phash60(col("doc_id")))
+      .selectExpr(s"h DIV $GROWTH_SLICE_W AS slice", "toks")
+    val perSlice = d
+      .select(col("slice"), size(col("toks")).cast("long").as("n_tok"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val newTypes = d.select(col("slice"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(min("slice").as("slice"))
+      .groupBy("slice").agg(count(lit(1)).as("n_new_types"))
+    // slice-cardinality window (<=10 rows) — single-partition by design
+    val w = Window.orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSlice.join(newTypes, Seq("slice"), "left")
+      .select(col("slice"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_types", sum("n_new_types").over(w))
+      .orderBy("slice")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q113: vocabulary-growth (Heaps-law) curve over nested hash slices.
+    "q113_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
 
     // Q60: unigram LM quality score (see [[unigramLogprob]]).
     "q60_unigram_logprob" -> ((s, d) =>
@@ -449,6 +502,29 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q113_vocab_growth" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS toks,
+         |        ${Sketches.phash60Sql("doc_id")} // $GROWTH_SLICE_W AS slice
+         |      FROM documents),
+         |per AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+         |        FROM d GROUP BY slice),
+         |fs AS (SELECT tok, MIN(slice) AS slice
+         |       FROM (SELECT slice, unnest(toks) AS tok FROM d)
+         |       GROUP BY tok),
+         |nt AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_new_types
+         |       FROM fs GROUP BY slice)
+         |SELECT per.slice, per.n_docs, per.n_tokens,
+         |       COALESCE(nt.n_new_types, 0) AS n_new_types,
+         |       CAST(SUM(per.n_tokens) OVER
+         |         (ORDER BY per.slice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_tokens,
+         |       CAST(SUM(COALESCE(nt.n_new_types, 0)) OVER
+         |         (ORDER BY per.slice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_types
+         |FROM per LEFT JOIN nt USING (slice)
+         |ORDER BY slice""".stripMargin,
+
     "q82_winnowing" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          |pos AS (SELECT doc_id, i - 1 AS pos,

@@ -455,4 +455,24 @@ class OperatorsSpec extends AnyFunSuite {
       ("y", 0L, 1L, 0L, 0L, 0L), ("y", 1L, 1L, 1L, 1L, 0L),
       ("y", 5L, 1L, 2L, 2L, 0L), ("y", 6L, 3L, 3L, 3L, 1L)))
   }
+
+  test("q113: vocab growth partitions the type space and is layout-invariant") {
+    val docs = Tables.documents(spark, D)
+    val out = TextAnalysis.queries("q113_vocab_growth")(spark, D).collect()
+    val totalTypes = docs.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    val totalToks = docs.select(sum(size(split(col("text"), " "))))
+      .collect()(0).getLong(0)
+    // every type is NEW in exactly one slice; the curve ends at the corpus
+    assert(out.map(_.getLong(3)).sum == totalTypes)
+    assert(out.last.getLong(5) == totalTypes)
+    assert(out.last.getLong(4) == totalToks)
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    // cumulative columns are monotone in slice order
+    assert(out.map(_.getLong(5)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(out.map(_.getLong(4)).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    // hash-slice membership is a pure function of doc_id: layout-invariant
+    val re = TextAnalysis.vocabGrowth(docs.repartition(7)).collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
 }

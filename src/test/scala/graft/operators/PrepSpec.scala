@@ -263,4 +263,38 @@ class PrepSpec extends AnyFunSuite {
     // zero waste when every doc exactly fills its bucket
     assert(rows(1L)._5 === 0L && rows(2L)._5 === 0L && rows(64L)._5 === 0L)
   }
+
+  test("q111: routed source cap equals the naive single-window plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    // mixed corpus: one over-cap source (30 docs), one exactly-at-cap (20),
+    // one under-cap (5) -- both routing branches populated in one run
+    val docs = ((1 to 30).map(i => (i.toLong, "big")) ++
+        (31 to 50).map(i => (i.toLong, "edge")) ++
+        (51 to 55).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val routed = Prep.sourceCap(docs, cap = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // naive reference: every row through one window, rank filter
+    val h = Sketches.phash60(concat(lit("sc42|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val naive = docs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .join(counts, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        when(col("n_source") > 20, lit(1L)).otherwise(lit(0L)).as("capped"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(routed.toSet == naive.toSet, "routed plan must equal the naive window plan")
+    // per-source keeps: min(n, cap); at- and under-cap sources keep everything
+    val bySrc = routed.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 20, "edge" -> 20, "small" -> 5))
+    assert(routed.filter(_._2 == "big").forall(_._4 == 1L))
+    assert(routed.filter(_._2 != "big").forall(_._4 == 0L))
+    // layout invariance: the keep-set is a pure function of (seed, doc_id)
+    val re = Prep.sourceCap(docs.repartition(7), cap = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSet == routed.toSet)
+  }
 }
