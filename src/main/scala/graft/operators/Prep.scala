@@ -429,13 +429,18 @@ object Prep {
     * semi/anti join — the routing logic is unchanged.
     */
   def sourceCap(docs: DataFrame, cap: Int = SOURCE_CAP,
-                seed: String = "sc42"): DataFrame = {
+                seed: String = "sc42", cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), col("source"),
       Sketches.phash60(
         concat(lit(seed + "|"), col("doc_id").cast("string"))).as("h"))
-    val counts = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+    // the domain-count relation feeds three consumers (the anti-join, the
+    // semi-join, and the output's n_source column); without a persist each
+    // branch re-scans the corpus to rebuild the aggregate. Domain-sized —
+    // cache=false for long-lived facade sessions (the q53 convention)
+    val counts0 = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val counts = if (cache) counts0.persist() else counts0
     val over = counts.filter(col("n_source") > cap).select("source")
     val under = d.join(broadcast(over), Seq("source"), "left_anti")
     val w = Window.partitionBy("source").orderBy("h", "doc_id")
