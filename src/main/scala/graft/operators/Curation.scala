@@ -499,6 +499,41 @@ object Curation {
       spark.read.parquet(countsDir)
         .groupBy("event_type", "h").agg(sum("n").as("n")))
 
+  /** Streaming VOCABULARY-GROWTH monitoring — q113 as a long-running
+    * stream: each micro-batch writes its two mergeable partials
+    * (within-batch (token -> min slice), vocabulary-sized; per-slice
+    * additive (n_docs, n_tokens), <=10 rows) and the raw text is never
+    * retained. [[vocabGrowthFromIndex]] reproduces the batch q113 curve
+    * over everything ingested so far at any time — exactly, because the
+    * tail re-aggregates with sum-of-sums/min-of-mins. Replay safety is
+    * the burst-index posture: a retried batch overwrites its own
+    * `batch=<id>` directories idempotently.
+    */
+  def streamingVocabIngest(docs: DataFrame, vocabDir: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val d = TextAnalysis.vocabSlices(batch).persist()
+        try {
+          TextAnalysis.vocabCountPartials(d)
+            .write.mode("overwrite").parquet(s"$vocabDir/counts/batch=$batchId")
+          TextAnalysis.vocabTypePartials(d)
+            .write.mode("overwrite").parquet(s"$vocabDir/types/batch=$batchId")
+        } finally { d.unpersist(); () }
+      }
+      .start()
+
+  /** The q113 curve off a [[streamingVocabIngest]] index: the identical
+    * [[TextAnalysis.vocabCurve]] tail over the accumulated partials.
+    */
+  def vocabGrowthFromIndex(spark: SparkSession, vocabDir: String): DataFrame =
+    TextAnalysis.vocabCurve(
+      spark.read.parquet(s"$vocabDir/counts"),
+      spark.read.parquet(s"$vocabDir/types"))
+
   /** Retire superseded label-state directories left by
     * [[streamingClusterIngest]] — the state is full-per-batch, so only
     * the newest is ever read by consumers and only its PREDECESSOR can

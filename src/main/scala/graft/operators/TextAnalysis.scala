@@ -338,16 +338,43 @@ object TextAnalysis {
     * BIGINT so the curve hash-checks against the naive oracle.
     */
   def vocabGrowth(docs: DataFrame): DataFrame = {
+    val d = vocabSlices(docs)
+    vocabCurve(vocabCountPartials(d), vocabTypePartials(d))
+  }
+
+  /** The sliced-token relation the q113 partials derive from. */
+  private[operators] def vocabSlices(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("h", Sketches.phash60(col("doc_id")))
       .selectExpr(s"h DIV $GROWTH_SLICE_W AS slice", "toks")
-    val perSlice = d
-      .select(col("slice"), size(col("toks")).cast("long").as("n_tok"))
+  }
+
+  /** Per-slice (n_docs, n_tokens) — ADDITIVE, so per-batch partials merge
+    * by plain sum (the q110 counts-index property).
+    */
+  private[operators] def vocabCountPartials(d: DataFrame): DataFrame =
+    d.select(col("slice"), size(col("toks")).cast("long").as("n_tok"))
       .groupBy("slice")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-    val newTypes = d.select(col("slice"), explode(col("toks")).as("tok"))
+
+  /** (token -> min slice) — mergeable by min, so per-batch partials
+    * (each vocabulary-sized, never the token stream) merge exactly.
+    */
+  private[operators] def vocabTypePartials(d: DataFrame): DataFrame =
+    d.select(col("slice"), explode(col("toks")).as("tok"))
       .groupBy("tok").agg(min("slice").as("slice"))
+
+  /** The q113 tail over (possibly multi-batch) partials: re-aggregation
+    * is idempotent for a single batch and the exact merge for many —
+    * sum-of-sums and min-of-mins — so the batch query and the streaming
+    * index report run the IDENTICAL code path.
+    */
+  private[operators] def vocabCurve(counts: DataFrame,
+                                    firstSeen: DataFrame): DataFrame = {
+    val perSlice = counts.groupBy("slice")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val newTypes = firstSeen.groupBy("tok").agg(min("slice").as("slice"))
       .groupBy("slice").agg(count(lit(1)).as("n_new_types"))
     // slice-cardinality window (<=10 rows) — single-partition by design
     val w = Window.orderBy("slice")

@@ -559,4 +559,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("dedup_t").count() === 2)
     } finally q.stop()
   }
+
+  test("streaming vocab ingest: merged partials == batch q113 curve; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.sources.Tables
+    val rows = Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-vocabstream").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Curation.streamingVocabIngest(
+      in.toDF().toDF("doc_id", "text"), s"$dir/vocab", ckpt())
+    try {
+      in.addData(evens); q.processAllAvailable()
+      in.addData(odds); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val want = canon(TextAnalysis.queries("q113_vocab_growth")(spark, TestSpark.SF0001))
+    assert(canon(Curation.vocabGrowthFromIndex(spark, s"$dir/vocab")) === want,
+      "index report must reproduce the batch curve over everything ingested")
+    // replay idempotency: a fresh checkpoint re-ingests the same batches
+    // under the same batch ids — every partial directory is overwritten
+    // with identical content and the report is unchanged
+    val in2 = MemoryStream[(Long, String)](spark)
+    val q2 = Curation.streamingVocabIngest(
+      in2.toDF().toDF("doc_id", "text"), s"$dir/vocab", ckpt())
+    try {
+      in2.addData(evens); q2.processAllAvailable()
+      in2.addData(odds); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(canon(Curation.vocabGrowthFromIndex(spark, s"$dir/vocab")) === want)
+  }
 }
