@@ -407,15 +407,33 @@ object Curation {
     * Structured Streaming: each micro-batch runs the full near-dup ingest
     * ([[nearDupIngestBatch]]: bucketed index + per-batch verified pairs),
     * then folds its fresh pairs into the previous batch's component
-    * labels ([[Dedup.foldClusterLabels]]) and overwrites the COMPLETE
-    * label state at `labelsDir/batch=<id>`. The label state is full-state
-    * (not append-only), so replay safety comes from reading the LATEST
-    * batch directory strictly BELOW the current checkpointed batchId — a
-    * retried batch re-reads its predecessor's state and rewrites its own
-    * directory deterministically. After any prefix of the stream,
-    * `labelsDir/batch=<latest>` equals q49 over every document ingested
-    * so far (StreamingSpec pins the two-batch case against the
-    * whole-corpus labels).
+    * labels ([[Dedup.foldClusterLabels]]).
+    *
+    * The label state is BUCKETED BY CLUSTER: a component's rows all live
+    * in `cbkt = cluster_id mod 32` (every row of a component carries the
+    * same cluster_id), so a micro-batch rewrites ONLY the buckets whose
+    * components its delta pairs touch and carries every other bucket
+    * forward BY REFERENCE. Concretely, `labelsDir/batch=<id>/cbkt=K/`
+    * holds the rewritten buckets and `labelsDir/batch=<id>/_MANIFEST`
+    * (written LAST — the commit marker) maps each live bucket to the
+    * batch directory that owns its current rows. A batch whose delta
+    * merges two components touches exactly the buckets of the two old
+    * roots plus the bucket of the merged root; ~10¹⁰ labels at 100 TB no
+    * longer get rewritten per batch — the write (and the fold compute,
+    * which contracts only the touched components + delta edges) is
+    * delta-sized, the same fix the bucketed index layout applied to the
+    * probe reads. The one corpus-linear term left is the doc→cluster
+    * lookup of the delta's endpoints (one column-pruned scan filtered by
+    * a broadcast endpoint set — a read, not a rewrite).
+    *
+    * Replay safety is unchanged in spirit: a retried batch resolves the
+    * newest COMMITTED manifest strictly BELOW its own batchId and
+    * rewrites its own directory + manifest deterministically; a
+    * half-written attempt (data dirs, no manifest) is invisible. After
+    * any prefix of the stream, [[labelState]] equals q49 over every
+    * document ingested so far (StreamingSpec pins the two-batch case
+    * against the whole-corpus labels, plus strict-subset bucket writes
+    * for a one-doc batch).
     */
   def streamingClusterIngest(docs: DataFrame, indexDir: String,
                              pairsDir: String, labelsDir: String,
@@ -432,7 +450,15 @@ object Curation {
       .start()
 
   /** One micro-batch of the cluster-label ingest (the foreachBatch body,
-    * factored out like [[nearDupIngestBatch]]).
+    * factored out like [[nearDupIngestBatch]]). Touched-component
+    * derivation: every label row whose value CHANGES this batch sits in a
+    * component containing a delta-pair endpoint (new docs enter through
+    * the pairs themselves; components with no endpoint are untouched by
+    * the CC fold), the old bucket of such a row is `cbkt(old root)` and
+    * its new bucket `cbkt(new root)` — and every touched component
+    * contains an endpoint, so both root sets are reachable from the
+    * endpoint set alone. Buckets outside that set are byte-identical to
+    * the predecessor state and carry forward as manifest references.
     */
   private[graft] def clusterIngestBatch(batch: DataFrame, batchId: Long,
                                             indexDir: String, pairsDir: String,
@@ -441,33 +467,125 @@ object Curation {
     val spark = batch.sparkSession
     nearDupIngestBatch(batch, batchId, indexDir, pairsDir, thresholdX1e3)
     val deltaPairs = spark.read.parquet(s"$pairsDir/batch=$batchId")
-      .select("d1", "d2")
-    Dedup.foldClusterLabels(latestLabels(spark, labelsDir, batchId), deltaPairs)
-      .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+      .select("d1", "d2").persist()
+    val priorMan = latestLabelManifest(spark, labelsDir, batchId)
+      .map(_._2).getOrElse(Map.empty[Long, Long])
+    val prior = readLabelState(spark, labelsDir, priorMan)
+    val eps = deltaPairs.select(col("d1").as("doc_id"))
+      .union(deltaPairs.select(col("d2").as("doc_id"))).distinct()
+    // old roots of every touched component: one pruned scan of the prior
+    // state, filtered by the (delta-sized, broadcast) endpoint set
+    val oldRoots = prior.join(broadcast(eps), "doc_id")
+      .select("cluster_id").distinct().persist()
+    val changedOld = prior
+      .join(broadcast(oldRoots), Seq("cluster_id")).select("doc_id", "cluster_id")
+      .persist()
+    val folded = Dedup.foldClusterLabels(changedOld, deltaPairs).persist()
+    val touched = bucketSet(changedOld
+        .select(bucketOf(col("cluster_id")).as("b")), "b") ++
+      bucketSet(folded.select(bucketOf(col("cluster_id")).as("b")), "b")
+    if (touched.nonEmpty) {
+      // unchanged rows that happen to share a touched bucket ride along in
+      // the rewrite; only the touched buckets' prior dirs are read
+      val carried = readLabelState(spark, labelsDir,
+          priorMan.filter(e => touched.contains(e._1)))
+        .join(broadcast(oldRoots), Seq("cluster_id"), "left_anti")
+      carried.select("doc_id", "cluster_id")
+        .unionByName(folded.select("doc_id", "cluster_id"))
+        .withColumn("cbkt", bucketOf(col("cluster_id")))
+        .write.mode("overwrite").partitionBy("cbkt")
+        .parquet(s"$labelsDir/batch=$batchId")
+    }
+    writeLabelManifest(spark, labelsDir, batchId,
+      priorMan ++ touched.map(_ -> batchId))
+    folded.unpersist(); changedOld.unpersist(); oldRoots.unpersist()
+    deltaPairs.unpersist()
+    ()
   }
 
-  /** The newest complete label state strictly below `batchId` (replay
-    * safety: a retried batch never reads its own partial write). A
-    * MISSING labels root means "first batch"; any other filesystem
-    * failure propagates (the [[readPrunedIndex]] policy).
+  private val LABEL_MANIFEST = "_MANIFEST"
+
+  /** Commit a batch's label-state manifest (bucket → owning batch id),
+    * written AFTER the bucket data — its presence is what makes the batch
+    * readable, so a crashed attempt leaves no visible state.
     */
-  private def latestLabels(spark: SparkSession, labelsDir: String,
-                           batchId: Long): DataFrame = {
-    val empty = spark.range(0)
-      .selectExpr("id AS doc_id", "id AS cluster_id")
+  private def writeLabelManifest(spark: SparkSession, labelsDir: String,
+                                 batchId: Long,
+                                 entries: Map[Long, Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$labelsDir/batch=$batchId/$LABEL_MANIFEST")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(entries.toSeq.sorted
+      .map { case (b, owner) => s"$b $owner\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The newest COMMITTED manifest strictly below `batchId` (replay
+    * safety: a retried batch never reads its own attempt's write — an
+    * uncommitted data dir has no manifest and is skipped). A MISSING
+    * labels root means "first batch"; any other filesystem failure
+    * propagates (the [[readPrunedIndex]] policy).
+    */
+  private def latestLabelManifest(spark: SparkSession, labelsDir: String,
+                                  batchId: Long): Option[(Long, Map[Long, Long])] = {
     val base = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(base)) return empty
+    if (!fs.exists(base)) return None
     require(fs.getFileStatus(base).isDirectory,
       s"label-state path $labelsDir exists but is not a directory")
-    val prior = fs.listStatus(base).toSeq
+    fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
-      .filter(_ < batchId)
-    if (prior.isEmpty) empty
-    else spark.read.parquet(s"$labelsDir/batch=${prior.max}")
-      .select("doc_id", "cluster_id")
+      .filter(b => b < batchId &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$labelsDir/batch=$b/$LABEL_MANIFEST")))
+      .sorted.lastOption
+      .map(b => (b, readLabelManifest(fs, labelsDir, b)))
   }
+
+  private def readLabelManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                labelsDir: String,
+                                batchId: Long): Map[Long, Long] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      s"$labelsDir/batch=$batchId/$LABEL_MANIFEST"))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(b, owner) = l.trim.split(" ")
+      b.toLong -> owner.toLong
+    }.toMap
+  }
+
+  /** Resolve a manifest to its label relation: one parquet read over the
+    * referenced `batch=<owner>/cbkt=<b>` leaf directories.
+    */
+  private def readLabelState(spark: SparkSession, labelsDir: String,
+                             manifest: Map[Long, Long]): DataFrame = {
+    val paths = manifest.toSeq
+      .map { case (b, owner) => s"$labelsDir/batch=$owner/cbkt=$b" }
+    if (paths.isEmpty)
+      spark.range(0).selectExpr("id AS doc_id", "id AS cluster_id")
+    else spark.read.parquet(paths: _*).select("doc_id", "cluster_id")
+  }
+
+  /** The newest committed label state of a [[streamingClusterIngest]]
+    * directory — what a consumer (or a spec) reads. Equals q49 over every
+    * document ingested so far.
+    */
+  def labelState(spark: SparkSession, labelsDir: String): DataFrame =
+    labelStateAt(spark, labelsDir, Long.MaxValue)
+
+  /** The committed label state as of batch `batchId` inclusive (the
+    * newest committed manifest <= batchId).
+    */
+  def labelStateAt(spark: SparkSession, labelsDir: String,
+                   batchId: Long): DataFrame =
+    readLabelState(spark, labelsDir,
+      latestLabelManifest(spark, labelsDir,
+          if (batchId == Long.MaxValue) batchId else batchId + 1)
+        .map(_._2).getOrElse(Map.empty))
 
   /** Streaming BURST monitoring — q110 as a long-running stream: each
     * micro-batch reduces to its (event_type, hour, n) PARTIAL counts
@@ -534,12 +652,17 @@ object Curation {
       spark.read.parquet(s"$vocabDir/counts"),
       spark.read.parquet(s"$vocabDir/types"))
 
-  /** Retire superseded label-state directories left by
-    * [[streamingClusterIngest]] — the state is full-per-batch, so only
-    * the newest is ever read by consumers and only its PREDECESSOR can
-    * still be read by a replay of the newest batch. `keep` defaults to 2
-    * for exactly that reason; delete-only and idempotent, so a crash
-    * mid-prune just leaves more history than asked.
+  /** Retire unreferenced label-state directories left by
+    * [[streamingClusterIngest]]. Buckets carry forward by manifest
+    * reference, so an OLD batch directory stays live for as long as any
+    * of its buckets is still the current owner — the liveness set is
+    * "every owner named by the newest `keep` committed manifests, plus
+    * those manifests' own directories" (`keep` defaults to 2: the newest
+    * state plus the predecessor a replay of the newest batch re-reads).
+    * Everything else is deleted; delete-only and idempotent, so a crash
+    * mid-prune just leaves more history than asked. Live data is thereby
+    * bounded at ≤ IDX_BUCKETS owner directories per retained manifest,
+    * never stream-length-many.
     */
   def pruneLabelStates(spark: SparkSession, labelsDir: String,
                        keep: Int = 2): Unit = {
@@ -549,8 +672,14 @@ object Curation {
     if (!fs.exists(base)) return
     val batches = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
-    batches.dropRight(keep).foreach(s => fs.delete(s.getPath, true))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    val committed = batches.filter(b => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$labelsDir/batch=$b/$LABEL_MANIFEST")))
+    val retained = committed.takeRight(keep)
+    val live = retained.toSet ++
+      retained.flatMap(b => readLabelManifest(fs, labelsDir, b).values)
+    batches.filterNot(live.contains).foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$labelsDir/batch=$b"), true))
   }
 
   def streamingContainmentIngest(docs: DataFrame, indexDir: String,

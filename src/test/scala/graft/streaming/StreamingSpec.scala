@@ -410,17 +410,40 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     def fromScratch(d: org.apache.spark.sql.DataFrame) =
       labelsOf(Dedup.nearDupClusters(d, 800, cache = false))
-    val afterB0 = labelsOf(spark.read.parquet(s"$dir/labels/batch=0"))
+    val afterB0 = labelsOf(Curation.labelStateAt(spark, s"$dir/labels", 0))
     assert(afterB0 === fromScratch(evens.toDF("doc_id", "text")),
       "batch-0 state == q49 over the even half")
-    val afterB1 = labelsOf(spark.read.parquet(s"$dir/labels/batch=1"))
+    val afterB1 = labelsOf(Curation.labelStateAt(spark, s"$dir/labels", 1))
     assert(afterB1.nonEmpty && afterB1 === fromScratch(corpus),
       "batch-1 state == q49 over the whole corpus")
+    assert(labelsOf(Curation.labelState(spark, s"$dir/labels")) === afterB1)
     // replay posture: re-running batch 1's fold against the batch-0 state
     // (NEVER its own directory) reproduces the committed batch-1 state
     Curation.clusterIngestBatch(odds.toDF("doc_id", "text"), 1L,
       s"$dir/index", s"$dir/pairs", s"$dir/labels", 800)
-    assert(labelsOf(spark.read.parquet(s"$dir/labels/batch=1")) === afterB1)
+    assert(labelsOf(Curation.labelStateAt(spark, s"$dir/labels", 1)) === afterB1)
+    // bucketed-write locality: a ONE-doc batch (a dup of an existing doc)
+    // rewrites a strict subset of the label buckets and carries the rest
+    // forward by manifest reference (the IncrementalIndexSpec idiom,
+    // applied to the label state)
+    def cbkts(b: Long) = {
+      val d = new java.io.File(s"$dir/labels/batch=$b")
+      if (!d.exists()) Set.empty[String]
+      else d.listFiles().filter(_.getName.startsWith("cbkt="))
+        .map(_.getName).toSet
+    }
+    val dupOf = rows.head
+    val oneDoc = Seq((rows.map(_._1).max + 1, dupOf._2))
+    Curation.clusterIngestBatch(oneDoc.toDF("doc_id", "text"), 2L,
+      s"$dir/index", s"$dir/pairs", s"$dir/labels", 800)
+    val all3 = corpus.unionByName(oneDoc.toDF("doc_id", "text"))
+    assert(labelsOf(Curation.labelState(spark, s"$dir/labels")) ===
+      fromScratch(all3), "one-doc fold == q49 from scratch")
+    val prevBuckets = cbkts(0) ++ cbkts(1)
+    assert(cbkts(2).nonEmpty && cbkts(2).subsetOf(prevBuckets) &&
+      cbkts(2).size < prevBuckets.size,
+      s"one-doc batch must rewrite a strict subset of label buckets, " +
+        s"got ${cbkts(2).size} of ${prevBuckets.size}")
   }
 
   test("streaming burst ingest: flags off the summed counts index == the " +
@@ -449,15 +472,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(Curation.burstsFromCounts(spark, s"$dir/counts")) ===
       rows(Relational.burstDetection(toEvents(all))),
       "merged partial counts must reproduce the batch monitor exactly")
-    // label-state pruning: only the newest two batch dirs survive
+    // label-state pruning: keep the dirs REFERENCED by the newest two
+    // manifests (buckets carry forward by reference, so an old dir stays
+    // live while it still owns a bucket) and delete the rest
     import spark.implicits._
-    (0L to 3L).foreach(k => Seq((k, k)).toDF("doc_id", "cluster_id")
-      .write.mode("overwrite").parquet(s"$dir/labels/batch=$k"))
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "pack my box with five dozen liquor jugs before noon today ok"
+    def ingest(b: Long, docs: Seq[(Long, String)]): Unit =
+      Curation.clusterIngestBatch(docs.toDF("doc_id", "text"), b,
+        s"$dir/ndidx", s"$dir/ndpairs", s"$dir/labels", 800)
+    ingest(0L, Seq((1L, textA), (2L, textA), (3L, textB), (4L, textB)))
+    ingest(1L, Seq((5L, textA))) // touches cluster 1 only -> cbkt=1
+    ingest(2L, Seq((6L, textB))) // touches cluster 3 only -> cbkt=3
+    ingest(3L, Seq((7L, textA))) // supersedes batch 1's cbkt=1 ownership
     Curation.pruneLabelStates(spark, s"$dir/labels")
     val left = new java.io.File(s"$dir/labels").listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
-    assert(left === Seq("batch=2", "batch=3"))
-    assert(spark.read.parquet(s"$dir/labels/batch=3").count() === 1L)
+    // newest 2 manifests are batch 2 {1->1, 3->2} and batch 3 {1->3, 3->2}
+    // -> live owners {1, 2, 3}; batch 0 is unreferenced and goes
+    assert(left === Seq("batch=1", "batch=2", "batch=3"))
+    assert(Curation.labelState(spark, s"$dir/labels")
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 1L), (5L, 1L), (7L, 1L),
+        (3L, 3L), (4L, 3L), (6L, 3L)))
   }
 
   test("streaming containment ingest: per-batch pairs union == whole " +
