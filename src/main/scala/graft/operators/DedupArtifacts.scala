@@ -65,13 +65,61 @@ object DedupArtifacts {
         ensureUncached(spark, sfDir, contMinX1e3, planted))
     }
 
+  /** Generic build-once derived-relation artifact (the curation-index
+    * pattern for ANY deterministic relation): resolve — building on first
+    * miss — a parquet directory holding `build`'s output, content-keyed by
+    * `key` (the caller includes a corpus fingerprint, every parameter,
+    * and a version; a stale artifact can only ever MISS). Consumers:
+    * q65/q97's learned BPE merge table ([[Bpe.ensureMerges]] — training
+    * is paid once per corpus snapshot, q97 becomes encode-only) and
+    * q106's prior even-half labels (the fold's from-storage input — per
+    * call q106 measures the incremental probe + fold, not the rebuild of
+    * state that production reads from disk).
+    */
+  private[graft] def ensureDerived(spark: SparkSession, key: String)
+                                  (build: => DataFrame): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dir = s"$artifactRoot/drv_$digest"
+    this.synchronized {
+      if (!builtDirs.contains(dir)) {
+        val marker = new java.io.File(s"$dir/_GRAFT_INDEX_OK")
+        if (!marker.exists()) {
+          build.write.mode("overwrite").parquet(dir)
+          marker.createNewFile()
+        }
+        builtDirs += dir
+      }
+    }
+    dir
+  }
+
+  /** Corpus fingerprint prefix for [[ensureDerived]] keys: row count,
+    * doc_id checksum AND an order-independent text checksum (`docs` must
+    * carry doc_id + text). The text term is load-bearing: the driver's
+    * sf0.001 and sf0.01 documents fixtures carry IDENTICAL (count,
+    * doc_id-sum) pairs — only the text differs — so an id-only
+    * fingerprint silently serves one scale's artifact to the other
+    * (caught round 11: a spec's sf0.001 BPE merges leaked into the
+    * sf0.01 catalog run). It also makes a fixture REGENERATION (same
+    * path, same ids, new text — the round-8 event) miss instead of
+    * serving stale content.
+    */
+  private[graft] def corpusKey(docs: DataFrame, tag: String): String = {
+    val fp = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(expr("bit_xor(xxhash64(text))"), lit(0L))).collect()(0)
+    s"$tag|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}"
+  }
+
   private def ensureUncached(spark: SparkSession, sfDir: String,
                              contMinX1e3: Int, planted: Boolean): String = {
     val raw = Tables.documents(spark, sfDir).select("doc_id", "text")
     val docs = if (planted) Dedup.withPlantedExcerpts(raw) else raw
-    val fp = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
-      .collect()(0)
-    val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}" +
+    // text checksum included for the same reason as [[corpusKey]]: the
+    // sf0.001/sf0.01 fixtures share (count, doc_id-sum); only text differs
+    val fp = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(expr("bit_xor(xxhash64(text))"), lit(0L))).collect()(0)
+    val key = s"$sfDir|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}" +
       s"|cont=$contMinX1e3|nh=64|planted=$planted|v=$ARTIFACT_VERSION"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)

@@ -21,8 +21,13 @@ class DedupCcSpec extends AnyFunSuite {
 
   private def assertSameLabels(pairs: Seq[(Long, Long)], hint: String): (Int, Int) = {
     val (prop, pr) = labelsOf(pairs, Dedup.ccPropagate)
-    val (star, sr) = labelsOf(pairs, Dedup.ccStarContract)
+    // force the DISTRIBUTED alternation (gate -1) so its labels stay
+    // pinned, then pin the driver union-find fast path against it
+    val (star, sr) = labelsOf(pairs, Dedup.ccStarContract(_, -1L))
     assert(star == prop, s"$hint: star-contraction labels diverge from propagation")
+    val (local, lr) = labelsOf(pairs, Dedup.ccStarContract(_, Long.MaxValue))
+    assert(local == prop, s"$hint: local union-find labels diverge from propagation")
+    assert(lr === 0, s"$hint: forced-local path must not iterate")
     (pr, sr)
   }
 

@@ -36,11 +36,14 @@ import json
 import os
 import sys
 
-# Control queries: medians recorded by the committed idle-box reference run
-# (tools/bench_ref.json provenance block). Must match Bench.scala's
-# controlRef so artifacts and this tool compute the same factor.
-REF_CONTROLS = {"q01_scan": 0.045, "q22_minhash_lsh": 1.251,
-                "q57_curation_strict": 2.407}
+# Control queries: normalized medians from the committed reference's
+# "controls" block (round 11+: bench_ref.json stores box-factor-normalized
+# medians — see make_bench_ref.py — and includes a heavy-shuffle control so
+# the factor tracks the queries it corrects). The constants below are only
+# the fallback for grading against a legacy full-artifact reference, and
+# must then match Bench.scala's controlRef.
+FALLBACK_CONTROLS = {"q01_scan": 0.045, "q22_minhash_lsh": 1.251,
+                     "q57_curation_strict": 2.407}
 REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_ref.json")
 
@@ -149,22 +152,23 @@ def main(argv):
 
     # --- environment evidence -------------------------------------------
     # box factor from the artifact's control-query medians vs the committed
-    # idle reference. A UNIFORM slowdown moves all three controls together;
-    # if the ratios disagree (>1.5x spread — e.g. one control itself
-    # regressed, or the artifact predates the reference's code), the factor
-    # is untrustworthy and tier 1 is skipped rather than risk a real
-    # regression hiding behind a corrupted factor.
-    ratios = sorted(nq[c] / REF_CONTROLS[c] for c in REF_CONTROLS
-                    if c in nq and nq[c] > 0)
-    box = None
-    if len(ratios) == len(REF_CONTROLS) and ratios[-1] <= ratios[0] * 1.5:
-        box = ratios[len(ratios) // 2]
+    # reference's normalized controls. A UNIFORM slowdown moves all the
+    # controls together; if the ratios disagree (>1.5x spread — e.g. one
+    # control itself regressed, or the artifact predates the reference's
+    # code), the factor is untrustworthy and tier 1 is skipped rather than
+    # risk a real regression hiding behind a corrupted factor.
     ref = None
     try:
         with open(ref_path) as f:
             ref = json.load(f)
     except (OSError, ValueError):
         pass
+    ref_controls = (ref or {}).get("controls") or FALLBACK_CONTROLS
+    ratios = sorted(nq[c] / ref_controls[c] for c in ref_controls
+                    if c in nq and nq[c] > 0)
+    box = None
+    if len(ratios) == len(ref_controls) and ratios[-1] <= ratios[0] * 1.5:
+        box = ratios[len(ratios) // 2]
 
     failures, code_failures, classification = [], [], {}
     for name, f in sorted(fams.items()):
@@ -215,7 +219,7 @@ def main(argv):
                                     f"new run not reproducible on an idle box",
                         "caveat": "sound iff bench_ref.json was recorded on "
                                   "the graded code — refresh it (and "
-                                  "REF_CONTROLS) whenever query code "
+                                  "its controls) whenever query code "
                                   "changes (round checklist, like "
                                   "CORRECTNESS_SELF.json)"}
                     continue
