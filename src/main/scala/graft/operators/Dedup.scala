@@ -168,6 +168,20 @@ object Dedup {
     * engines replay, giving the S-curve something to measure at every
     * similarity level (the natural fixture corpus clusters at one bucket).
     */
+  /** Row-wise guard for the planted-fixture id namespaces (ADVICE r10):
+    * every REAL doc id must sit below the planted offset, else a planted
+    * id could collide with a real doc and silently merge two documents'
+    * shingle sets. Evaluated inside the rows already being scanned (no
+    * extra pass, no driver action); a violating corpus fails the query
+    * loudly instead of corrupting the fixture's ground truth. The oracle
+    * twins carry no guard on purpose — a precondition failure surfaces
+    * as a Spark error, never as a silent hash mismatch.
+    */
+  private def assertIdBelow(c: Column, bound: Long): Column =
+    when(c >= bound || c < 0,
+      raise_error(concat(lit(s"planted-id namespace requires 0 <= id < $bound, got "),
+        c.cast("string")))).otherwise(c)
+
   def withPlantedRevisions(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val h = Sketches.phash60(col("doc_id")) % 10
@@ -178,7 +192,8 @@ object Dedup {
         concat_ws(" ", slice(toks, lit(1),
           floor((size(toks) * (h + lit(5))).cast("double") / 10).cast("int")))
           .as("text"))
-    docs.select("doc_id", "text").unionAll(planted)
+    docs.select(assertIdBelow(col("doc_id"), 3000000L).as("doc_id"), col("text"))
+      .unionAll(planted)
   }
 
   /** The [[withPlantedRevisions]] corpus as a DuckDB CTE body (relation
@@ -386,7 +401,8 @@ object Dedup {
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, EXC_TOKENS))
           .as("text"))
-    docs.select("doc_id", "text").unionAll(excerpts)
+    docs.select(assertIdBelow(col("doc_id"), 2000000L).as("doc_id"), col("text"))
+      .unionAll(excerpts)
   }
 
   /** q87: containment pairs — the ASYMMETRIC near-dup regime symmetric
@@ -1216,7 +1232,9 @@ object Dedup {
           array(element_at(col("embedding"), 1) * lit(1.5)),
           slice(col("embedding"), lit(2), size(col("embedding")) - 1))
           .as("embedding"))
-    e.unionByName(twins)
+    e.select(assertIdBelow(col("vec_id"), TWIN_OFFSET).as("vec_id"),
+        col("embedding"))
+      .unionByName(twins)
   }
 
   /** The q61 oracle's banded-bucket relation: one UNION ALL branch per

@@ -432,7 +432,14 @@ object Prep {
                 seed: String = "sc42", cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val d = docs.select(col("doc_id"), col("source"),
+    // NULL source coalesces to '' so sourceless docs form one capped
+    // pseudo-domain instead of silently vanishing through the null-unsafe
+    // joins (ADVICE r10 — the oracle's JOIN USING(source) would have
+    // dropped them identically, so the gate couldn't catch it). Output
+    // carries the sentinel; a corpus with a REAL '' source shares the
+    // pseudo-domain's cap, documented trade for a null-safe plan.
+    val d = docs.select(col("doc_id"),
+      coalesce(col("source"), lit("")).as("source"),
       Sketches.phash60(
         concat(lit(seed + "|"), col("doc_id").cast("string"))).as("h"))
     // the domain-count relation feeds three consumers (the anti-join, the
@@ -504,7 +511,7 @@ object Prep {
     // the oracle is deliberately the NAIVE single-window plan — equality
     // with it is what certifies the under/over-cap routed execution
     "q111_source_cap" ->
-      s"""WITH d AS (SELECT doc_id, source,
+      s"""WITH d AS (SELECT doc_id, COALESCE(source, '') AS source,
          |        ${Sketches.phash60Sql("'sc42|' || CAST(doc_id AS VARCHAR)")} AS h
          |      FROM documents),
          |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source

@@ -297,4 +297,19 @@ class PrepSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(re.toSet == routed.toSet)
   }
+
+  test("q111: NULL-source docs form one capped pseudo-domain, never vanish") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 30 sourceless docs (over cap) + a normal under-cap source
+    val docs = ((1 to 30).map(i => (i.toLong, null: String)) ++
+        (31 to 35).map(i => (i.toLong, "web")))
+      .toDF("doc_id", "source")
+    val out = Prep.sourceCap(docs, cap = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nullDomain = out.filter(_._2 == "")
+    assert(nullDomain.length === 20, "null domain must be capped, not dropped")
+    assert(nullDomain.forall(r => r._3 == 30L && r._4 == 1L))
+    assert(out.count(_._2 == "web") === 5)
+  }
 }
