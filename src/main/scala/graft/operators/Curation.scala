@@ -284,8 +284,18 @@ object Curation {
   private[operators] def readPrunedIndex(spark: SparkSession, dir: String,
                                          batchId: Long, bkCol: String,
                                          bkts: Set[Long],
-                                         schemaLike: DataFrame): DataFrame = {
-    val paths = prunedBatchPaths(spark, dir, batchId, bkCol, bkts)
+                                         schemaLike: DataFrame): DataFrame =
+    readIndexPaths(spark, dir,
+      prunedBatchPaths(spark, dir, batchId, bkCol, bkts), schemaLike)
+
+  /** Read an already-enumerated path subset of a bucketed index (split
+    * from [[readPrunedIndex]] so the ingest batches can RETURN the path
+    * lists they actually read — the probe-I/O evidence GrowthSmoke's
+    * streaming table and the flatness assertions are built on).
+    */
+  private[operators] def readIndexPaths(spark: SparkSession, dir: String,
+                                        paths: Seq[String],
+                                        schemaLike: DataFrame): DataFrame = {
     val cols = schemaLike.columns.map(col).toSeq
     if (paths.isEmpty) schemaLike.limit(0)
     else spark.read.option("basePath", dir).parquet(paths: _*)
@@ -342,6 +352,7 @@ object Curation {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupIngestBatch(batch, batchId, indexDir, pairsDir, thresholdX1e3)
+        ()
       }
       .start()
 
@@ -349,30 +360,38 @@ object Curation {
     * factored out so maintenance flows — e.g. an ingest resuming after
     * [[compactIncrementalIndex]] — are testable without a live stream).
     */
+  /** Returns the (band-probe, doc-probe) directory paths the batch READ —
+    * the probe-I/O evidence for the growth smoke; the streaming wrapper
+    * discards it.
+    */
   private[operators] def nearDupIngestBatch(batch: DataFrame, batchId: Long,
                                             indexDir: String, pairsDir: String,
-                                            thresholdX1e3: Int): Unit = {
+                                            thresholdX1e3: Int)
+      : (Seq[String], Seq[String]) = {
     val spark = batch.sparkSession
     val delta = Dedup.nearDupIndex(batch.select("doc_id", "text")).persist()
     val deltaB = Dedup.bandBuckets(delta.select("doc_id", "sig"),
         carrySig = false)
       .withColumn("bb", bucketOf(col("bh"))).persist()
-    val idxBands = readPrunedIndex(spark, s"$indexDir/bands", batchId,
-      "bb", bucketSet(deltaB, "bb"), deltaB.drop("bb"))
+    val bandPaths = prunedBatchPaths(spark, s"$indexDir/bands", batchId,
+      "bb", bucketSet(deltaB, "bb"))
+    val idxBands = readIndexPaths(spark, s"$indexDir/bands", bandPaths,
+      deltaB.drop("bb"))
     val cand = Dedup.nearDupCandidates(
       idxBands.unionByName(deltaB.drop("bb")), deltaB.drop("bb")).persist()
     val dbkts = bucketSet(
       cand.select(explode(array(col("d1"), col("d2"))).as("id"))
         .select(bucketOf(col("id")).as("dbkt")), "dbkt")
-    val idxDocs = readPrunedIndex(spark, s"$indexDir/docs", batchId,
-      "dbkt", dbkts, delta)
+    val docPaths = prunedBatchPaths(spark, s"$indexDir/docs", batchId,
+      "dbkt", dbkts)
+    val idxDocs = readIndexPaths(spark, s"$indexDir/docs", docPaths, delta)
     Dedup.nearDupVerify(cand, idxDocs.unionByName(delta), thresholdX1e3)
       .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
     writeBucketedBatch(delta.withColumn("dbkt", bucketOf(col("doc_id"))),
       s"$indexDir/docs", batchId, "dbkt")
     writeBucketedBatch(deltaB, s"$indexDir/bands", batchId, "bb")
     cand.unpersist(); deltaB.unpersist(); delta.unpersist()
-    ()
+    (bandPaths, docPaths)
   }
 
   /** Streaming CONTAINMENT ingest — [[streamingNearDupIngest]]'s contract
@@ -691,16 +710,21 @@ object Curation {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         containmentIngestBatch(batch, batchId, indexDir, pairsDir, contMinX1e3)
+        ()
       }
       .start()
 
   /** One micro-batch of the containment ingest (the foreachBatch body,
     * factored out like [[nearDupIngestBatch]]).
     */
+  /** Returns the (posting-probe, doc-probe) directory paths the batch
+    * READ (see [[nearDupIngestBatch]]).
+    */
   private[operators] def containmentIngestBatch(batch: DataFrame,
                                                 batchId: Long, indexDir: String,
                                                 pairsDir: String,
-                                                contMinX1e3: Int): Unit = {
+                                                contMinX1e3: Int)
+      : (Seq[String], Seq[String]) = {
     val spark = batch.sparkSession
     val delta = Dedup.containmentIndex(
       batch.select("doc_id", "text"), contMinX1e3).persist()
@@ -710,8 +734,10 @@ object Curation {
       .select(col("doc_id"), explode(col("sh")).as("shingle"),
         array_contains(col("pref"), col("shingle")).as("is_pref"))
       .withColumn("sbkt", bucketOf(col("shingle"))).persist()
-    val idxPost = readPrunedIndex(spark, s"$indexDir/post", batchId,
-      "sbkt", bucketSet(deltaPost, "sbkt"), deltaPost.drop("sbkt"))
+    val postPaths = prunedBatchPaths(spark, s"$indexDir/post", batchId,
+      "sbkt", bucketSet(deltaPost, "sbkt"))
+    val idxPost = readIndexPaths(spark, s"$indexDir/post", postPaths,
+      deltaPost.drop("sbkt"))
     val allPost = idxPost.unionByName(deltaPost.drop("sbkt"))
     def half(p: DataFrame, f: DataFrame) = p.as("p")
       .join(f.as("f"),
@@ -725,8 +751,9 @@ object Curation {
     val dbkts = bucketSet(
       cand.select(explode(array(col("d1"), col("d2"))).as("id"))
         .select(bucketOf(col("id")).as("dbkt")), "dbkt")
-    val idxDocs = readPrunedIndex(spark, s"$indexDir/docs", batchId,
-      "dbkt", dbkts, delta)
+    val docPaths = prunedBatchPaths(spark, s"$indexDir/docs", batchId,
+      "dbkt", dbkts)
+    val idxDocs = readIndexPaths(spark, s"$indexDir/docs", docPaths, delta)
     Dedup.containmentVerify(cand, idxDocs.unionByName(delta),
         contMinX1e3, 800)
       .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
@@ -734,7 +761,7 @@ object Curation {
       s"$indexDir/docs", batchId, "dbkt")
     writeBucketedBatch(deltaPost, s"$indexDir/post", batchId, "sbkt")
     cand.unpersist(); deltaPost.unpersist(); delta.unpersist()
-    ()
+    (postPaths, docPaths)
   }
 
   /** Train/eval contamination report: for every document OUTSIDE the eval

@@ -94,6 +94,41 @@ object GrowthSmoke {
         f"t_pairs=$tPairs%6.2f t_cc=$tCc%6.2f t_pagerank=$tPr%6.2f")
       pairs.unpersist()
     }
+
+    // Streaming probe-I/O growth (VERDICT r10 #5): one large base batch
+    // builds the index, then B SMALL delta batches ingest sequentially;
+    // per batch we print the probe's directory/file reads against the
+    // index total. The claim under test: a small delta's probe I/O is
+    // bounded by ITS OWN bucket coverage (per prior batch dir), not by
+    // the accumulated corpus volume — and compaction collapses the
+    // per-prior-batch term back to one directory set, keeping a
+    // long-running stream's per-batch reads flat.
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-growth-stream").toString
+    // a one-doc delta: a near-duplicate of one base doc (so the band AND
+    // doc probes both fire), re-keyed into a per-batch id namespace
+    def smallBatch(b: Int): DataFrame = rawBase.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + lit(b * 10000000L + 5000000L)).as("doc_id"),
+        col("text"))
+    def nFiles(paths: Seq[String]): Int = paths.map(p =>
+      Option(new java.io.File(p.stripPrefix("file:")).listFiles)
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)).sum
+    def bandTotal(upTo: Long): Seq[String] = Curation.prunedBatchPaths(
+      spark, s"$streamDir/index/bands", upTo, "bb", (0L until 32L).toSet)
+    Curation.nearDupIngestBatch(replicate(rawBase, 4), 0L,
+      s"$streamDir/index", s"$streamDir/pairs", 800)
+    (1 to 6).foreach { b =>
+      if (b == 5) {
+        Curation.compactIncrementalIndex(spark, s"$streamDir/index", b.toLong)
+        println(s"[growth-stream] compacted index up to batch $b")
+      }
+      val (bandPaths, docPaths) = Curation.nearDupIngestBatch(
+        smallBatch(b), b.toLong, s"$streamDir/index", s"$streamDir/pairs", 800)
+      val tot = bandTotal(b.toLong)
+      println(f"[growth-stream] batch=$b%2d band_dirs_read=${bandPaths.size}%3d/" +
+        f"${tot.size}%3d band_files_read=${nFiles(bandPaths)}%4d/" +
+        f"${nFiles(tot)}%4d doc_dirs_read=${docPaths.size}%3d")
+    }
     spark.stop()
   }
 }

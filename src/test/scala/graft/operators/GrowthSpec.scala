@@ -71,4 +71,40 @@ class GrowthSpec extends AnyFunSuite {
       "isomorphic replicas must carry identical (deg, rank) multisets")
     pr.unpersist()
   }
+
+  test("streaming ingest probe I/O stays flat: a one-doc batch reads its " +
+    "own bucket coverage per prior dir, and compaction resets the growth") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-growth-probe").toString
+    def oneDoc(b: Int) = base.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + lit(b * 10000000L + 5000000L)).as("doc_id"),
+        col("text"))
+    Curation.nearDupIngestBatch(base, 0L, s"$dir/index", s"$dir/pairs", 800)
+    def allBandDirs(upTo: Long) = Curation.prunedBatchPaths(
+      spark, s"$dir/index/bands", upTo, "bb", (0L until 32L).toSet)
+    val reads = (1 to 4).map { b =>
+      if (b == 4)
+        Curation.compactIncrementalIndex(spark, s"$dir/index", b.toLong)
+      val (bandPaths, _) = Curation.nearDupIngestBatch(oneDoc(b), b.toLong,
+        s"$dir/index", s"$dir/pairs", 800)
+      (bandPaths.size, allBandDirs(b.toLong).size)
+    }
+    // every batch's probe is a strict subset of the index dirs (a one-doc
+    // delta covers <= 16 of 32 band buckets)
+    reads.foreach { case (read, total) =>
+      assert(read > 0 && read < total,
+        s"one-doc probe must read a strict subset: $read of $total") }
+    // growth across batches comes ONLY from the prior one-doc dirs: each
+    // adds at most the batch-1 coverage again
+    val perBatch = reads.head._1
+    assert(reads(1)._1 <= 2 * perBatch && reads(2)._1 <= 3 * perBatch,
+      s"per-batch probe growth must be bounded by prior delta dirs: $reads")
+    // compaction before batch 4 collapses the accumulated dirs back to
+    // the batch-1 shape — the flat long-running-stream posture
+    assert(reads(3)._1 === perBatch,
+      s"post-compaction probe must equal the batch-1 read: $reads")
+  }
 }
