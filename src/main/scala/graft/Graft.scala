@@ -54,6 +54,20 @@ final class Graft(val spark: SparkSession, dataDir: String,
 
   def queryNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  /** Register catalog queries as temp views, making the ENTIRE operator
+    * surface reachable from pure SQL: after this, `sql("SELECT * FROM
+    * q49_neardup_clusters WHERE cluster_id = 7")` works and composes —
+    * a temp view binds the query's LAZY Catalyst plan, so the outer
+    * statement optimizes through it (filters/projections push into the
+    * operator's plan; nothing is materialized at registration). No
+    * catalog entry is exempt: every operator returns a DataFrame, even
+    * the index-backed ones (their artifact resolution happens at
+    * registration, the scan stays lazy). SqlSurfaceSpec drives all of
+    * them through spark.sql.
+    */
+  def registerQueryViews(names: Seq[String] = queryNames): Unit =
+    names.foreach(n => query(n).createOrReplaceTempView(n))
+
   /** Consume pending change events and invalidate (scenario 3). */
   def processCdc(): Long = cdc.processCdc(spark)
 

@@ -39,4 +39,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(n > 0)
   }
+
+  test("EVERY catalog entry is SQL-reachable: registerQueryViews exposes " +
+    "all queries as temp views that spark.sql executes (none exempt)") {
+    val g = new Graft(TestSpark.spark, TestSpark.SF0001)
+    g.registerQueryViews()
+    val failures = g.queryNames.flatMap { n =>
+      try {
+        // a real execution through the SQL surface, not just a parse:
+        // count() runs the operator's full plan behind the view
+        spark.sql(s"SELECT * FROM $n").count()
+        None
+      } catch { case e: Throwable => Some(s"$n: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} catalog entries not SQL-reachable:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("views compose: SQL filters and joins optimize THROUGH a catalog view") {
+    val g = new Graft(TestSpark.spark, TestSpark.SF0001)
+    g.registerQueryViews(Seq("q49_neardup_clusters"))
+    Tables.registerAll(spark, TestSpark.SF0001)
+    // join the operator view against a fixture view in one SQL statement
+    val joined = spark.sql(
+      """SELECT c.cluster_id, COUNT(*) AS n_docs, SUM(d.n_chars) AS chars
+        |FROM q49_neardup_clusters c JOIN documents d USING (doc_id)
+        |GROUP BY c.cluster_id ORDER BY c.cluster_id""".stripMargin)
+    assert(joined.count() > 0)
+    // the view binds a lazy plan: a filtered reference stays a plan
+    // (optimizes as one query), not a cached materialization
+    val one = spark.sql(
+      "SELECT * FROM q49_neardup_clusters WHERE doc_id = cluster_id")
+    assert(one.queryExecution.optimizedPlan.toString.nonEmpty &&
+      one.count() > 0)
+  }
 }
