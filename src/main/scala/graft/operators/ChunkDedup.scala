@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Chunk-granular dedup accounting — two operators a corpus-storage /
+  * capacity-planning pipeline runs next to the document-granular q18/q49
+  * family:
+  *
+  *  - q114: CONTENT-DEFINED CHUNKING (the Rabin/FastCDC idea, token
+  *    granularity) + corpus-wide duplicated-chunk report. Chunk
+  *    boundaries are a pure function of local content (a token whose
+  *    portable hash lands in a residue class ends its chunk), so an
+  *    insertion early in a document shifts POSITIONS but not boundary
+  *    tokens — downstream chunks re-align and still dedup, which is
+  *    exactly why storage systems chunk this way instead of at fixed
+  *    offsets (q47). A repeated passage therefore surfaces as repeated
+  *    chunk hashes regardless of where it sits in each document.
+  *
+  *  - q115: DEDUP-SAVINGS report per source — what a release manager
+  *    reads before a dedup pass: per source, how many docs/tokens the
+  *    exact stage (q18 semantics: same text keeps min doc_id) removes,
+  *    how many MORE the near-dup stage removes (q49 clusters over the
+  *    exact survivors, keep the min surviving member), and what remains.
+  *
+  * 100 TB shape: q114 is one tokenize scan -> per-doc window (cumulative
+  * boundary count; partitioned by doc, never corpus-wide) -> two hash
+  * aggregates on the chunk key; the duplicated-chunk output is
+  * collision-sized. q115 composes the q18 hash aggregate, the q49
+  * cluster relation (pair-graph-sized, broadcast), and three per-source
+  * aggregates off one corpus scan — no joins wider than the corpus x
+  * broadcast.
+  */
+object ChunkDedup {
+
+  /** Boundary residue divisor: a token ends its chunk iff
+    * phash60(token) % CHUNK_DIV == 0 — expected chunk length = the
+    * divisor. 4 at fixture scale so the 12-token planted excerpts
+    * contain whole chunks; a production corpus sets the divisor to its
+    * target chunk size (e.g. ~512 tokens), changing nothing structural.
+    */
+  private val CHUNK_DIV = 4L
+
+  /** q114: duplicated content-defined chunks over `docs` — one row per
+    * chunk VALUE occurring >= 2 times: (chunk_hash, n_tokens, n_occ,
+    * n_docs). Boundary-ness is per-token content, so equal chunk strings
+    * imply equal internal boundary structure — the group-by key is
+    * well-defined.
+    */
+  def cdcChunks(docs: DataFrame, div: Long = CHUNK_DIV): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    // chunk id = boundaries strictly BEFORE this token (a boundary token
+    // ends its own chunk); per-doc running sum, never a global window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cid = tok
+      .withColumn("b", when(
+        pmod(Sketches.phash60(col("tok")), lit(div)) === 0, 1L).otherwise(0L))
+      .withColumn("cid", coalesce(sum(col("b")).over(w), lit(0L)))
+    val chunks = cid.groupBy("doc_id", "cid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok").as("t")))),
+        s => s.getField("t")), " ").as("chunk"))
+    chunks.groupBy("chunk")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .select(md5(col("chunk")).as("chunk_hash"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        col("n_occ"), col("n_docs"))
+      .orderBy("chunk_hash")
+  }
+
+  /** q115: per-source dedup savings. `labels` is the q49 cluster relation
+    * over the SAME corpus (doc_id, cluster_id; pair-graph-sized).
+    */
+  def dedupSavings(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      coalesce(col("source"), lit("")).as("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      sha2(col("text"), 256).as("h"))
+    // exact stage: within a hash group the min doc_id survives
+    val flagged = d.withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("h")))
+      .withColumn("exact_rm", (col("doc_id") =!= col("keep_id")).cast("long"))
+    val survivors = flagged.filter(col("exact_rm") === 0)
+    // near-dup stage over survivors: min SURVIVING member per cluster
+    // survives (the canonical may itself have been an exact duplicate)
+    val clustered = survivors.join(broadcast(labels.select("doc_id", "cluster_id")),
+      Seq("doc_id"))
+    val cmin = clustered.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("cmin"))
+    val ndRemoved = clustered.join(broadcast(cmin), Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("cmin"))
+    def bySource(df: DataFrame, dc: String, tc: String): DataFrame =
+      df.groupBy("source").agg(count(lit(1)).as(dc),
+        sum(col("n_tokens")).as(tc))
+    bySource(d, "n_docs", "n_tokens")
+      .join(bySource(flagged.filter(col("exact_rm") === 1),
+        "exact_docs_removed", "exact_tokens_removed"), Seq("source"), "left")
+      .join(bySource(ndRemoved,
+        "neardup_docs_removed", "neardup_tokens_removed"), Seq("source"), "left")
+      .na.fill(0L, Seq("exact_docs_removed", "exact_tokens_removed",
+        "neardup_docs_removed", "neardup_tokens_removed"))
+      .withColumn("kept_tokens", col("n_tokens") -
+        col("exact_tokens_removed") - col("neardup_tokens_removed"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q114: duplicated content-defined chunks over the corpus + planted
+    // excerpts (the excerpts repeat their source's leading chunks, so the
+    // fixture exercises real cross-doc chunk duplication).
+    "q114_cdc_chunks" -> ((s, d) =>
+      cdcChunks(Dedup.withPlantedExcerpts(
+        Tables.documents(s, d).select("doc_id", "text")))),
+
+    // Q115: per-source dedup savings; clusters from the shared raw-corpus
+    // curation-index artifact (the q49 relation).
+    "q115_dedup_savings" -> ((s, d) =>
+      dedupSavings(Tables.documents(s, d),
+        Dedup.nearDupClustersFromIndex(
+          s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d,
+            planted = false)), 800)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q114_cdc_chunks" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 2000000,
+         |               array_to_string((string_split(text, ' '))[1:${Dedup.EXC_TOKENS}], ' ')
+         |        FROM documents
+         |        WHERE ${Sketches.phash60Sql("doc_id")} % 50 = 0),
+         |tok AS (SELECT doc_id, i - 1 AS pos, l[i] AS tok
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM base),
+         |             unnest(range(1, len(l) + 1)) AS u(i)),
+         |b AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN ${Sketches.phash60Sql("tok")} % $CHUNK_DIV = 0
+         |             THEN 1 ELSE 0 END AS b
+         |      FROM tok),
+         |c AS (SELECT doc_id, pos, tok,
+         |        COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         |      FROM b),
+         |ch AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS chunk
+         |       FROM c GROUP BY doc_id, cid),
+         |g AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |      FROM ch GROUP BY chunk HAVING COUNT(*) >= 2)
+         |SELECT md5(chunk) AS chunk_hash,
+         |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+         |       n_occ, n_docs
+         |FROM g ORDER BY chunk_hash""".stripMargin,
+
+    "q115_dedup_savings" ->
+      s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},
+         |d AS (SELECT doc_id, COALESCE(source, '') AS source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        sha256(text) AS h
+         |      FROM documents),
+         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+         |f AS (SELECT d.*, CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS exact_rm
+         |      FROM d JOIN k USING (h)),
+         |s AS (SELECT * FROM f WHERE exact_rm = 0),
+         |cm AS (SELECT l.cluster_id, MIN(s.doc_id) AS cmin
+         |       FROM labels l JOIN s ON l.doc_id = s.doc_id
+         |       GROUP BY l.cluster_id),
+         |nd AS (SELECT s.doc_id, s.source, s.n_tokens
+         |       FROM s JOIN labels l ON s.doc_id = l.doc_id
+         |       JOIN cm ON l.cluster_id = cm.cluster_id
+         |       WHERE s.doc_id <> cm.cmin),
+         |base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |         FROM d GROUP BY source),
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ed,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS et
+         |       FROM f WHERE exact_rm = 1 GROUP BY source),
+         |nds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd_docs,
+         |          CAST(SUM(n_tokens) AS BIGINT) AS nd_tokens
+         |        FROM nd GROUP BY source)
+         |SELECT base.source, base.n_docs, base.n_tokens,
+         |       COALESCE(ex.ed, 0) AS exact_docs_removed,
+         |       COALESCE(ex.et, 0) AS exact_tokens_removed,
+         |       COALESCE(nds.nd_docs, 0) AS neardup_docs_removed,
+         |       COALESCE(nds.nd_tokens, 0) AS neardup_tokens_removed,
+         |       base.n_tokens - COALESCE(ex.et, 0) - COALESCE(nds.nd_tokens, 0)
+         |         AS kept_tokens
+         |FROM base
+         |LEFT JOIN ex ON base.source = ex.source
+         |LEFT JOIN nds ON base.source = nds.source
+         |ORDER BY base.source""".stripMargin
+  )
+}

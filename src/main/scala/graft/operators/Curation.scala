@@ -1140,6 +1140,38 @@ object Curation {
       .start()
   }
 
+  /** q117: QUALITY-THRESHOLD SWEEP — the calibration table a curation
+    * pass reads before committing q26/q32's cutoff: for each candidate
+    * threshold 0, 100, …, 1000, how many docs and tokens survive and at
+    * what mean quality. The decision input for "where do we set
+    * QUALITY_MIN", produced in ONE corpus scan: per-doc quality buckets
+    * (floor(q/100)) hash-aggregate to an 11-row relation; each threshold
+    * then sums the buckets at-or-above it via an 11×11 inequality join —
+    * no per-threshold corpus re-scan, no corpus-wide window. The empty
+    * thresholds (nothing survives) report zero rather than vanish.
+    */
+  def qualitySweep(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val b = scored(docs)
+      .select(floor(col("quality_x1e3") / 100).as("qb"),
+        col("n_tokens"), col("quality_x1e3"))
+      .groupBy("qb")
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"),
+        sum(col("quality_x1e3")).as("sq"))
+    spark.range(0, 11).toDF("t")
+      .join(b, col("qb") >= col("t"), "left")
+      .groupBy("t")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("docs_kept"),
+        coalesce(sum(col("toks")), lit(0L)).as("tokens_kept"),
+        coalesce(sum(col("sq")), lit(0L)).as("sumq"))
+      .select((col("t") * 100).as("threshold_x1e3"),
+        col("docs_kept"), col("tokens_kept"),
+        when(col("docs_kept") === 0, lit(0L)).otherwise(
+          floor(col("sumq").cast("double") / col("docs_kept") + lit(0.5))
+            .cast("long")).as("mean_quality_x1e3"))
+      .orderBy("threshold_x1e3")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q109: which sources copy each other (mirror-feed detector).
     "q109_source_overlap" -> ((s, d) =>
@@ -1155,6 +1187,9 @@ object Curation {
     // oracle-checked END TO END, like q32 — compositions get hash-checked
     // here, not just their stages.
     "q57_curation_strict" -> ((s, d) => curateStrict(Tables.documents(s, d))),
+
+    // Q117: quality-threshold sweep (see [[qualitySweep]]).
+    "q117_quality_sweep" -> ((s, d) => qualitySweep(Tables.documents(s, d))),
     "q50_contamination" -> ((s, d) =>
       contaminationReport(Tables.documents(s, d))),
     "q45_crossmodal_dedup" -> ((s, d) =>
@@ -1227,6 +1262,24 @@ object Curation {
        |LIMIT $DSIR_TOPK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q117_quality_sweep" ->
+      s"""WITH q AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        ${TextAnalysis.QUALITY_SQL} AS quality_x1e3
+         |      FROM documents),
+         |b AS (SELECT quality_x1e3 // 100 AS qb, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(n_tokens) AS BIGINT) AS toks,
+         |        CAST(SUM(quality_x1e3) AS BIGINT) AS sq
+         |      FROM q GROUP BY 1),
+         |t AS (SELECT i AS t FROM unnest(range(0, 11)) AS u(i)),
+         |a AS (SELECT t.t, CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS docs_kept,
+         |        CAST(COALESCE(SUM(b.toks), 0) AS BIGINT) AS tokens_kept,
+         |        CAST(COALESCE(SUM(b.sq), 0) AS BIGINT) AS sumq
+         |      FROM t LEFT JOIN b ON b.qb >= t.t GROUP BY t.t)
+         |SELECT t * 100 AS threshold_x1e3, docs_kept, tokens_kept,
+         |       CASE WHEN docs_kept = 0 THEN 0
+         |            ELSE CAST(FLOOR(CAST(sumq AS DOUBLE) / docs_kept
+         |              + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS mean_quality_x1e3
+         |FROM a ORDER BY threshold_x1e3""".stripMargin,
     "q109_source_overlap" ->
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
          |sh AS (SELECT DISTINCT source,

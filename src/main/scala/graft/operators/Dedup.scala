@@ -388,7 +388,7 @@ object Dedup {
     exactJaccardFilter(inter, sh, thresholdX1e3, cache)
   }
 
-  private val EXC_TOKENS = 12
+  private[operators] val EXC_TOKENS = 12
 
   /** q87's planted inclusions: docs in hash class phash60(id)%50==0 emit
     * their first [[EXC_TOKENS]] tokens as a new document (id + 2e6) — a
@@ -1704,7 +1704,7 @@ object Dedup {
     * `labels` = (doc_id, cluster_id) — q95's canonical selection replays
     * it verbatim before picking keepers.
     */
-  private def ccLabelsCtesSql: String =
+  private[operators] def ccLabelsCtesSql: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
       |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)

@@ -282,6 +282,47 @@ object TextAnalysis {
     * one partially-aggregated groupBy. Nothing vocabulary-sized ever sits
     * on the driver.
     */
+  /** q116: PMI-ranked bigram associations — pointwise mutual information
+    * of adjacent token pairs, the collocation detector a tokenizer/
+    * phrase-mining pass runs over a corpus (PMI finds "strongly
+    * associated" pairs the raw bigram count can't: a frequent pair of
+    * frequent words scores low, a pair that co-occurs far above chance
+    * scores high). pmi = ln(P(ab)/(P(a)P(b))) with P(ab) = c_ab/N_bigrams
+    * and P(w) = c_w/N_unigrams, scaled x1e6 and rounded half-up — the q60
+    * integer-log idiom, so DuckDB replays the doubles bit-for-bit. A
+    * minimum pair count keeps noise pairs (c=1 flukes maximize PMI) out.
+    *
+    * 100 TB shape: two hash aggregates over one tokenize pass (bigram
+    * counts, unigram counts), two single-row totals broadcast, one
+    * vocab²-sized join keyed on the words, TakeOrdered for the top-k —
+    * nothing corpus-sized past the first aggregates.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Int = 5, k: Int = 100): DataFrame = {
+    val tok = docs.select(split(col("text"), " ").as("l"))
+    val bg = tok.filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persist()
+    val uni = tok.select(explode(col("l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).persist()
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val nb = bc.agg(sum(col("c12")).as("nb"))
+    bc.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        floor((log(col("c12").cast("double")) - log(col("nb").cast("double"))
+          - log(col("c1").cast("double")) - log(col("c2").cast("double"))
+          + lit(2.0) * log(col("nu").cast("double"))) * 1000000 + lit(0.5))
+          .cast("long").as("pmi_x1e6"))
+      .orderBy(col("pmi_x1e6").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def bigramLogprob(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
     // 1-based positions; size>=2 guard because sequence(1, 0) DESCENDS
@@ -399,6 +440,10 @@ object TextAnalysis {
     // Q77: bigram LM quality score (see [[bigramLogprob]]).
     "q77_bigram_logprob" -> ((s, d) =>
       bigramLogprob(Tables.documents(s, d))),
+
+    // Q116: PMI-ranked bigram associations (see [[pmiBigrams]]).
+    "q116_pmi_bigrams" -> ((s, d) =>
+      pmiBigrams(Tables.documents(s, d))),
 
     // Q56: sqrt-temperature domain mixing (see [[domainMixSample]]).
     "q56_domain_mix" -> ((s, d) =>
@@ -614,6 +659,28 @@ object TextAnalysis {
         |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_lp_x1e6
         |FROM bg JOIN m USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q116 twin: identical ln-expression term order (float addition is
+    // non-associative; both engines must evaluate the same tree).
+    "q116_pmi_bigrams" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |bg AS (SELECT l[i] AS w1, l[i+1] AS w2
+        |       FROM tok, unnest(range(1, len(l))) AS t(i)
+        |       WHERE len(l) >= 2),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(l) AS w FROM tok) GROUP BY w),
+        |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+        |nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM bc)
+        |SELECT bc.w1, bc.w2, bc.c12,
+        |       CAST(FLOOR((ln(CAST(c12 AS DOUBLE)) - ln(CAST(nb AS DOUBLE))
+        |         - ln(CAST(u1.c AS DOUBLE)) - ln(CAST(u2.c AS DOUBLE))
+        |         + 2.0 * ln(CAST(nu AS DOUBLE))) * 1000000
+        |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pmi_x1e6
+        |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, nu, nb
+        |WHERE c12 >= 5
+        |ORDER BY pmi_x1e6 DESC, w1, w2
+        |LIMIT 100""".stripMargin,
 
     "q60_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

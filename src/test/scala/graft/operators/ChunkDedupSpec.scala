@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Behavioral pins for the round-11 operators (value exactness is the
+  * DuckDB oracle's job): q114 content-defined chunking, q115 dedup
+  * savings, q116 PMI, q117 quality sweep.
+  */
+class ChunkDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q114: content-defined chunks RE-ALIGN after an insertion — the " +
+    "property fixed-offset chunking (q47) lacks") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    // doc 2 = doc 1 with one token INSERTED at the front: every chunk
+    // after the first boundary is positionally shifted but content-equal
+    val docs = Seq((1L, body), (2L, s"zzzz $body")).toDF("doc_id", "text")
+    val dup = ChunkDedup.cdcChunks(docs).collect()
+    // the shared suffix must produce at least one chunk duplicated across
+    // BOTH docs despite the shift
+    assert(dup.nonEmpty && dup.exists(_.getLong(3) == 2L),
+      s"shifted duplicate chunks must dedup: ${dup.mkString(";")}")
+    // identical docs chunk identically: every chunk of a self-dup corpus
+    // has n_occ == n_docs == 2
+    val twin = ChunkDedup.cdcChunks(
+      Seq((1L, body), (2L, body)).toDF("doc_id", "text")).collect()
+    assert(twin.nonEmpty && twin.forall(r =>
+      r.getLong(2) == 2L && r.getLong(3) == 2L))
+  }
+
+  test("q114: boundary tokens end their chunk — chunk token counts " +
+    "reassemble each document exactly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text").limit(50)
+    // rebuild per-doc token counts from the chunk relation's internals
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perDoc = tok
+      .withColumn("b", when(
+        pmod(Sketches.phash60(col("tok")), lit(4L)) === 0, 1L).otherwise(0L))
+      .groupBy("doc_id").agg(sum("b").as("nb"), count(lit(1)).as("n"))
+      .collect()
+    perDoc.foreach { r =>
+      assert(r.getLong(2) === nTok(r.getLong(0)), "no token lost to chunking")
+    }
+  }
+
+  test("q115: exact stage removes same-text copies first; near-dup stage " +
+    "keeps the min SURVIVING member per cluster") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    // 1,2: exact dups (src x); 3: near-dup of 1 (one token changed, src y);
+    // 5: unrelated (src y)
+    val aNear = a.replace("today", "tonight")
+    val docs = Seq(
+      (1L, a, "x"), (2L, a, "x"), (3L, aNear, "y"),
+      (5L, "pack my box with five dozen liquor jugs before noon ok", "y"))
+      .toDF("doc_id", "text", "source")
+    val labels = Dedup.nearDupClusters(
+      docs.select("doc_id", "text"), 800, cache = false)
+    val out = ChunkDedup.dedupSavings(docs, labels).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(5)))
+      .toMap
+    // src x: 2 docs, doc 2 removed as exact dup, doc 1 survives as the
+    // cluster canonical -> no near-dup removal in x
+    assert(out("x") === ((2L, 1L, 0L)))
+    // src y: doc 3 survives exact but loses near-dup to canonical doc 1;
+    // doc 5 untouched
+    assert(out("y") === ((2L, 0L, 1L)))
+  }
+
+  test("q116: a perfectly-associated pair outranks an equally-frequent " +
+    "independent pair") {
+    import spark.implicits._
+    // "aa bb" always adjacent; "cc"/"dd" frequent but never adjacent to
+    // each other more than chance
+    val assoc = (1 to 10).map(i => (i.toLong, "aa bb filler" + (i % 3) +
+      " cc dd cc ee dd ff cc gg dd hh"))
+    val docs = assoc.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(docs, minCount = 5, k = 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    assert(out.contains(("aa", "bb")))
+    // aa->bb is deterministic (P(bb|aa)=1); cc->dd co-occurs but cc and
+    // dd each appear 3x as often -> lower PMI
+    assert(out(("aa", "bb")) > out.getOrElse(("cc", "dd"), Long.MinValue),
+      s"deterministic pair must outrank independent pair: $out")
+  }
+
+  test("q117: sweep is monotone, threshold 0 keeps everything, and " +
+    "bucket sums reproduce the corpus totals") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)
+    val rows = Curation.qualitySweep(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0 to 1000 by 100).map(_.toLong))
+    // non-increasing kept counts as the threshold rises
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3, s"monotone: $lo vs $hi")
+    }
+    val (nDocs, nToks) = {
+      val r = docs.agg(count(lit(1)),
+        sum(size(split(col("text"), " ")).cast("long"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(rows.head._2 === nDocs && rows.head._3 === nToks,
+      "threshold 0 must keep the whole corpus")
+  }
+}
