@@ -91,8 +91,10 @@ object Bench {
     // r9 driver run showed interference can ALSO be selective (controls
     // clean, heavy aggregates 5x) — that case is caught by bench_diff's
     // run-minimum and idle-reference tiers, not this factor.
-    val controlRef = Map("q01_scan" -> 0.045, "q22_minhash_lsh" -> 1.251,
-      "q57_curation_strict" -> 2.407) // tools/bench_ref.json medians (r10, 115-query idle run)
+    val controlRef = Map("q01_scan" -> 0.062, "q22_minhash_lsh" -> 1.174,
+      "q57_curation_strict" -> 2.407, "q89_leakfree_containment" -> 0.953)
+    // tools/bench_ref.json normalized controls (r11 recording, box-factor
+    // 1.201 vs the r10 anchor; q89 added as the heavy-shuffle control)
     val ctl = results.collect {
       case (k, ts, _, _, _) if controlRef.contains(k) && ts(runs / 2) > 0 =>
         k -> ts(runs / 2)

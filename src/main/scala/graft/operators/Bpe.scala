@@ -201,6 +201,39 @@ object Bpe {
 
   private val dirCache = scala.collection.mutable.Map[String, String]()
 
+  /** q119: TOKENIZER FERTILITY BY LANGUAGE — encode the corpus vocabulary
+    * with the FROZEN q65 merge table and report per-language fertility
+    * (BPE tokens per word) and compression (chars per BPE token). The
+    * standard multilingual-tokenizer health check: a vocabulary trained
+    * on a skewed mix over-fragments under-represented languages, which
+    * shows up as fertility disparity here long before it shows up as
+    * quality loss — and it directly prices each language's token budget.
+    *
+    * 100 TB shape: segmentation is per-WORD, so the encode runs once over
+    * the corpus-wide vocabulary relation (orders of magnitude smaller
+    * than the corpus); the per-(lang, word) counts are one tokenize
+    * aggregate; the join is vocabulary-sized; output is language-sized.
+    */
+  def fertilityByLang(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val enc = applyMerges(vocab(docs.select("text")), merges)
+      .select(col("w"), size(col("syms")).cast("long").as("nsyms"))
+    val lw = docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    lw.join(enc, "w")
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("nsyms")).as("n_bpe_tokens"),
+        sum(col("cnt") * length(col("w"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+        floor(col("n_bpe_tokens").cast("double") * 1000 / col("n_words")
+          + lit(0.5)).cast("long").as("tokens_per_word_x1e3"),
+        floor(col("n_chars").cast("double") * 1000 / col("n_bpe_tokens")
+          + lit(0.5)).cast("long").as("chars_per_token_x1e3"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q65: the learned merge table over the documents corpus (served from
     // the build-once training artifact).
@@ -213,6 +246,13 @@ object Bpe {
       val merges = s.read.parquet(ensureMerges(s, d)).collect()
         .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       encodeStatsWithMerges(Tables.documents(s, d).select("text"), merges)
+    }),
+
+    // Q119: per-language tokenizer fertility with the frozen merges.
+    "q119_bpe_fertility" -> ((s, d) => {
+      val merges = s.read.parquet(ensureMerges(s, d)).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      fertilityByLang(Tables.documents(s, d).select("lang", "text"), merges)
     })
   )
 
@@ -229,6 +269,29 @@ object Bpe {
          |SELECT * FROM (
          |$finals
          |) ORDER BY it""".stripMargin
+    },
+
+    // q119 twin: the q65 chain to the final vocabulary, then per-language
+    // word counts joined on the encoded segmentation.
+    "q119_bpe_fertility" -> {
+      val iters = (1 to N_MERGES).map(iterSql).mkString(",\n")
+      s"""WITH v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+         |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |            WHERE len(w) > 0 GROUP BY w),
+         |$iters,
+         |enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS nsyms FROM v$N_MERGES),
+         |lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |       WHERE len(w) > 0 GROUP BY 1, 2)
+         |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |       CAST(SUM(cnt * nsyms) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(SUM(cnt * len(w)) AS BIGINT) AS n_chars,
+         |       CAST(FLOOR(CAST(SUM(cnt * nsyms) AS DOUBLE) * 1000 / SUM(cnt)
+         |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS tokens_per_word_x1e3,
+         |       CAST(FLOOR(CAST(SUM(cnt * len(w)) AS DOUBLE) * 1000 / SUM(cnt * nsyms)
+         |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chars_per_token_x1e3
+         |FROM lw JOIN enc USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // q97 twin: the q65 training chain carried one step further — explode

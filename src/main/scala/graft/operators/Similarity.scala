@@ -75,6 +75,30 @@ object Similarity {
   private val COS_SQL =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
+  /** Nearest-`p`-cells assignment of `v` against a broadcast centroid
+    * relation — the shared IVF primitive ([[ivfSearch]] assignment +
+    * probing, q118 delta maintenance). One broadcast pass, ties broken
+    * (sim DESC, cent_id) so the argmax is a total order.
+    */
+  private def bestCells(v: DataFrame, cents: DataFrame, p: Int,
+                        outCol: String): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cent_id"),
+        cosine(col("emb"), col("cent")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p)
+      .select(col("vec_id"), col("emb"), col("cent_id").as(outCol))
+  }
+
+  /** The (vec_id, cell) nearest-cell assignment relation — spec hook for
+    * pinning assignment invariants (scale invariance, conservation).
+    */
+  private[operators] def nearestCells(v: DataFrame,
+                                      cents: DataFrame): DataFrame =
+    bestCells(v, cents, 1, "cell").select(col("vec_id"), col("cell"))
+
   /** IVF search against an arbitrary coarse-centroid relation
     * `(cent_id, cent: array<double>)`: every vector is assigned to its
     * nearest centroid in one broadcast pass, queries (vec_id < nQueries)
@@ -86,18 +110,8 @@ object Similarity {
     */
   def ivfSearch(e: DataFrame, cents: DataFrame,
                 nQueries: Int = 5, probes: Int = 2, topK: Int = 3): DataFrame = {
-    def bestCells(v: DataFrame, p: Int, outCol: String): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("cent_id"))
-      v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("emb"), col("cent_id"),
-          cosine(col("emb"), col("cent")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= p)
-        .select(col("vec_id"), col("emb"), col("cent_id").as(outCol))
-    }
-    val assigned = bestCells(e, 1, "cell")
-    val queries = bestCells(e.filter(col("vec_id") < nQueries), probes, "cell")
+    val assigned = bestCells(e, cents, 1, "cell")
+    val queries = bestCells(e.filter(col("vec_id") < nQueries), cents, probes, "cell")
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("cell"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_x1e4").desc, col("vec_id"))
@@ -109,6 +123,42 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= topK)
       .orderBy("q_id", "rnk")
+  }
+
+  /** q118: INCREMENTAL IVF MAINTENANCE — assign a DELTA of new vectors to
+    * the FROZEN coarse centroids and report per-cell occupancy before and
+    * after. This is how a 100 TB ANN index absorbs an ingest batch:
+    * retraining the quantizer would invalidate every stored assignment,
+    * so production freezes the centroids, routes the delta through one
+    * broadcast argmax pass (delta-sized work, the base vectors are never
+    * touched), and appends to the inverted lists. The per-cell count
+    * report is the operational readout — cell skew is what drives probe
+    * latency, and a drifting delta distribution shows up here before
+    * recall degrades. Counts are additive, so the report relation itself
+    * is mergeable index state (the q58/q84 posture).
+    *
+    * The delta fixture: vec_id < nDelta re-emitted at id + 200000 with
+    * the first component scaled 1.25 — exact double arithmetic, so the
+    * oracle replays the assignment bit-for-bit (the q61 twin idiom).
+    */
+  def ivfDeltaAssign(embs: DataFrame, nCents: Int = 16,
+                     nDelta: Int = 50): DataFrame = {
+    val e = asDouble(embs)
+    val cents = e.filter(col("vec_id") < nCents)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+    val delta = e.filter(col("vec_id") < nDelta)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        concat(array(element_at(col("emb"), 1) * lit(1.25)),
+          slice(col("emb"), lit(2), size(col("emb")) - 1)).as("emb"))
+    def cellCounts(v: DataFrame, cnt: String): DataFrame =
+      bestCells(v, cents, 1, "cell")
+        .groupBy(col("cell").as("cent_id")).agg(count(lit(1)).as(cnt))
+    cellCounts(e, "n_base")
+      .join(cellCounts(delta, "n_delta"), Seq("cent_id"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_delta"))
+      .select(col("cent_id"), col("n_base"), col("n_delta"),
+        (col("n_base") + col("n_delta")).as("n_total"))
+      .orderBy("cent_id")
   }
 
   /** q100: ANN INDEX-QUALITY EVAL — recall@k of the q24c multi-probe LSH
@@ -217,6 +267,10 @@ object Similarity {
     // recall/probes is the standard IVF tradeoff. The construction is fully
     // deterministic, so the oracle replays the same index in SQL; the spec
     // additionally measures recall against brute force.
+    // Q118: incremental IVF maintenance (see [[ivfDeltaAssign]]).
+    "q118_ivf_delta" -> ((s, d) =>
+      ivfDeltaAssign(Tables.embeddings(s, d))),
+
     "q24b_ann_ivf" -> ((s, d) => {
       val e = asDouble(Tables.embeddings(s, d))
       // the DEMO coarse quantizer: deterministically the first 16 corpus
@@ -350,6 +404,37 @@ object Similarity {
          |           FROM cand)
          |SELECT q_id, vec_id, cos_x1e4, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
+
+    // q118 twin: same frozen-centroid assignment chain, delta replayed
+    // with exact double arithmetic.
+    "q118_ivf_delta" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < 16),
+         |delta AS (SELECT vec_id + 200000 AS vec_id,
+         |            [emb[1] * 1.25] || emb[2:] AS emb
+         |          FROM e WHERE vec_id < 50),
+         |ab AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${COS_SQL.format("e.emb", "cent", "e.emb", "e.emb", "cent", "cent")} DESC,
+         |             cent_id) AS rn
+         |    FROM e, cents) WHERE rn = 1),
+         |ad AS (SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, cent_id AS cell,
+         |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |             ${COS_SQL.format("d.emb", "cent", "d.emb", "d.emb", "cent", "cent")} DESC,
+         |             cent_id) AS rn
+         |    FROM delta d, cents) WHERE rn = 1),
+         |nb AS (SELECT cell AS cent_id, CAST(COUNT(*) AS BIGINT) AS n_base
+         |       FROM ab GROUP BY 1),
+         |ndl AS (SELECT cell AS cent_id, CAST(COUNT(*) AS BIGINT) AS n_delta
+         |        FROM ad GROUP BY 1)
+         |SELECT COALESCE(nb.cent_id, ndl.cent_id) AS cent_id,
+         |       COALESCE(n_base, 0) AS n_base,
+         |       COALESCE(n_delta, 0) AS n_delta,
+         |       COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total
+         |FROM nb FULL OUTER JOIN ndl ON nb.cent_id = ndl.cent_id
+         |ORDER BY cent_id""".stripMargin,
 
     "q24b_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -96,6 +96,59 @@ class ChunkDedupSpec extends AnyFunSuite {
       s"deterministic pair must outrank independent pair: $out")
   }
 
+  test("q118: delta assignment conserves counts, reports additive totals, " +
+    "and an exact-copy delta lands in its source's cell") {
+    import spark.implicits._
+    val embs = graft.sources.Tables.embeddings(spark, TestSpark.SF0001)
+    val nBase = embs.count()
+    val out = Similarity.ivfDeltaAssign(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum === nBase, "every base vector assigned once")
+    assert(out.map(_._3).sum === 50L, "every delta vector assigned once")
+    assert(out.forall(r => r._4 == r._2 + r._3), "totals are additive")
+    // an UNperturbed copy must land exactly where its source did: cosine
+    // is scale-invariant, so cell(v) == cell(c*v) for c > 0 — pin via a
+    // uniformly-scaled delta variant of the same assignment primitive
+    val e = Similarity.asDouble(embs)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+    val scaled = e.select(col("vec_id"),
+      transform(col("emb"), x => x * lit(2.0)).as("emb"))
+    def cells(v: org.apache.spark.sql.DataFrame) =
+      Similarity.nearestCells(v, cents)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(scaled) === cells(e), "assignment is scale-invariant")
+  }
+
+  test("q119: merges never increase fertility; per-lang word totals " +
+    "reproduce the corpus") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)
+      .select("lang", "text")
+    val merges3 = {
+      val m = Bpe.trainBpe(docs.select("text")).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      m
+    }
+    val with3 = Bpe.fertilityByLang(docs, merges3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    val with0 = Bpe.fertilityByLang(docs, Seq.empty).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(with3.keySet === with0.keySet && with3.nonEmpty)
+    with3.foreach { case (lang, (n3, f3)) =>
+      val (n0, f0) = with0(lang)
+      assert(n3 === n0, s"$lang: word totals independent of merges")
+      assert(f3 <= f0, s"$lang: merges must not increase fertility")
+      assert(f3 >= 1000L, s"$lang: a word is at least one token")
+    }
+    val perLang = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    with3.foreach { case (lang, (n3, _)) =>
+      assert(n3 === perLang(lang), s"$lang: fertility counts every word")
+    }
+  }
+
   test("q117: sweep is monotone, threshold 0 keeps everything, and " +
     "bucket sums reproduce the corpus totals") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)
