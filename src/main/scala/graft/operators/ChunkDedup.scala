@@ -124,9 +124,8 @@ object ChunkDedup {
     // curation-index artifact (the q49 relation).
     "q115_dedup_savings" -> ((s, d) =>
       dedupSavings(Tables.documents(s, d),
-        Dedup.nearDupClustersFromIndex(
-          s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d,
-            planted = false)), 800)))
+        Dedup.clustersFromPairs(
+          s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -214,9 +214,19 @@ object Dedup {
     * the pair (some band's 4 rows all collide).
     */
   private[operators] def calibrationPairs(docs: DataFrame,
-                                          thresholdX1e3: Int): DataFrame = {
-    val pairs = jaccardPairs(docs, thresholdX1e3)
-    val sig = calSignatures(docs)
+                                          thresholdX1e3: Int): DataFrame =
+    calibrationPairsFromState(jaccardPairs(docs, thresholdX1e3),
+      calSignatures(docs))
+
+  /** [[calibrationPairs]] against ALREADY-MATERIALIZED ground-truth pairs
+    * and signature relations — the artifact-served form: both inputs are
+    * deterministic derived state of an immutable corpus snapshot, so the
+    * catalog persists them content-keyed (the q106 prior-state treatment)
+    * and a warm q112 call pays only this pairs-sized join + the bucket
+    * report, not the quadratic truth computation.
+    */
+  private[operators] def calibrationPairsFromState(pairs: DataFrame,
+                                                   sig: DataFrame): DataFrame = {
     val a = sig.toDF(sig.columns.map(_ + "_a"): _*)
     val b = sig.toDF(sig.columns.map(_ + "_b"): _*)
     val matches = (0 until CAL_HASHES).map(i =>
@@ -253,7 +263,11 @@ object Dedup {
     * by construction, exactly how the harness is meant to run.
     */
   def lshCalibration(docs: DataFrame, thresholdX1e3: Int = 600): DataFrame =
-    calibrationPairs(docs, thresholdX1e3)
+    calibrationReport(calibrationPairs(docs, thresholdX1e3))
+
+  /** The q112 report off a [[calibrationPairsFromState]] relation. */
+  private[operators] def calibrationReport(cal: DataFrame): DataFrame =
+    cal
       .selectExpr("jaccard_x1e3 DIV 100 AS jac_bucket", "caught",
         s"(n_match * 1000) DIV $CAL_HASHES AS est_x1e3", "jaccard_x1e3")
       .selectExpr("jac_bucket", "caught",
@@ -643,14 +657,22 @@ object Dedup {
     */
   private[operators] def leakFreeSplitContainmentFromIndex(
       docs: DataFrame, idx: DataFrame, thresholdX1e3: Int = 800,
-      contMinX1e3: Int = 900): DataFrame = {
+      contMinX1e3: Int = 900): DataFrame =
+    leakFreeSplitContainmentFromPairs(docs,
+      nearDupVerify(
+        minhashCandidatePairs(idx.select("doc_id", "sig")), idx, thresholdX1e3),
+      containmentPairsFromIndex(idx, contMinX1e3, jacMaxX1e3 = thresholdX1e3))
+
+  /** [[leakFreeSplitContainmentFromIndex]] against the persisted Jaccard
+    * and containment pair artifacts — both edge relations are build-once
+    * state; a warm q89 call pays contraction + the one corpus scan the
+    * report itself needs.
+    */
+  private[operators] def leakFreeSplitContainmentFromPairs(
+      docs: DataFrame, jacPairs: DataFrame, contPairs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val edges = nearDupVerify(
-        minhashCandidatePairs(idx.select("doc_id", "sig")), idx, thresholdX1e3)
-      .select("d1", "d2")
-      .unionAll(
-        containmentPairsFromIndex(idx, contMinX1e3,
-          jacMaxX1e3 = thresholdX1e3).select("d1", "d2"))
+    val edges = jacPairs.select("d1", "d2")
+      .unionAll(contPairs.select("d1", "d2"))
       .distinct()
     val (comps, _) = ccStarContract(edges)
     splitRepairReport(docs, comps)
@@ -674,9 +696,14 @@ object Dedup {
     * [[verifiedPairsFromIndex]]).
     */
   private[operators] def nearDupClustersFromIndex(idx: DataFrame,
-                                                  thresholdX1e3: Int): DataFrame = {
-    val (labels, _) = ccStarContract(
-      verifiedPairsFromIndex(idx, thresholdX1e3).select("d1", "d2"))
+                                                  thresholdX1e3: Int): DataFrame =
+    clustersFromPairs(verifiedPairsFromIndex(idx, thresholdX1e3))
+
+  /** q49's labels from an already-materialized pair relation (the
+    * verified-pairs artifact — [[DedupArtifacts.ensureVerifiedPairs]]).
+    */
+  private[operators] def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val (labels, _) = ccStarContract(pairs.select("d1", "d2"))
     labels.orderBy("doc_id")
   }
 
@@ -827,10 +854,14 @@ object Dedup {
     * [[leakFreeSplitContainmentFromIndex]] without containment edges.
     */
   private[operators] def leakFreeSplitFromIndex(docs: DataFrame,
-      idx: DataFrame, thresholdX1e3: Int): DataFrame = {
+      idx: DataFrame, thresholdX1e3: Int): DataFrame =
+    leakFreeSplitFromPairs(docs, verifiedPairsFromIndex(idx, thresholdX1e3))
+
+  /** [[leakFreeSplitFromIndex]] against the persisted pair artifact. */
+  private[operators] def leakFreeSplitFromPairs(docs: DataFrame,
+                                                pairs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val (comps, _) = ccStarContract(
-      verifiedPairsFromIndex(idx, thresholdX1e3).select("d1", "d2"))
+    val (comps, _) = ccStarContract(pairs.select("d1", "d2"))
     splitRepairReport(docs, comps)
   }
 
@@ -1466,15 +1497,29 @@ object Dedup {
 
     // Q112: empirical LSH S-curve + minhash-estimator error by exact-
     // Jaccard bucket, over the corpus + planted similarity gradient
-    // (see [[lshCalibration]] / [[withPlantedRevisions]]).
-    "q112_lsh_calibration" -> ((s, d) =>
-      lshCalibration(withPlantedRevisions(Tables.documents(s, d)))),
+    // (see [[lshCalibration]] / [[withPlantedRevisions]]). The quadratic
+    // ground-truth pair set and the 64-hash signature relation are
+    // build-once content-keyed artifacts — calibration state of an
+    // immutable corpus snapshot; a warm call pays the pairs-sized match
+    // join + the bucket report (CalibrationSpec pins from-state ==
+    // from-text).
+    "q112_lsh_calibration" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val key = DedupArtifacts.corpusKey(docs, "cal") + "|t=600|h=64|v=1"
+      val pairs = s.read.parquet(DedupArtifacts.ensureDerived(s,
+        s"$key|pairs")(
+        jaccardPairs(withPlantedRevisions(docs), 600)))
+      val sigs = s.read.parquet(DedupArtifacts.ensureDerived(s,
+        s"$key|sigs")(calSignatures(withPlantedRevisions(docs))))
+      calibrationReport(calibrationPairsFromState(pairs, sigs))
+    }),
 
     // Q88: leakage-free split assignment (see [[leakFreeSplit]]), edges
     // from the shared raw-corpus artifact (the q89 treatment).
     "q88_leakfree_split" -> ((s, d) =>
-      leakFreeSplitFromIndex(Tables.documents(s, d),
-        s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)),
+      leakFreeSplitFromPairs(Tables.documents(s, d),
+        s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))),
 
     // Q89: containment-aware leak-free split over the corpus + planted
     // excerpts — the fixture where q88's Jaccard-only repair measurably
@@ -1485,9 +1530,10 @@ object Dedup {
       // content-keyed curation-index artifact (built on first use, shared
       // with q87/q90); this run pays candidates + verify + contraction +
       // the one corpus scan the report itself needs
-      val idx = s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d))
-      leakFreeSplitContainmentFromIndex(
-        withPlantedExcerpts(Tables.documents(s, d)), idx)
+      leakFreeSplitContainmentFromPairs(
+        withPlantedExcerpts(Tables.documents(s, d)),
+        s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d, planted = true)),
+        s.read.parquet(DedupArtifacts.ensureContainmentPairs(s, d)))
     }),
 
     // Q58: incremental dedup-index maintenance — the corpus split into two
@@ -1576,8 +1622,7 @@ object Dedup {
       // build-once: verified pairs from the raw-corpus curation-index
       // artifact (shared with q49/q64/q88/q95; ArtifactSpec pins the
       // pair-set equality with the from-text path)
-      verifiedPairsFromIndex(
-          s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)
+      s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))
         .select(col("d1"), col("d2"), col("jaccard_x1e3"),
           hashSplitOf(col("d1")).as("split1"),
           hashSplitOf(col("d2")).as("split2"))
@@ -1605,8 +1650,8 @@ object Dedup {
     // Q49: near-dup connected components (clusters) at Jaccard >= 0.8,
     // from the shared raw-corpus artifact.
     "q49_neardup_clusters" -> ((s, d) =>
-      nearDupClustersFromIndex(
-        s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)),
+      clustersFromPairs(
+        s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))),
 
     // Q106: incremental cluster maintenance — even docs labeled first,
     // odd docs folded into those labels; contract: == q49 from scratch
@@ -1634,14 +1679,15 @@ object Dedup {
     // near-dup graph (template-hub detection), edges from the shared
     // raw-corpus artifact.
     "q101_dup_centrality" -> ((s, d) =>
-      dupCentrality(Tables.documents(s, d),
-        s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800)),
+      pageRank(Tables.documents(s, d).select("doc_id"),
+        s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))
+          .select("d1", "d2"), iters = 3)),
 
     // Q95: canonical (keep-best-quality) selection per q49 cluster.
     "q95_cluster_canonical" -> ((s, d) =>
       clusterCanonicalFromLabels(Tables.documents(s, d).select("doc_id", "text"),
-        nearDupClustersFromIndex(
-          s.read.parquet(DedupArtifacts.ensureCurationIndex(s, d, planted = false)), 800))),
+        clustersFromPairs(
+          s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))))),
 
     // Q40: exact embedding-cosine near-dup pairs. The synthetic corpus has
     // no true duplicates (max pairwise cosine ~0.51 at sf0.01), so the demo

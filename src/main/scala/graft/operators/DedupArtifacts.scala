@@ -94,6 +94,40 @@ object DedupArtifacts {
     dir
   }
 
+  /** VERIFIED NEAR-DUP PAIR artifact (the q22 relation: d1, d2,
+    * jaccard_x1e3) keyed off the content-keyed curation-index dir — the
+    * next derivation level up from the index itself. Every cluster-level
+    * consumer (q49/q86/q88/q95/q101; q89's Jaccard edges) reads this
+    * instead of re-running the band probe + verify per call: for an
+    * immutable corpus snapshot the pair set is as much build-once state
+    * as the signatures are, and at 100 TB it is exactly what a dedup
+    * service persists between its nightly index build and the dozens of
+    * reports that consume it.
+    */
+  private[graft] def ensureVerifiedPairs(spark: SparkSession, sfDir: String,
+                                         thresholdX1e3: Int = 800,
+                                         planted: Boolean = false): String = {
+    val idxDir = ensureCurationIndex(spark, sfDir, planted = planted)
+    ensureDerived(spark, s"$idxDir|vpairs|t=$thresholdX1e3|v=1")(
+      Dedup.verifiedPairsFromIndex(
+        spark.read.parquet(idxDir).select("doc_id", "sig", "sh"),
+        thresholdX1e3))
+  }
+
+  /** CONTAINMENT pair artifact (the q87 relation) for report consumers
+    * (q89); q87/q90 themselves stay live — they ARE the probe machinery
+    * being measured.
+    */
+  private[graft] def ensureContainmentPairs(spark: SparkSession,
+                                            sfDir: String,
+                                            contMinX1e3: Int = 900,
+                                            jacMaxX1e3: Int = 800): String = {
+    val idxDir = ensureCurationIndex(spark, sfDir)
+    ensureDerived(spark, s"$idxDir|cpairs|c=$contMinX1e3|j=$jacMaxX1e3|v=1")(
+      Dedup.containmentPairsFromIndex(spark.read.parquet(idxDir),
+        contMinX1e3, jacMaxX1e3))
+  }
+
   /** Corpus fingerprint prefix for [[ensureDerived]] keys: row count,
     * doc_id checksum AND an order-independent text checksum (`docs` must
     * carry doc_id + text). The text term is load-bearing: the driver's

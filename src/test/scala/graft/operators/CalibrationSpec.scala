@@ -71,4 +71,16 @@ class CalibrationSpec extends AnyFunSuite {
     assert(rep.length >= 3, s"expected a multi-bucket curve, got ${rep.length}")
     assert(rep.map(_.getLong(0)).toSeq == rep.map(_.getLong(0)).toSeq.sorted)
   }
+
+  test("q112 artifact route: report from the persisted pairs+signature " +
+    "state equals the direct from-text computation") {
+    graft.functions.GraftFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val direct = rows(Dedup.lshCalibration(Dedup.withPlantedRevisions(
+      graft.sources.Tables.documents(spark, D).select("doc_id", "text"))))
+    val viaArtifact = rows(Dedup.queries("q112_lsh_calibration")(spark, D))
+    assert(direct.nonEmpty && viaArtifact === direct)
+  }
 }
