@@ -145,6 +145,16 @@ object DedupArtifacts {
     s"$tag|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}"
   }
 
+  /** [[corpusKey]] for the embeddings table: count, vec_id checksum, and
+    * an order-independent hash of the vectors themselves (xxhash64 hashes
+    * arrays natively).
+    */
+  private[graft] def embeddingsKey(embs: DataFrame, tag: String): String = {
+    val fp = embs.agg(count(lit(1)), coalesce(sum(col("vec_id")), lit(0L)),
+      coalesce(expr("bit_xor(xxhash64(embedding))"), lit(0L))).collect()(0)
+    s"$tag|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}"
+  }
+
   private def ensureUncached(spark: SparkSession, sfDir: String,
                              contMinX1e3: Int, planted: Boolean): String = {
     val raw = Tables.documents(spark, sfDir).select("doc_id", "text")

@@ -225,6 +225,51 @@ object TextAnalysis {
 
   private val MIX_BUDGET_TOKENS = 100000L
 
+  /** q120: MIXTURE MATERIALIZATION — turn the q81 plan into the per-doc
+    * sampling multiplicities a data loader executes: every doc of a
+    * domain appears `target DIV n_tokens` times (the full epochs), and
+    * the fractional remainder pass selects each doc INDEPENDENTLY by
+    * portable hash with probability remainder/n_tokens — the
+    * deterministic Bernoulli-by-hash that loaders actually implement,
+    * chosen over an exact greedy prefix on purpose: the prefix needs a
+    * per-domain SORT (one reducer per domain at 100 TB — a skew trap),
+    * the hash rule is a shuffle-free per-row predicate, reproducible
+    * across runs/retries/layouts, and its token mass concentrates at the
+    * remainder (one-epoch variance over millions of docs is negligible).
+    * Output: (doc_id, lang, n_tokens, n_copies) for every doc with
+    * n_copies > 0 — full-epoch domains emit every doc, over-budget
+    * domains emit their sampled subset, each doc's multiplicity in
+    * {floor(epochs), floor(epochs)+1}.
+    *
+    * 100 TB shape: the plan is a broadcast (#domains rows); the corpus
+    * pays ONE scan with a per-row hash predicate. No window, no sort, no
+    * shuffle beyond the plan aggregate.
+    */
+  def mixtureMaterialize(docs: DataFrame,
+                         budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val plan = mixturePlan(docs, budgetTokens)
+      .select(col("lang"), col("n_tokens").as("lang_tokens"),
+        col("target_tokens"))
+      .withColumn("full_epochs", expr("target_tokens DIV lang_tokens"))
+      .withColumn("rem_rate_x1e6", expr(
+        "((target_tokens - (target_tokens DIV lang_tokens) * lang_tokens)" +
+          " * 1000000) DIV lang_tokens"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        pmod(Sketches.phash60(
+          concat(lit("mx42|"), col("doc_id").cast("string"))), lit(1000000L))
+          .as("h"))
+      .join(broadcast(plan), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("full_epochs") +
+          when(col("h") < col("rem_rate_x1e6"), 1L).otherwise(0L))
+          .as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .orderBy("doc_id")
+  }
+
   /** q60: unigram language-model quality score — the in-container stand-in
     * for the perplexity filter of a training pipeline (KenLM et al. are not
     * in this environment; the MODEL is a stand-in, the Spark shape is the
@@ -453,6 +498,10 @@ object TextAnalysis {
     "q81_mixture_plan" -> ((s, d) =>
       mixturePlan(Tables.documents(s, d))),
 
+    // Q120: the q81 plan materialized to per-doc multiplicities.
+    "q120_mixture_materialize" -> ((s, d) =>
+      mixtureMaterialize(Tables.documents(s, d))),
+
     // Q82: winnowing fingerprints (see [[winnowingFingerprints]]).
     "q82_winnowing" -> ((s, d) =>
       winnowingFingerprints(Tables.documents(s, d))),
@@ -640,6 +689,33 @@ object TextAnalysis {
          |       (target_tokens * 1000000) // n_tokens AS rate_x1e6,
          |       (target_tokens + n_tokens - 1) // n_tokens AS epochs
          |FROM q ORDER BY lang""".stripMargin,
+
+    // q120 twin: the q81 plan chain extended with the per-doc hash rule.
+    "q120_mixture_materialize" ->
+      s"""WITH per AS (SELECT lang,
+         |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+         |      FROM documents GROUP BY lang),
+         |w AS (SELECT lang, lang_tokens,
+         |        CAST(FLOOR(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w
+         |      FROM per),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+         |plan AS (SELECT lang, lang_tokens,
+         |           ($MIX_BUDGET_TOKENS * w) // tw AS target_tokens
+         |         FROM w, t),
+         |p2 AS (SELECT lang, lang_tokens,
+         |         target_tokens // lang_tokens AS full_epochs,
+         |         ((target_tokens - (target_tokens // lang_tokens) * lang_tokens)
+         |           * 1000000) // lang_tokens AS rem_rate_x1e6
+         |       FROM plan),
+         |d AS (SELECT doc_id, lang,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        ${Sketches.phash60Sql("'mx42|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |      FROM documents)
+         |SELECT doc_id, d.lang, n_tokens,
+         |       full_epochs + CASE WHEN h < rem_rate_x1e6 THEN 1 ELSE 0 END AS n_copies
+         |FROM d JOIN p2 ON d.lang = p2.lang
+         |WHERE full_epochs + CASE WHEN h < rem_rate_x1e6 THEN 1 ELSE 0 END > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "q77_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -149,6 +149,32 @@ class ChunkDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q120: multiplicities are {floor(epochs), floor(epochs)+1}, agree " +
+    "with the q81 plan, and are layout-invariant") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)
+    val plan = TextAnalysis.mixturePlan(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val out = TextAnalysis.mixtureMaterialize(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val (nTok, target) = plan(lang)
+      val full = target / nTok
+      assert(rows.forall(r => r._4 == full || r._4 == full + 1),
+        s"$lang: multiplicity must be floor-epochs or +1")
+      // the +1 fraction's token mass approximates the remainder budget
+      val extraTokens = rows.filter(_._4 == full + 1).map(_._3).sum
+      val rem = target - full * nTok
+      assert(extraTokens <= 3 * rem + 1000 || rem == 0,
+        s"$lang: fractional-pass mass $extraTokens vs remainder $rem")
+    }
+    val re = TextAnalysis.mixtureMaterialize(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSet === out.toSet, "pure function of (doc_id, plan)")
+  }
+
   test("q117: sweep is monotone, threshold 0 keeps everything, and " +
     "bucket sums reproduce the corpus totals") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)

@@ -92,7 +92,7 @@ def family(q):
         return "similarity"
     if i in (19, 25, 26, 27, 28, 41, 43, 44, 51, 52, 60, 65, 67, 77, 79, 80, 82, 96, 97, 107, 113, 116, 119):
         return "text"
-    if i in (42, 46, 47, 48, 50, 53, 55, 56, 71, 76, 81, 85, 91, 92, 93, 94, 103, 104, 111):
+    if i in (42, 46, 47, 48, 50, 53, 55, 56, 71, 76, 81, 85, 91, 92, 93, 94, 103, 104, 111, 120):
         return "prep"
     if i in (32, 57, 117):
         return "curation"
