@@ -745,7 +745,12 @@ object Dedup {
     * recurrence; output (doc_id, deg, rank_x1e12) per node.
     */
   private[operators] def pageRank(nodes0: DataFrame, pairs: DataFrame,
-                                  iters: Int): DataFrame = {
+                                  iters: Int): DataFrame =
+    pageRank(nodes0, pairs, iters, CC_LOCAL_MAX_EDGES)
+
+  private[operators] def pageRank(nodes0: DataFrame, pairs: DataFrame,
+                                  iters: Int,
+                                  localMaxEdges: Long): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
@@ -754,6 +759,49 @@ object Dedup {
     val n = nodes.count() // bounded driver state: one scalar
     val r0 = RANK_SCALE / n
     val base = (15L * r0) / 100L
+    val nEdges = edges.count()
+    // size-gated local path (the ccStarContract argument): rank evolution
+    // closes over the EDGE-TOUCHED nodes (an isolated doc's rank is the
+    // constant `base` after iteration 1 — no in-flow ever reaches it), so
+    // a gate-bounded edge set iterates on the driver with the IDENTICAL
+    // integer recurrence and broadcasts (deg, rank) back over the node
+    // scan — per-iteration shuffle scheduling, which dominated q101's
+    // wall time, disappears. Exceeding graphs iterate distributed below.
+    if (nEdges <= localMaxEdges) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val degM = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (s, _) => degM(s) = degM.getOrElse(s, 0L) + 1L }
+      var ranks = scala.collection.mutable.LongMap.empty[Long]
+      degM.keys.foreach(k => ranks(k) = r0)
+      (1 to iters).foreach { _ =>
+        val inflow = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (s, d) =>
+          inflow(d) = inflow.getOrElse(d, 0L) + ranks(s) / degM(s)
+        }
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        degM.keys.foreach(k =>
+          next(k) = base + (85L * inflow.getOrElse(k, 0L)) / 100L)
+        ranks = next
+      }
+      val spark = nodes.sparkSession
+      val touched = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          degM.keys.toSeq.map(k => Row(k, degM(k), ranks(k))),
+          math.max(1, math.min(32, degM.size / 4096))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("deg",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
+      return nodes
+        .join(touched, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("r"), lit(if (iters >= 1) base else r0))
+            .as("rank_x1e12"))
+        .orderBy("doc_id")
+    }
     var ranks = nodes.select(col("doc_id"), lit(r0).as("r"))
     (1 to iters).foreach { _ =>
       val inflow = edges

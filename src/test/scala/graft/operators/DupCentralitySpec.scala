@@ -48,6 +48,16 @@ class DupCentralitySpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank local fast path == forced-distributed path, rank for rank") {
+    import spark.implicits._
+    val nodes = (1L to 8L)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
+    def run(gate: Long) =
+      Dedup.pageRank(nodes.toDF("doc_id"), pairs.toDF("d1", "d2"), 3, gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(Long.MaxValue) === run(-1L))
+  }
+
   test("rank orders duplication structure: hub > spoke > pair member > isolate base") {
     val nodes = (1L to 8L)
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
