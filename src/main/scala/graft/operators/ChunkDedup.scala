@@ -50,7 +50,17 @@ object ChunkDedup {
     * imply equal internal boundary structure — the group-by key is
     * well-defined.
     */
-  def cdcChunks(docs: DataFrame, div: Long = CHUNK_DIV): DataFrame = {
+  def cdcChunks(docs: DataFrame, div: Long = CHUNK_DIV): DataFrame =
+    chunkReport(chunkCounts(docs, div))
+
+  /** The per-(chunk, doc) occurrence partials `(chunk, doc_id, n_occ)` —
+    * the batch path's intermediate AND the streaming chunk index's
+    * per-batch content: additive in n_occ and unionable in (chunk, doc),
+    * so per-batch partials merge into the whole-corpus relation by plain
+    * union (disjoint doc batches), the q58/q107 mergeable-index contract.
+    */
+  private[graft] def chunkCounts(docs: DataFrame,
+                                     div: Long = CHUNK_DIV): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -62,19 +72,27 @@ object ChunkDedup {
       .withColumn("b", when(
         pmod(Sketches.phash60(col("tok")), lit(div)) === 0, 1L).otherwise(0L))
       .withColumn("cid", coalesce(sum(col("b")).over(w), lit(0L)))
-    val chunks = cid.groupBy("doc_id", "cid")
+    cid.groupBy("doc_id", "cid")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("tok").as("t")))),
         s => s.getField("t")), " ").as("chunk"))
-    chunks.groupBy("chunk")
-      .agg(count(lit(1)).as("n_occ"),
+      .groupBy("chunk", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** The q114 report tail over `(chunk, doc_id, n_occ)` partials — ONE
+    * definition shared by the batch query and the streaming index readout
+    * so the two can never drift.
+    */
+  private[operators] def chunkReport(counts: DataFrame): DataFrame =
+    counts.groupBy("chunk")
+      .agg(sum(col("n_occ")).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_occ") >= 2)
       .select(md5(col("chunk")).as("chunk_hash"),
         size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
         col("n_occ"), col("n_docs"))
       .orderBy("chunk_hash")
-  }
 
   /** q115: per-source dedup savings. `labels` is the q49 cluster relation
     * over the SAME corpus (doc_id, cluster_id; pair-graph-sized).

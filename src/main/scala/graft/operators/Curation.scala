@@ -671,6 +671,36 @@ object Curation {
       spark.read.parquet(s"$vocabDir/counts"),
       spark.read.parquet(s"$vocabDir/types"))
 
+  /** Streaming CHUNK-INDEX ingest — q114 as a long-running stream: each
+    * micro-batch chunks its documents ([[ChunkDedup.chunkCounts]]) and
+    * writes its `(chunk, doc_id, n_occ)` partials under
+    * `chunksDir/batch=<id>` — APPEND-ONLY delta writes (the chunk
+    * aggregate is distributive over disjoint doc batches, so there is no
+    * state to rewrite, the cheapest posture in the streaming family);
+    * replay safety is the per-batch-directory overwrite.
+    * [[chunkReportFromIndex]] reproduces the batch q114 report over
+    * everything ingested so far, through the IDENTICAL
+    * [[ChunkDedup.chunkReport]] tail (StreamingSpec pins stream==batch
+    * and replay idempotency).
+    */
+  def streamingChunkIngest(docs: DataFrame, chunksDir: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ChunkDedup.chunkCounts(batch.select("doc_id", "text"))
+          .write.mode("overwrite").parquet(s"$chunksDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The q114 report off a [[streamingChunkIngest]] index. */
+  def chunkReportFromIndex(spark: SparkSession, chunksDir: String): DataFrame =
+    ChunkDedup.chunkReport(spark.read.parquet(chunksDir)
+      .select("chunk", "doc_id", "n_occ"))
+
   /** Retire unreferenced label-state directories left by
     * [[streamingClusterIngest]]. Buckets carry forward by manifest
     * reference, so an OLD batch directory stays live for as long as any

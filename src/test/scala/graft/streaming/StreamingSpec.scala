@@ -446,6 +446,37 @@ class StreamingSpec extends AnyFunSuite {
         s"got ${cbkts(2).size} of ${prevBuckets.size}")
   }
 
+  test("streaming chunk ingest: report off the append-only partials == " +
+    "batch q114 over everything ingested; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.{ChunkDedup, Curation, Dedup}
+    import graft.sources.Tables
+    val corpus = Dedup.withPlantedExcerpts(
+      Tables.documents(spark, TestSpark.SF0001).select("doc_id", "text"))
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-chunkstream").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Curation.streamingChunkIngest(in.toDF().toDF("doc_id", "text"),
+      s"$dir/chunks", ckpt())
+    try {
+      in.addData(evens); q.processAllAvailable()
+      in.addData(odds); q.processAllAvailable()
+    } finally q.stop()
+    def rep(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val got = rep(Curation.chunkReportFromIndex(spark, s"$dir/chunks"))
+    val batch = rep(ChunkDedup.cdcChunks(corpus))
+    assert(batch.nonEmpty && got === batch,
+      "merged per-batch chunk partials must reproduce the batch q114 report")
+    // replay posture: re-running batch 1 overwrites its own directory with
+    // identical content; the merged report is unchanged
+    ChunkDedup.chunkCounts(odds.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/chunks/batch=1")
+    assert(rep(Curation.chunkReportFromIndex(spark, s"$dir/chunks")) === batch)
+  }
+
   test("streaming burst ingest: flags off the summed counts index == the " +
     "batch q110 over everything ingested; superseded label states prune") {
     import spark.implicits._
