@@ -91,10 +91,11 @@ object Bench {
     // r9 driver run showed interference can ALSO be selective (controls
     // clean, heavy aggregates 5x) — that case is caught by bench_diff's
     // run-minimum and idle-reference tiers, not this factor.
-    val controlRef = Map("q01_scan" -> 0.062, "q22_minhash_lsh" -> 1.174,
-      "q57_curation_strict" -> 2.407, "q89_leakfree_containment" -> 0.953)
-    // tools/bench_ref.json normalized controls (r11 recording, box-factor
-    // 1.201 vs the r10 anchor; q89 added as the heavy-shuffle control)
+    val controlRef = Map("q01_scan" -> 0.056, "q22_minhash_lsh" -> 1.174,
+      "q57_curation_strict" -> 2.573, "q89_leakfree_containment" -> 0.331)
+    // tools/bench_ref.json normalized controls (r11 end-of-round recording,
+    // box_factor 1.261 vs the anchor; q89 is the heavy-shuffle control —
+    // re-anchor on q01/q22/q57 whenever q89's code changes)
     val ctl = results.collect {
       case (k, ts, _, _, _) if controlRef.contains(k) && ts(runs / 2) > 0 =>
         k -> ts(runs / 2)
