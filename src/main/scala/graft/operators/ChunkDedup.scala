@@ -130,6 +130,38 @@ object ChunkDedup {
       .orderBy("source")
   }
 
+  /** q122: DUPLICATION PROFILE — the cluster-SIZE histogram of the q49
+    * near-dup graph, with doc and token mass per size (singletons
+    * included as size 1). The shape of this table is what distinguishes
+    * a template-farm corpus (mass in large clusters) from organically
+    * duplicated text (mass at size 2-3) — it prices the q115 savings and
+    * picks between pairwise dropping and cluster-canonical strategies.
+    * Execution: the label relation is pair-graph-sized (broadcast
+    * everywhere); singletons come from one broadcast anti-join aggregate;
+    * output is size-histogram-sized.
+    */
+  def clusterProfile(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val lbl = labels.select("doc_id", "cluster_id")
+    val sizes = lbl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val clustered = d.join(broadcast(lbl), "doc_id")
+      .join(broadcast(sizes), "cluster_id")
+      .groupBy("cluster_size")
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val singles = d.join(broadcast(lbl), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(1L).as("cluster_size"), col("n_docs").as("n_clusters"),
+        col("n_docs"), col("n_tokens"))
+      .filter(col("n_docs") > 0)
+    clustered.select("cluster_size", "n_clusters", "n_docs", "n_tokens")
+      .unionByName(singles)
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q114: duplicated content-defined chunks over the corpus + planted
     // excerpts (the excerpts repeat their source's leading chunks, so the
@@ -143,10 +175,39 @@ object ChunkDedup {
     "q115_dedup_savings" -> ((s, d) =>
       dedupSavings(Tables.documents(s, d),
         Dedup.clustersFromPairs(
+          s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))))),
+
+    // Q122: duplication profile (cluster-size histogram incl. singletons).
+    "q122_cluster_profile" -> ((s, d) =>
+      clusterProfile(Tables.documents(s, d),
+        Dedup.clustersFromPairs(
           s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q122_cluster_profile" ->
+      s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},
+         |d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM labels GROUP BY 1),
+         |cl AS (SELECT cluster_size,
+         |         CAST(COUNT(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens
+         |       FROM d JOIN labels l ON d.doc_id = l.doc_id
+         |       JOIN sz ON l.cluster_id = sz.cluster_id
+         |       GROUP BY cluster_size),
+         |sg AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+         |       FROM d WHERE doc_id NOT IN (SELECT doc_id FROM labels))
+         |SELECT * FROM cl
+         |UNION ALL
+         |SELECT * FROM sg WHERE n_docs > 0
+         |ORDER BY cluster_size""".stripMargin,
+
     "q114_cdc_chunks" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents
          |        UNION ALL

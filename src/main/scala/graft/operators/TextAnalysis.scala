@@ -327,6 +327,38 @@ object TextAnalysis {
     * one partially-aggregated groupBy. Nothing vocabulary-sized ever sits
     * on the driver.
     */
+  /** q121: PER-SOURCE KL DIVERGENCE — how far each source's unigram
+    * distribution sits from the corpus-wide one, the signal behind "this
+    * domain is distributionally weird" decisions (mixture weighting,
+    * drift triage next to q83, DSIR-style selection next to q76). Summed
+    * deterministically: each (source, token) contributes the EXACT
+    * integer c_st * round(1e6 * (ln c_st + ln N - ln N_s - ln c_t))
+    * (fixed ln term order — the q60/q116 idiom), the per-source BIGINT
+    * sum divides by N_s at the end, so no float ever sums in engine
+    * order. 100 TB shape: one tokenize pass, one (source, token) hash
+    * aggregate, a broadcast corpus-vocab join, source-sized output.
+    */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val tok = docs.select(coalesce(col("source"), lit("")).as("source"),
+      explode(split(col("text"), " ")).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st")).persist()
+    val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val vocab = st.groupBy("t").agg(sum(col("c_st")).as("c_t"))
+    val total = vocab.agg(sum(col("c_t")).as("n"))
+    st.join(broadcast(vocab), "t")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_s"),
+        (col("c_st") *
+          floor((log(col("c_st").cast("double")) + log(col("n").cast("double"))
+            - log(col("n_s").cast("double")) - log(col("c_t").cast("double")))
+            * 1000000 + lit(0.5)).cast("long")).as("term"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("s"))
+      .selectExpr("source", "n_tokens", "s DIV n_tokens AS kl_x1e6")
+      .orderBy("source")
+  }
+
   /** q116: PMI-ranked bigram associations — pointwise mutual information
     * of adjacent token pairs, the collocation detector a tokenizer/
     * phrase-mining pass runs over a corpus (PMI finds "strongly
@@ -489,6 +521,10 @@ object TextAnalysis {
     // Q116: PMI-ranked bigram associations (see [[pmiBigrams]]).
     "q116_pmi_bigrams" -> ((s, d) =>
       pmiBigrams(Tables.documents(s, d))),
+
+    // Q121: per-source unigram KL divergence (see [[sourceKl]]).
+    "q121_source_kl" -> ((s, d) =>
+      sourceKl(Tables.documents(s, d))),
 
     // Q56: sqrt-temperature domain mixing (see [[domainMixSample]]).
     "q56_domain_mix" -> ((s, d) =>
@@ -735,6 +771,27 @@ object TextAnalysis {
         |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_lp_x1e6
         |FROM bg JOIN m USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q121 twin: per-term integer rounding then BIGINT sums — no float
+    // ever sums in engine order.
+    "q121_source_kl" ->
+      """WITH tok AS (SELECT COALESCE(source, '') AS source,
+        |             unnest(string_split(text, ' ')) AS t FROM documents),
+        |st AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st
+        |       FROM tok GROUP BY 1, 2),
+        |srct AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+        |         FROM st GROUP BY 1),
+        |v AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM v),
+        |terms AS (SELECT st.source, n_s,
+        |    c_st * CAST(FLOOR((ln(CAST(c_st AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+        |      - ln(CAST(n_s AS DOUBLE)) - ln(CAST(c_t AS DOUBLE))) * 1000000
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS term
+        |  FROM st JOIN v USING (t) JOIN srct USING (source), tot)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(term) AS BIGINT) // MAX(n_s) AS kl_x1e6
+        |FROM terms GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // q116 twin: identical ln-expression term order (float addition is
     // non-associative; both engines must evaluate the same tree).

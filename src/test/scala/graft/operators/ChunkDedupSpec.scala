@@ -175,6 +175,47 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(re.toSet === out.toSet, "pure function of (doc_id, plan)")
   }
 
+  test("q121: a distribution-matching source scores near zero KL; a " +
+    "skewed source scores far above it") {
+    import spark.implicits._
+    // sources A and B share the corpus distribution (identical text);
+    // source C is one repeated token — maximally skewed
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((1 to 10).map(i => (i.toLong, base, "a")) ++
+      (11 to 20).map(i => (i.toLong, base, "b")) ++
+      (21 to 30).map(i => (i.toLong, "zzz zzz zzz zzz zzz zzz zzz zzz", "c")))
+      .toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.sourceKl(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kl("a") === kl("b"), "identical distributions, identical KL")
+    assert(kl("c") > kl("a") + 100000L,
+      s"skewed source must diverge strongly: $kl")
+    assert(kl("a") >= -1000L && kl("a") < 500000L,
+      s"matching-ish source stays near zero (rounding slack): $kl")
+  }
+
+  test("q122: cluster-size histogram counts exact dup groups and " +
+    "singletons with their token mass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val t3 = "the quick brown fox jumps over the lazy dog again and again ok"
+    val t2 = "pack my box with five dozen liquor jugs before noon today yes"
+    val docs = Seq(
+      (1L, t3), (2L, t3), (3L, t3),    // size-3 cluster
+      (10L, t2), (11L, t2),            // size-2 cluster
+      (20L, "sphinx of black quartz judge my vow said nobody ever here"))
+      .toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(docs, 800, cache = false)
+    val rows = ChunkDedup.clusterProfile(docs, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val nt = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(rows(3L) === ((1L, 3L, nt(0) * 3)))
+    assert(rows(2L) === ((1L, 2L, nt(3) * 2)))
+    assert(rows(1L) === ((1L, 1L, nt(5))))
+  }
+
   test("q117: sweep is monotone, threshold 0 keeps everything, and " +
     "bucket sums reproduce the corpus totals") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)

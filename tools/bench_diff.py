@@ -86,7 +86,7 @@ def family(q):
         return "relational"
     if i <= 7 or i == 33:
         return "cdc"
-    if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106, 109, 112, 114, 115):
+    if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106, 109, 112, 114, 115, 122):
         return "dedup"
     if i in (20, 24, 54, 61, 66, 69, 70, 72, 99, 100, 102, 118):
         return "similarity"
@@ -96,7 +96,7 @@ def family(q):
         return "prep"
     if i in (32, 57, 117):
         return "curation"
-    if (q.startswith("q16b") or q.startswith("q34b")) or i in (59, 68, 74, 78, 83, 84):
+    if (q.startswith("q16b") or q.startswith("q34b")) or i in (59, 68, 74, 78, 83, 84, 121):
         return "sketch"
     if i in (29, 73, 75):
         return "multimodal"
