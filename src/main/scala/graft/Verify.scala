@@ -62,7 +62,9 @@ object Verify {
         println(status)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += 1
-      }
+      } finally spark.catalog.clearCache() // queries persist shared
+      // relations (the q22/q116/q121 idiom); without this, 131 queries of
+      // dead cache blocks accumulate across one Verify session
     }
     // restrict the oracle map to the dumped subset when GRAFT_VERIFY_ONLY
     // is set, so the self-compare (and any other consumer of this dir)

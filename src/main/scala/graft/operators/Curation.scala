@@ -489,11 +489,14 @@ object Curation {
       .select("d1", "d2").persist()
     val priorMan = latestLabelManifest(spark, labelsDir, batchId)
       .map(_._2).getOrElse(Map.empty[Long, Long])
-    val prior = readLabelState(spark, labelsDir, priorMan)
+    // ONE materialized scan of the prior state feeds the endpoint lookup,
+    // the changed-component filter, and (for touched buckets) the carried
+    // rows — not three re-reads of a corpus-linear relation
+    val prior = readLabelState(spark, labelsDir, priorMan).persist()
     val eps = deltaPairs.select(col("d1").as("doc_id"))
       .union(deltaPairs.select(col("d2").as("doc_id"))).distinct()
-    // old roots of every touched component: one pruned scan of the prior
-    // state, filtered by the (delta-sized, broadcast) endpoint set
+    // old roots of every touched component, filtered by the (delta-sized,
+    // broadcast) endpoint set
     val oldRoots = prior.join(broadcast(eps), "doc_id")
       .select("cluster_id").distinct().persist()
     val changedOld = prior
@@ -503,22 +506,29 @@ object Curation {
     val touched = bucketSet(changedOld
         .select(bucketOf(col("cluster_id")).as("b")), "b") ++
       bucketSet(folded.select(bucketOf(col("cluster_id")).as("b")), "b")
+    // a touched bucket can end up EMPTY (a merge moves a whole component
+    // to another residue); partitionBy writes no directory for it, so the
+    // manifest must carry only the buckets that actually hold rows —
+    // touched-but-empty buckets DROP from the manifest (a dangling entry
+    // would make every later read throw on the missing path)
+    var written = Set.empty[Long]
     if (touched.nonEmpty) {
-      // unchanged rows that happen to share a touched bucket ride along in
-      // the rewrite; only the touched buckets' prior dirs are read
-      val carried = readLabelState(spark, labelsDir,
-          priorMan.filter(e => touched.contains(e._1)))
+      val out = prior // served from the persisted scan, bucket-filtered
+        .filter(bucketOf(col("cluster_id")).isin(touched.toSeq: _*))
         .join(broadcast(oldRoots), Seq("cluster_id"), "left_anti")
-      carried.select("doc_id", "cluster_id")
+        .select("doc_id", "cluster_id")
         .unionByName(folded.select("doc_id", "cluster_id"))
         .withColumn("cbkt", bucketOf(col("cluster_id")))
-        .write.mode("overwrite").partitionBy("cbkt")
+        .persist()
+      out.write.mode("overwrite").partitionBy("cbkt")
         .parquet(s"$labelsDir/batch=$batchId")
+      written = bucketSet(out.select("cbkt"), "cbkt")
+      out.unpersist()
     }
     writeLabelManifest(spark, labelsDir, batchId,
-      priorMan ++ touched.map(_ -> batchId))
+      (priorMan -- touched) ++ written.map(_ -> batchId))
     folded.unpersist(); changedOld.unpersist(); oldRoots.unpersist()
-    deltaPairs.unpersist()
+    prior.unpersist(); deltaPairs.unpersist()
     ()
   }
 
@@ -724,10 +734,15 @@ object Curation {
       .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
     val committed = batches.filter(b => fs.exists(
       new org.apache.hadoop.fs.Path(s"$labelsDir/batch=$b/$LABEL_MANIFEST")))
+    if (committed.isEmpty) return
     val retained = committed.takeRight(keep)
     val live = retained.toSet ++
       retained.flatMap(b => readLabelManifest(fs, labelsDir, b).values)
-    batches.filterNot(live.contains).foreach(b =>
+    // never touch dirs AT or ABOVE the committed frontier: a manifest-less
+    // dir there is an IN-FLIGHT batch between its bucket write and its
+    // manifest commit — deleting it would race the ingest into committing
+    // a manifest over vanished data
+    batches.filter(b => !live.contains(b) && b < committed.max).foreach(b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$labelsDir/batch=$b"), true))
   }
 

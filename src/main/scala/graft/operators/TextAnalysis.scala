@@ -355,7 +355,12 @@ object TextAnalysis {
             * 1000000 + lit(0.5)).cast("long")).as("term"))
       .groupBy("source")
       .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("s"))
-      .selectExpr("source", "n_tokens", "s DIV n_tokens AS kl_x1e6")
+      // KL >= 0 by definition; per-term rounding can leave a slightly
+      // negative integer sum, clamped so the report never shows a
+      // nonsense negative divergence (Spark DIV and DuckDB // both
+      // truncate toward zero, but the clamp removes the question)
+      .selectExpr("source", "n_tokens",
+        "GREATEST(s, 0L) DIV n_tokens AS kl_x1e6")
       .orderBy("source")
   }
 
@@ -789,7 +794,7 @@ object TextAnalysis {
         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS term
         |  FROM st JOIN v USING (t) JOIN srct USING (source), tot)
         |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
-        |       CAST(SUM(term) AS BIGINT) // MAX(n_s) AS kl_x1e6
+        |       GREATEST(CAST(SUM(term) AS BIGINT), 0) // MAX(n_s) AS kl_x1e6
         |FROM terms GROUP BY source
         |ORDER BY source""".stripMargin,
 

@@ -446,6 +446,51 @@ class StreamingSpec extends AnyFunSuite {
         s"got ${cbkts(2).size} of ${prevBuckets.size}")
   }
 
+  test("cluster ingest: a merge that EMPTIES a bucket (component's root " +
+    "moves to another residue) drops the bucket from the manifest and " +
+    "the state stays readable") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    val txt = "the quick brown fox jumps over the lazy dog again and again ok"
+    val dir = Files.createTempDirectory("graft-ccmove").toString
+    def ingest(b: Long, docs: Seq[(Long, String)]): Unit =
+      Curation.clusterIngestBatch(docs.toDF("doc_id", "text"), b,
+        s"$dir/idx", s"$dir/pairs", s"$dir/labels", 800)
+    // batch 0: docs 37,38 (dups) -> root 37, bucket 37 % 32 = 5
+    ingest(0L, Seq((37L, txt), (38L, txt)))
+    // batch 1: doc 1 (dup of 37) -> merged root 1, bucket 1; bucket 5
+    // must EMPTY and drop from the manifest — a dangling entry would
+    // make every later read throw Path-does-not-exist
+    ingest(1L, Seq((1L, txt)))
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelsOf(Curation.labelState(spark, s"$dir/labels")) ===
+      Set((1L, 1L), (37L, 1L), (38L, 1L)))
+    // and a further batch still ingests cleanly over the moved state
+    ingest(2L, Seq((70L, txt)))
+    assert(labelsOf(Curation.labelState(spark, s"$dir/labels")) ===
+      Set((1L, 1L), (37L, 1L), (38L, 1L), (70L, 1L)))
+  }
+
+  test("pruneLabelStates never deletes a manifest-less dir at/above the " +
+    "committed frontier (an in-flight batch)") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val txtA = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = Files.createTempDirectory("graft-ccinflight").toString
+    def ingest(b: Long, docs: Seq[(Long, String)]): Unit =
+      Curation.clusterIngestBatch(docs.toDF("doc_id", "text"), b,
+        s"$dir/idx", s"$dir/pairs", s"$dir/labels", 800)
+    ingest(0L, Seq((1L, txtA), (2L, txtA)))
+    ingest(1L, Seq((3L, txtA)))
+    // simulate batch 2 between its bucket write and its manifest commit
+    Seq((9L, 9L)).toDF("doc_id", "cluster_id")
+      .write.parquet(s"$dir/labels/batch=2/cbkt=9")
+    Curation.pruneLabelStates(spark, s"$dir/labels")
+    assert(new java.io.File(s"$dir/labels/batch=2").exists(),
+      "in-flight dir above the committed frontier must survive pruning")
+  }
+
   test("streaming chunk ingest: report off the append-only partials == " +
     "batch q114 over everything ingested; replay idempotent") {
     import spark.implicits._
