@@ -53,11 +53,22 @@ object ChunkDedup {
   def cdcChunks(docs: DataFrame, div: Long = CHUNK_DIV): DataFrame =
     chunkReport(chunkCounts(docs, div))
 
-  /** The per-(chunk, doc) occurrence partials `(chunk, doc_id, n_occ)` —
-    * the batch path's intermediate AND the streaming chunk index's
-    * per-batch content: additive in n_occ and unionable in (chunk, doc),
-    * so per-batch partials merge into the whole-corpus relation by plain
-    * union (disjoint doc batches), the q58/q107 mergeable-index contract.
+  /** The per-(chunk, doc) occurrence partials
+    * `(chunk_hash, n_tokens, doc_id, n_occ)` — the batch path's
+    * intermediate AND the streaming chunk index's per-batch content:
+    * additive in n_occ and unionable in (chunk_hash, doc), so per-batch
+    * partials merge into the whole-corpus relation by plain union
+    * (disjoint doc batches), the q58/q107 mergeable-index contract.
+    *
+    * Chunk identity is `md5(chunk)` — the SAME identity the q114 report
+    * already exposes — taken as early as possible: the chunk TEXT dies
+    * inside the per-doc reassembly projection and never reaches a
+    * shuffle or the persisted index. At 100 TB the aggregate therefore
+    * exchanges 16-byte hashes + longs instead of KB-long strings, and
+    * the streaming index stores a hash-sized relation instead of a
+    * re-sorted copy of the corpus (round-11 verdict #1). n_tokens rides
+    * along as the chunk's group size (no re-split of the text), correct
+    * under the same hash-collision assumption the report already makes.
     */
   private[graft] def chunkCounts(docs: DataFrame,
                                      div: Long = CHUNK_DIV): DataFrame = {
@@ -73,25 +84,24 @@ object ChunkDedup {
         pmod(Sketches.phash60(col("tok")), lit(div)) === 0, 1L).otherwise(0L))
       .withColumn("cid", coalesce(sum(col("b")).over(w), lit(0L)))
     cid.groupBy("doc_id", "cid")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("tok").as("t")))),
-        s => s.getField("t")), " ").as("chunk"))
-      .groupBy("chunk", "doc_id")
+      .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok").as("t")))),
+          s => s.getField("t")), " ")).as("chunk_hash"),
+        count(lit(1)).as("n_tokens"))
+      .groupBy("chunk_hash", "n_tokens", "doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
 
-  /** The q114 report tail over `(chunk, doc_id, n_occ)` partials — ONE
-    * definition shared by the batch query and the streaming index readout
-    * so the two can never drift.
+  /** The q114 report tail over `(chunk_hash, n_tokens, doc_id, n_occ)`
+    * partials — ONE definition shared by the batch query and the
+    * streaming index readout so the two can never drift.
     */
   private[operators] def chunkReport(counts: DataFrame): DataFrame =
-    counts.groupBy("chunk")
+    counts.groupBy("chunk_hash", "n_tokens")
       .agg(sum(col("n_occ")).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_occ") >= 2)
-      .select(md5(col("chunk")).as("chunk_hash"),
-        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
-        col("n_occ"), col("n_docs"))
+      .select("chunk_hash", "n_tokens", "n_occ", "n_docs")
       .orderBy("chunk_hash")
 
   /** q115: per-source dedup savings. `labels` is the q49 cluster relation

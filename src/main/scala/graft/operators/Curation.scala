@@ -683,15 +683,19 @@ object Curation {
 
   /** Streaming CHUNK-INDEX ingest — q114 as a long-running stream: each
     * micro-batch chunks its documents ([[ChunkDedup.chunkCounts]]) and
-    * writes its `(chunk, doc_id, n_occ)` partials under
+    * writes its `(chunk_hash, n_tokens, doc_id, n_occ)` partials under
     * `chunksDir/batch=<id>` — APPEND-ONLY delta writes (the chunk
     * aggregate is distributive over disjoint doc batches, so there is no
     * state to rewrite, the cheapest posture in the streaming family);
-    * replay safety is the per-batch-directory overwrite.
-    * [[chunkReportFromIndex]] reproduces the batch q114 report over
-    * everything ingested so far, through the IDENTICAL
-    * [[ChunkDedup.chunkReport]] tail (StreamingSpec pins stream==batch
-    * and replay idempotency).
+    * replay safety is the per-batch-directory overwrite. The persisted
+    * rows carry the md5 chunk identity, never the chunk text, so the
+    * index is hash-sized — not a re-sorted copy of the corpus
+    * (StreamingSpec pins the schema). [[chunkReportFromIndex]]
+    * reproduces the batch q114 report over everything ingested so far,
+    * through the IDENTICAL [[ChunkDedup.chunkReport]] tail
+    * (StreamingSpec pins stream==batch and replay idempotency);
+    * [[compactChunkIndex]] folds the accumulated per-batch deltas into
+    * one directory so dir counts stay O(1) over a long stream.
     */
   def streamingChunkIngest(docs: DataFrame, chunksDir: String,
                            checkpoint: String)
@@ -706,10 +710,54 @@ object Curation {
       }
       .start()
 
-  /** The q114 report off a [[streamingChunkIngest]] index. */
-  def chunkReportFromIndex(spark: SparkSession, chunksDir: String): DataFrame =
+  /** The q114 report off a [[streamingChunkIngest]] index (finishing any
+    * crashed compaction first, the [[prunedBatchPaths]] policy).
+    */
+  def chunkReportFromIndex(spark: SparkSession, chunksDir: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(chunksDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(base)) recoverCompaction(fs, base)
     ChunkDedup.chunkReport(spark.read.parquet(chunksDir)
-      .select("chunk", "doc_id", "n_occ"))
+      .select("chunk_hash", "n_tokens", "doc_id", "n_occ"))
+  }
+
+  /** Compact the accumulated per-batch chunk partials into ONE `batch=0`
+    * directory — [[compactIncrementalIndex]]'s idiom (write-tmp /
+    * commit-marker / delete / publish, every crash state recoverable by
+    * [[recoverCompaction]]) applied to the append-only chunk index, which
+    * otherwise grows one directory per batch forever. Because the
+    * partials are additive, compaction also RE-AGGREGATES them (sum of
+    * n_occ per (chunk_hash, n_tokens, doc_id)), so the compacted index
+    * is no larger than the distinct (chunk, doc) relation regardless of
+    * how many batches fed it. Same contract: `upToBatch` must be <= the
+    * stream's committed frontier.
+    */
+  def compactChunkIndex(spark: SparkSession, chunksDir: String,
+                        upToBatch: Long): Unit = {
+    val base = new org.apache.hadoop.fs.Path(chunksDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    recoverCompaction(fs, base)
+    val batches = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        s.getPath.getName.stripPrefix("batch=").toLong < upToBatch)
+    if (batches.size > 1) {
+      val tmp = new org.apache.hadoop.fs.Path(base, COMPACT_TMP)
+      spark.read.option("basePath", base.toString)
+        .parquet(batches.map(_.getPath.toString): _*)
+        .drop("batch")
+        .groupBy("chunk_hash", "n_tokens", "doc_id")
+        .agg(sum(col("n_occ")).as("n_occ"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val marker = new org.apache.hadoop.fs.Path(base, COMPACT_MARKER)
+      val out = fs.create(marker, true)
+      try out.write(s"$upToBatch\n".getBytes("UTF-8")) finally out.close()
+      batches.foreach(s => fs.delete(s.getPath, true))
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
+        s"could not publish $tmp under $base")
+      fs.delete(marker, false)
+    }
+  }
 
   /** Retire unreferenced label-state directories left by
     * [[streamingClusterIngest]]. Buckets carry forward by manifest

@@ -520,6 +520,19 @@ class StreamingSpec extends AnyFunSuite {
     ChunkDedup.chunkCounts(odds.toDF("doc_id", "text"))
       .write.mode("overwrite").parquet(s"$dir/chunks/batch=1")
     assert(rep(Curation.chunkReportFromIndex(spark, s"$dir/chunks")) === batch)
+    // the persisted index carries the md5 chunk identity, NEVER the chunk
+    // text — hash-sized rows, not a re-sorted copy of the corpus
+    assert(spark.read.parquet(s"$dir/chunks").columns.toSet ===
+      Set("chunk_hash", "n_tokens", "doc_id", "n_occ", "batch"),
+      "chunk index schema must be hash-keyed (no text column)")
+    // compaction folds the per-batch deltas into one batch=0 directory:
+    // post-compaction read shape == a one-batch stream's, report unchanged
+    Curation.compactChunkIndex(spark, s"$dir/chunks", 2L)
+    val left = new java.io.File(s"$dir/chunks").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(left === Seq("batch=0"),
+      s"compaction must leave exactly batch=0, got $left")
+    assert(rep(Curation.chunkReportFromIndex(spark, s"$dir/chunks")) === batch)
   }
 
   test("streaming burst ingest: flags off the summed counts index == the " +
