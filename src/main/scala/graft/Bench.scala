@@ -122,14 +122,30 @@ object Bench {
     // mangled by the launcher. Fixed name on purpose: interpreting a stray
     // positional arg as the write target would silently clobber that path.
     println(line)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // clobber guard (two rounds, two judge incidents): a SUBSET run
+    // (SPARK_GRAFT_BENCH_ONLY) must never overwrite a fuller artifact —
+    // if the existing bench_out.json covers more queries than this run,
+    // the detail goes to bench_out.partial.json instead
+    val outPath = {
+      val full = java.nio.file.Paths.get("bench_out.json")
+      val existingN =
+        try {
+          val t = java.nio.file.Files.readString(full)
+          "\"q[0-9a-zA-Z_]+\":\\{\"med\"".r.findAllIn(t).length
+        } catch { case _: Throwable => 0 }
+      if (existingN > names.size) {
+        System.err.println(s"[bench] bench_out.json holds $existingN queries" +
+          s" > this run's ${names.size} — writing bench_out.partial.json")
+        java.nio.file.Paths.get("bench_out.partial.json")
+      } else full
+    }
+    java.nio.file.Files.writeString(outPath, line + "\n")
     // The driver keeps only a ~2.2 KB stdout tail; the full per-query line
     // above is ~8 KB and gets truncated mid-JSON (BENCH_r05/r07/r08 all
     // recorded "parsed": null). So the LAST line is a compact summary that
     // always survives the tail window — full detail stays in bench_out.json
     // and in the full line above.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_runs":$runs,"sf":"$sfDir","box_factor":${boxFactor.map(b => f"$b%.3f").getOrElse("null")}%s,"detail":"bench_out.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"n_runs":$runs,"sf":"$sfDir","box_factor":${boxFactor.map(b => f"$b%.3f").getOrElse("null")}%s,"detail":"$outPath"}""")
     spark.stop()
   }
 }

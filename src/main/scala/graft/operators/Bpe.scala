@@ -189,17 +189,17 @@ object Bpe {
     * exactly how tokenizers ship: train once, freeze, encode everywhere.
     */
   private[graft] def ensureMerges(s: SparkSession, sfDir: String,
-                                  nMerges: Int = N_MERGES): String =
-    dirCache.synchronized {
-      dirCache.getOrElseUpdate(s"$sfDir|$nMerges", {
-        val docs = Tables.documents(s, sfDir).select("doc_id", "text")
-        DedupArtifacts.ensureDerived(s,
-          DedupArtifacts.corpusKey(docs, "bpe") + s"|m=$nMerges|v=1")(
-          trainBpe(docs.select("text"), nMerges))
-      })
-    }
-
-  private val dirCache = scala.collection.mutable.Map[String, String]()
+                                  nMerges: Int = N_MERGES): String = {
+    // the corpus fingerprint is recomputed per call (one cheap scan, the
+    // q112/q66 ensureDerived idiom) — an earlier path-keyed memoization
+    // here bypassed the content key for the rest of the JVM session, so
+    // a fixture regeneration at the same path mid-session served the
+    // stale merge table to q65/q97/q119
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    DedupArtifacts.ensureDerived(s,
+      DedupArtifacts.corpusKey(docs, "bpe") + s"|m=$nMerges|v=1")(
+      trainBpe(docs.select("text"), nMerges))
+  }
 
   /** q119: TOKENIZER FERTILITY BY LANGUAGE — encode the corpus vocabulary
     * with the FROZEN q65 merge table and report per-language fertility

@@ -441,9 +441,14 @@ object Curation {
     * longer get rewritten per batch — the write (and the fold compute,
     * which contracts only the touched components + delta edges) is
     * delta-sized, the same fix the bucketed index layout applied to the
-    * probe reads. The one corpus-linear term left is the doc→cluster
-    * lookup of the delta's endpoints (one column-pruned scan filtered by
-    * a broadcast endpoint set — a read, not a rewrite).
+    * probe reads. The READ side is bucket-pruned too: a DOC-RESIDUE
+    * mirror (`docmap/dbkt=<doc_id mod 32>/` rows of (doc_id, cbkt),
+    * maintained under the same manifest) resolves the delta's endpoints
+    * to their components' cluster buckets, so a batch reads only the
+    * docmap buckets its endpoints hash into plus the label buckets those
+    * endpoints' components live in — never the full prior label state
+    * (round-11 verdict #2; the batch returns the path lists it read and
+    * StreamingSpec pins the strict-subset read for a one-doc batch).
     *
     * Replay safety is unchanged in spirit: a retried batch resolves the
     * newest COMMITTED manifest strictly BELOW its own batchId and
@@ -465,6 +470,7 @@ object Curation {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         clusterIngestBatch(batch, batchId, indexDir, pairsDir, labelsDir,
           thresholdX1e3)
+        ()
       }
       .start()
 
@@ -479,27 +485,42 @@ object Curation {
     * endpoint set alone. Buckets outside that set are byte-identical to
     * the predecessor state and carry forward as manifest references.
     */
+  /** Returns the (label-bucket, docmap-bucket) directory paths the batch
+    * READ — the strict-subset read evidence, mirroring
+    * [[nearDupIngestBatch]]'s probe-path return; the streaming wrapper
+    * discards it.
+    */
   private[graft] def clusterIngestBatch(batch: DataFrame, batchId: Long,
                                             indexDir: String, pairsDir: String,
                                             labelsDir: String,
-                                            thresholdX1e3: Int): Unit = {
+                                            thresholdX1e3: Int)
+      : (Seq[String], Seq[String]) = {
     val spark = batch.sparkSession
     nearDupIngestBatch(batch, batchId, indexDir, pairsDir, thresholdX1e3)
     val deltaPairs = spark.read.parquet(s"$pairsDir/batch=$batchId")
       .select("d1", "d2").persist()
     val priorMan = latestLabelManifest(spark, labelsDir, batchId)
-      .map(_._2).getOrElse(Map.empty[Long, Long])
-    // ONE materialized scan of the prior state feeds the endpoint lookup,
-    // the changed-component filter, and (for touched buckets) the carried
-    // rows — not three re-reads of a corpus-linear relation
-    val prior = readLabelState(spark, labelsDir, priorMan).persist()
+      .map(_._2).getOrElse(LabelManifest(Map.empty, Map.empty))
     val eps = deltaPairs.select(col("d1").as("doc_id"))
-      .union(deltaPairs.select(col("d2").as("doc_id"))).distinct()
-    // old roots of every touched component, filtered by the (delta-sized,
-    // broadcast) endpoint set
-    val oldRoots = prior.join(broadcast(eps), "doc_id")
+      .union(deltaPairs.select(col("d2").as("doc_id"))).distinct().persist()
+    // endpoint -> component-bucket resolution through the DOC-RESIDUE
+    // mirror: enumerate only the docmap buckets the endpoints hash into
+    // (delta-sized read), never the corpus-linear label relation
+    val epDbkts = bucketSet(eps.select(bucketOf(col("doc_id")).as("b")), "b")
+    val docmapPaths = docmapBucketPaths(labelsDir,
+      priorMan.docs.filter(kv => epDbkts.contains(kv._1)))
+    val epCbkts = bucketSet(
+      readDocMapPaths(spark, docmapPaths).join(broadcast(eps), "doc_id")
+        .select("cbkt"), "cbkt")
+    // pruned prior read #1: exactly the label buckets holding the
+    // endpoints' components (a component's rows all share its root's
+    // residue, and an endpoint's cbkt IS its component's residue)
+    val epLabelPaths = labelBucketPaths(labelsDir,
+      priorMan.labels.filter(kv => epCbkts.contains(kv._1)))
+    val priorTouched = readLabelPaths(spark, epLabelPaths).persist()
+    val oldRoots = priorTouched.join(broadcast(eps), "doc_id")
       .select("cluster_id").distinct().persist()
-    val changedOld = prior
+    val changedOld = priorTouched
       .join(broadcast(oldRoots), Seq("cluster_id")).select("doc_id", "cluster_id")
       .persist()
     val folded = Dedup.foldClusterLabels(changedOld, deltaPairs).persist()
@@ -512,9 +533,14 @@ object Curation {
     // touched-but-empty buckets DROP from the manifest (a dangling entry
     // would make every later read throw on the missing path)
     var written = Set.empty[Long]
+    var carryPaths = Seq.empty[String]
     if (touched.nonEmpty) {
-      val out = prior // served from the persisted scan, bucket-filtered
-        .filter(bucketOf(col("cluster_id")).isin(touched.toSeq: _*))
+      // pruned prior read #2: rows carried inside the rewritten buckets
+      // (folded roots can land in residues the endpoint lookup never
+      // named, so this is a separate — still bucket-pruned — path set)
+      carryPaths = labelBucketPaths(labelsDir,
+        priorMan.labels.filter(kv => touched.contains(kv._1)))
+      val out = readLabelPaths(spark, carryPaths)
         .join(broadcast(oldRoots), Seq("cluster_id"), "left_anti")
         .select("doc_id", "cluster_id")
         .unionByName(folded.select("doc_id", "cluster_id"))
@@ -525,29 +551,77 @@ object Curation {
       written = bucketSet(out.select("cbkt"), "cbkt")
       out.unpersist()
     }
-    writeLabelManifest(spark, labelsDir, batchId,
-      (priorMan -- touched) ++ written.map(_ -> batchId))
-    folded.unpersist(); changedOld.unpersist(); oldRoots.unpersist()
-    prior.unpersist(); deltaPairs.unpersist()
-    ()
+    // docmap maintenance: every re-labeled doc (folded covers the touched
+    // components' docs plus the delta's new docs) gets its new cbkt; a
+    // doc's OWN residue never changes, so rewritten docmap buckets are
+    // carry-minus-folded plus delta and never empty. Written AFTER the
+    // label data (same batch dir), BEFORE the manifest commit.
+    val docDelta = folded
+      .select(col("doc_id"), bucketOf(col("cluster_id")).as("cbkt")).persist()
+    val touchedD = bucketSet(
+      docDelta.select(bucketOf(col("doc_id")).as("b")), "b")
+    var writtenD = Set.empty[Long]
+    if (touchedD.nonEmpty) {
+      val dPaths = docmapBucketPaths(labelsDir,
+        priorMan.docs.filter(kv => touchedD.contains(kv._1)))
+      val outD = readDocMapPaths(spark, dPaths)
+        .join(broadcast(docDelta.select("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(docDelta)
+        .withColumn("dbkt", bucketOf(col("doc_id")))
+        .persist()
+      outD.write.mode("overwrite").partitionBy("dbkt")
+        .parquet(s"$labelsDir/batch=$batchId/docmap")
+      writtenD = bucketSet(outD.select("dbkt"), "dbkt")
+      outD.unpersist()
+    }
+    writeLabelManifest(spark, labelsDir, batchId, LabelManifest(
+      (priorMan.labels -- touched) ++ written.map(_ -> batchId),
+      (priorMan.docs -- touchedD) ++ writtenD.map(_ -> batchId)))
+    docDelta.unpersist(); folded.unpersist(); changedOld.unpersist()
+    oldRoots.unpersist(); priorTouched.unpersist(); eps.unpersist()
+    deltaPairs.unpersist()
+    ((epLabelPaths ++ carryPaths).distinct, docmapPaths)
   }
 
   private val LABEL_MANIFEST = "_MANIFEST"
 
-  /** Commit a batch's label-state manifest (bucket → owning batch id),
-    * written AFTER the bucket data — its presence is what makes the batch
-    * readable, so a crashed attempt leaves no visible state.
+  /** A committed batch's view of the label state: `labels` maps each live
+    * cluster bucket (cbkt) to the batch directory owning its current
+    * rows; `docs` does the same for the doc-residue mirror's dbkt
+    * buckets.
+    */
+  private[operators] case class LabelManifest(labels: Map[Long, Long],
+                                              docs: Map[Long, Long])
+
+  /** Commit a batch's label-state manifest, written AFTER the bucket data
+    * — its presence is what makes the batch readable, so a crashed
+    * attempt leaves no visible state. The commit itself is ATOMIC: the
+    * body goes to a temp name and FileSystem.rename() publishes it
+    * (atomic on local FS and HDFS), and the body ends with an
+    * `END <n-entries>` terminator that [[readLabelManifest]] validates —
+    * a torn write can neither surface as a committed manifest nor parse
+    * as a silently-shorter one.
     */
   private def writeLabelManifest(spark: SparkSession, labelsDir: String,
                                  batchId: Long,
-                                 entries: Map[Long, Long]): Unit = {
+                                 man: LabelManifest): Unit = {
     val p = new org.apache.hadoop.fs.Path(
       s"$labelsDir/batch=$batchId/$LABEL_MANIFEST")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$labelsDir/batch=$batchId/$LABEL_MANIFEST.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(entries.toSeq.sorted
-      .map { case (b, owner) => s"$b $owner\n" }.mkString.getBytes("UTF-8"))
-    finally out.close()
+    val body =
+      man.labels.toSeq.sorted.map { case (b, o) => s"L $b $o\n" }.mkString +
+      man.docs.toSeq.sorted.map { case (b, o) => s"D $b $o\n" }.mkString +
+      s"END ${man.labels.size + man.docs.size}\n"
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // rename refuses an existing destination on HDFS; a replayed batch's
+    // prior manifest is deterministically identical, so dropping it first
+    // is safe (a crash between the two steps reverts the batch to
+    // "uncommitted", which replay handles)
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"could not publish manifest $p")
   }
 
   /** The newest COMMITTED manifest strictly below `batchId` (replay
@@ -557,7 +631,7 @@ object Curation {
     * propagates (the [[readPrunedIndex]] policy).
     */
   private def latestLabelManifest(spark: SparkSession, labelsDir: String,
-                                  batchId: Long): Option[(Long, Map[Long, Long])] = {
+                                  batchId: Long): Option[(Long, LabelManifest)] = {
     val base = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return None
@@ -575,29 +649,52 @@ object Curation {
 
   private def readLabelManifest(fs: org.apache.hadoop.fs.FileSystem,
                                 labelsDir: String,
-                                batchId: Long): Map[Long, Long] = {
-    val in = fs.open(new org.apache.hadoop.fs.Path(
-      s"$labelsDir/batch=$batchId/$LABEL_MANIFEST"))
+                                batchId: Long): LabelManifest = {
+    val path = s"$labelsDir/batch=$batchId/$LABEL_MANIFEST"
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(b, owner) = l.trim.split(" ")
-      b.toLong -> owner.toLong
-    }.toMap
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty && lines.last.startsWith("END "),
+      s"manifest $path is truncated (no END terminator)")
+    require(lines.size - 1 == lines.last.stripPrefix("END ").trim.toInt,
+      s"manifest $path entry count disagrees with its END terminator")
+    val parsed = lines.dropRight(1).map { l =>
+      val Array(rel, b, owner) = l.trim.split(" ")
+      (rel, b.toLong -> owner.toLong)
+    }
+    LabelManifest(parsed.collect { case ("L", e) => e }.toMap,
+      parsed.collect { case ("D", e) => e }.toMap)
   }
+
+  private def labelBucketPaths(labelsDir: String,
+                               manifest: Map[Long, Long]): Seq[String] =
+    manifest.toSeq.map { case (b, owner) => s"$labelsDir/batch=$owner/cbkt=$b" }
+
+  private def docmapBucketPaths(labelsDir: String,
+                                manifest: Map[Long, Long]): Seq[String] =
+    manifest.toSeq
+      .map { case (b, owner) => s"$labelsDir/batch=$owner/docmap/dbkt=$b" }
+
+  private def readLabelPaths(spark: SparkSession,
+                             paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.range(0).selectExpr("id AS doc_id", "id AS cluster_id")
+    else spark.read.parquet(paths: _*).select("doc_id", "cluster_id")
+
+  private def readDocMapPaths(spark: SparkSession,
+                              paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.range(0).selectExpr("id AS doc_id", "id AS cbkt")
+    else spark.read.parquet(paths: _*).select("doc_id", "cbkt")
 
   /** Resolve a manifest to its label relation: one parquet read over the
     * referenced `batch=<owner>/cbkt=<b>` leaf directories.
     */
   private def readLabelState(spark: SparkSession, labelsDir: String,
-                             manifest: Map[Long, Long]): DataFrame = {
-    val paths = manifest.toSeq
-      .map { case (b, owner) => s"$labelsDir/batch=$owner/cbkt=$b" }
-    if (paths.isEmpty)
-      spark.range(0).selectExpr("id AS doc_id", "id AS cluster_id")
-    else spark.read.parquet(paths: _*).select("doc_id", "cluster_id")
-  }
+                             manifest: Map[Long, Long]): DataFrame =
+    readLabelPaths(spark, labelBucketPaths(labelsDir, manifest))
 
   /** The newest committed label state of a [[streamingClusterIngest]]
     * directory — what a consumer (or a spec) reads. Equals q49 over every
@@ -614,7 +711,7 @@ object Curation {
     readLabelState(spark, labelsDir,
       latestLabelManifest(spark, labelsDir,
           if (batchId == Long.MaxValue) batchId else batchId + 1)
-        .map(_._2).getOrElse(Map.empty))
+        .map(_._2.labels).getOrElse(Map.empty))
 
   /** Streaming BURST monitoring — q110 as a long-running stream: each
     * micro-batch reduces to its (event_type, hour, n) PARTIAL counts
@@ -785,7 +882,10 @@ object Curation {
     if (committed.isEmpty) return
     val retained = committed.takeRight(keep)
     val live = retained.toSet ++
-      retained.flatMap(b => readLabelManifest(fs, labelsDir, b).values)
+      retained.flatMap { b =>
+        val m = readLabelManifest(fs, labelsDir, b)
+        m.labels.values ++ m.docs.values
+      }
     // never touch dirs AT or ABOVE the committed frontier: a manifest-less
     // dir there is an IN-FLIGHT batch between its bucket write and its
     // manifest commit — deleting it would race the ingest into committing

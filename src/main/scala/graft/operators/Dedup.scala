@@ -768,26 +768,43 @@ object Dedup {
     // scan — per-iteration shuffle scheduling, which dominated q101's
     // wall time, disappears. Exceeding graphs iterate distributed below.
     if (nEdges <= localMaxEdges) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // restrict to src ∈ nodes BEFORE collecting (the distributed path's
+      // ranks join does exactly this — an outside src never contributes
+      // inflow), but KEEP edges whose dst falls outside nodes: they still
+      // count in the source's out-degree (`deg` above is computed over
+      // the FULL edge set), they just deliver their rank share nowhere.
+      // A dst-membership indicator rides along so rank cells exist for
+      // exactly the edge-touched members of nodes. Without this the two
+      // paths diverge from iteration 2 when pair endpoints fall outside
+      // nodes0 (catalog callers pass full node sets; this pins the
+      // general case). Both joins are distributed; only the gate-bounded
+      // edge list reaches the driver.
+      val es = edges
+        .join(nodes.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("doc_id").as("dst"), lit(1L).as("din")),
+          Seq("dst"), "left")
+        .select("src", "dst", "din")
+        .collect().map(r => (r.getLong(0), r.getLong(1), !r.isNullAt(2)))
       val degM = scala.collection.mutable.LongMap.empty[Long]
-      es.foreach { case (s, _) => degM(s) = degM.getOrElse(s, 0L) + 1L }
+      es.foreach { case (s, _, _) => degM(s) = degM.getOrElse(s, 0L) + 1L }
+      val keys = es.map(_._1).toSet ++ es.collect { case (_, d, true) => d }
       var ranks = scala.collection.mutable.LongMap.empty[Long]
-      degM.keys.foreach(k => ranks(k) = r0)
+      keys.foreach(k => ranks(k) = r0)
       (1 to iters).foreach { _ =>
         val inflow = scala.collection.mutable.LongMap.empty[Long]
-        es.foreach { case (s, d) =>
+        es.foreach { case (s, d, _) =>
           inflow(d) = inflow.getOrElse(d, 0L) + ranks(s) / degM(s)
         }
         val next = scala.collection.mutable.LongMap.empty[Long]
-        degM.keys.foreach(k =>
+        keys.foreach(k =>
           next(k) = base + (85L * inflow.getOrElse(k, 0L)) / 100L)
         ranks = next
       }
       val spark = nodes.sparkSession
       val touched = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(
-          degM.keys.toSeq.map(k => Row(k, degM(k), ranks(k))),
-          math.max(1, math.min(32, degM.size / 4096))),
+          keys.toSeq.map(k => Row(k, degM.getOrElse(k, 0L), ranks(k))),
+          math.max(1, math.min(32, keys.size / 4096))),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType, nullable = false),

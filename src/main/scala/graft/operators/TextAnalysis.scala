@@ -336,7 +336,12 @@ object TextAnalysis {
     * (fixed ln term order — the q60/q116 idiom), the per-source BIGINT
     * sum divides by N_s at the end, so no float ever sums in engine
     * order. 100 TB shape: one tokenize pass, one (source, token) hash
-    * aggregate, a broadcast corpus-vocab join, source-sized output.
+    * aggregate, a shuffle join on the token key against the corpus-vocab
+    * relation — the vocabulary of raw web text is billions of rows, so
+    * it is NOT broadcast-hinted (AQE may still choose broadcast when the
+    * measured size is small, which is the right call at fixture scale);
+    * source totals and the single-row grand total stay broadcast.
+    * Output is source-sized.
     */
   def sourceKl(docs: DataFrame): DataFrame = {
     val tok = docs.select(coalesce(col("source"), lit("")).as("source"),
@@ -345,7 +350,7 @@ object TextAnalysis {
     val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
     val vocab = st.groupBy("t").agg(sum(col("c_st")).as("c_t"))
     val total = vocab.agg(sum(col("c_t")).as("n"))
-    st.join(broadcast(vocab), "t")
+    st.join(vocab, "t")
       .join(broadcast(srcTot), "source")
       .crossJoin(broadcast(total))
       .select(col("source"), col("n_s"),

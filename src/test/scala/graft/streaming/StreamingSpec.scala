@@ -434,16 +434,32 @@ class StreamingSpec extends AnyFunSuite {
     }
     val dupOf = rows.head
     val oneDoc = Seq((rows.map(_._1).max + 1, dupOf._2))
-    Curation.clusterIngestBatch(oneDoc.toDF("doc_id", "text"), 2L,
+    val prevBuckets = cbkts(0) ++ cbkts(1)
+    val (lblRead, dmRead) = Curation.clusterIngestBatch(
+      oneDoc.toDF("doc_id", "text"), 2L,
       s"$dir/index", s"$dir/pairs", s"$dir/labels", 800)
     val all3 = corpus.unionByName(oneDoc.toDF("doc_id", "text"))
     assert(labelsOf(Curation.labelState(spark, s"$dir/labels")) ===
       fromScratch(all3), "one-doc fold == q49 from scratch")
-    val prevBuckets = cbkts(0) ++ cbkts(1)
     assert(cbkts(2).nonEmpty && cbkts(2).subsetOf(prevBuckets) &&
       cbkts(2).size < prevBuckets.size,
       s"one-doc batch must rewrite a strict subset of label buckets, " +
         s"got ${cbkts(2).size} of ${prevBuckets.size}")
+    // read-side twin (verdict r11 #2): the one-doc batch READS a strict
+    // subset of the prior label buckets — the docmap mirror resolves its
+    // endpoints to their components' residues, so neither the endpoint
+    // lookup nor the carry read ever scans the full prior state
+    val lblReadBkts = lblRead.map(_.split("/").last).toSet
+    assert(lblReadBkts.nonEmpty && lblReadBkts.subsetOf(prevBuckets) &&
+      lblReadBkts.size < prevBuckets.size,
+      s"one-doc batch must READ a strict subset of label buckets, " +
+        s"got $lblReadBkts of $prevBuckets")
+    val allDbkts = (0L until 32L).map(b => s"dbkt=$b").toSet
+    val dmReadBkts = dmRead.map(_.split("/").last).toSet
+    assert(dmReadBkts.nonEmpty && dmReadBkts.size < allDbkts.size &&
+      dmReadBkts.subsetOf(allDbkts),
+      s"one-doc batch must read only its endpoints' docmap buckets, " +
+        s"got $dmReadBkts")
   }
 
   test("cluster ingest: a merge that EMPTIES a bucket (component's root " +

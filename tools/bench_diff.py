@@ -174,11 +174,25 @@ def main(argv):
     except (OSError, ValueError):
         pass
     ref_controls = (ref or {}).get("controls") or FALLBACK_CONTROLS
+    # a legacy full-artifact reference's controls block carries metadata
+    # keys ("ref", "box_factor") next to the query medians; keep only
+    # numeric query entries or the length check below can never hold and
+    # tier-1 normalization is silently disabled
+    ref_controls = {k: v for k, v in ref_controls.items()
+                    if k.startswith("q") and isinstance(v, (int, float))}
+    if not ref_controls:
+        print("[bench_diff] reference controls unusable (metadata-only "
+              "block) — falling back to built-in controls", file=sys.stderr)
+        ref_controls = FALLBACK_CONTROLS
     ratios = sorted(nq[c] / ref_controls[c] for c in ref_controls
                     if c in nq and nq[c] > 0)
     box = None
     if len(ratios) == len(ref_controls) and ratios[-1] <= ratios[0] * 1.5:
         box = ratios[len(ratios) // 2]
+    elif len(ratios) < len(ref_controls):
+        print("[bench_diff] box factor skipped: "
+              f"{len(ref_controls) - len(ratios)} control(s) missing from "
+              "the new artifact", file=sys.stderr)
 
     failures, code_failures, classification = [], [], {}
     for name, f in sorted(fams.items()):
