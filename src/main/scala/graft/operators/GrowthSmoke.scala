@@ -95,6 +95,31 @@ object GrowthSmoke {
       pairs.unpersist()
     }
 
+    // chunk-dedup family (q114 report / q115 savings / q122 profile):
+    // same replication regime. Replica tokens are suffixed, so chunk
+    // boundary draws differ per replica and q114's report is ~linear
+    // (GrowthSpec pins the exact claim: zero cross-replica chunk
+    // identity); cluster structure is isomorphic per replica, so q115
+    // savings fields and q122 histogram masses are exactly Rx.
+    for (scale <- Seq(1, 10)) {
+      val planted = replicate(base, scale)
+      val (nChunks, tQ114) = timed(ChunkDedup.cdcChunks(planted).count())
+      val docsS = replicate(rawBase, scale)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(10L))))
+      val labels = Dedup.nearDupClusters(
+        docsS.select("doc_id", "text"), 800, cache = false).persist()
+      labels.count()
+      val (nSav, tQ115) = timed(
+        ChunkDedup.dedupSavings(docsS, labels).count())
+      val (nProf, tQ122) = timed(
+        ChunkDedup.clusterProfile(docsS.select("doc_id", "text"), labels)
+          .count())
+      println(f"[growth-chunk] scale=${scale}%2d docs=${planted.count()}%7d " +
+        f"chunk_rows=$nChunks%7d sav_rows=$nSav%4d prof_rows=$nProf%4d " +
+        f"t_q114=$tQ114%6.2f t_q115=$tQ115%6.2f t_q122=$tQ122%6.2f")
+      labels.unpersist()
+    }
+
     // Streaming probe-I/O growth (VERDICT r10 #5): one large base batch
     // builds the index, then B SMALL delta batches ingest sequentially;
     // per batch we print the probe's directory/file reads against the

@@ -72,6 +72,62 @@ class GrowthSpec extends AnyFunSuite {
     pr.unpersist()
   }
 
+  test("chunk family: 10x replication never merges chunks across replicas " +
+    "and grows savings/profile masses exactly 10x") {
+    import org.apache.spark.sql.functions._
+    // q114: replica tokens are suffixed, so boundary draws DIFFER per
+    // replica and the report row count is only ~linear — the exact claim
+    // is zero cross-replica chunk identity: the 10x report is the
+    // disjoint union of the per-replica reports (an accidental shared
+    // chunk value would merge rows and break the sum)
+    val base = Dedup.withPlantedExcerpts(
+      Tables.documents(spark, TestSpark.SF0001).select("doc_id", "text"))
+    val corpus10 = GrowthSmoke.replicate(base, 10).persist()
+    val total = ChunkDedup.cdcChunks(corpus10).count()
+    val per = (0 until 10).map { r =>
+      ChunkDedup.cdcChunks(corpus10.filter(
+        col("doc_id") >= lit(r * 10000000L) &&
+          col("doc_id") < lit((r + 1) * 10000000L))).count()
+    }
+    assert(per.forall(_ > 0) && total === per.sum,
+      s"10x chunk report must be the disjoint union of replica reports: " +
+        s"$total vs $per")
+    corpus10.unpersist()
+    // q115/q122: cluster structure is isomorphic per replica (shingle
+    // equality is preserved by the per-replica token bijection) and
+    // doc_id % 10 source assignment is invariant under the +r*1e7 shift,
+    // so every per-source savings field and every histogram mass grows
+    // EXACTLY 10x
+    val raw = Tables.documents(spark, TestSpark.SF0001)
+      .select("doc_id", "text")
+    def measure(scale: Int): (Map[String, Seq[Long]], Map[Long, Seq[Long]]) = {
+      val rep = GrowthSmoke.replicate(raw, scale)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(10L))))
+        .persist()
+      val labels = Dedup.nearDupClusters(rep.select("doc_id", "text"), 800,
+        cache = false).persist()
+      val sav = ChunkDedup.dedupSavings(rep, labels).collect()
+        .map(r => r.getString(0) -> (1 to 7).map(r.getLong).toSeq).toMap
+      val prof = ChunkDedup.clusterProfile(rep.select("doc_id", "text"), labels)
+        .collect().map(r => r.getLong(0) -> (1 to 3).map(r.getLong).toSeq).toMap
+      labels.unpersist(); rep.unpersist()
+      (sav, prof)
+    }
+    val (sav1, prof1) = measure(1)
+    val (sav10, prof10) = measure(10)
+    assert(sav10.keySet === sav1.keySet && sav1.nonEmpty)
+    sav1.foreach { case (src, v1) =>
+      assert(sav10(src) === v1.map(_ * 10),
+        s"source $src savings must grow exactly 10x: ${sav10(src)} vs $v1")
+    }
+    assert(prof10.keySet === prof1.keySet && prof1.keySet.size > 1)
+    prof1.foreach { case (size, v1) =>
+      assert(prof10(size) === v1.map(_ * 10),
+        s"size-$size histogram mass must grow exactly 10x: " +
+          s"${prof10(size)} vs $v1")
+    }
+  }
+
   test("streaming ingest probe I/O stays flat: a one-doc batch reads its " +
     "own bucket coverage per prior dir, and compaction resets the growth") {
     import org.apache.spark.sql.functions._
