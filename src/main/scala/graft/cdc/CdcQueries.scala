@@ -100,6 +100,30 @@ object CdcQueries {
     // dataflow. The oracle recomputes the expected key set arithmetically,
     // so JSON parsing, tombstone-free dispatch, and dedup are all checked
     // at throughput scale, not just on golden fixtures.
+    // Q123: SCD2 history off a 50k-event synthetic change stream — the
+    // q33 generator idiom (spark.range + codegen'd format_string, no
+    // driver-side data) with Debezium-honest shapes: updates carry
+    // after-only, deletes carry before-only. The oracle reconstructs the
+    // event stream arithmetically and applies the identical lead() window
+    // semantics, so parse, key coalescing, delete-closes-version, and
+    // the current-flag all hash-check at throughput scale.
+    "q123_scd2_history" -> ((s, _) => {
+      val ev = s.range(50000).select(
+        (col("id") % 500).as("k"), (col("id") + 1000000).as("lsn"),
+        when(col("id") % 11 === 10, lit("d"))
+          .when(col("id") < 500, lit("c")).otherwise(lit("u")).as("op"),
+        (col("id") % 7).as("lv"))
+      val vals = ev.select(
+        when(col("op") === "d",
+          format_string(
+            """{"payload": {"before": {"code": %d}, "after": null, "op": "d", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
+            col("k"), col("lsn")))
+          .otherwise(format_string(
+            """{"payload": {"before": null, "after": {"code": %d, "libram": "L%d"}, "op": "%s", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
+            col("k"), col("lv"), col("op"), col("lsn"))).as("value"))
+      Envelope.scd2History(Envelope.parse(vals))
+    }),
+
     "q33_cdc_synthetic" -> ((s, _) => {
       val vals = s.range(100000).select(
         format_string(
@@ -184,6 +208,21 @@ object CdcQueries {
       """SELECT DISTINCT CAST(i % 1000 AS VARCHAR) AS invalidate_key
         |FROM range(100000) t(i)
         |WHERE i % 3 <> 0
-        |ORDER BY invalidate_key""".stripMargin
+        |ORDER BY invalidate_key""".stripMargin,
+
+    "q123_scd2_history" ->
+      """WITH ev AS (SELECT i % 500 AS code, i + 1000000 AS lsn,
+        |        CASE WHEN i % 11 = 10 THEN 'd'
+        |             WHEN i < 500 THEN 'c' ELSE 'u' END AS op,
+        |        'L' || CAST(i % 7 AS VARCHAR) AS libram
+        |      FROM range(50000) t(i)),
+        |led AS (SELECT *, lead(lsn) OVER (PARTITION BY code ORDER BY lsn) AS nxt
+        |        FROM ev)
+        |SELECT CAST(code AS BIGINT) AS code, libram,
+        |       CAST(lsn AS BIGINT) AS valid_from_lsn,
+        |       CAST(COALESCE(nxt, -1) AS BIGINT) AS valid_to_lsn,
+        |       CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM led WHERE op <> 'd'
+        |ORDER BY code, valid_from_lsn""".stripMargin
   )
 }

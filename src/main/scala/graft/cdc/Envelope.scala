@@ -99,6 +99,39 @@ object Envelope {
         timestamp_micros(col("latest.updated_at")).cast("timestamp_ntz").as("updated_at"))
   }
 
+  /** q123: SCD2 (slowly-changing-dimension type 2) HISTORY off the parsed
+    * change stream — the temporal complement of [[latestState]]: instead
+    * of folding to the newest image, every non-delete event opens a
+    * version valid over [its lsn, the key's next event's lsn), a delete
+    * closes the current version without opening one, and the version a
+    * key's final event opened (if not a delete) is flagged current
+    * (`valid_to_lsn` = -1 rather than NULL so the cross-engine compare
+    * never depends on null coercion). This is the standard
+    * CDC-to-warehouse materialization next to the latest-state view.
+    *
+    * 100 TB shape: ONE window over (key, lsn) — the shuffle is keyed by
+    * primary key, exactly how the topic is already partitioned (the
+    * [[latestState]] argument), and per-key history is the partition
+    * unit; no global sort before the final report ORDER BY.
+    */
+  def scd2History(parsed: DataFrame): DataFrame = {
+    val ev = parsed.select(
+      coalesce(col("payload.after.code"), col("payload.before.code")).as("code"),
+      col("payload.op").as("op"),
+      col("payload.after.libram").as("libram"),
+      col("payload.source.lsn").as("lsn"))
+      .filter(col("code").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("code").orderBy("lsn")
+    ev.withColumn("nxt", lead(col("lsn"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(col("code"), col("libram"),
+        col("lsn").as("valid_from_lsn"),
+        coalesce(col("nxt"), lit(-1L)).as("valid_to_lsn"),
+        col("nxt").isNull.cast("long").as("is_current"))
+      .orderBy("code", "valid_from_lsn")
+  }
+
   /** Observable metrics for the drop paths — parity with the reference's
     * log-and-continue (cdc.go:171, :176) without a second pass over the data.
     * Emits `records` (total input), `tombstones` (null values, O-11) and

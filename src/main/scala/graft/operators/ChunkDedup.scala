@@ -140,6 +140,42 @@ object ChunkDedup {
       .orderBy("source")
   }
 
+  /** q125: DEDUP APPLY — the per-document materialization of the q115
+    * accounting: every doc labeled with the stage that removes it
+    * (`exact` — a same-text copy of a lower doc_id; `neardup` — an exact
+    * survivor losing to its cluster's min surviving member) or `kept`.
+    * This is the relation a pipeline actually JOINS against to emit the
+    * cleaned corpus, where q115 only prices it; the two share one
+    * stage-assignment definition by construction (same window + joins),
+    * so the report can never disagree with the applied set.
+    * Execution shape is q115's: one hash-keyed window for the exact
+    * stage, broadcast pair-graph-sized cluster relations for the
+    * near-dup stage, per-doc output.
+    */
+  def dedupApply(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      coalesce(col("source"), lit("")).as("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      sha2(col("text"), 256).as("h"))
+    val flagged = d.withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("h")))
+      .withColumn("exact_rm", (col("doc_id") =!= col("keep_id")).cast("long"))
+    val survivors = flagged.filter(col("exact_rm") === 0)
+    val clustered = survivors.join(
+      broadcast(labels.select("doc_id", "cluster_id")), Seq("doc_id"))
+    val cmin = clustered.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("cmin"))
+    val ndRemoved = clustered.join(broadcast(cmin), Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("cmin"))
+      .select(col("doc_id"), lit(1L).as("nd_rm"))
+    flagged.join(broadcast(ndRemoved), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(col("exact_rm") === 1, lit("exact"))
+          .when(col("nd_rm") === 1, lit("neardup"))
+          .otherwise(lit("kept")).as("stage"))
+      .orderBy("doc_id")
+  }
+
   /** q122: DUPLICATION PROFILE — the cluster-SIZE histogram of the q49
     * near-dup graph, with doc and token mass per size (singletons
     * included as size 1). The shape of this table is what distinguishes
@@ -190,6 +226,13 @@ object ChunkDedup {
     // Q122: duplication profile (cluster-size histogram incl. singletons).
     "q122_cluster_profile" -> ((s, d) =>
       clusterProfile(Tables.documents(s, d),
+        Dedup.clustersFromPairs(
+          s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))))),
+
+    // Q125: per-doc staged-dedup materialization (the applied twin of
+    // q115's accounting), clusters from the shared artifact.
+    "q125_dedup_apply" -> ((s, d) =>
+      dedupApply(Tables.documents(s, d),
         Dedup.clustersFromPairs(
           s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))))
   )
@@ -245,6 +288,30 @@ object ChunkDedup {
          |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
          |       n_occ, n_docs
          |FROM g ORDER BY chunk_hash""".stripMargin,
+
+    "q125_dedup_apply" ->
+      s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},
+         |d AS (SELECT doc_id, COALESCE(source, '') AS source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        sha256(text) AS h
+         |      FROM documents),
+         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+         |f AS (SELECT d.*, CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS exact_rm
+         |      FROM d JOIN k USING (h)),
+         |s AS (SELECT * FROM f WHERE exact_rm = 0),
+         |cm AS (SELECT l.cluster_id, MIN(s.doc_id) AS cmin
+         |       FROM labels l JOIN s ON l.doc_id = s.doc_id
+         |       GROUP BY l.cluster_id),
+         |nd AS (SELECT s.doc_id
+         |       FROM s JOIN labels l ON s.doc_id = l.doc_id
+         |       JOIN cm ON l.cluster_id = cm.cluster_id
+         |       WHERE s.doc_id <> cm.cmin)
+         |SELECT f.doc_id, f.source, f.n_tokens,
+         |       CASE WHEN f.exact_rm = 1 THEN 'exact'
+         |            WHEN nd.doc_id IS NOT NULL THEN 'neardup'
+         |            ELSE 'kept' END AS stage
+         |FROM f LEFT JOIN nd ON f.doc_id = nd.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
 
     "q115_dedup_savings" ->
       s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},

@@ -1384,7 +1384,52 @@ object Curation {
       .orderBy("threshold_x1e3")
   }
 
+  /** q126: PER-SOURCE QUALITY KS STATISTIC — for each source, the
+    * Kolmogorov–Smirnov distance between its quality-score distribution
+    * and the corpus-wide one, over the q117 sweep's fixed 11-bucket
+    * grid. This is the "which source drags the mix" triage signal next
+    * to q83 (token drift) and q121 (unigram KL): a source can match the
+    * corpus vocabulary yet sit in a different quality regime, and this
+    * is the statistic that says so. All-integer: per-bucket counts are
+    * exact, the CDF gap compares via cross-multiplication
+    * (|cum_s·N − cum·N_s|), and the single division happens once per
+    * source AFTER the max (denominator constant per source, so max
+    * commutes). 100 TB shape: one scored scan → (source × 11)-row grid;
+    * windows run over the grid, never the corpus. (Products are bounded
+    * by N_s·N — at petabyte row counts route through DECIMAL(38) or
+    * pre-divide per bucket; the statistic is unchanged.)
+    */
+  def qualityKs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs.select(coalesce(col("source"), lit("")).as("source"),
+      TextAnalysis.qualityCol.as("q"))
+      .withColumn("qb", expr("q DIV 100"))
+    val srcs = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val buckets = spark.range(0, 11).toDF("qb")
+    val counts = d.groupBy("source", "qb").agg(count(lit(1)).as("c"))
+    val corpus = d.groupBy("qb").agg(count(lit(1)).as("cc"))
+    val total = d.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("qb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    srcs.crossJoin(broadcast(buckets))
+      .join(counts, Seq("source", "qb"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(corpus), Seq("qb"), "left").na.fill(0L, Seq("cc"))
+      .withColumn("cum_s", sum(col("c")).over(w))
+      .withColumn("cum", sum(col("cc")).over(w))
+      .crossJoin(broadcast(total))
+      .groupBy("source", "n_s", "n")
+      .agg(max(abs(col("cum_s") * col("n") - col("cum") * col("n_s")))
+        .as("mg"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        expr("(mg * 1000000) DIV (n_s * n)").as("ks_x1e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q126: per-source quality KS distance (see [[qualityKs]]).
+    "q126_quality_ks" -> ((s, d) => qualityKs(Tables.documents(s, d))),
+
     // Q109: which sources copy each other (mirror-feed detector).
     "q109_source_overlap" -> ((s, d) =>
       sourceOverlap(Tables.documents(s, d))),
@@ -1480,6 +1525,33 @@ object Curation {
        |LIMIT $DSIR_TOPK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q126_quality_ks" ->
+      s"""WITH d AS (SELECT COALESCE(source, '') AS source,
+         |        (${TextAnalysis.QUALITY_SQL}) // 100 AS qb
+         |      FROM documents),
+         |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+         |         FROM d GROUP BY source),
+         |b AS (SELECT CAST(i AS BIGINT) AS qb FROM range(0, 11) t(i)),
+         |cnt AS (SELECT source, qb, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM d GROUP BY source, qb),
+         |cw AS (SELECT qb, CAST(COUNT(*) AS BIGINT) AS cc FROM d GROUP BY qb),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+         |grid AS (SELECT s.source, s.n_s, b.qb,
+         |           COALESCE(cnt.c, 0) AS c, COALESCE(cw.cc, 0) AS cc
+         |         FROM srcs s CROSS JOIN b
+         |         LEFT JOIN cnt ON cnt.source = s.source AND cnt.qb = b.qb
+         |         LEFT JOIN cw ON cw.qb = b.qb),
+         |cum AS (SELECT source, n_s, qb,
+         |          SUM(c) OVER (PARTITION BY source ORDER BY qb) AS cum_s,
+         |          SUM(cc) OVER (PARTITION BY source ORDER BY qb) AS cum
+         |        FROM grid),
+         |g AS (SELECT source, n_s, MAX(ABS(cum_s * nn - cum * n_s)) AS mg,
+         |        MAX(nn) AS nn
+         |      FROM cum, n GROUP BY source, n_s)
+         |SELECT source, n_s AS n_docs,
+         |       CAST((mg * 1000000) // (n_s * nn) AS BIGINT) AS ks_x1e6
+         |FROM g ORDER BY source""".stripMargin,
+
     "q117_quality_sweep" ->
       s"""WITH q AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |        ${TextAnalysis.QUALITY_SQL} AS quality_x1e3

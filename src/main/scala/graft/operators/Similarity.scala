@@ -211,7 +211,59 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** q124: EMBEDDING OUTLIER report — the bottom decile of the corpus by
+    * cosine to the corpus centroid, the standard embedding-QA sweep
+    * (broken encoders, mis-joined rows, and off-distribution content all
+    * surface as low centroid affinity before they poison a SemDedup/IVF
+    * build). Determinism is the whole trick: a naive mean of doubles
+    * sums in engine-dependent order, so the centroid is built from
+    * EXACT per-component integer sums of 1e-6-quantized components
+    * (associative, order-free), divided once — both engines then run
+    * the identical correctly-rounded sqrt/divide and the q20c-pinned
+    * sequential-fold cosine against the same centroid, bit for bit.
+    *
+    * 100 TB shape: the quantized component sums are one
+    * (pos → two longs) aggregate (dim-sized state, map-side partial);
+    * the centroid is a broadcast single row; scoring is one codegen'd
+    * pass. The bottom-decile rank is the one global sort — over
+    * 12-byte (cos, id) pairs, not vectors; a production sweep at
+    * petabyte row counts swaps it for an approx-quantile threshold
+    * scan (the q34/q34b split) without touching the scoring pass.
+    */
+  def centroidOutliers(embs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val e = asDouble(embs)
+    val comp = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x") * 1000000 + lit(0.5)).cast("long").as("qx"))
+      .groupBy("pos").agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+    val cent = comp
+      .select(struct(col("pos"),
+        (col("sq").cast("double") / (col("n").cast("double") * lit(1000000.0)))
+          .as("c")).as("pc"))
+      .agg(array_sort(collect_list(col("pc"))).as("pcs"))
+      .select(transform(col("pcs"), p => p.getField("c")).as("cent"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        floor(graft.functions.GraftFunctions.cosine(col("emb"), col("cent"))
+          * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos_x1e4"), col("vec_id"))).cast("long"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_total"))))
+      .filter(col("rnk") <= expr("(n_total + 9) DIV 10"))
+      .select("vec_id", "cos_x1e4", "rnk")
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q124: bottom-decile centroid-affinity outliers (see
+    // [[centroidOutliers]] — exact integer-quantized centroid, q20c
+    // cosine determinism contract).
+    "q124_embedding_outliers" -> ((s, d) =>
+      centroidOutliers(Tables.embeddings(s, d))),
+
     // Q100: recall@3 of the q24c multi-probe index vs brute force.
     "q100_ann_recall" -> ((s, d) => annRecall(Tables.embeddings(s, d))),
 
@@ -331,6 +383,30 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q124_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |px AS (SELECT i - 1 AS pos,
+        |         CAST(FLOOR(emb[i] * 1000000 + 0.5) AS BIGINT) AS qx
+        |       FROM e, unnest(range(1, len(emb) + 1)) AS u(i)),
+        |cs AS (SELECT pos, CAST(SUM(qx) AS BIGINT) AS sq,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM px GROUP BY pos),
+        |cent AS (SELECT list(CAST(sq AS DOUBLE) / (n * 1000000.0)
+        |           ORDER BY pos) AS cent FROM cs),
+        |scored AS (SELECT vec_id,
+        |         CAST(FLOOR(list_dot_product(emb, cent) /
+        |           (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)))
+        |           * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+        |       FROM e, cent),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM e),
+        |ranked AS (SELECT *, CAST(row_number() OVER
+        |             (ORDER BY cos_x1e4, vec_id) AS BIGINT) AS rnk
+        |           FROM scored)
+        |SELECT vec_id, cos_x1e4, rnk
+        |FROM ranked, nt
+        |WHERE rnk <= (n_total + 9) // 10
+        |ORDER BY rnk""".stripMargin,
+
     // q100 twin: the q24c approximate chain + the q20b brute-force chain,
     // joined per (query, neighbor), recall grouped per query.
     "q100_ann_recall" -> {

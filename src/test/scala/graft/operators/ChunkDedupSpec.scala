@@ -216,6 +216,82 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(rows(1L) === ((1L, 1L, nt(5))))
   }
 
+  test("q125: per-doc stages agree with the q115 accounting sums and " +
+    "partition the corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val aNear = a.replace("today", "tonight")
+    val docs = Seq(
+      (1L, a, "x"), (2L, a, "x"), (3L, aNear, "y"),
+      (5L, "pack my box with five dozen liquor jugs before noon ok", "y"))
+      .toDF("doc_id", "text", "source")
+    val labels = Dedup.nearDupClusters(
+      docs.select("doc_id", "text"), 800, cache = false)
+    val applied = ChunkDedup.dedupApply(docs, labels).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // doc 2 falls to the exact stage, doc 3 to near-dup, 1 and 5 kept —
+    // the same assignment q115's ChunkDedupSpec scenario prices
+    assert(applied === Map(1L -> "kept", 2L -> "exact",
+      3L -> "neardup", 5L -> "kept"))
+    // cross-consistency: stage counts reproduce the q115 sums per source
+    val sav = ChunkDedup.dedupSavings(docs, labels).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(5))).toMap
+    val staged = ChunkDedup.dedupApply(docs, labels).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    sav.foreach { case (src, (exRm, ndRm)) =>
+      assert(staged.count(s => s._1 == src && s._2 == "exact") === exRm)
+      assert(staged.count(s => s._1 == src && s._2 == "neardup") === ndRm)
+    }
+  }
+
+  test("q124: a planted off-distribution vector ranks first and the " +
+    "report is exactly the bottom decile") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = graft.sources.Tables.embeddings(spark, graft.TestSpark.SF0001)
+      .select("vec_id", "embedding")
+    // plant the NEGATED corpus centroid: one extra vector barely moves
+    // the centroid, so the plant's cosine sits at ~-1, below any corpus
+    // vector's (test-side mean needs no determinism care)
+    val mean = base
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg(col("x")).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val planted = Seq((999999L, mean.map(m => (-m * 100).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(base.unionByName(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = base.count() + 1
+    assert(out.length === ((n + 9) / 10),
+      s"report must be exactly the bottom decile of $n")
+    assert(out.head._1 === 999999L && out.head._3 === 1L,
+      s"planted anti-centroid vector must rank first: ${out.head}")
+    // ranks are contiguous from 1 and cosines non-decreasing
+    assert(out.map(_._3).toSeq === (1L to out.length).toSeq)
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(identity).toSeq)
+  }
+
+  test("q126: identically-distributed sources score identical (near-zero) " +
+    "KS; a quality-shifted source scores far above them") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // a and b carry the same text multiset; c is garbage-quality
+    // (single repeated char tokens -> low score)
+    val good = "The quick brown fox jumps over the lazy dog near the river bank today."
+    val bad = "x x x x x x x x"
+    val docs = ((1 to 10).map(i => (i.toLong, good, "a")) ++
+      (11 to 20).map(i => (i.toLong, good, "b")) ++
+      (21 to 30).map(i => (i.toLong, bad, "c")))
+      .toDF("doc_id", "text", "source")
+    val ks = Curation.qualityKs(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ks.keySet === Set("a", "b", "c"))
+    assert(ks("a") === ks("b"), "identical distributions, identical KS")
+    assert(ks("c") > ks("a") + 300000L,
+      s"shifted source must stand out: $ks")
+  }
+
   test("q117: sweep is monotone, threshold 0 keeps everything, and " +
     "bucket sums reproduce the corpus totals") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)
