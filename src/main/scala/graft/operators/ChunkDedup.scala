@@ -176,6 +176,31 @@ object ChunkDedup {
       .orderBy("doc_id")
   }
 
+  /** q128: CLUSTER QUALITY STATS — per near-dup cluster, what the
+    * keep-min-doc_id canonical policy (q49/q115/q125) costs against
+    * keep-best-quality (q95): member count, the min-doc member's quality,
+    * the best member's quality, and the gain. The table that decides
+    * WHICH canonical policy a corpus release runs — if gains concentrate
+    * in big clusters, keep-min is throwing away the good copies.
+    * Integer quality values, broadcast pair-graph-sized label relation,
+    * cluster-sized output; ties inside max_by break by min doc_id (the
+    * q95 total order) so the report is deterministic.
+    */
+  def clusterQualityStats(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      TextAnalysis.qualityCol.as("quality_x1e3"))
+    d.join(broadcast(labels.select("doc_id", "cluster_id")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min_by(col("quality_x1e3"), col("doc_id")).as("keepmin_quality_x1e3"),
+        max(col("quality_x1e3")).as("best_quality_x1e3"))
+      .select(col("cluster_id"), col("n_members"),
+        col("keepmin_quality_x1e3"), col("best_quality_x1e3"),
+        (col("best_quality_x1e3") - col("keepmin_quality_x1e3"))
+          .as("quality_gain_x1e3"))
+      .orderBy("cluster_id")
+  }
+
   /** q122: DUPLICATION PROFILE — the cluster-SIZE histogram of the q49
     * near-dup graph, with doc and token mass per size (singletons
     * included as size 1). The shape of this table is what distinguishes
@@ -234,6 +259,13 @@ object ChunkDedup {
     "q125_dedup_apply" -> ((s, d) =>
       dedupApply(Tables.documents(s, d),
         Dedup.clustersFromPairs(
+          s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))))),
+
+    // Q128: keep-min vs keep-best quality per cluster (canonical-policy
+    // pricing), clusters from the shared artifact.
+    "q128_cluster_quality" -> ((s, d) =>
+      clusterQualityStats(Tables.documents(s, d),
+        Dedup.clustersFromPairs(
           s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))))
   )
 
@@ -288,6 +320,27 @@ object ChunkDedup {
          |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
          |       n_occ, n_docs
          |FROM g ORDER BY chunk_hash""".stripMargin,
+
+    "q128_cluster_quality" ->
+      s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},
+         |q AS (SELECT doc_id, ${TextAnalysis.QUALITY_SQL} AS quality_x1e3
+         |      FROM documents),
+         |j AS (SELECT l.cluster_id, l.doc_id, q.quality_x1e3
+         |      FROM labels l JOIN q ON l.doc_id = q.doc_id),
+         |km AS (SELECT cluster_id, doc_id, quality_x1e3,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY doc_id) AS rn
+         |       FROM j)
+         |SELECT j.cluster_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       CAST(MAX(km.quality_x1e3) AS BIGINT) AS keepmin_quality_x1e3,
+         |       CAST(MAX(j.quality_x1e3) AS BIGINT) AS best_quality_x1e3,
+         |       CAST(MAX(j.quality_x1e3) - MAX(km.quality_x1e3) AS BIGINT)
+         |         AS quality_gain_x1e3
+         |FROM j LEFT JOIN (SELECT cluster_id, quality_x1e3 FROM km WHERE rn = 1) km
+         |  ON j.cluster_id = km.cluster_id
+         |GROUP BY j.cluster_id
+         |ORDER BY j.cluster_id""".stripMargin,
 
     "q125_dedup_apply" ->
       s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},

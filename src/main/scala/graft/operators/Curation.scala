@@ -1010,6 +1010,45 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q127: DECONTAMINATION APPLY — the applied twin of
+    * [[contaminationReport]] (the q125-to-q115 relationship, for eval
+    * contamination): EVERY corpus doc labeled `eval` (it is the eval
+    * set), `contaminated` (its 3-gram overlap with the eval set clears
+    * `thresholdX1e3`), or `kept`. This is the relation the training-set
+    * export joins against — eval decontamination is a mandatory pass in
+    * any corpus that also ships its own benchmarks. Shares the report's
+    * shingle relation, broadcast eval-shingle probe and rounding, so the
+    * report and the applied set cannot disagree; docs too short to
+    * shingle (<3 tokens) carry zero overlap and stay kept.
+    */
+  def decontamApply(docs: DataFrame, perLang: Int = 20,
+                    thresholdX1e3: Long = 100): DataFrame = {
+    val sample = TextAnalysis.stratifiedSample(docs, perLang)
+      .select(col("doc_id")).persist()
+    val sh = Dedup.hashedShingles(docs).persist()
+    val evalSh = sh.join(sample, Seq("doc_id")).select("shingle").distinct()
+    val rest = sh.join(sample, Seq("doc_id"), "left_anti")
+    val hits = rest.join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("nhit"))
+    val contam = rest.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("nhit"))
+      .select(col("doc_id"),
+        floor(col("nhit") * lit(1000.0) / col("n_shingles") + lit(0.5))
+          .cast("long").as("contam_x1e3"))
+    val out = docs.select("doc_id")
+      .join(broadcast(sample.withColumn("is_eval", lit(1L))),
+        Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_eval") === 1, lit("eval"))
+          .when(coalesce(col("contam_x1e3"), lit(0L)) >= thresholdX1e3,
+            lit("contaminated"))
+          .otherwise(lit("kept")).as("stage"),
+        coalesce(col("contam_x1e3"), lit(0L)).as("contam_x1e3"))
+      .orderBy("doc_id")
+    out
+  }
+
   /** q71: semantic train/eval contamination — the embedding-space twin of
     * [[contaminationReport]] (q50's n-gram probe misses paraphrases; a
     * high-cosine match against an eval vector catches them). The eval set
@@ -1455,6 +1494,9 @@ object Curation {
     "q117_quality_sweep" -> ((s, d) => qualitySweep(Tables.documents(s, d))),
     "q50_contamination" -> ((s, d) =>
       contaminationReport(Tables.documents(s, d))),
+    // Q127: decontamination APPLY (see [[decontamApply]]).
+    "q127_decontam_apply" -> ((s, d) =>
+      decontamApply(Tables.documents(s, d))),
     "q45_crossmodal_dedup" -> ((s, d) =>
       crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d),
         txtPairs = Some(Dedup.verifiedPairsFromIndex(
@@ -1612,6 +1654,33 @@ object Curation {
 
     "q76_dsir_select" -> dsirOracleSql,
     "q71_semantic_contamination" -> semanticContaminationOracleSql,
+
+    "q127_decontam_apply" ->
+      s"""WITH ranked AS (SELECT doc_id, row_number() OVER
+         |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk
+         |  FROM documents),
+         |sample AS (SELECT doc_id FROM ranked WHERE rnk <= 20),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+         |       FROM toks, unnest(range(1, len(l) - 1)) AS t(i)
+         |       WHERE len(l) >= 3),
+         |evalsh AS (SELECT DISTINCT shingle FROM sh JOIN sample USING (doc_id)),
+         |rest AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM sample)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM rest GROUP BY 1),
+         |hits AS (SELECT doc_id, COUNT(*) AS nhit FROM rest
+         |         WHERE shingle IN (SELECT shingle FROM evalsh) GROUP BY 1),
+         |sc AS (SELECT cnt.doc_id,
+         |         CAST(FLOOR(COALESCE(nhit, 0) * 1000.0 / n_shingles + 0.5) AS BIGINT) AS contam
+         |       FROM cnt LEFT JOIN hits ON cnt.doc_id = hits.doc_id)
+         |SELECT d.doc_id,
+         |       CASE WHEN s.doc_id IS NOT NULL THEN 'eval'
+         |            WHEN COALESCE(sc.contam, 0) >= 100 THEN 'contaminated'
+         |            ELSE 'kept' END AS stage,
+         |       CAST(COALESCE(sc.contam, 0) AS BIGINT) AS contam_x1e3
+         |FROM documents d
+         |LEFT JOIN sample s ON d.doc_id = s.doc_id
+         |LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q50_contamination" ->
       s"""WITH ranked AS (SELECT doc_id, row_number() OVER
          |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk

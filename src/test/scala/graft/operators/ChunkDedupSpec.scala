@@ -292,6 +292,62 @@ class ChunkDedupSpec extends AnyFunSuite {
       s"shifted source must stand out: $ks")
   }
 
+  test("q127: a planted copy of an eval doc is dropped as contaminated, " +
+    "eval docs label eval, and stages partition the corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs0 = graft.sources.Tables.documents(spark, graft.TestSpark.SF0001)
+    // the eval set is the per-lang smallest (phash60(doc_id), doc_id) —
+    // recompute one member and plant a verbatim copy of it in the corpus
+    val evalIds = TextAnalysis.stratifiedSample(docs0, 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ev = docs0.filter(col("doc_id") === evalIds.head)
+      .select("text", "lang").collect()(0)
+    // plant inside an EXISTING lang stratum (a fresh lang would make the
+    // plant its own eval set); id 999999 hash-ranks outside the top-20
+    // of the stratum, so it stays a corpus doc
+    val planted = Seq((999999L, ev.getString(0), ev.getString(1), "plant"))
+      .toDF("doc_id", "text", "lang", "source")
+    val docs = docs0.select("doc_id", "text", "lang", "source")
+      .unionByName(planted)
+    val out = Curation.decontamApply(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size.toLong === docs0.count() + 1, "every doc gets a stage")
+    assert(out(999999L) === "contaminated",
+      s"verbatim eval copy must be dropped, got ${out(999999L)}")
+    evalIds.foreach(id => assert(out(id) === "eval"))
+    assert(out.values.count(_ == "kept") > 0)
+  }
+
+  test("q128: keep-min vs keep-best quality gain is non-negative, zero " +
+    "for identical-text clusters, and positive when the low-id copy is " +
+    "the bad one") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 60 distinct tokens (quality ~1000); the near-dup copy appends a
+    // repeated-stopword tail, dragging BOTH q26 signals (type-token
+    // ratio and stopword ratio) while keeping Jaccard ~0.95
+    val good = (1 to 60).map(i => s"w$i").mkString(" ")
+    val bad = good + " the the the the"
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, bad), (2L, good),          // cluster 1: the bad copy has min id
+      (10L, other), (11L, other))     // cluster 10: identical pair
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val labels = Dedup.nearDupClusters(
+      docs.select("doc_id", "text"), 800, cache = false)
+    val out = ChunkDedup.clusterQualityStats(docs, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out.keySet === Set(1L, 10L))
+    val (n1, keepmin1, best1, gain1) = out(1L)
+    assert(n1 === 2L && gain1 === best1 - keepmin1 && gain1 > 0,
+      s"low-id bad copy must show a positive keep-best gain: ${out(1L)}")
+    val (n2, keepmin2, best2, gain2) = out(10L)
+    assert(n2 === 2L && keepmin2 === best2 && gain2 === 0L,
+      s"identical texts, zero gain: ${out(10L)}")
+  }
+
   test("q117: sweep is monotone, threshold 0 keeps everything, and " +
     "bucket sums reproduce the corpus totals") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)
