@@ -124,6 +124,30 @@ object CdcQueries {
       Envelope.scd2History(Envelope.parse(vals))
     }),
 
+    // Q130: point-in-time lookup against the q123 SCD2 relation — 2000
+    // probe facts spread across the lsn range, each resolved to the
+    // version valid at its lsn (or 'absent' in create-before/delete
+    // gaps). Same synthetic stream, same arithmetic oracle.
+    "q130_scd2_lookup" -> ((s, _) => {
+      val ev = s.range(50000).select(
+        (col("id") % 500).as("k"), (col("id") + 1000000).as("lsn"),
+        when(col("id") % 11 === 10, lit("d"))
+          .when(col("id") < 500, lit("c")).otherwise(lit("u")).as("op"),
+        (col("id") % 7).as("lv"))
+      val vals = ev.select(
+        when(col("op") === "d",
+          format_string(
+            """{"payload": {"before": {"code": %d}, "after": null, "op": "d", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
+            col("k"), col("lsn")))
+          .otherwise(format_string(
+            """{"payload": {"before": null, "after": {"code": %d, "libram": "L%d"}, "op": "%s", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
+            col("k"), col("lv"), col("op"), col("lsn"))).as("value"))
+      val probes = s.range(2000).select(
+        (col("id") % 500).as("k"),
+        (lit(999990L) + (col("id") * 37) % 50020).as("at_lsn"))
+      Envelope.scd2Lookup(Envelope.scd2History(Envelope.parse(vals)), probes)
+    }),
+
     "q33_cdc_synthetic" -> ((s, _) => {
       val vals = s.range(100000).select(
         format_string(
@@ -209,6 +233,25 @@ object CdcQueries {
         |FROM range(100000) t(i)
         |WHERE i % 3 <> 0
         |ORDER BY invalidate_key""".stripMargin,
+
+    "q130_scd2_lookup" ->
+      """WITH ev AS (SELECT i % 500 AS code, i + 1000000 AS lsn,
+        |        CASE WHEN i % 11 = 10 THEN 'd'
+        |             WHEN i < 500 THEN 'c' ELSE 'u' END AS op,
+        |        'L' || CAST(i % 7 AS VARCHAR) AS libram
+        |      FROM range(50000) t(i)),
+        |led AS (SELECT *, lead(lsn) OVER (PARTITION BY code ORDER BY lsn) AS nxt
+        |        FROM ev),
+        |hist AS (SELECT code, libram, lsn AS vf, COALESCE(nxt, -1) AS vt
+        |         FROM led WHERE op <> 'd'),
+        |probes AS (SELECT i % 500 AS k, 999990 + (i * 37) % 50020 AS at_lsn
+        |           FROM range(2000) t(i))
+        |SELECT CAST(p.k AS BIGINT) AS code, CAST(p.at_lsn AS BIGINT) AS at_lsn,
+        |       COALESCE(h.libram, 'absent') AS libram
+        |FROM probes p
+        |LEFT JOIN hist h ON p.k = h.code AND h.vf <= p.at_lsn
+        |  AND (h.vt = -1 OR p.at_lsn < h.vt)
+        |ORDER BY code, at_lsn""".stripMargin,
 
     "q123_scd2_history" ->
       """WITH ev AS (SELECT i % 500 AS code, i + 1000000 AS lsn,

@@ -132,6 +132,28 @@ object Envelope {
       .orderBy("code", "valid_from_lsn")
   }
 
+  /** q130: SCD2 POINT-IN-TIME LOOKUP — enrich a fact relation
+    * `(k, at_lsn)` with the dimension version valid at each fact's lsn
+    * ([[scd2History]]'s interval semantics consumed the way a warehouse
+    * actually consumes them): the version with
+    * `valid_from <= at < valid_to` (current versions open-ended), or
+    * `absent` when the key was deleted or not yet created at that
+    * point. Execution: an equi-join on the key with a residual range
+    * predicate — at most one version matches per fact by the tiling
+    * invariant, and both sides shuffle on the key (the topic's own
+    * partitioning), never a global interval index.
+    */
+  def scd2Lookup(history: DataFrame, probes: DataFrame): DataFrame =
+    probes.join(history,
+      probes("k") === history("code") &&
+        history("valid_from_lsn") <= probes("at_lsn") &&
+        (history("valid_to_lsn") === -1L ||
+          probes("at_lsn") < history("valid_to_lsn")),
+      "left")
+      .select(probes("k").as("code"), probes("at_lsn"),
+        coalesce(history("libram"), lit("absent")).as("libram"))
+      .orderBy("code", "at_lsn")
+
   /** Observable metrics for the drop paths — parity with the reference's
     * log-and-continue (cdc.go:171, :176) without a second pass over the data.
     * Emits `records` (total input), `tombstones` (null values, O-11) and

@@ -176,6 +176,25 @@ object ChunkDedup {
       .orderBy("doc_id")
   }
 
+  /** q129: CHUNK-LEVEL STORAGE SAVINGS — the single-row capacity answer
+    * the q114 report prices per chunk: of the corpus' token mass (as
+    * chunked — chunks partition every document, so this EQUALS the
+    * corpus token count, spec-pinned), how much is duplicate chunk
+    * storage a content-addressed store would not pay twice. Pure tail
+    * over the hash-keyed [[chunkCounts]] partials: Σ n_occ·n_tokens
+    * total, Σ n_tokens per distinct chunk value, savings = difference.
+    */
+  def chunkSavings(docs: DataFrame, div: Long = CHUNK_DIV): DataFrame =
+    chunkCounts(docs, div)
+      .groupBy("chunk_hash", "n_tokens")
+      .agg(sum(col("n_occ")).as("n_occ"))
+      .agg(sum(col("n_tokens") * col("n_occ")).as("total_tokens"),
+        sum(col("n_tokens")).as("unique_chunk_tokens"))
+      .select(col("total_tokens"), col("unique_chunk_tokens"),
+        (col("total_tokens") - col("unique_chunk_tokens")).as("dup_tokens"),
+        expr("((total_tokens - unique_chunk_tokens) * 1000000)" +
+          " DIV total_tokens").as("savings_x1e6"))
+
   /** q128: CLUSTER QUALITY STATS — per near-dup cluster, what the
     * keep-min-doc_id canonical policy (q49/q115/q125) costs against
     * keep-best-quality (q95): member count, the min-doc member's quality,
@@ -199,6 +218,30 @@ object ChunkDedup {
         (col("best_quality_x1e3") - col("keepmin_quality_x1e3"))
           .as("quality_gain_x1e3"))
       .orderBy("cluster_id")
+  }
+
+  /** q131: CLUSTER SOURCE MATRIX — for every source pair (s1 <= s2), how
+    * many near-dup clusters contain BOTH (diagonal = clusters touching
+    * the source at all). q109 detects mirror feeds at the raw-shingle
+    * level; this is the same question asked of the VERIFIED duplicate
+    * graph — which feeds actually co-occur in dedup clusters, i.e.
+    * where cross-source dedup is doing work and which source pairs a
+    * crawler could drop. Execution: the label relation is
+    * pair-graph-sized (broadcast), the distinct (cluster, source)
+    * relation smaller still; the pair self-join fans out per cluster by
+    * its source count (bounded by #sources), output matrix-sized.
+    */
+  def clusterSourceMatrix(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val cs = docs.select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"))
+      .join(broadcast(labels.select("doc_id", "cluster_id")), Seq("doc_id"))
+      .select("cluster_id", "source").distinct()
+    cs.as("a").join(cs.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("source1", "source2")
   }
 
   /** q122: DUPLICATION PROFILE — the cluster-SIZE histogram of the q49
@@ -266,6 +309,18 @@ object ChunkDedup {
     "q128_cluster_quality" -> ((s, d) =>
       clusterQualityStats(Tables.documents(s, d),
         Dedup.clustersFromPairs(
+          s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))))),
+
+    // Q129: chunk-level storage savings over the q114 fixture corpus.
+    "q129_chunk_savings" -> ((s, d) =>
+      chunkSavings(Dedup.withPlantedExcerpts(
+        Tables.documents(s, d).select("doc_id", "text")))),
+
+    // Q131: which source pairs co-occur in near-dup clusters (verified
+    // mirror matrix), clusters from the shared artifact.
+    "q131_cluster_sources" -> ((s, d) =>
+      clusterSourceMatrix(Tables.documents(s, d),
+        Dedup.clustersFromPairs(
           s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))))
   )
 
@@ -321,6 +376,17 @@ object ChunkDedup {
          |       n_occ, n_docs
          |FROM g ORDER BY chunk_hash""".stripMargin,
 
+    "q131_cluster_sources" ->
+      s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},
+         |cs AS (SELECT DISTINCT l.cluster_id, COALESCE(d.source, '') AS source
+         |       FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+         |SELECT a.source AS source1, b.source AS source2,
+         |       CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM cs a JOIN cs b
+         |  ON a.cluster_id = b.cluster_id AND a.source <= b.source
+         |GROUP BY a.source, b.source
+         |ORDER BY source1, source2""".stripMargin,
+
     "q128_cluster_quality" ->
       s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},
          |q AS (SELECT doc_id, ${TextAnalysis.QUALITY_SQL} AS quality_x1e3
@@ -365,6 +431,36 @@ object ChunkDedup {
          |            ELSE 'kept' END AS stage
          |FROM f LEFT JOIN nd ON f.doc_id = nd.doc_id
          |ORDER BY f.doc_id""".stripMargin,
+
+    "q129_chunk_savings" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 2000000,
+         |               array_to_string((string_split(text, ' '))[1:${Dedup.EXC_TOKENS}], ' ')
+         |        FROM documents
+         |        WHERE ${Sketches.phash60Sql("doc_id")} % 50 = 0),
+         |tok AS (SELECT doc_id, i - 1 AS pos, l[i] AS tok
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM base),
+         |             unnest(range(1, len(l) + 1)) AS u(i)),
+         |b AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN ${Sketches.phash60Sql("tok")} % $CHUNK_DIV = 0
+         |             THEN 1 ELSE 0 END AS b
+         |      FROM tok),
+         |c AS (SELECT doc_id, pos, tok,
+         |        COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         |      FROM b),
+         |ch AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS chunk
+         |       FROM c GROUP BY doc_id, cid),
+         |g AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |        CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+         |      FROM ch GROUP BY chunk)
+         |SELECT CAST(SUM(n_tokens * n_occ) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS unique_chunk_tokens,
+         |       CAST(SUM(n_tokens * n_occ) - SUM(n_tokens) AS BIGINT) AS dup_tokens,
+         |       CAST(((SUM(n_tokens * n_occ) - SUM(n_tokens)) * 1000000)
+         |         // SUM(n_tokens * n_occ) AS BIGINT) AS savings_x1e6
+         |FROM g""".stripMargin,
 
     "q115_dedup_savings" ->
       s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},

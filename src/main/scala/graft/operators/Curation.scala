@@ -875,6 +875,45 @@ object Curation {
     }
   }
 
+  /** Streaming CENTROID maintenance — q124's corpus-centroid state as a
+    * long-running stream: each micro-batch of `(vec_id, embedding)`
+    * reduces to its quantized per-component integer sums
+    * ([[Similarity.centroidComponents]]: (pos, sq, n) — dim-sized,
+    * additive, order-free) and overwrites `centDir/batch=<id>`; the raw
+    * vectors are never retained. [[centroidFromIndex]] reconstructs the
+    * exact whole-corpus component relation by summing the partials, so
+    * scoring ANY relation against the running centroid (e.g. the newest
+    * delta — embedding-QA at ingest time) pays only that relation's
+    * scan. The burst/vocab-index replay posture: a retried batch
+    * overwrites its own directory idempotently.
+    */
+  def streamingCentroidIngest(embs: DataFrame, centDir: String,
+                              checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.centroidComponents(Similarity.asDouble(batch))
+          .write.mode("overwrite").parquet(s"$centDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The exact whole-corpus `(pos, sq, n)` component relation off a
+    * [[streamingCentroidIngest]] index (sum-of-sums — integer-exact).
+    */
+  def centroidFromIndex(spark: SparkSession, centDir: String): DataFrame =
+    spark.read.parquet(centDir)
+      .groupBy("pos").agg(sum("sq").as("sq"), sum("n").as("n"))
+
+  /** The q124 report off a centroid index: the identical
+    * [[Similarity.outliersAgainst]] tail over the merged components.
+    */
+  def centroidOutliersFromIndex(embs: DataFrame, centDir: String): DataFrame =
+    Similarity.outliersAgainst(Similarity.asDouble(embs),
+      centroidFromIndex(embs.sparkSession, centDir))
+
   /** Retire unreferenced label-state directories left by
     * [[streamingClusterIngest]]. Buckets carry forward by manifest
     * reference, so an OLD batch directory stays live for as long as any

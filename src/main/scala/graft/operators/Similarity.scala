@@ -231,12 +231,29 @@ object Similarity {
     * scan (the q34/q34b split) without touching the scoring pass.
     */
   def centroidOutliers(embs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(embs.sparkSession)
     val e = asDouble(embs)
-    val comp = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
+    outliersAgainst(e, centroidComponents(e))
+  }
+
+  /** The exact quantized per-component centroid sums `(pos, sq, n)` —
+    * associative and order-free, therefore MERGEABLE: partials over
+    * disjoint batches sum to the whole-corpus relation (the q58/q84
+    * contract; the streaming centroid index persists exactly these
+    * rows and StreamingSpec pins merged == batch).
+    */
+  private[graft] def centroidComponents(e: DataFrame): DataFrame =
+    e.select(posexplode(col("emb")).as(Seq("pos", "x")))
       .select(col("pos"),
         floor(col("x") * 1000000 + lit(0.5)).cast("long").as("qx"))
       .groupBy("pos").agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+
+  /** The q124 scoring tail against a `(pos, sq, n)` component relation —
+    * ONE definition shared by the batch query and the streaming-index
+    * readout so the two can never drift.
+    */
+  private[graft] def outliersAgainst(e: DataFrame,
+                                         comp: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     val cent = comp
       .select(struct(col("pos"),
         (col("sq").cast("double") / (col("n").cast("double") * lit(1000000.0)))

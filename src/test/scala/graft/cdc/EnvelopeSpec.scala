@@ -128,5 +128,30 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(byKey(1L).count(_._5 == 1L) === 1)
     assert(byKey(2L).count(_._5 == 1L) === 0)
     assert(byKey(3L).count(_._5 == 1L) === 1)
+
+    // q130 lookup against the same history: probes in every regime —
+    // before creation, inside each version, inside the delete gap,
+    // after re-creation, and on exact boundaries (valid_from inclusive,
+    // valid_to exclusive)
+    import spark.implicits._
+    val probes = Seq(
+      (1L, 5L),   // before creation -> absent
+      (1L, 10L),  // valid_from boundary -> A
+      (1L, 25L),  // inside v2 -> B
+      (1L, 30L),  // v2's valid_to == v3's valid_from -> C
+      (1L, 99L),  // current -> C
+      (2L, 15L),  // inside the only version -> X
+      (2L, 21L),  // delete lsn: interval closed -> absent
+      (3L, 25L),  // delete gap -> absent
+      (3L, 40L))  // re-created -> Q
+      .toDF("k", "at_lsn")
+    val looked = Envelope.scd2Lookup(
+      Envelope.scd2History(Envelope.parse(vals)), probes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(looked === Map(
+      (1L, 5L) -> "absent", (1L, 10L) -> "A", (1L, 25L) -> "B",
+      (1L, 30L) -> "C", (1L, 99L) -> "C",
+      (2L, 15L) -> "X", (2L, 21L) -> "absent",
+      (3L, 25L) -> "absent", (3L, 40L) -> "Q"))
   }
 }

@@ -348,6 +348,48 @@ class ChunkDedupSpec extends AnyFunSuite {
       s"identical texts, zero gain: ${out(10L)}")
   }
 
+  test("q129: chunked token mass equals the corpus token count; planted " +
+    "excerpts produce positive savings; an all-unique corpus saves zero") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Dedup.withPlantedExcerpts(
+      graft.sources.Tables.documents(spark, graft.TestSpark.SF0001)
+        .select("doc_id", "text"))
+    val row = ChunkDedup.chunkSavings(corpus).collect()(0)
+    val (total, uniq, dup, sav) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val nTok = corpus.select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(total === nTok, "chunks partition documents: mass conserved")
+    assert(dup === total - uniq && dup > 0 && sav > 0,
+      s"planted excerpts must show savings: $row")
+    // all-unique corpus: every chunk value occurs once
+    val uniqDocs = Seq((1L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (2L, (31 to 60).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val r2 = ChunkDedup.chunkSavings(uniqDocs).collect()(0)
+    assert(r2.getLong(2) === 0L && r2.getLong(3) === 0L)
+  }
+
+  test("q131: a cluster spanning two sources lands in the off-diagonal " +
+    "cell and the diagonal counts every touched cluster") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val t1 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val t2 = (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, t1, "x"), (2L, t1, "y"),   // cross-source cluster
+      (10L, t2, "x"), (11L, t2, "x")) // same-source cluster
+      .toDF("doc_id", "text", "source")
+    val labels = Dedup.nearDupClusters(
+      docs.select("doc_id", "text"), 800, cache = false)
+    val out = ChunkDedup.clusterSourceMatrix(docs, labels).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("x", "x") -> 2L,  // both clusters touch x
+      ("x", "y") -> 1L,  // the cross-source cluster
+      ("y", "y") -> 1L))
+  }
+
   test("q117: sweep is monotone, threshold 0 keeps everything, and " +
     "bucket sums reproduce the corpus totals") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.SF0001)

@@ -551,6 +551,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rep(Curation.chunkReportFromIndex(spark, s"$dir/chunks")) === batch)
   }
 
+  test("streaming centroid ingest: outlier report off the summed " +
+    "component partials == batch q124 over everything ingested; replay " +
+    "idempotent") {
+    import spark.implicits._
+    import graft.operators.{Curation, Similarity}
+    import graft.sources.Tables
+    val corpus = Tables.embeddings(spark, TestSpark.SF0001)
+      .select("vec_id", "embedding")
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-centstream").toString
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Curation.streamingCentroidIngest(
+      in.toDF().toDF("vec_id", "embedding"), s"$dir/cent", ckpt())
+    try {
+      in.addData(evens); q.processAllAvailable()
+      in.addData(odds); q.processAllAvailable()
+    } finally q.stop()
+    def rep(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = rep(Curation.centroidOutliersFromIndex(corpus, s"$dir/cent"))
+    val batch = rep(Similarity.centroidOutliers(corpus))
+    assert(batch.nonEmpty && got === batch,
+      "summed integer component partials must reproduce the batch " +
+        "centroid (and therefore the report) EXACTLY")
+    // replay: batch 1 overwrites its own directory with identical content
+    Similarity.centroidComponents(Similarity.asDouble(
+        odds.toDF("vec_id", "embedding")))
+      .write.mode("overwrite").parquet(s"$dir/cent/batch=1")
+    assert(rep(Curation.centroidOutliersFromIndex(corpus, s"$dir/cent"))
+      === batch)
+  }
+
   test("streaming burst ingest: flags off the summed counts index == the " +
     "batch q110 over everything ingested; superseded label states prune") {
     import spark.implicits._

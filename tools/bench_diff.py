@@ -85,9 +85,9 @@ def family(q):
         i = int(n.rstrip("bc"))
     except ValueError:
         return "relational"
-    if i <= 7 or i == 33 or i == 123:
+    if i <= 7 or i in (33, 123, 130):
         return "cdc"
-    if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106, 109, 112, 114, 115, 122, 125, 128):
+    if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106, 109, 112, 114, 115, 122, 125, 128, 129, 131):
         return "dedup"
     if i in (20, 24, 54, 61, 66, 69, 70, 72, 99, 100, 102, 118, 124):
         return "similarity"
