@@ -42,9 +42,9 @@ import sys
 # the factor tracks the queries it corrects). The constants below are only
 # the fallback for grading against a legacy full-artifact reference, and
 # must then match Bench.scala's controlRef.
-FALLBACK_CONTROLS = {"q01_scan": 0.056, "q22_minhash_lsh": 1.207,
-                     "q57_curation_strict": 1.478,
-                     "q89_leakfree_containment": 0.447}
+FALLBACK_CONTROLS = {"q01_scan": 0.072, "q22_minhash_lsh": 1.207,
+                     "q57_curation_strict": 1.387,
+                     "q89_leakfree_containment": 0.485}
 REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_ref.json")
 
