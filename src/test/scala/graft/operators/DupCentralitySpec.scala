@@ -95,4 +95,24 @@ class DupCentralitySpec extends AnyFunSuite {
     assert(got(1L)._1 === 4L && got(1L)._2 > got(11L)._2,
       "the template hub carries the highest centrality")
   }
+
+  test("local and distributed paths agree when pair endpoints fall " +
+    "OUTSIDE the node relation (ADVICE r11: divergence from iteration 2)") {
+    import spark.implicits._
+    // node 99 is an edge endpoint but NOT in nodes0: the distributed
+    // path routes rank through nodes0 only, yet node 2's out-degree
+    // still counts its edge to 99 — the local path must reproduce both
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 99L), (1L, 3L)).toDF("d1", "d2")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val local = rows(Dedup.pageRank(nodes, pairs, iters = 3,
+      localMaxEdges = 1000000L))
+    val dist = rows(Dedup.pageRank(nodes, pairs, iters = 3,
+      localMaxEdges = -1L))
+    assert(local === dist,
+      s"gate-dependent results on out-of-node endpoints:\n$local\nvs\n$dist")
+    // and the out-degree of node 2 counts the edge to the outside node
+    assert(local.find(_._1 == 2L).get._2 === 2L)
+  }
 }

@@ -488,6 +488,32 @@ class StreamingSpec extends AnyFunSuite {
       Set((1L, 1L), (37L, 1L), (38L, 1L), (70L, 1L)))
   }
 
+  test("a torn label manifest fails loudly: truncation without the END " +
+    "terminator is rejected instead of silently dropping bucket ownership") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = Files.createTempDirectory("graft-torn").toString
+    Curation.clusterIngestBatch(Seq((1L, txt), (2L, txt)).toDF("doc_id", "text"),
+      0L, s"$dir/idx", s"$dir/pairs", s"$dir/labels", 800)
+    val man = new java.io.File(s"$dir/labels/batch=0/_MANIFEST")
+    val lines = java.nio.file.Files.readAllLines(man.toPath)
+    assert(lines.get(lines.size - 1).startsWith("END "))
+    // simulate a torn write: drop the terminator (and one entry line);
+    // also drop Hadoop's sidecar checksum so the END validation itself
+    // is exercised (a checksum mismatch would be a loud failure too,
+    // but not on every filesystem)
+    java.nio.file.Files.write(man.toPath,
+      java.util.Arrays.asList(lines.get(0)))
+    new java.io.File(s"$dir/labels/batch=0/._MANIFEST.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      Curation.labelState(spark, s"$dir/labels").collect()
+    }
+    assert(e.getMessage.contains("truncated") ||
+      e.getMessage.contains("END"),
+      s"torn manifest must be rejected with a clear message: ${e.getMessage}")
+  }
+
   test("pruneLabelStates never deletes a manifest-less dir at/above the " +
     "committed frontier (an in-flight batch)") {
     import spark.implicits._
