@@ -127,14 +127,34 @@ object Bench {
     // clobber guard (two rounds, two judge incidents): a SUBSET run
     // (SPARK_GRAFT_BENCH_ONLY) must never overwrite a fuller artifact —
     // if the existing bench_out.json covers more queries than this run,
-    // the detail goes to bench_out.partial.json instead
+    // the detail goes to bench_out.partial.json instead. The count comes
+    // from PARSING the artifact ('stats', falling back to 'queries'), not
+    // a format-coupled regex — a format drift now warns loudly instead of
+    // silently disabling the guard.
     val outPath = {
       val full = java.nio.file.Paths.get("bench_out.json")
       val existingN =
         try {
           val t = java.nio.file.Files.readString(full)
-          "\"q[0-9a-zA-Z_]+\":\\{\"med\"".r.findAllIn(t).length
-        } catch { case _: Throwable => 0 }
+          import org.json4s._
+          def keys(field: String): Option[Int] =
+            org.json4s.jackson.JsonMethods.parse(t) \ field match {
+              case JObject(fields) => Some(fields.size)
+              case _ => None
+            }
+          keys("stats").orElse(keys("queries")).getOrElse {
+            System.err.println("[bench] existing bench_out.json has neither" +
+              " a 'stats' nor a 'queries' object — clobber guard cannot" +
+              " compare coverage and is DISABLED for this write")
+            0
+          }
+        } catch {
+          case _: java.nio.file.NoSuchFileException => 0
+          case e: Throwable =>
+            System.err.println("[bench] could not parse existing" +
+              s" bench_out.json (${e.getMessage}) — clobber guard DISABLED")
+            0
+        }
       if (existingN > names.size) {
         System.err.println(s"[bench] bench_out.json holds $existingN queries" +
           s" > this run's ${names.size} — writing bench_out.partial.json")

@@ -202,8 +202,10 @@ object ChunkDedup {
     * WHICH canonical policy a corpus release runs — if gains concentrate
     * in big clusters, keep-min is throwing away the good copies.
     * Integer quality values, broadcast pair-graph-sized label relation,
-    * cluster-sized output; ties inside max_by break by min doc_id (the
-    * q95 total order) so the report is deterministic.
+    * cluster-sized output; the keep-min member's quality comes from
+    * `min_by(quality, doc_id)` (deterministic — doc_id is unique) and the
+    * best value from plain `max(quality)` over exact integers, so the
+    * report is deterministic with no tie-break needed.
     */
   def clusterQualityStats(docs: DataFrame, labels: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"),

@@ -675,6 +675,16 @@ object Curation {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    // legacy-format detection (pre-r12 manifests had bare "<bucket> <owner>"
+    // lines, no L/D relation tag and no END terminator): fail with an
+    // explicit migration message, not a misleading "truncated" error
+    require(!(lines.nonEmpty &&
+        lines.forall(l => l.trim.split(" ").length == 2 &&
+          !l.startsWith("L ") && !l.startsWith("D ") && !l.startsWith("END "))),
+      s"manifest $path is in the legacy 2-field format (written by a " +
+        "pre-docmap graft version): the label-state format migrated to " +
+        "tagged L/D entries with an END terminator — rebuild the label " +
+        "state from the stream (delete the labels directory and replay)")
     require(lines.nonEmpty && lines.last.startsWith("END "),
       s"manifest $path is truncated (no END terminator)")
     require(lines.size - 1 == lines.last.stripPrefix("END ").trim.toInt,
@@ -833,7 +843,16 @@ object Curation {
     val base = new org.apache.hadoop.fs.Path(chunksDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(base)) recoverCompaction(fs, base)
-    ChunkDedup.chunkReport(spark.read.parquet(chunksDir)
+    val idx = spark.read.parquet(chunksDir)
+    // legacy-format detection: pre-r12 indexes keyed on the chunk TEXT
+    // ('chunk' column, no 'chunk_hash') — fail with an explicit migration
+    // message instead of a bare missing-column resolution error
+    require(idx.columns.contains("chunk_hash"),
+      s"chunk index at $chunksDir predates the hash-keyed format" +
+        (if (idx.columns.contains("chunk")) " (it carries a text 'chunk' column)" else "") +
+        ": the index format migrated to (chunk_hash, n_tokens, doc_id, n_occ)" +
+        " — rebuild it (delete the index directory and replay the stream)")
+    ChunkDedup.chunkReport(idx
       .select("chunk_hash", "n_tokens", "doc_id", "n_occ"))
   }
 
@@ -1472,10 +1491,11 @@ object Curation {
     * exact, the CDF gap compares via cross-multiplication
     * (|cum_s·N − cum·N_s|), and the single division happens once per
     * source AFTER the max (denominator constant per source, so max
-    * commutes). 100 TB shape: one scored scan → (source × 11)-row grid;
-    * windows run over the grid, never the corpus. (Products are bounded
-    * by N_s·N — at petabyte row counts route through DECIMAL(38) or
-    * pre-divide per bucket; the statistic is unchanged.)
+    * commutes). The products are bounded by N_s·N, so they run through
+    * DECIMAL(38,0) (Spark) / HUGEINT (the oracle) — exact at any row
+    * count up to 10^19 per side, i.e. far past petabyte corpora. 100 TB
+    * shape: one scored scan → (source × 11)-row grid; windows run over
+    * the grid, never the corpus.
     */
   def qualityKs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -1497,10 +1517,17 @@ object Curation {
       .withColumn("cum", sum(col("cc")).over(w))
       .crossJoin(broadcast(total))
       .groupBy("source", "n_s", "n")
-      .agg(max(abs(col("cum_s") * col("n") - col("cum") * col("n_s")))
+      // DECIMAL(19,0) factors -> DECIMAL(38,0) products: exact for any
+      // row count below 10^19 per side (BIGINT would overflow past
+      // ~3e9 x 3e9 rows); DIV on decimals yields BIGINT on both engines
+      .agg(max(abs(col("cum_s").cast("decimal(19,0)") *
+          col("n").cast("decimal(19,0)") -
+          col("cum").cast("decimal(19,0)") *
+          col("n_s").cast("decimal(19,0)")))
         .as("mg"))
       .select(col("source"), col("n_s").as("n_docs"),
-        expr("(mg * 1000000) DIV (n_s * n)").as("ks_x1e6"))
+        expr("(mg * 1000000) DIV (CAST(n_s AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))")
+          .as("ks_x1e6"))
       .orderBy("source")
   }
 
@@ -1626,11 +1653,12 @@ object Curation {
          |          SUM(c) OVER (PARTITION BY source ORDER BY qb) AS cum_s,
          |          SUM(cc) OVER (PARTITION BY source ORDER BY qb) AS cum
          |        FROM grid),
-         |g AS (SELECT source, n_s, MAX(ABS(cum_s * nn - cum * n_s)) AS mg,
+         |g AS (SELECT source, n_s,
+         |        MAX(ABS(CAST(cum_s AS HUGEINT) * nn - CAST(cum AS HUGEINT) * n_s)) AS mg,
          |        MAX(nn) AS nn
          |      FROM cum, n GROUP BY source, n_s)
          |SELECT source, n_s AS n_docs,
-         |       CAST((mg * 1000000) // (n_s * nn) AS BIGINT) AS ks_x1e6
+         |       CAST((mg * 1000000) // (CAST(n_s AS HUGEINT) * nn) AS BIGINT) AS ks_x1e6
          |FROM g ORDER BY source""".stripMargin,
 
     "q117_quality_sweep" ->
