@@ -77,7 +77,25 @@ object DedupArtifacts {
     * state that production reads from disk).
     */
   private[graft] def ensureDerived(spark: SparkSession, key: String)
-                                  (build: => DataFrame): String = {
+                                  (build: => DataFrame): String =
+    ensureDerivedBy(key)(df => df.write.mode("overwrite"))(build)
+
+  /** [[ensureDerived]] with the relation PARTITIONED BY `partitionCol` on
+    * disk — for artifacts whose consumers prune by that column at the
+    * scan (the IVF inverted lists keyed by cell, the LSH buckets keyed by
+    * bucket: a search touches only its probed partitions, so the read is
+    * probe-sized, never corpus-sized).
+    */
+  private[graft] def ensureDerivedPartitioned(spark: SparkSession,
+                                              key: String,
+                                              partitionCol: String)
+                                             (build: => DataFrame): String =
+    ensureDerivedBy(s"$key|part=$partitionCol")(df =>
+      df.write.mode("overwrite").partitionBy(partitionCol))(build)
+
+  private def ensureDerivedBy(key: String)
+                             (writer: DataFrame => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+                             (build: => DataFrame): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dir = s"$artifactRoot/drv_$digest"
@@ -85,7 +103,7 @@ object DedupArtifacts {
       if (!builtDirs.contains(dir)) {
         val marker = new java.io.File(s"$dir/_GRAFT_INDEX_OK")
         if (!marker.exists()) {
-          build.write.mode("overwrite").parquet(dir)
+          writer(build).parquet(dir)
           marker.createNewFile()
         }
         builtDirs += dir

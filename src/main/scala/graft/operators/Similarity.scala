@@ -99,6 +99,62 @@ object Similarity {
                                       cents: DataFrame): DataFrame =
     bestCells(v, cents, 1, "cell").select(col("vec_id"), col("cell"))
 
+  /** Content-keyed, build-once IVF INVERTED LISTS over `sfDir`'s
+    * embeddings table under the demo coarse quantizer (first `nCents`
+    * corpus vectors): the `(vec_id, emb, cell)` nearest-cell assignment
+    * relation, PARTITIONED BY cell on disk. This is what a production
+    * IVF index persists between builds — the full-corpus argmax pass is
+    * paid ONCE per corpus snapshot, and every search reads only the
+    * `cell=K` leaf directories its queries probe (partition filters at
+    * the scan), never re-assigning the base corpus per call. q118's
+    * delta maintenance appends to exactly this relation in production;
+    * its occupancy report reads the base side off this artifact. The key
+    * chains the embeddings fingerprint ([[DedupArtifacts.embeddingsKey]]
+    * — count, id checksum, vector hash), so a regenerated fixture or a
+    * different quantizer config can only MISS, never serve stale lists.
+    */
+  private[graft] def ensureIvfAssignments(spark: SparkSession, sfDir: String,
+                                          nCents: Int = 16): String = {
+    val embs = Tables.embeddings(spark, sfDir)
+    DedupArtifacts.ensureDerivedPartitioned(spark,
+      DedupArtifacts.embeddingsKey(embs, "ivfassign") + s"|k=$nCents|v=1",
+      "cell") {
+      val e = asDouble(embs)
+      val cents = e.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+      bestCells(e, cents, 1, "cell")
+    }
+  }
+
+  /** Content-keyed, build-once LSH BUCKET relation `(vec_id, emb, bucket)`
+    * over `sfDir`'s embeddings — the q24/q24c/q100 corpus side,
+    * PARTITIONED BY bucket (256 sign-buckets under the 8 fixed planes).
+    * Same posture as [[ensureIvfAssignments]]: bucketing the corpus is
+    * index-build work, paid once; a search reads only its probed
+    * `bucket=K` partitions.
+    */
+  private[graft] def ensureLshBuckets(spark: SparkSession,
+                                      sfDir: String): String = {
+    val embs = Tables.embeddings(spark, sfDir)
+    DedupArtifacts.ensureDerivedPartitioned(spark,
+      DedupArtifacts.embeddingsKey(embs, "lshbkt") + s"|p=$N_PLANES|v=1",
+      "bucket")(
+      asDouble(embs).withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM)))
+  }
+
+  /** Read the [[ensureLshBuckets]] artifact pruned to `probed` bucket ids:
+    * the filter lands on the partition column as PartitionFilters, so the
+    * scan touches only the probed leaf directories. (Partition-value
+    * inference types small ids as INT; the literals match that type so
+    * pruning stays a pure partition filter, and the column is re-cast to
+    * the LONG the live bucketing produces only AFTER the filter.)
+    */
+  private def lshCorpus(spark: SparkSession, sfDir: String,
+                        probed: Seq[Long]): DataFrame =
+    spark.read.parquet(ensureLshBuckets(spark, sfDir))
+      .filter(col("bucket").isin(probed.map(_.toInt): _*))
+      .select(col("vec_id"), col("emb"), col("bucket").cast("long").as("bucket"))
+
   /** IVF search against an arbitrary coarse-centroid relation
     * `(cent_id, cent: array<double>)`: every vector is assigned to its
     * nearest centroid in one broadcast pass, queries (vec_id < nQueries)
@@ -113,6 +169,16 @@ object Similarity {
     val assigned = bestCells(e, cents, 1, "cell")
     val queries = bestCells(e.filter(col("vec_id") < nQueries), cents, probes, "cell")
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("cell"))
+    ivfProbe(assigned, queries, topK)
+  }
+
+  /** The IVF PROBE tail — candidate equi-join on the cell id, exact
+    * cosine ranking — shared by [[ivfSearch]] (live assignment) and
+    * [[ivfSearchIndexed]] (assignment read off the persisted inverted
+    * lists), so the two can never drift.
+    */
+  private def ivfProbe(assigned: DataFrame, queries: DataFrame,
+                       topK: Int): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_x1e4").desc, col("vec_id"))
     assigned.join(broadcast(queries), Seq("cell"))
@@ -123,6 +189,36 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= topK)
       .orderBy("q_id", "rnk")
+  }
+
+  /** [[ivfSearch]] against the PERSISTED inverted lists
+    * ([[ensureIvfAssignments]]) — the q24b/q24c production lifecycle
+    * completed: build once, search reads only probed cells, q118
+    * maintains. Only the (tiny) query set is assigned live; its probed
+    * cell ids (nQueries × probes values — bounded driver state, the
+    * probe list a real ANN service also materializes) become partition
+    * filters on the inverted-list scan, so NO full-corpus assignment
+    * pass runs inside the search. Output is bit-identical to
+    * [[ivfSearch]] (AnnIndexSpec pins artifact assignment == live
+    * assignment; doubles round-trip parquet exactly).
+    */
+  def ivfSearchIndexed(spark: SparkSession, sfDir: String, nCents: Int = 16,
+                       nQueries: Int = 5, probes: Int = 2,
+                       topK: Int = 3): DataFrame = {
+    val dir = ensureIvfAssignments(spark, sfDir, nCents)
+    val e = asDouble(Tables.embeddings(spark, sfDir))
+    val cents = e.filter(col("vec_id") < nCents)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+    val queries = bestCells(e.filter(col("vec_id") < nQueries), cents,
+        probes, "cell")
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("cell"))
+      .persist()
+    val probed = queries.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val assigned = spark.read.parquet(dir)
+      .filter(col("cell").isin(probed.map(_.toInt): _*))
+      .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+    ivfProbe(assigned, queries, topK)
   }
 
   /** q118: INCREMENTAL IVF MAINTENANCE — assign a DELTA of new vectors to
@@ -142,7 +238,8 @@ object Similarity {
     * oracle replays the assignment bit-for-bit (the q61 twin idiom).
     */
   def ivfDeltaAssign(embs: DataFrame, nCents: Int = 16,
-                     nDelta: Int = 50): DataFrame = {
+                     nDelta: Int = 50,
+                     baseAssignDir: Option[String] = None): DataFrame = {
     val e = asDouble(embs)
     val cents = e.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
@@ -153,7 +250,16 @@ object Similarity {
     def cellCounts(v: DataFrame, cnt: String): DataFrame =
       bestCells(v, cents, 1, "cell")
         .groupBy(col("cell").as("cent_id")).agg(count(lit(1)).as(cnt))
-    cellCounts(e, "n_base")
+    // base occupancy off the persisted inverted lists when available (the
+    // q24b artifact — production never re-assigns the base corpus to
+    // count its cells); assignment work is then DELTA-sized only
+    val baseCounts = baseAssignDir match {
+      case Some(dir) => embs.sparkSession.read.parquet(dir)
+        .groupBy(col("cell").cast("long").as("cent_id"))
+        .agg(count(lit(1)).as("n_base"))
+      case None => cellCounts(e, "n_base")
+    }
+    baseCounts
       .join(cellCounts(delta, "n_delta"), Seq("cent_id"), "full_outer")
       .na.fill(0L, Seq("n_base", "n_delta"))
       .select(col("cent_id"), col("n_base"), col("n_delta"),
@@ -176,12 +282,12 @@ object Similarity {
     * are impossible ambiguity: both sides rank by the SAME
     * (cos_x1e4 DESC, vec_id) total order.
     */
-  def annRecall(embs: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
+  def annRecall(embs: DataFrame, nQueries: Int = 5, k: Int = 3,
+                indexedSfDir: Option[String] = None): DataFrame = {
     val e = asDouble(embs)
-      .withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM))
     val q0 = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
-        col("bucket").as("qb"))
+      .withColumn("qb", bucketExpr(col("emb"), N_PLANES, DIM))
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("qb"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_x1e4").desc, col("vec_id"))
     def topk(cand: DataFrame) = cand
@@ -196,7 +302,19 @@ object Similarity {
     val masks = (0L +: (0 until N_PLANES).map(i => 1L << i)).map(lit)
     val qmp = q0.withColumn("m", explode(array(masks: _*)))
       .select(col("q_id"), col("qe"), col("qb").bitwiseXOR(col("m")).as("bucket"))
-    val approx = topk(e.join(broadcast(qmp), Seq("bucket"))
+      .persist()
+    // approximate side off the persisted bucket relation when available:
+    // ground truth pays the honest full-corpus pass, but the INDEX side
+    // reads only the probed partitions, like the q24c search it evaluates
+    val corpusB = indexedSfDir match {
+      case Some(d) =>
+        val probed = qmp.select("bucket").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        lshCorpus(embs.sparkSession, d, probed)
+      case None =>
+        e.withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM))
+    }
+    val approx = topk(corpusB.join(broadcast(qmp), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id")))
     truth.as("t")
       .join(approx.as("a"),
@@ -281,8 +399,10 @@ object Similarity {
     "q124_embedding_outliers" -> ((s, d) =>
       centroidOutliers(Tables.embeddings(s, d))),
 
-    // Q100: recall@3 of the q24c multi-probe index vs brute force.
-    "q100_ann_recall" -> ((s, d) => annRecall(Tables.embeddings(s, d))),
+    // Q100: recall@3 of the q24c multi-probe index vs brute force (the
+    // index side off the persisted bucket relation, like q24c itself).
+    "q100_ann_recall" -> ((s, d) =>
+      annRecall(Tables.embeddings(s, d), indexedSfDir = Some(d))),
 
     // Q20 (E-10): exact cosine top-5 of vec_id=0.
     "q20_cosine_topk" -> ((s, d) => {
@@ -336,36 +456,43 @@ object Similarity {
     // recall/probes is the standard IVF tradeoff. The construction is fully
     // deterministic, so the oracle replays the same index in SQL; the spec
     // additionally measures recall against brute force.
-    // Q118: incremental IVF maintenance (see [[ivfDeltaAssign]]).
+    // Q118: incremental IVF maintenance (see [[ivfDeltaAssign]]) — base
+    // occupancy read off the q24b inverted-list artifact; only the delta
+    // is assigned live.
     "q118_ivf_delta" -> ((s, d) =>
-      ivfDeltaAssign(Tables.embeddings(s, d))),
+      ivfDeltaAssign(Tables.embeddings(s, d),
+        baseAssignDir = Some(ensureIvfAssignments(s, d)))),
 
-    "q24b_ann_ivf" -> ((s, d) => {
-      val e = asDouble(Tables.embeddings(s, d))
-      // the DEMO coarse quantizer: deterministically the first 16 corpus
-      // vectors (replayable in plain SQL). The production path trains the
-      // centroids instead — same search, Clustering.trainedCentroids input
-      // (spec-compared for recall in OperatorsSpec).
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
-      ivfSearch(e, cents)
-    }),
+    // Q24b: IVF search against the PERSISTED inverted lists (the demo
+    // coarse quantizer: deterministically the first 16 corpus vectors,
+    // replayable in plain SQL — the oracle rebuilds the same index).
+    // The production path trains the centroids instead — same search,
+    // Clustering.trainedCentroids input through [[ivfSearch]]
+    // (spec-compared for recall in OperatorsSpec); [[ivfSearchIndexed]]
+    // reads only the probed cells off the build-once artifact.
+    "q24b_ann_ivf" -> ((s, d) => ivfSearchIndexed(s, d)),
 
     // Q24c: multi-probe extension of q24 — each query also probes the 8
     // buckets at Hamming distance 1 (one hyperplane flip), the standard
     // recall lever when a neighbor falls just across one plane. Probe
     // fan-out is a 9-row explode on the (tiny) query side; the corpus side
     // is untouched and the join stays an equi-join on the bucket id.
+    // Probe fan-out is a 9-row explode on the (tiny) query side; the
+    // corpus side is the persisted bucket relation pruned to the probed
+    // partitions — the index is built once, the search reads only what
+    // it probes.
     "q24c_ann_multiprobe" -> ((s, d) => {
-      val e = asDouble(Tables.embeddings(s, d))
-        .withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM))
       val masks = (0L +: (0 until N_PLANES).map(i => 1L << i)).map(lit)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
-          col("bucket").as("qb"))
+      val q = asDouble(Tables.embeddings(s, d)).filter(col("vec_id") < 5)
+        .withColumn("qb", bucketExpr(col("emb"), N_PLANES, DIM))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("qb"))
         .withColumn("m", explode(array(masks: _*)))
         .select(col("q_id"), col("qe"),
           col("qb").bitwiseXOR(col("m")).as("bucket"))
+        .persist()
+      val probed = q.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val e = lshCorpus(s, d, probed)
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos_x1e4").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
@@ -383,10 +510,13 @@ object Similarity {
     // index reproduces in DuckDB; the spec additionally checks bucket
     // containment and exactness within buckets.
     "q24_ann_lsh" -> ((s, d) => {
-      val e = asDouble(Tables.embeddings(s, d))
+      val q = asDouble(Tables.embeddings(s, d)).filter(col("vec_id") < 5)
         .withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM))
-      val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("bucket"))
+        .persist()
+      val probed = q.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val e = lshCorpus(s, d, probed)
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos_x1e4").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
