@@ -45,6 +45,36 @@ object CdcQueries {
     s"""(CAST(14 AS BIGINT), 'Deren', 'S', 'Fraud', 'Fury', '$T0', '$T0'),
        |    (CAST(17 AS BIGINT), 'Shalom', 'S', 'Sloth', 'Reticle', '$T0', '$T0')""".stripMargin
 
+  /** The q123/q130 synthetic change stream (Debezium-honest shapes:
+    * updates carry after-only, deletes before-only; lsn = id + 1e6, so
+    * per-key lsn order follows id order — any id-contiguous split of
+    * [lo, hi) is a valid in-order micro-batching, which is what
+    * Scd2StreamSpec exploits). Shared by the catalog entries and the
+    * streaming-SCD2 spec so the fixture can never drift.
+    */
+  private[graft] def scd2SyntheticValues(s: SparkSession, lo: Long = 0,
+                                         hi: Long = 50000): DataFrame = {
+    val ev = s.range(lo, hi).select(
+      (col("id") % 500).as("k"), (col("id") + 1000000).as("lsn"),
+      when(col("id") % 11 === 10, lit("d"))
+        .when(col("id") < 500, lit("c")).otherwise(lit("u")).as("op"),
+      (col("id") % 7).as("lv"))
+    ev.select(
+      when(col("op") === "d",
+        format_string(
+          """{"payload": {"before": {"code": %d}, "after": null, "op": "d", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
+          col("k"), col("lsn")))
+        .otherwise(format_string(
+          """{"payload": {"before": null, "after": {"code": %d, "libram": "L%d"}, "op": "%s", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
+          col("k"), col("lv"), col("op"), col("lsn"))).as("value"))
+  }
+
+  /** The q130 probe facts (2000 (k, at_lsn) rows across the lsn range). */
+  private[graft] def scd2Probes(s: SparkSession): DataFrame =
+    s.range(2000).select(
+      (col("id") % 500).as("k"),
+      (lit(999990L) + (col("id") * 37) % 50020).as("at_lsn"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 (O-1): full scan, deterministic order.
     "q01_scan" -> ((s, _) => fmtSinners(Fixtures.sinners(s)).orderBy("code")),
@@ -107,46 +137,17 @@ object CdcQueries {
     // event stream arithmetically and applies the identical lead() window
     // semantics, so parse, key coalescing, delete-closes-version, and
     // the current-flag all hash-check at throughput scale.
-    "q123_scd2_history" -> ((s, _) => {
-      val ev = s.range(50000).select(
-        (col("id") % 500).as("k"), (col("id") + 1000000).as("lsn"),
-        when(col("id") % 11 === 10, lit("d"))
-          .when(col("id") < 500, lit("c")).otherwise(lit("u")).as("op"),
-        (col("id") % 7).as("lv"))
-      val vals = ev.select(
-        when(col("op") === "d",
-          format_string(
-            """{"payload": {"before": {"code": %d}, "after": null, "op": "d", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
-            col("k"), col("lsn")))
-          .otherwise(format_string(
-            """{"payload": {"before": null, "after": {"code": %d, "libram": "L%d"}, "op": "%s", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
-            col("k"), col("lv"), col("op"), col("lsn"))).as("value"))
-      Envelope.scd2History(Envelope.parse(vals))
-    }),
+    "q123_scd2_history" -> ((s, _) =>
+      Envelope.scd2History(Envelope.parse(scd2SyntheticValues(s)))),
 
     // Q130: point-in-time lookup against the q123 SCD2 relation — 2000
     // probe facts spread across the lsn range, each resolved to the
     // version valid at its lsn (or 'absent' in create-before/delete
     // gaps). Same synthetic stream, same arithmetic oracle.
-    "q130_scd2_lookup" -> ((s, _) => {
-      val ev = s.range(50000).select(
-        (col("id") % 500).as("k"), (col("id") + 1000000).as("lsn"),
-        when(col("id") % 11 === 10, lit("d"))
-          .when(col("id") < 500, lit("c")).otherwise(lit("u")).as("op"),
-        (col("id") % 7).as("lv"))
-      val vals = ev.select(
-        when(col("op") === "d",
-          format_string(
-            """{"payload": {"before": {"code": %d}, "after": null, "op": "d", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
-            col("k"), col("lsn")))
-          .otherwise(format_string(
-            """{"payload": {"before": null, "after": {"code": %d, "libram": "L%d"}, "op": "%s", "source": {"lsn": %d, "ts_ms": 1}, "ts_ms": 1}}""",
-            col("k"), col("lv"), col("op"), col("lsn"))).as("value"))
-      val probes = s.range(2000).select(
-        (col("id") % 500).as("k"),
-        (lit(999990L) + (col("id") * 37) % 50020).as("at_lsn"))
-      Envelope.scd2Lookup(Envelope.scd2History(Envelope.parse(vals)), probes)
-    }),
+    "q130_scd2_lookup" -> ((s, _) =>
+      Envelope.scd2Lookup(
+        Envelope.scd2History(Envelope.parse(scd2SyntheticValues(s))),
+        scd2Probes(s))),
 
     "q33_cdc_synthetic" -> ((s, _) => {
       val vals = s.range(100000).select(

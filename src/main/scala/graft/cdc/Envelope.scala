@@ -114,13 +114,31 @@ object Envelope {
     * [[latestState]] argument), and per-key history is the partition
     * unit; no global sort before the final report ORDER BY.
     */
-  def scd2History(parsed: DataFrame): DataFrame = {
-    val ev = parsed.select(
+  def scd2History(parsed: DataFrame): DataFrame =
+    scd2Fold(scd2Events(parsed)).orderBy("code", "valid_from_lsn")
+
+  /** The SCD2 event projection `(code, op, libram, lsn)` off a parsed
+    * change stream — shared by the batch fold and the streaming
+    * incremental maintenance ([[graft.streaming.Scd2Stream]]) so the two
+    * can never disagree on key coalescing or keyless-event handling.
+    */
+  private[graft] def scd2Events(parsed: DataFrame): DataFrame =
+    parsed.select(
       coalesce(col("payload.after.code"), col("payload.before.code")).as("code"),
       col("payload.op").as("op"),
       col("payload.after.libram").as("libram"),
       col("payload.source.lsn").as("lsn"))
       .filter(col("code").isNotNull)
+
+  /** The SCD2 version fold over an event relation `(code, op, libram,
+    * lsn)`: one lead() window keyed by primary key — every non-delete
+    * event opens a version tiled to the key's next event, a delete
+    * closes without opening. Also the streaming fold's per-batch kernel:
+    * a key's OPEN version re-enters as a synthetic non-delete event at
+    * its own valid_from, and the fold re-tiles it with the delta
+    * (closed versions are immutable and never re-enter).
+    */
+  private[graft] def scd2Fold(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("code").orderBy("lsn")
     ev.withColumn("nxt", lead(col("lsn"), 1).over(w))
@@ -129,7 +147,6 @@ object Envelope {
         col("lsn").as("valid_from_lsn"),
         coalesce(col("nxt"), lit(-1L)).as("valid_to_lsn"),
         col("nxt").isNull.cast("long").as("is_current"))
-      .orderBy("code", "valid_from_lsn")
   }
 
   /** q130: SCD2 POINT-IN-TIME LOOKUP — enrich a fact relation
