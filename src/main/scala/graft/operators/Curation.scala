@@ -904,7 +904,9 @@ object Curation {
     * scoring ANY relation against the running centroid (e.g. the newest
     * delta — embedding-QA at ingest time) pays only that relation's
     * scan. The burst/vocab-index replay posture: a retried batch
-    * overwrites its own directory idempotently.
+    * overwrites its own directory idempotently;
+    * [[compactCentroidIndex]] folds the accumulated per-batch partials
+    * into one directory so dir counts stay O(1) over a long stream.
     */
   def streamingCentroidIngest(embs: DataFrame, centDir: String,
                               checkpoint: String)
@@ -920,11 +922,54 @@ object Curation {
       .start()
 
   /** The exact whole-corpus `(pos, sq, n)` component relation off a
-    * [[streamingCentroidIngest]] index (sum-of-sums — integer-exact).
+    * [[streamingCentroidIngest]] index (sum-of-sums — integer-exact;
+    * finishing any crashed compaction first, the [[prunedBatchPaths]]
+    * policy).
     */
-  def centroidFromIndex(spark: SparkSession, centDir: String): DataFrame =
+  def centroidFromIndex(spark: SparkSession, centDir: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(centDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(base)) recoverCompaction(fs, base)
     spark.read.parquet(centDir)
       .groupBy("pos").agg(sum("sq").as("sq"), sum("n").as("n"))
+  }
+
+  /** Compact the accumulated per-batch centroid partials into ONE
+    * `batch=0` directory — [[compactChunkIndex]]'s idiom (write-tmp /
+    * commit-marker / delete / publish, every crash state recoverable by
+    * [[recoverCompaction]]) applied to the centroid index. Each batch
+    * directory is only dim-sized, so this caps METADATA growth (one
+    * directory per micro-batch over an unbounded stream), not data
+    * volume; the partials are additive, so the compacted index is the
+    * dim-sized summed relation regardless of how many batches fed it.
+    * Same contract: `upToBatch` must be <= the stream's committed
+    * frontier.
+    */
+  def compactCentroidIndex(spark: SparkSession, centDir: String,
+                           upToBatch: Long): Unit = {
+    val base = new org.apache.hadoop.fs.Path(centDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    recoverCompaction(fs, base)
+    val batches = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        s.getPath.getName.stripPrefix("batch=").toLong < upToBatch)
+    if (batches.size > 1) {
+      val tmp = new org.apache.hadoop.fs.Path(base, COMPACT_TMP)
+      spark.read.option("basePath", base.toString)
+        .parquet(batches.map(_.getPath.toString): _*)
+        .drop("batch")
+        .groupBy("pos").agg(sum(col("sq")).as("sq"), sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val marker = new org.apache.hadoop.fs.Path(base, COMPACT_MARKER)
+      val out = fs.create(marker, true)
+      try out.write(s"$upToBatch\n".getBytes("UTF-8")) finally out.close()
+      batches.foreach(s => fs.delete(s.getPath, true))
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
+        s"could not publish $tmp under $base")
+      fs.delete(marker, false)
+    }
+  }
 
   /** The q124 report off a centroid index: the identical
     * [[Similarity.outliersAgainst]] tail over the merged components.

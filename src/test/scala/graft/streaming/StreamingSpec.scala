@@ -609,6 +609,15 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/cent/batch=1")
     assert(rep(Curation.centroidOutliersFromIndex(corpus, s"$dir/cent"))
       === batch)
+    // compaction folds the per-batch partials into ONE batch=0 directory
+    // (dir-count cap for an unbounded stream) without changing the report
+    Curation.compactCentroidIndex(spark, s"$dir/cent", upToBatch = 2)
+    val dirs = new java.io.File(s"$dir/cent").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(dirs.toSeq === Seq("batch=0"),
+      s"post-compaction dir shape must be exactly batch=0, got ${dirs.toSeq}")
+    assert(rep(Curation.centroidOutliersFromIndex(corpus, s"$dir/cent"))
+      === batch)
   }
 
   test("streaming burst ingest: flags off the summed counts index == the " +
