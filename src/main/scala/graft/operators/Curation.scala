@@ -1152,6 +1152,71 @@ object Curation {
     out
   }
 
+  /** q132: RELEASE EXPORT — the composed end-to-end "cleaned corpus"
+    * relation a training run actually consumes, built from the applied
+    * twins the catalog already gates individually (the q57 composition
+    * idiom applied to the release path): per document, the release
+    * decision (`stage`), the leak-free split, and the mixture weight.
+    *
+    * Stage precedence mirrors the release pipeline's order — dedup
+    * first, then eval decontamination, then the per-source cap:
+    * `exact` / `neardup` (q125's stage definition verbatim), `eval` /
+    * `contaminated` (q127's), `capped` (dropped by q111's per-source
+    * cap), else `kept`. Each stage relation IS the standalone
+    * operator's output, so the export stays auditable query-by-query
+    * (ReleaseExportSpec cross-checks the stage sets against
+    * q125/q127/q111 and the per-source removal counts against q115).
+    * `split` is the q88 leak-free assignment (the q48 hash split of the
+    * doc's near-dup component representative, own id when singleton) so
+    * no verified near-dup pair straddles train/eval. `n_copies` is the
+    * q120 mixture weight RE-PLANNED OVER THE KEPT SET — the budget is
+    * spent on what actually ships, not on documents the cascade removed
+    * (removed docs carry 0).
+    *
+    * 100 TB shape: every constituent keeps its own audited posture (hash
+    * windows, broadcast pair-graph/lang/eval-side relations, one
+    * tokenize pass per stage family); the composition itself adds only
+    * doc_id-keyed joins of per-doc relations — the same key the corpus
+    * is stored under, so co-partitioned inputs make them shuffle-free.
+    */
+  def releaseExport(docs: DataFrame, labels: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val lbl = labels.select("doc_id", "cluster_id")
+    val dedup = ChunkDedup.dedupApply(docs, lbl)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("stage").as("dstage"))
+    val decon = decontamApply(docs)
+      .select(col("doc_id"), col("stage").as("cstage"))
+    val capKept = Prep.sourceCap(docs)
+      .select(col("doc_id"), lit(1L).as("cap_ok"))
+    val staged = dedup
+      .join(decon, Seq("doc_id"))
+      .join(capKept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(col("dstage") === "exact", lit("exact"))
+          .when(col("dstage") === "neardup", lit("neardup"))
+          .when(col("cstage") === "eval", lit("eval"))
+          .when(col("cstage") === "contaminated", lit("contaminated"))
+          .when(col("cap_ok").isNull, lit("capped"))
+          .otherwise(lit("kept")).as("stage"))
+      .persist()
+    val splits = docs.select("doc_id")
+      .join(broadcast(lbl), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Dedup.hashSplitOf(coalesce(col("cluster_id"), col("doc_id")))
+          .as("split"))
+    val keptDocs = docs.join(
+      staged.filter(col("stage") === "kept").select("doc_id"), Seq("doc_id"))
+    val mix = TextAnalysis.mixtureMaterialize(keptDocs)
+      .select(col("doc_id"), col("n_copies"))
+    staged
+      .join(splits, Seq("doc_id"))
+      .join(mix, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
+        col("split"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
   /** q71: semantic train/eval contamination — the embedding-space twin of
     * [[contaminationReport]] (q50's n-gram probe misses paraphrases; a
     * high-cosine match against an eval vector catches them). The eval set
@@ -1606,6 +1671,13 @@ object Curation {
     "q50_contamination" -> ((s, d) =>
       contaminationReport(Tables.documents(s, d))),
     // Q127: decontamination APPLY (see [[decontamApply]]).
+    // Q132: composed release export (see [[releaseExport]]) — clusters
+    // from the shared verified-pairs artifact, like q115/q125.
+    "q132_release_export" -> ((s, d) =>
+      releaseExport(Tables.documents(s, d),
+        Dedup.clustersFromPairs(
+          s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))))),
+
     "q127_decontam_apply" -> ((s, d) =>
       decontamApply(Tables.documents(s, d))),
     "q45_crossmodal_dedup" -> ((s, d) =>
@@ -1766,6 +1838,90 @@ object Curation {
 
     "q76_dsir_select" -> dsirOracleSql,
     "q71_semantic_contamination" -> semanticContaminationOracleSql,
+
+    // q132 twin: the q125 dedup CTEs (incl. the recursive CC labels), the
+    // q127 decontamination CTEs (sharing the same toks/sh relations), the
+    // q111 cap rank, the q48/q88 component-representative split, and the
+    // q120 mixture arithmetic RE-PLANNED over the kept set — one composed
+    // statement, each fragment verbatim from its standalone twin.
+    "q132_release_export" ->
+      s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},
+         |d AS (SELECT doc_id, COALESCE(source, '') AS source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        sha256(text) AS h
+         |      FROM documents),
+         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+         |f AS (SELECT d.*, CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS exact_rm
+         |      FROM d JOIN k USING (h)),
+         |s AS (SELECT * FROM f WHERE exact_rm = 0),
+         |cm AS (SELECT l.cluster_id, MIN(s.doc_id) AS cmin
+         |       FROM labels l JOIN s ON l.doc_id = s.doc_id
+         |       GROUP BY l.cluster_id),
+         |nd AS (SELECT s.doc_id
+         |       FROM s JOIN labels l ON s.doc_id = l.doc_id
+         |       JOIN cm ON l.cluster_id = cm.cluster_id
+         |       WHERE s.doc_id <> cm.cmin),
+         |rnkd AS (SELECT doc_id, row_number() OVER
+         |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk
+         |  FROM documents),
+         |smp AS (SELECT doc_id FROM rnkd WHERE rnk <= 20),
+         |evalsh AS (SELECT DISTINCT shingle FROM sh JOIN smp USING (doc_id)),
+         |rest AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM smp)),
+         |dcnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM rest GROUP BY 1),
+         |hits AS (SELECT doc_id, COUNT(*) AS nhit FROM rest
+         |         WHERE shingle IN (SELECT shingle FROM evalsh) GROUP BY 1),
+         |sc AS (SELECT dcnt.doc_id,
+         |         CAST(FLOOR(COALESCE(nhit, 0) * 1000.0 / n_shingles + 0.5) AS BIGINT) AS contam
+         |       FROM dcnt LEFT JOIN hits ON dcnt.doc_id = hits.doc_id),
+         |cd AS (SELECT doc_id, COALESCE(source, '') AS source,
+         |        ${Sketches.phash60Sql("'sc42|' || CAST(doc_id AS VARCHAR)")} AS ch
+         |      FROM documents),
+         |cr AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY source ORDER BY ch, doc_id) AS rn
+         |      FROM cd),
+         |ckeep AS (SELECT doc_id FROM cr WHERE rn <= ${Prep.SOURCE_CAP}),
+         |stg AS (SELECT f.doc_id, f.source, f.n_tokens,
+         |          CASE WHEN f.exact_rm = 1 THEN 'exact'
+         |               WHEN nd.doc_id IS NOT NULL THEN 'neardup'
+         |               WHEN smp.doc_id IS NOT NULL THEN 'eval'
+         |               WHEN COALESCE(sc.contam, 0) >= 100 THEN 'contaminated'
+         |               WHEN ck.doc_id IS NULL THEN 'capped'
+         |               ELSE 'kept' END AS stage
+         |        FROM f LEFT JOIN nd ON f.doc_id = nd.doc_id
+         |        LEFT JOIN smp ON f.doc_id = smp.doc_id
+         |        LEFT JOIN sc ON f.doc_id = sc.doc_id
+         |        LEFT JOIN ckeep ck ON f.doc_id = ck.doc_id),
+         |spl AS (SELECT dd.doc_id,
+         |          CASE WHEN ${Sketches.phash60Sql("COALESCE(l.cluster_id, dd.doc_id)")} % 100 < 90 THEN 'train'
+         |               WHEN ${Sketches.phash60Sql("COALESCE(l.cluster_id, dd.doc_id)")} % 100 < 95 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id),
+         |kept AS (SELECT doc_id FROM stg WHERE stage = 'kept'),
+         |mper AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+         |         FROM documents JOIN kept USING (doc_id) GROUP BY lang),
+         |mw AS (SELECT lang, lang_tokens,
+         |         CAST(FLOOR(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w
+         |       FROM mper),
+         |mt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM mw),
+         |mplan AS (SELECT lang, lang_tokens,
+         |            (${TextAnalysis.MIX_BUDGET_TOKENS} * w) // tw AS target_tokens
+         |          FROM mw, mt),
+         |mp2 AS (SELECT lang, lang_tokens,
+         |          target_tokens // lang_tokens AS full_epochs,
+         |          ((target_tokens - (target_tokens // lang_tokens) * lang_tokens)
+         |            * 1000000) // lang_tokens AS rem_rate_x1e6
+         |        FROM mplan),
+         |md AS (SELECT doc_id, lang,
+         |         ${Sketches.phash60Sql("'mx42|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS mh
+         |       FROM documents JOIN kept USING (doc_id)),
+         |mix AS (SELECT doc_id,
+         |          full_epochs + CASE WHEN mh < rem_rate_x1e6 THEN 1 ELSE 0 END AS n_copies
+         |        FROM md JOIN mp2 ON md.lang = mp2.lang)
+         |SELECT stg.doc_id, stg.source, stg.n_tokens, stg.stage, spl.split,
+         |       CAST(COALESCE(mix.n_copies, 0) AS BIGINT) AS n_copies
+         |FROM stg JOIN spl ON stg.doc_id = spl.doc_id
+         |LEFT JOIN mix ON stg.doc_id = mix.doc_id
+         |ORDER BY stg.doc_id""".stripMargin,
 
     "q127_decontam_apply" ->
       s"""WITH ranked AS (SELECT doc_id, row_number() OVER

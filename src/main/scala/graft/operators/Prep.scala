@@ -403,7 +403,7 @@ object Prep {
         "((n_docs * bucket - sum_tokens) * 1000) DIV (n_docs * bucket) AS waste_x1e3")
       .orderBy("bucket")
 
-  private val SOURCE_CAP = 20
+  private[operators] val SOURCE_CAP = 20
 
   /** q111: PER-DOMAIN CAP — keep at most `cap` documents per source, the
     * C4/RefinedWeb-style guard against any single domain (template farms,

@@ -223,7 +223,7 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  private val MIX_BUDGET_TOKENS = 100000L
+  private[operators] val MIX_BUDGET_TOKENS = 100000L
 
   /** q120: MIXTURE MATERIALIZATION — turn the q81 plan into the per-doc
     * sampling multiplicities a data loader executes: every doc of a

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.{SparkEntry, TestSpark}
+
+/** q132's composed release export must stay auditable against its
+  * standalone constituents: the stage sets compose exactly from
+  * q125/q127/q111 under the documented precedence, the per-source dedup
+  * removal counts equal q115's accounting, and mixture weights land only
+  * on kept docs.
+  */
+class ReleaseExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  private def ids(df: DataFrame, col: String = "doc_id"): Set[Long] =
+    df.select(col).collect().map(_.getLong(0)).toSet
+
+  private lazy val q132 =
+    SparkEntry.queries("q132_release_export")(spark, D)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+  private def stageSet(stage: String): Set[Long] =
+    q132.filter(_._4 == stage).map(_._1).toSet
+
+  test("dedup stages == q125's stage sets verbatim") {
+    val q125 = SparkEntry.queries("q125_dedup_apply")(spark, D)
+      .select("doc_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(stageSet("exact") === q125.filter(_._2 == "exact").map(_._1).toSet)
+    assert(stageSet("neardup") ===
+      q125.filter(_._2 == "neardup").map(_._1).toSet)
+    // the raw sf0.001 corpus plants near-dups but no byte-identical copies,
+    // so only the neardup stage is guaranteed non-empty here
+    assert(stageSet("neardup").nonEmpty)
+  }
+
+  test("decontam stages == q127's stage sets minus dedup-removed docs") {
+    val dedupRm = stageSet("exact") ++ stageSet("neardup")
+    val q127 = SparkEntry.queries("q127_decontam_apply")(spark, D)
+      .select("doc_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(stageSet("eval") ===
+      q127.filter(_._2 == "eval").map(_._1).toSet -- dedupRm)
+    assert(stageSet("contaminated") ===
+      q127.filter(_._2 == "contaminated").map(_._1).toSet -- dedupRm)
+    assert(stageSet("eval").nonEmpty)
+  }
+
+  test("capped stage == docs q111's cap drops, minus earlier stages") {
+    val earlier = stageSet("exact") ++ stageSet("neardup") ++
+      stageSet("eval") ++ stageSet("contaminated")
+    val capKept = ids(SparkEntry.queries("q111_source_cap")(spark, D))
+    val all = q132.map(_._1).toSet
+    assert(stageSet("capped") === (all -- capKept) -- earlier)
+    assert(stageSet("capped").nonEmpty)
+    assert(stageSet("kept") === ((all -- earlier) intersect capKept))
+  }
+
+  test("per-source exact/neardup removal counts == q115's accounting") {
+    val bySource = q132.groupBy(_._2).map { case (src, rows) =>
+      src -> (rows.count(_._4 == "exact").toLong,
+        rows.count(_._4 == "neardup").toLong)
+    }
+    val q115 = SparkEntry.queries("q115_dedup_savings")(spark, D)
+      .select("source", "exact_docs_removed", "neardup_docs_removed")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, counts) =>
+      assert(q115(src) === counts, s"source $src: q115=${q115(src)} q132=$counts")
+    }
+  }
+
+  test("mixture weights land on kept docs only; split is the q88 leak-free assignment") {
+    assert(q132.filter(_._4 != "kept").forall(_._6 == 0L),
+      "removed docs must carry n_copies = 0")
+    assert(q132.filter(_._4 == "kept").exists(_._6 > 0L),
+      "some kept docs must carry positive mixture weight")
+    // verified near-dup pairs never straddle splits: both endpoints share
+    // their component representative's split by construction
+    val pairs = spark.read.parquet(
+        DedupArtifacts.ensureVerifiedPairs(spark, D))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splitOf = q132.map(r => r._1 -> r._5).toMap
+    assert(pairs.nonEmpty &&
+      pairs.forall { case (a, b) => splitOf(a) == splitOf(b) })
+  }
+}
