@@ -146,6 +146,22 @@ object DedupArtifacts {
         contMinX1e3, jacMaxX1e3))
   }
 
+  /** EXACT embedding near-dup pair artifact (the q40 relation:
+    * `(v1, v2, cos_x1e4)` at `thresholdX1e4`) — build-once for an
+    * immutable snapshot, content-keyed on the vectors themselves
+    * ([[embeddingsKey]]). Composite consumers (q45's embedding side)
+    * read this instead of re-running the quadratic pair scan per call;
+    * the scan itself stays live in q40, which IS the exact anchor being
+    * measured.
+    */
+  private[graft] def ensureEmbeddingPairs(spark: SparkSession, sfDir: String,
+                                          thresholdX1e4: Int = 4500): String = {
+    val embs = Tables.embeddings(spark, sfDir)
+    ensureDerived(spark,
+      embeddingsKey(embs, "embpairs") + s"|t=$thresholdX1e4|v=1")(
+      Dedup.embeddingNearDupPairs(embs, thresholdX1e4))
+  }
+
   /** Corpus fingerprint prefix for [[ensureDerived]] keys: row count,
     * doc_id checksum AND an order-independent text checksum (`docs` must
     * carry doc_id + text). The text term is load-bearing: the driver's

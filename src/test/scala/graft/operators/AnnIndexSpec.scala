@@ -76,6 +76,17 @@ class AnnIndexSpec extends AnyFunSuite {
       s"bucket scan must carry bucket partition filters:\n$plan")
   }
 
+  test("embedding-pair artifact == live exact pair scan (q45's embedding side)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("v1", "v2", "cos_x1e4").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = rows(spark.read.parquet(
+      DedupArtifacts.ensureEmbeddingPairs(spark, D)))
+    val live = rows(Dedup.embeddingNearDupPairs(
+      Tables.embeddings(spark, D), 4500))
+    assert(stored.nonEmpty && stored === live)
+  }
+
   test("q118 base occupancy off the artifact == live base occupancy") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect()
