@@ -140,6 +140,11 @@ object CdcQueries {
     "q123_scd2_history" -> ((s, _) =>
       Envelope.scd2History(Envelope.parse(scd2SyntheticValues(s)))),
 
+    // Q133: per-key change churn off the same synthetic stream (see
+    // [[Envelope.changeChurn]] — the retention/compaction readout).
+    "q133_change_churn" -> ((s, _) =>
+      Envelope.changeChurn(Envelope.parse(scd2SyntheticValues(s)))),
+
     // Q130: point-in-time lookup against the q123 SCD2 relation — 2000
     // probe facts spread across the lsn range, each resolved to the
     // version valid at its lsn (or 'absent' in create-before/delete
@@ -253,6 +258,19 @@ object CdcQueries {
         |LEFT JOIN hist h ON p.k = h.code AND h.vf <= p.at_lsn
         |  AND (h.vt = -1 OR p.at_lsn < h.vt)
         |ORDER BY code, at_lsn""".stripMargin,
+
+    "q133_change_churn" ->
+      """WITH ev AS (SELECT i % 500 AS code, i + 1000000 AS lsn,
+        |        CASE WHEN i % 11 = 10 THEN 'd'
+        |             WHEN i < 500 THEN 'c' ELSE 'u' END AS op
+        |      FROM range(50000) t(i))
+        |SELECT CAST(code AS BIGINT) AS code,
+        |       CAST(COUNT(CASE WHEN op <> 'd' THEN 1 END) AS BIGINT) AS n_versions,
+        |       CAST(COUNT(CASE WHEN op = 'd' THEN 1 END) AS BIGINT) AS n_deletes,
+        |       CAST(MIN(lsn) AS BIGINT) AS first_lsn,
+        |       CAST(MAX(lsn) AS BIGINT) AS last_lsn,
+        |       CAST(CASE WHEN arg_max(op, lsn) <> 'd' THEN 1 ELSE 0 END AS BIGINT) AS is_live
+        |FROM ev GROUP BY code ORDER BY code""".stripMargin,
 
     "q123_scd2_history" ->
       """WITH ev AS (SELECT i % 500 AS code, i + 1000000 AS lsn,

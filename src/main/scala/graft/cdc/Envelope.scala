@@ -171,6 +171,30 @@ object Envelope {
         coalesce(history("libram"), lit("absent")).as("libram"))
       .orderBy("code", "at_lsn")
 
+  /** q133: PER-KEY CHANGE-CHURN report — the operational readout next to
+    * [[scd2History]]: per key, how many versions its stream opened
+    * (non-delete events), how many deletes it saw, its lsn span, and
+    * whether it is live (final event non-delete). This is the table that
+    * drives CDC retention/compaction decisions — hot keys (high churn)
+    * are what make log compaction pay, dead keys (is_live=0) are what
+    * tombstone GC reclaims. One hash aggregate keyed by primary key (the
+    * topic's own partitioning — map-side partials, no window, no sort
+    * before the report ORDER BY); `max_by(op, lsn)` is deterministic
+    * because lsn is unique per key.
+    */
+  def changeChurn(parsed: DataFrame): DataFrame =
+    scd2Events(parsed)
+      .groupBy("code")
+      .agg(count(when(col("op") =!= "d", 1)).as("n_versions"),
+        count(when(col("op") === "d", 1)).as("n_deletes"),
+        min(col("lsn")).as("first_lsn"),
+        max(col("lsn")).as("last_lsn"),
+        max_by(col("op"), col("lsn")).as("last_op"))
+      .select(col("code"), col("n_versions"), col("n_deletes"),
+        col("first_lsn"), col("last_lsn"),
+        (col("last_op") =!= "d").cast("long").as("is_live"))
+      .orderBy("code")
+
   /** Observable metrics for the drop paths — parity with the reference's
     * log-and-continue (cdc.go:171, :176) without a second pass over the data.
     * Emits `records` (total input), `tombstones` (null values, O-11) and

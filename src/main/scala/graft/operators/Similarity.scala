@@ -114,17 +114,18 @@ object Similarity {
     * different quantizer config can only MISS, never serve stale lists.
     */
   private[graft] def ensureIvfAssignments(spark: SparkSession, sfDir: String,
-                                          nCents: Int = 16): String = {
-    val embs = Tables.embeddings(spark, sfDir)
-    DedupArtifacts.ensureDerivedPartitioned(spark,
-      DedupArtifacts.embeddingsKey(embs, "ivfassign") + s"|k=$nCents|v=1",
-      "cell") {
-      val e = asDouble(embs)
-      val cents = e.filter(col("vec_id") < nCents)
-        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
-      bestCells(e, cents, 1, "cell")
+                                          nCents: Int = 16): String =
+    DedupArtifacts.cachedDir(s"$sfDir|ivfassign|k=$nCents") {
+      val embs = Tables.embeddings(spark, sfDir)
+      DedupArtifacts.ensureDerivedPartitioned(spark,
+        DedupArtifacts.embeddingsKey(embs, "ivfassign") + s"|k=$nCents|v=1",
+        "cell") {
+        val e = asDouble(embs)
+        val cents = e.filter(col("vec_id") < nCents)
+          .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+        bestCells(e, cents, 1, "cell")
+      }
     }
-  }
 
   /** Content-keyed, build-once LSH BUCKET relation `(vec_id, emb, bucket)`
     * over `sfDir`'s embeddings — the q24/q24c/q100 corpus side,
@@ -134,26 +135,45 @@ object Similarity {
     * `bucket=K` partitions.
     */
   private[graft] def ensureLshBuckets(spark: SparkSession,
-                                      sfDir: String): String = {
-    val embs = Tables.embeddings(spark, sfDir)
-    DedupArtifacts.ensureDerivedPartitioned(spark,
-      DedupArtifacts.embeddingsKey(embs, "lshbkt") + s"|p=$N_PLANES|v=1",
-      "bucket")(
-      asDouble(embs).withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM)))
+                                      sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|lshbkt|p=$N_PLANES") {
+      val embs = Tables.embeddings(spark, sfDir)
+      DedupArtifacts.ensureDerivedPartitioned(spark,
+        DedupArtifacts.embeddingsKey(embs, "lshbkt") + s"|p=$N_PLANES|v=1",
+        "bucket")(
+        asDouble(embs).withColumn("bucket", bucketExpr(col("emb"), N_PLANES, DIM)))
+    }
+
+  /** Read a cell/bucket-partitioned artifact pruned to the probed
+    * partition ids — by ENUMERATING the probed leaf directories (the
+    * bucketed-incremental-index idiom, `Curation.prunedBatchPaths`):
+    * listing cost scales with the probe set, not the partition count
+    * (a 256-bucket tree walk per query is pure overhead the probe list
+    * already answers). A probed id with no corpus rows has no directory
+    * and is skipped; the isin filter stays on as a partition filter over
+    * the already-pruned tree (the AnnIndexSpec plan pin). Partition-value
+    * inference types small ids as INT; the literals match that type, and
+    * the column re-casts to the LONG the live bucketing produces only
+    * AFTER the filter.
+    */
+  private def readPartitionedPruned(spark: SparkSession, dir: String,
+                                    partCol: String,
+                                    probed: Seq[Long]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val paths = probed.distinct.sorted.map(b => s"$dir/$partCol=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val raw =
+      if (paths.isEmpty) spark.read.parquet(dir) // degenerate: empty probe set
+      else spark.read.option("basePath", dir).parquet(paths: _*)
+    raw.filter(col(partCol).isin(probed.map(_.toInt): _*))
+      .select(col("vec_id"), col("emb"), col(partCol).cast("long").as(partCol))
   }
 
-  /** Read the [[ensureLshBuckets]] artifact pruned to `probed` bucket ids:
-    * the filter lands on the partition column as PartitionFilters, so the
-    * scan touches only the probed leaf directories. (Partition-value
-    * inference types small ids as INT; the literals match that type so
-    * pruning stays a pure partition filter, and the column is re-cast to
-    * the LONG the live bucketing produces only AFTER the filter.)
-    */
   private def lshCorpus(spark: SparkSession, sfDir: String,
                         probed: Seq[Long]): DataFrame =
-    spark.read.parquet(ensureLshBuckets(spark, sfDir))
-      .filter(col("bucket").isin(probed.map(_.toInt): _*))
-      .select(col("vec_id"), col("emb"), col("bucket").cast("long").as("bucket"))
+    readPartitionedPruned(spark, ensureLshBuckets(spark, sfDir),
+      "bucket", probed)
 
   /** IVF search against an arbitrary coarse-centroid relation
     * `(cent_id, cent: array<double>)`: every vector is assigned to its
@@ -215,9 +235,7 @@ object Similarity {
       .persist()
     val probed = queries.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val assigned = spark.read.parquet(dir)
-      .filter(col("cell").isin(probed.map(_.toInt): _*))
-      .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+    val assigned = readPartitionedPruned(spark, dir, "cell", probed)
     ivfProbe(assigned, queries, topK)
   }
 

@@ -133,6 +133,39 @@ object Scd2Stream {
       .orderBy("code", "valid_from_lsn")
   }
 
+  /** Retire unreferenced SCD2 batch directories — the label-state
+    * `pruneLabelStates` contract applied here: buckets carry forward by
+    * manifest reference, so a batch directory stays live while any
+    * bucket it wrote is still the current owner. Liveness = every owner
+    * named by the newest `keep` committed manifests plus those
+    * manifests' own directories; everything below the committed
+    * frontier and outside that set is deleted. Delete-only and
+    * idempotent (a crash mid-prune leaves extra history, never less);
+    * directories AT or ABOVE the frontier are never touched — a
+    * manifest-less dir there is an in-flight batch between its bucket
+    * write and its manifest commit. Live data is thereby bounded at
+    * ≤ 32 owner directories per retained manifest, never
+    * stream-length-many.
+    */
+  def pruneScd2States(spark: SparkSession, scd2Dir: String,
+                      keep: Int = 2): Unit = {
+    require(keep >= 2, "keep >= 2: the newest state plus its replay anchor")
+    val base = new org.apache.hadoop.fs.Path(scd2Dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    val batches = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    val committed = batches.filter(b => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$scd2Dir/batch=$b/$MANIFEST")))
+    if (committed.isEmpty) return
+    val retained = committed.takeRight(keep)
+    val live = retained.toSet ++
+      retained.flatMap(b => readManifest(fs, scd2Dir, b).values)
+    batches.filter(b => !live.contains(b) && b < committed.max).foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$scd2Dir/batch=$b"), true))
+  }
+
   private def bucketPaths(scd2Dir: String,
                           man: Map[Long, Long]): Seq[String] =
     man.toSeq.map { case (b, o) => s"$scd2Dir/batch=$o/kbkt=$b" }

@@ -154,4 +154,24 @@ class EnvelopeSpec extends AnyFunSuite {
       (2L, 15L) -> "X", (2L, 21L) -> "absent",
       (3L, 25L) -> "absent", (3L, 40L) -> "Q"))
   }
+
+  test("q133 churn cross-pins q123: n_versions == history rows per key, " +
+    "is_live == an open version exists") {
+    val vals = CdcQueries.scd2SyntheticValues(spark, 0, 5000)
+    val parsed = Envelope.parse(vals)
+    val churn = Envelope.changeChurn(parsed).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(5))).toMap
+    val hist = Envelope.scd2History(parsed).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    val versionsPerKey = hist.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val livePerKey = hist.groupBy(_._1).view
+      .mapValues(rs => if (rs.exists(_._2 == 1L)) 1L else 0L).toMap
+    assert(churn.nonEmpty)
+    churn.foreach { case (k, (nv, live)) =>
+      assert(nv === versionsPerKey.getOrElse(k, 0L), s"key $k versions")
+      assert(live === livePerKey.getOrElse(k, 0L), s"key $k liveness")
+    }
+    // both live and dead keys must occur in the fixture window
+    assert(churn.values.exists(_._2 == 1L) && churn.values.exists(_._2 == 0L))
+  }
 }

@@ -106,6 +106,25 @@ class Scd2StreamSpec extends AnyFunSuite {
         CdcQueries.scd2SyntheticValues(spark, 0, 1200)))))
   }
 
+  test("pruneScd2States retires superseded batch dirs; state unchanged") {
+    val dir = tmp()
+    // every batch touches all 500 keys (all 32 buckets), so each batch
+    // fully supersedes its predecessor's bucket ownership
+    Seq((0L, 2000L), (2000L, 4000L), (4000L, 6000L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        Scd2Stream.scd2IngestBatch(
+          CdcQueries.scd2SyntheticValues(spark, lo, hi), i.toLong, dir)
+    }
+    val before = histRows(Scd2Stream.scd2State(spark, dir))
+    Scd2Stream.pruneScd2States(spark, dir, keep = 2)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(dirs === Set("batch=1", "batch=2"),
+      s"batch=0 is unreferenced by the retained manifests, got $dirs")
+    assert(histRows(Scd2Stream.scd2State(spark, dir)) === before)
+  }
+
   test("an unknown-format manifest fails with the migration message") {
     val dir = tmp()
     Scd2Stream.scd2IngestBatch(

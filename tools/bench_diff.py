@@ -85,7 +85,7 @@ def family(q):
         i = int(n.rstrip("bc"))
     except ValueError:
         return "relational"
-    if i <= 7 or i in (33, 123, 130):
+    if i <= 7 or i in (33, 123, 130, 133):
         return "cdc"
     if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106, 109, 112, 114, 115, 122, 125, 128, 129, 131):
         return "dedup"
