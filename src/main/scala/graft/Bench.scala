@@ -91,12 +91,12 @@ object Bench {
     // r9 driver run showed interference can ALSO be selective (controls
     // clean, heavy aggregates 5x) — that case is caught by bench_diff's
     // run-minimum and idle-reference tiers, not this factor.
-    val controlRef = Map("q01_scan" -> 0.053, "q22_minhash_lsh" -> 1.329,
-      "q57_curation_strict" -> 1.387, "q89_leakfree_containment" -> 0.407)
+    val controlRef = Map("q01_scan" -> 0.053, "q22_minhash_lsh" -> 1.406,
+      "q57_curation_strict" -> 1.368, "q89_leakfree_containment" -> 0.385)
     // tools/bench_ref.json normalized controls (r13 final recording:
-    // 141 queries at box_factor 1.142 on the transitive scale; all four
-    // controls were code-unchanged this round, so the full set anchored
-    // the re-record; q89 is the heavy-shuffle control)
+    // 142 queries at box_factor 0.958 on an idle box; all four controls
+    // were code-unchanged this round, so the full set anchored the
+    // re-record; q89 is the heavy-shuffle control)
     val ctl = results.collect {
       case (k, ts, _, _, _) if controlRef.contains(k) && ts(runs / 2) > 0 =>
         k -> ts(runs / 2)
