@@ -1725,6 +1725,24 @@ object Curation {
 
     "q127_decontam_apply" -> ((s, d) =>
       decontamApply(Tables.documents(s, d))),
+
+    // Q134: the release relation read off INCREMENTALLY-maintained state
+    // (see [[ReleaseStream]]) — the corpus folded in as three interleaved
+    // doc_id-residue batches into the content-keyed state artifact; the
+    // per-call cost is the production export job (one fact-store scan +
+    // broadcast side relations + the kept-set mixture re-plan), and the
+    // oracle — q132's SQL verbatim — proves the fold converged to the
+    // batch semantics at every scale.
+    "q134_release_incremental" -> ((s, d) =>
+      ReleaseStream.releaseState(s, ReleaseStream.ensureReleaseState(s, d))),
+
+    // Q135: release churn — the docs whose stage or mixture weight moved
+    // when the LAST residue batch landed on the incrementally-maintained
+    // state (see [[ReleaseStream.releaseChurn]]); both readouts resolve
+    // committed manifests, so the as-of side is free time travel.
+    "q135_release_churn" -> ((s, d) =>
+      ReleaseStream.releaseChurn(s, ReleaseStream.ensureReleaseState(s, d),
+        prevBatch = 1L)),
     // Both pair sides routed through MATERIALIZED build-once artifacts
     // (round 13, the q57 move): the prior form re-ran the text band
     // probe + verify off the signature index AND the exact quadratic
@@ -1740,6 +1758,104 @@ object Curation {
           DedupArtifacts.ensureEmbeddingPairs(s, d))))),
     "q76_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d)))
   )
+
+  /** q132/q134 twin: the q125 dedup CTEs (incl. the recursive CC
+    * labels), the q127 decontamination CTEs (sharing the same toks/sh
+    * relations), the q111 cap rank, the q48/q88 component-representative
+    * split, and the q120 mixture arithmetic RE-PLANNED over the kept
+    * set — one composed statement, each fragment verbatim from its
+    * standalone twin. q134 (the incremental fold's readout) shares it
+    * verbatim: equality with the batch relation IS its contract.
+    */
+  private def releaseExportOracleSql: String =
+    s"WITH RECURSIVE $releaseExportOracleBody"
+
+  /** Everything after the WITH RECURSIVE keyword — so q135's oracle can
+    * evaluate the SAME statement against a SHADOWED `documents` CTE (the
+    * prefix corpus) inside one query: a CTE named after a base table
+    * takes precedence for every later CTE. The shadow's own definition
+    * must read `main.documents` (schema-qualified) — under the
+    * clause-wide RECURSIVE keyword an unqualified self-name is a
+    * circular reference.
+    */
+  private def releaseExportOracleBody: String =
+    s"""${Dedup.ccLabelsCtesSql},
+         |d AS (SELECT doc_id, COALESCE(source, '') AS source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        sha256(text) AS h
+         |      FROM documents),
+         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+         |f AS (SELECT d.*, CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS exact_rm
+         |      FROM d JOIN k USING (h)),
+         |s AS (SELECT * FROM f WHERE exact_rm = 0),
+         |cm AS (SELECT l.cluster_id, MIN(s.doc_id) AS cmin
+         |       FROM labels l JOIN s ON l.doc_id = s.doc_id
+         |       GROUP BY l.cluster_id),
+         |nd AS (SELECT s.doc_id
+         |       FROM s JOIN labels l ON s.doc_id = l.doc_id
+         |       JOIN cm ON l.cluster_id = cm.cluster_id
+         |       WHERE s.doc_id <> cm.cmin),
+         |rnkd AS (SELECT doc_id, row_number() OVER
+         |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk
+         |  FROM documents),
+         |smp AS (SELECT doc_id FROM rnkd WHERE rnk <= 20),
+         |evalsh AS (SELECT DISTINCT shingle FROM sh JOIN smp USING (doc_id)),
+         |rest AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM smp)),
+         |dcnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM rest GROUP BY 1),
+         |hits AS (SELECT doc_id, COUNT(*) AS nhit FROM rest
+         |         WHERE shingle IN (SELECT shingle FROM evalsh) GROUP BY 1),
+         |sc AS (SELECT dcnt.doc_id,
+         |         CAST(FLOOR(COALESCE(nhit, 0) * 1000.0 / n_shingles + 0.5) AS BIGINT) AS contam
+         |       FROM dcnt LEFT JOIN hits ON dcnt.doc_id = hits.doc_id),
+         |cd AS (SELECT doc_id, COALESCE(source, '') AS source,
+         |        ${Sketches.phash60Sql("'sc42|' || CAST(doc_id AS VARCHAR)")} AS ch
+         |      FROM documents),
+         |cr AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY source ORDER BY ch, doc_id) AS rn
+         |      FROM cd),
+         |ckeep AS (SELECT doc_id FROM cr WHERE rn <= ${Prep.SOURCE_CAP}),
+         |stg AS (SELECT f.doc_id, f.source, f.n_tokens,
+         |          CASE WHEN f.exact_rm = 1 THEN 'exact'
+         |               WHEN nd.doc_id IS NOT NULL THEN 'neardup'
+         |               WHEN smp.doc_id IS NOT NULL THEN 'eval'
+         |               WHEN COALESCE(sc.contam, 0) >= 100 THEN 'contaminated'
+         |               WHEN ck.doc_id IS NULL THEN 'capped'
+         |               ELSE 'kept' END AS stage
+         |        FROM f LEFT JOIN nd ON f.doc_id = nd.doc_id
+         |        LEFT JOIN smp ON f.doc_id = smp.doc_id
+         |        LEFT JOIN sc ON f.doc_id = sc.doc_id
+         |        LEFT JOIN ckeep ck ON f.doc_id = ck.doc_id),
+         |spl AS (SELECT dd.doc_id,
+         |          CASE WHEN ${Sketches.phash60Sql("COALESCE(l.cluster_id, dd.doc_id)")} % 100 < 90 THEN 'train'
+         |               WHEN ${Sketches.phash60Sql("COALESCE(l.cluster_id, dd.doc_id)")} % 100 < 95 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id),
+         |kept AS (SELECT doc_id FROM stg WHERE stage = 'kept'),
+         |mper AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+         |         FROM documents JOIN kept USING (doc_id) GROUP BY lang),
+         |mw AS (SELECT lang, lang_tokens,
+         |         CAST(FLOOR(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w
+         |       FROM mper),
+         |mt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM mw),
+         |mplan AS (SELECT lang, lang_tokens,
+         |            (${TextAnalysis.MIX_BUDGET_TOKENS} * w) // tw AS target_tokens
+         |          FROM mw, mt),
+         |mp2 AS (SELECT lang, lang_tokens,
+         |          target_tokens // lang_tokens AS full_epochs,
+         |          ((target_tokens - (target_tokens // lang_tokens) * lang_tokens)
+         |            * 1000000) // lang_tokens AS rem_rate_x1e6
+         |        FROM mplan),
+         |md AS (SELECT doc_id, lang,
+         |         ${Sketches.phash60Sql("'mx42|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS mh
+         |       FROM documents JOIN kept USING (doc_id)),
+         |mix AS (SELECT doc_id,
+         |          full_epochs + CASE WHEN mh < rem_rate_x1e6 THEN 1 ELSE 0 END AS n_copies
+         |        FROM md JOIN mp2 ON md.lang = mp2.lang)
+         |SELECT stg.doc_id, stg.source, stg.n_tokens, stg.stage, spl.split,
+         |       CAST(COALESCE(mix.n_copies, 0) AS BIGINT) AS n_copies
+         |FROM stg JOIN spl ON stg.doc_id = spl.doc_id
+         |LEFT JOIN mix ON stg.doc_id = mix.doc_id
+         |ORDER BY stg.doc_id""".stripMargin
 
   /** q71 twin: same hash-picked eval set, exact cosine, grouped max/hits. */
   private def semanticContaminationOracleSql: String =
@@ -1897,84 +2013,34 @@ object Curation {
     // q111 cap rank, the q48/q88 component-representative split, and the
     // q120 mixture arithmetic RE-PLANNED over the kept set — one composed
     // statement, each fragment verbatim from its standalone twin.
-    "q132_release_export" ->
-      s"""WITH RECURSIVE ${Dedup.ccLabelsCtesSql},
-         |d AS (SELECT doc_id, COALESCE(source, '') AS source,
-         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |        sha256(text) AS h
-         |      FROM documents),
-         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
-         |f AS (SELECT d.*, CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS exact_rm
-         |      FROM d JOIN k USING (h)),
-         |s AS (SELECT * FROM f WHERE exact_rm = 0),
-         |cm AS (SELECT l.cluster_id, MIN(s.doc_id) AS cmin
-         |       FROM labels l JOIN s ON l.doc_id = s.doc_id
-         |       GROUP BY l.cluster_id),
-         |nd AS (SELECT s.doc_id
-         |       FROM s JOIN labels l ON s.doc_id = l.doc_id
-         |       JOIN cm ON l.cluster_id = cm.cluster_id
-         |       WHERE s.doc_id <> cm.cmin),
-         |rnkd AS (SELECT doc_id, row_number() OVER
-         |    (PARTITION BY lang ORDER BY ${Sketches.phash60Sql("doc_id")}, doc_id) AS rnk
-         |  FROM documents),
-         |smp AS (SELECT doc_id FROM rnkd WHERE rnk <= 20),
-         |evalsh AS (SELECT DISTINCT shingle FROM sh JOIN smp USING (doc_id)),
-         |rest AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM smp)),
-         |dcnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM rest GROUP BY 1),
-         |hits AS (SELECT doc_id, COUNT(*) AS nhit FROM rest
-         |         WHERE shingle IN (SELECT shingle FROM evalsh) GROUP BY 1),
-         |sc AS (SELECT dcnt.doc_id,
-         |         CAST(FLOOR(COALESCE(nhit, 0) * 1000.0 / n_shingles + 0.5) AS BIGINT) AS contam
-         |       FROM dcnt LEFT JOIN hits ON dcnt.doc_id = hits.doc_id),
-         |cd AS (SELECT doc_id, COALESCE(source, '') AS source,
-         |        ${Sketches.phash60Sql("'sc42|' || CAST(doc_id AS VARCHAR)")} AS ch
-         |      FROM documents),
-         |cr AS (SELECT doc_id,
-         |        row_number() OVER (PARTITION BY source ORDER BY ch, doc_id) AS rn
-         |      FROM cd),
-         |ckeep AS (SELECT doc_id FROM cr WHERE rn <= ${Prep.SOURCE_CAP}),
-         |stg AS (SELECT f.doc_id, f.source, f.n_tokens,
-         |          CASE WHEN f.exact_rm = 1 THEN 'exact'
-         |               WHEN nd.doc_id IS NOT NULL THEN 'neardup'
-         |               WHEN smp.doc_id IS NOT NULL THEN 'eval'
-         |               WHEN COALESCE(sc.contam, 0) >= 100 THEN 'contaminated'
-         |               WHEN ck.doc_id IS NULL THEN 'capped'
-         |               ELSE 'kept' END AS stage
-         |        FROM f LEFT JOIN nd ON f.doc_id = nd.doc_id
-         |        LEFT JOIN smp ON f.doc_id = smp.doc_id
-         |        LEFT JOIN sc ON f.doc_id = sc.doc_id
-         |        LEFT JOIN ckeep ck ON f.doc_id = ck.doc_id),
-         |spl AS (SELECT dd.doc_id,
-         |          CASE WHEN ${Sketches.phash60Sql("COALESCE(l.cluster_id, dd.doc_id)")} % 100 < 90 THEN 'train'
-         |               WHEN ${Sketches.phash60Sql("COALESCE(l.cluster_id, dd.doc_id)")} % 100 < 95 THEN 'val'
-         |               ELSE 'test' END AS split
-         |        FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id),
-         |kept AS (SELECT doc_id FROM stg WHERE stage = 'kept'),
-         |mper AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
-         |         FROM documents JOIN kept USING (doc_id) GROUP BY lang),
-         |mw AS (SELECT lang, lang_tokens,
-         |         CAST(FLOOR(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w
-         |       FROM mper),
-         |mt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM mw),
-         |mplan AS (SELECT lang, lang_tokens,
-         |            (${TextAnalysis.MIX_BUDGET_TOKENS} * w) // tw AS target_tokens
-         |          FROM mw, mt),
-         |mp2 AS (SELECT lang, lang_tokens,
-         |          target_tokens // lang_tokens AS full_epochs,
-         |          ((target_tokens - (target_tokens // lang_tokens) * lang_tokens)
-         |            * 1000000) // lang_tokens AS rem_rate_x1e6
-         |        FROM mplan),
-         |md AS (SELECT doc_id, lang,
-         |         ${Sketches.phash60Sql("'mx42|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS mh
-         |       FROM documents JOIN kept USING (doc_id)),
-         |mix AS (SELECT doc_id,
-         |          full_epochs + CASE WHEN mh < rem_rate_x1e6 THEN 1 ELSE 0 END AS n_copies
-         |        FROM md JOIN mp2 ON md.lang = mp2.lang)
-         |SELECT stg.doc_id, stg.source, stg.n_tokens, stg.stage, spl.split,
-         |       CAST(COALESCE(mix.n_copies, 0) AS BIGINT) AS n_copies
-         |FROM stg JOIN spl ON stg.doc_id = spl.doc_id
-         |LEFT JOIN mix ON stg.doc_id = mix.doc_id
-         |ORDER BY stg.doc_id""".stripMargin,
+    "q132_release_export" -> releaseExportOracleSql,
+
+    // q134 shares q132's oracle VERBATIM: the incremental fold's whole
+    // contract is that its readout equals the batch release relation.
+    "q134_release_incremental" -> releaseExportOracleSql,
+
+    // q135 twin: the SAME composed release statement evaluated twice —
+    // once whole-corpus, once against a shadowed `documents` CTE holding
+    // the two-residue prefix (the state q135 reads as of batch 1) — then
+    // the per-doc stage/weight diff. The shadow CTE must name the base
+    // table SCHEMA-QUALIFIED (`main.documents`): under the clause-wide
+    // RECURSIVE keyword every same-clause CTE is in scope for every
+    // other, so an unqualified `documents` in its own definition is a
+    // circular reference, not the table.
+    "q135_release_churn" ->
+      s"""WITH cur AS ($releaseExportOracleSql),
+         |prev AS (WITH RECURSIVE documents AS
+         |    (SELECT * FROM main.documents WHERE doc_id % 3 < 2),
+         |  $releaseExportOracleBody)
+         |SELECT cur.doc_id, COALESCE(prev.stage, 'absent') AS prev_stage,
+         |       cur.stage,
+         |       CAST(COALESCE(prev.n_copies, 0) AS BIGINT) AS prev_copies,
+         |       cur.n_copies
+         |FROM cur LEFT JOIN prev ON cur.doc_id = prev.doc_id
+         |WHERE COALESCE(prev.stage, 'absent') <> cur.stage
+         |   OR COALESCE(prev.n_copies, 0) <> cur.n_copies
+         |ORDER BY cur.doc_id""".stripMargin,
+
 
     "q127_decontam_apply" ->
       s"""WITH ranked AS (SELECT doc_id, row_number() OVER

@@ -113,6 +113,30 @@ object DedupArtifacts {
       df.repartition(col(partitionCol))
         .write.mode("overwrite").partitionBy(partitionCol))(build)
 
+  /** [[ensureDerived]] for artifacts that are a DIRECTORY TREE rather
+    * than one parquet relation (the incremental release state: several
+    * bucketed stores + manifests under one root). `build` receives the
+    * target directory and must write the complete tree into it; the
+    * marker commits it exactly like the single-relation ensures — a
+    * crashed build leaves no marker and re-runs on the next call.
+    */
+  private[graft] def ensureTree(key: String)(build: String => Unit): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dir = s"$artifactRoot/tree_$digest"
+    this.synchronized {
+      if (!builtDirs.contains(dir)) {
+        val marker = new java.io.File(s"$dir/_GRAFT_INDEX_OK")
+        if (!marker.exists()) {
+          build(dir)
+          marker.createNewFile()
+        }
+        builtDirs += dir
+      }
+    }
+    dir
+  }
+
   private def ensureDerivedBy(key: String)
                              (writer: DataFrame => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
                              (build: => DataFrame): String = {

@@ -1,0 +1,597 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incremental release-export maintenance — the stream==batch twin of the
+  * q132 composed release relation ([[Curation.releaseExport]]), the one
+  * composed family that still rebuilt from scratch per call. A production
+  * corpus is APPENDED to by crawl batches; recomputing a 100 TB release
+  * decision per batch is exactly the kind of full-corpus pass the other
+  * stateful families (clusters, chunks, centroid, BM25, SCD2) already
+  * retire with bucketed on-disk state. This object retires it for the
+  * release cascade itself.
+  *
+  * The insight that makes the cascade incrementalizable: every stage
+  * decision decomposes into PER-DOC FACTS that change only under
+  * delta-bounded events, plus TINY global relations, plus readout-time
+  * derivations —
+  *
+  *  - `exact` (q125): doc_id vs the running min doc_id per text hash.
+  *    A batch can only change old docs when it lands a SMALLER id on an
+  *    existing hash (out-of-order arrival) — bounded by the batch's own
+  *    hash set (`ex/` store: append-only per-batch hash minima).
+  *  - `neardup` (q125): derived at readout from the streaming
+  *    cluster-label state ([[Curation.clusterIngestBatch]] — reused as a
+  *    component, manifests and all) joined with stored exact flags; the
+  *    cluster-min-survivor rule needs no extra state.
+  *  - `eval`/`contaminated` (q127): the eval sample is the per-lang
+  *    smallest-(hash, doc_id) set — a monotone tournament ONLY new docs
+  *    can enter, so sample churn is delta-bounded. Contamination counts
+  *    (`nhit` of each doc's distinct shingles inside the eval shingle
+  *    set) are maintained EXACTLY by set arithmetic: when the sample
+  *    changes, the shingles entering/leaving the eval set probe the
+  *    `sh/` inverted index (shingle-bucketed) and adjust only the docs
+  *    that contain them — the same delta-sized probe shape as the
+  *    near-dup index.
+  *  - `capped` (q111): per-source hash-priority rank. Only sources
+  *    PRESENT in the batch can re-rank; the `src/` store is a
+  *    source-bucketed (doc_id, priority) mirror so a re-rank reads only
+  *    the delta sources' buckets. Keeper sets (cap × #over-cap-sources)
+  *    and per-source counts live in the tiny store.
+  *  - `split` (q88) and `n_copies` (q120) are pure readout derivations:
+  *    split is a hash of the cluster representative, and the mixture is
+  *    re-planned over the kept set through
+  *    [[TextAnalysis.mixtureMaterializeFromStats]] — the literal batch
+  *    kernel, shared so the two paths cannot drift (the
+  *    `Envelope.scd2Fold` convention).
+  *
+  * State layout is the SCD2/label-state idiom: bucketed stores under
+  * `root/batch=<id>/<store>/`, committed by ONE atomic version-headered
+  * manifest per batch covering all stores (tmp + rename, `END` count
+  * terminator), written LAST — a half-written attempt has no manifest and
+  * is invisible; replay resolves the newest manifest strictly below its
+  * own id and rewrites deterministically. Append stores (`ex`, `sh`,
+  * `src`) list MULTIPLE owner batches per bucket; the per-doc fact store
+  * (`doc`) appends versioned rows (last-writer-wins on `ver`), so a
+  * batch writes delta + affected rows, never the corpus.
+  *
+  * At 100 TB: per batch, writes are delta-sized appends plus tiny
+  * relations; reads are the delta's buckets only ([[releaseIngestBatch]]
+  * returns the path lists it read; ReleaseStreamSpec pins the strict
+  * subset). The full-corpus pass survives only where it belongs — in the
+  * export readout itself, which emits a per-doc relation by definition.
+  */
+object ReleaseStream {
+
+  private val N_BUCKETS = 32L
+  private val MANIFEST = "_MANIFEST"
+  private val HEADER = "GRAFT_RELEASE_MANIFEST v1"
+  private val PER_LANG = 20
+  private val CONTAM_T = 100L
+  private val CAP: Int = Prep.SOURCE_CAP
+  private val THRESHOLD = 800
+
+  private val DOC_SCHEMA = "doc_id BIGINT, source STRING, lang STRING," +
+    " n_tokens BIGINT, exact_rm BIGINT, n_shingles BIGINT, nhit BIGINT," +
+    " ver BIGINT"
+  private val OUT_SCHEMA = "doc_id BIGINT, source STRING, n_tokens BIGINT," +
+    " stage STRING, split STRING, n_copies BIGINT"
+
+  /** Partition-column name per store (the manifest keys buckets as
+    * `<store>/<bucket>`; paths are `batch=<owner>/<store>/<pcol>=<bucket>`).
+    */
+  private val PCOL = Map("doc" -> "dbkt", "sh" -> "gbkt", "ex" -> "xbkt",
+    "src" -> "sbkt")
+
+  private def bkt(c: Column): Column = pmod(c, lit(N_BUCKETS))
+
+  /** The prior-state paths one micro-batch READ — the strict-subset-read
+    * evidence (the cluster-ingest convention).
+    */
+  private[graft] case class ReadPaths(ex: Seq[String], sh: Seq[String],
+                                      doc: Seq[String], src: Seq[String])
+
+  /** The long-running ingest: document batches (`doc_id, source, lang,
+    * text`) → incrementally maintained release state under `root`.
+    */
+  def streamingReleaseIngest(docs: DataFrame, root: String,
+                             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        releaseIngestBatch(batch, batchId, root)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of the fold (the foreachBatch body, factored out so
+    * replay/equality specs and the q134 artifact build drive it
+    * directly). No arrival-order assumption: a later batch carrying a
+    * SMALLER doc_id than a stored hash keeper flips that keeper to
+    * `exact` — the general rule, spec-pinned with an out-of-order batch.
+    */
+  private[graft] def releaseIngestBatch(batch: DataFrame, batchId: Long,
+                                        root: String): ReadPaths = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val d = batch.select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("lang"), col("text"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("hcap", Sketches.phash60(
+        concat(lit("sc42|"), col("doc_id").cast("string"))))
+      .withColumn("hsmp", Sketches.phash60(col("doc_id")))
+      .persist()
+    val prior = latestManifest(spark, root, batchId)
+      .map(_._2).getOrElse(Map.empty[String, Seq[Long]])
+    if (d.isEmpty) { // state unchanged, commit as-is
+      writeManifest(spark, root, batchId, prior)
+      d.unpersist()
+      return ReadPaths(Nil, Nil, Nil, Nil)
+    }
+    // labels constituent: the existing cluster-label stream, reused whole
+    // (its own bucketed state, docmap mirror, manifests, replay rules)
+    Curation.clusterIngestBatch(d.select("doc_id", "text"), batchId,
+      s"$root/cidx", s"$root/cpairs", s"$root/clabels", THRESHOLD)
+    val bsh = Dedup.hashedShingles(d.select("doc_id", "text")).persist()
+
+    // ---- exact stage: batch minima per text hash vs stored running minima
+    val bmin = d.groupBy("h").agg(min(col("doc_id")).as("bdoc")).persist()
+    val touchedX = bucketVals(bmin.select(bkt(xxhash64(col("h"))).as("b")))
+    val exPaths = storePaths(root, prior, "ex", touchedX)
+    val pmin = readOr(spark, exPaths, "h STRING, doc_id BIGINT")
+      .join(bmin.select("h"), Seq("h"), "left_semi")
+      .groupBy("h").agg(min(col("doc_id")).as("pdoc"))
+    val exCombined = bmin.join(pmin, Seq("h"), "left")
+      .withColumn("newmin",
+        least(col("bdoc"), coalesce(col("pdoc"), col("bdoc"))))
+      .persist()
+    // out-of-order arrival: an old keeper losing to a smaller new id
+    val flips = exCombined
+      .filter(col("pdoc").isNotNull && col("bdoc") < col("pdoc"))
+      .select(col("pdoc").as("doc_id")).distinct().persist()
+
+    // ---- eval sample: per-lang smallest-(hash, id) tournament. Old
+    // non-sample docs already lost to the prior sample, so only the prior
+    // sample ∪ batch compete — additions are always batch docs (their
+    // text is in hand), evictions always prior sample docs (their
+    // shingles are in the tiny evalsh relation).
+    val tinyOwner = prior.get("tiny").flatMap(_.headOption)
+    def tinyRead(rel: String, schema: String): DataFrame =
+      tinyOwner.map(o => spark.read.parquet(s"$root/batch=$o/tiny/$rel"))
+        .getOrElse(emptyDf(spark, schema))
+    val priorEvals =
+      tinyRead("evals", "lang STRING, doc_id BIGINT, hsmp BIGINT").persist()
+    val wSmp = Window.partitionBy("lang").orderBy(col("hsmp"), col("doc_id"))
+    val newEvals = priorEvals.unionByName(d.select("lang", "doc_id", "hsmp"))
+      .withColumn("rnk", row_number().over(wSmp))
+      .filter(col("rnk") <= PER_LANG)
+      .select("lang", "doc_id", "hsmp").persist()
+    val evalAdd = newEvals
+      .join(priorEvals.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val evalDrop = priorEvals
+      .join(newEvals.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val priorEvalsh =
+      tinyRead("evalsh", "doc_id BIGINT, shingle BIGINT").persist()
+    val newEvalsh = priorEvalsh.join(evalDrop, Seq("doc_id"), "left_anti")
+      .unionByName(bsh.join(evalAdd, Seq("doc_id"), "left_semi")
+        .select("doc_id", "shingle"))
+      .persist()
+    val oldSet = priorEvalsh.select("shingle").distinct()
+    val newSet = newEvalsh.select("shingle").distinct().persist()
+    // |sh(d) ∩ new| = |sh(d) ∩ old| + |∩ entering| − |∩ leaving|: exact
+    // set arithmetic, so incremental nhit can never drift from batch
+    val dSh = newSet.except(oldSet).withColumn("dn", lit(1L))
+      .unionByName(oldSet.except(newSet).withColumn("dn", lit(-1L)))
+      .persist()
+
+    // ---- old-doc nhit adjustments: probe the shingle index BEFORE this
+    // batch's shingles are appended, so exactly the prior docs are hit
+    val touchedG = bucketVals(dSh.select(bkt(col("shingle")).as("b")))
+    val shPaths = storePaths(root, prior, "sh", touchedG)
+    val adj = readOr(spark, shPaths, "shingle BIGINT, doc_id BIGINT")
+      .join(broadcast(dSh), Seq("shingle"))
+      .groupBy("doc_id").agg(sum("dn").as("dn"))
+      .filter(col("dn") =!= 0)
+      .persist()
+    val affected = adj.select("doc_id").unionByName(flips)
+      .distinct().persist()
+    val touchedDAff = bucketVals(affected.select(bkt(col("doc_id")).as("b")))
+    val docPaths = storePaths(root, prior, "doc", touchedDAff)
+    val updatedOld = latestRows(readOr(spark, docPaths, DOC_SCHEMA))
+      .join(broadcast(affected), Seq("doc_id"), "left_semi")
+      .join(broadcast(adj), Seq("doc_id"), "left")
+      .join(broadcast(flips.withColumn("fl", lit(1L))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        greatest(col("exact_rm"), coalesce(col("fl"), lit(0L))).as("exact_rm"),
+        col("n_shingles"),
+        (col("nhit") + coalesce(col("dn"), lit(0L))).as("nhit"),
+        lit(batchId).as("ver"))
+
+    // ---- new-doc facts, scored against the POST-update eval set
+    val nsh = bsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val nhitNew = bsh.join(broadcast(newSet), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("nhit"))
+    val newRows = d.join(exCombined.select("h", "newmin"), Seq("h"))
+      .withColumn("exact_rm", (col("doc_id") =!= col("newmin")).cast("long"))
+      .select("doc_id", "source", "lang", "n_tokens", "exact_rm")
+      .join(nsh, Seq("doc_id"), "left")
+      .join(nhitNew, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "nhit"))
+      .withColumn("ver", lit(batchId))
+    val docOut = updatedOld.unionByName(newRows)
+      .withColumn("dbkt", bkt(col("doc_id"))).persist()
+    docOut.write.mode("overwrite").partitionBy("dbkt")
+      .parquet(s"$root/batch=$batchId/doc")
+    val docWritten = bucketVals(docOut.select(col("dbkt").as("b")))
+
+    // ---- append-only stores: the batch's shingle postings, hash minima,
+    // and source-priority mirror rows
+    val shOut = bsh.withColumn("gbkt", bkt(col("shingle"))).persist()
+    shOut.write.mode("overwrite").partitionBy("gbkt")
+      .parquet(s"$root/batch=$batchId/sh")
+    val shWritten = bucketVals(shOut.select(col("gbkt").as("b")))
+    val exOut = bmin.select(col("h"), col("bdoc").as("doc_id"))
+      .withColumn("xbkt", bkt(xxhash64(col("h")))).persist()
+    exOut.write.mode("overwrite").partitionBy("xbkt")
+      .parquet(s"$root/batch=$batchId/ex")
+    val exWritten = bucketVals(exOut.select(col("xbkt").as("b")))
+    val srcOut = d.select("source", "doc_id", "hcap")
+      .withColumn("sbkt", bkt(Sketches.phash60(col("source")))).persist()
+    srcOut.write.mode("overwrite").partitionBy("sbkt")
+      .parquet(s"$root/batch=$batchId/src")
+    val srcWritten = bucketVals(srcOut.select(col("sbkt").as("b")))
+
+    // ---- per-source cap: only sources present in the batch can re-rank;
+    // the re-rank reads only their src-mirror buckets
+    val priorCapn = tinyRead("capn", "source STRING, n BIGINT")
+    val capn = priorCapn
+      .unionByName(d.groupBy("source").agg(count(lit(1)).as("n")))
+      .groupBy("source").agg(sum("n").as("n")).persist()
+    val deltaSources = d.select("source").distinct().persist()
+    val overDelta = capn.join(deltaSources, Seq("source"), "left_semi")
+      .filter(col("n") > CAP).select("source").persist()
+    val touchedS = bucketVals(
+      overDelta.select(bkt(Sketches.phash60(col("source"))).as("b")))
+    val srcPaths = storePaths(root, prior, "src", touchedS)
+    val wCap = Window.partitionBy("source").orderBy(col("hcap"), col("doc_id"))
+    val newKeep = readOr(spark, srcPaths, "source STRING, doc_id BIGINT," +
+        " hcap BIGINT")
+      .unionByName(d.select("source", "doc_id", "hcap"))
+      .join(broadcast(overDelta), Seq("source"))
+      .withColumn("rnk", row_number().over(wCap))
+      .filter(col("rnk") <= CAP).select("source", "doc_id")
+    val capkeep = tinyRead("capkeep", "source STRING, doc_id BIGINT")
+      .join(broadcast(deltaSources), Seq("source"), "left_anti")
+      .unionByName(newKeep)
+
+    // ---- tiny store (single owner, rewritten whole — sample-, source-
+    // and keeper-sized relations) + the one atomic manifest, LAST
+    newEvals.write.mode("overwrite")
+      .parquet(s"$root/batch=$batchId/tiny/evals")
+    newEvalsh.write.mode("overwrite")
+      .parquet(s"$root/batch=$batchId/tiny/evalsh")
+    capn.write.mode("overwrite").parquet(s"$root/batch=$batchId/tiny/capn")
+    capkeep.write.mode("overwrite")
+      .parquet(s"$root/batch=$batchId/tiny/capkeep")
+    val man = Seq("doc" -> docWritten, "sh" -> shWritten, "ex" -> exWritten,
+      "src" -> srcWritten).foldLeft(prior) { case (m, (store, written)) =>
+        written.foldLeft(m) { (m2, b) =>
+          val k = s"$store/$b"
+          m2 + (k -> (m2.getOrElse(k, Seq.empty[Long]) :+ batchId))
+        }
+      } + ("tiny" -> Seq(batchId))
+    writeManifest(spark, root, batchId, man)
+    Seq(d, bsh, bmin, exCombined, flips, priorEvals, newEvals, priorEvalsh,
+      newEvalsh, newSet, dSh, adj, affected, docOut, shOut, exOut, srcOut,
+      capn, deltaSources, overDelta).foreach(_.unpersist())
+    ReadPaths(exPaths, shPaths, docPaths, srcPaths)
+  }
+
+  /** The release relation off the newest committed state — equals
+    * [[Curation.releaseExport]] (q132) over every document ingested so
+    * far (ReleaseStreamSpec pins it, plus replay idempotency and the
+    * strict-subset reads). One scan of the fact store + broadcast-sized
+    * side relations; the mixture re-plan over the kept set runs through
+    * the literal batch kernel.
+    */
+  def releaseState(spark: SparkSession, root: String): DataFrame =
+    releaseStateAt(spark, root, Long.MaxValue)
+
+  /** The release relation as of batch `batchId` INCLUSIVE (the newest
+    * committed manifest <= batchId — `Curation.labelStateAt`'s
+    * contract): the manifested state is time-travelable for free, which
+    * is what [[releaseChurn]] reads to answer "what did this crawl
+    * batch change in the release".
+    */
+  def releaseStateAt(spark: SparkSession, root: String,
+                     batchId: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val manOpt = latestManifest(spark, root,
+      if (batchId == Long.MaxValue) batchId else batchId + 1)
+    if (manOpt.isEmpty) return emptyDf(spark, OUT_SCHEMA)
+    val man = manOpt.get._2
+    val docPaths = man.collect { case (k, owners) if k.startsWith("doc/") =>
+      val b = k.stripPrefix("doc/")
+      owners.map(o => s"$root/batch=$o/doc/dbkt=$b")
+    }.flatten.toSeq
+    val docs = latestRows(readOr(spark, docPaths, DOC_SCHEMA)).persist()
+    val tinyO = man("tiny").head
+    val evals = spark.read.parquet(s"$root/batch=$tinyO/tiny/evals")
+      .select(col("doc_id"), lit(1L).as("is_eval"))
+    val capn = spark.read.parquet(s"$root/batch=$tinyO/tiny/capn")
+    val capkeep = spark.read.parquet(s"$root/batch=$tinyO/tiny/capkeep")
+      .select(col("doc_id"), lit(1L).as("cap_keep"))
+    val labels = Curation.labelStateAt(spark, s"$root/clabels", batchId)
+      .select("doc_id", "cluster_id")
+    // min SURVIVING member per cluster (the q125 rule), then the per-doc
+    // removal flag — both pair-graph-sized, broadcast
+    val cmin = docs.filter(col("exact_rm") === 0).select("doc_id")
+      .join(broadcast(labels), Seq("doc_id"))
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("cmin"))
+    val nd = labels.join(broadcast(cmin), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") =!= col("cmin")).cast("long").as("nd_rm"))
+    val staged = docs
+      .join(broadcast(nd), Seq("doc_id"), "left")
+      .join(broadcast(evals), Seq("doc_id"), "left")
+      .join(broadcast(capn), Seq("source"), "left")
+      .join(broadcast(capkeep), Seq("doc_id"), "left")
+      .withColumn("contam_x1e3", when(col("n_shingles") === 0, lit(0L))
+        .otherwise(floor(col("nhit") * lit(1000.0) / col("n_shingles")
+          + lit(0.5)).cast("long")))
+      .withColumn("stage",
+        when(col("exact_rm") === 1, lit("exact"))
+          .when(coalesce(col("nd_rm"), lit(0L)) === 1, lit("neardup"))
+          .when(col("is_eval") === 1, lit("eval"))
+          .when(col("contam_x1e3") >= CONTAM_T, lit("contaminated"))
+          .when(col("n") > CAP && col("cap_keep").isNull, lit("capped"))
+          .otherwise(lit("kept")))
+      .withColumn("split",
+        Dedup.hashSplitOf(coalesce(col("cluster_id"), col("doc_id"))))
+      .persist()
+    val mix = TextAnalysis.mixtureMaterializeFromStats(
+        staged.filter(col("stage") === "kept")
+          .select("doc_id", "lang", "n_tokens"))
+      .select(col("doc_id"), col("n_copies"))
+    val out = staged.join(mix, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
+        col("split"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
+      .orderBy("doc_id")
+    docs.unpersist()
+    out
+  }
+
+  /** Build-once release-state artifact for the q134 catalog entry: the
+    * corpus folded in as three doc_id-residue batches (interleaved ids —
+    * every batch is an out-of-order arrival, so the general flip rules
+    * are exercised at every scale), content-keyed on the corpus text.
+    * What q134 then measures per call is the production export job: the
+    * READOUT off incrementally-maintained state — while its oracle
+    * (q132's SQL, verbatim) proves the fold converged to the batch
+    * semantics at every scale.
+    */
+  private[graft] def ensureReleaseState(spark: SparkSession,
+                                        sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relstream") {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
+        "relstream") +
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=3|v=1"
+      DedupArtifacts.ensureTree(key) { dir =>
+        (0L until 3L).foreach { b =>
+          releaseIngestBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            b, dir)
+        }
+      }
+    }
+
+  /** q135: RELEASE CHURN — every document whose release decision (stage)
+    * or mixture multiplicity changed between the committed state as of
+    * `prevBatch` and the newest state: `(doc_id, prev_stage ['absent'
+    * for docs the later batches introduced], stage, prev_copies,
+    * n_copies)`. This is the blast-radius readout a release pipeline
+    * runs after every crawl batch — it surfaces not just the batch's own
+    * docs but every OLD doc the batch re-staged (a keeper losing to a
+    * new exact copy, a cluster merge re-picking its canonical, an eval
+    * eviction, a cap re-rank) and every kept doc whose mixture weight
+    * moved under the re-plan. Two manifest-resolved readouts joined on
+    * doc_id; the as-of read is free — the manifests ARE the time travel.
+    */
+  def releaseChurn(spark: SparkSession, root: String,
+                   prevBatch: Long): DataFrame = {
+    val prev = releaseStateAt(spark, root, prevBatch)
+      .select(col("doc_id"), col("stage").as("prev_stage"),
+        col("n_copies").as("prev_copies"))
+    releaseState(spark, root)
+      .join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("prev_stage"), lit("absent")).as("prev_stage"),
+        col("stage"),
+        coalesce(col("prev_copies"), lit(0L)).as("prev_copies"),
+        col("n_copies"))
+      .filter(col("prev_stage") =!= col("stage") ||
+        col("prev_copies") =!= col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Compact the release state: fold every store's accumulated per-batch
+    * directories into ONE consolidated GENERATION directory and point the
+    * newest manifest at it — the chunk-index compaction goal under the
+    * manifest-ownership model. Append stores re-aggregate where additive
+    * (`ex` collapses to the running min per hash); the versioned fact
+    * store collapses to its latest rows, so the readout's merge-on-read
+    * window becomes a no-op until new batches append again.
+    *
+    * Generation directories use NEGATIVE batch ids (`batch=-1, -2, …`):
+    * Structured Streaming micro-batch ids are always >= 0, so a
+    * compacted generation can never collide with a future stream batch —
+    * which would otherwise either clobber the compacted data or, worse,
+    * make the stream's next fold resolve an EMPTY prior state. The
+    * atomic pivot is the frontier manifest REWRITE (tmp + rename, like
+    * every commit): before it, the old directories are authoritative and
+    * the generation dir is invisible garbage; after it, the old data
+    * dirs are unreferenced and deleted (delete-only, idempotent — a
+    * crash mid-prune leaves extra directories, never less). Same
+    * contract as the other compactions: run from a maintenance window
+    * with the stream quiesced at a committed frontier (only the last
+    * uncommitted batch can ever replay, and it is above the frontier by
+    * definition). The cluster-label subtree keeps its own lifecycle
+    * (`Curation.pruneLabelStates`). Compaction collapses HISTORY:
+    * [[releaseStateAt]]/[[releaseChurn]] as-of reads below the frontier
+    * become unavailable afterwards — read the churn window first, or
+    * defer compaction by the retention policy (the standard
+    * time-travel-vs-GC trade every manifested store makes).
+    */
+  def compactReleaseState(spark: SparkSession, root: String): Unit = {
+    val manOpt = latestManifest(spark, root, Long.MaxValue)
+    if (manOpt.isEmpty) return
+    val (frontier, man) = manOpt.get
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val batchIds = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val gen = math.min(batchIds.min, 0L) - 1L
+    def live(store: String): Seq[String] = man.collect {
+      case (k, owners) if k.startsWith(s"$store/") =>
+        val b = k.stripPrefix(s"$store/")
+        owners.map(o => s"$root/batch=$o/$store/${PCOL(store)}=$b")
+    }.flatten.toSeq
+    def consolidate(store: String, df: DataFrame,
+                    pcolOf: Column): Map[String, Seq[Long]] = {
+      val out = df.withColumn(PCOL(store), pcolOf).persist()
+      out.repartition(col(PCOL(store)))
+        .write.mode("overwrite").partitionBy(PCOL(store))
+        .parquet(s"$root/batch=$gen/$store")
+      val written = bucketVals(out.select(col(PCOL(store)).as("b")))
+      out.unpersist()
+      written.map(b => s"$store/$b" -> Seq(gen)).toMap
+    }
+    var newMan = Map.empty[String, Seq[Long]]
+    newMan ++= consolidate("doc",
+      latestRows(readOr(spark, live("doc"), DOC_SCHEMA)), bkt(col("doc_id")))
+    newMan ++= consolidate("ex",
+      readOr(spark, live("ex"), "h STRING, doc_id BIGINT")
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+      bkt(xxhash64(col("h"))))
+    newMan ++= consolidate("sh",
+      readOr(spark, live("sh"), "shingle BIGINT, doc_id BIGINT"),
+      bkt(col("shingle")))
+    newMan ++= consolidate("src",
+      readOr(spark, live("src"), "source STRING, doc_id BIGINT, hcap BIGINT"),
+      bkt(Sketches.phash60(col("source"))))
+    val tinyO = man("tiny").head
+    Seq("evals", "evalsh", "capn", "capkeep").foreach { rel =>
+      spark.read.parquet(s"$root/batch=$tinyO/tiny/$rel")
+        .write.mode("overwrite").parquet(s"$root/batch=$gen/tiny/$rel")
+    }
+    newMan += ("tiny" -> Seq(gen))
+    // THE PIVOT: rewrite the frontier manifest to own everything at `gen`
+    writeManifest(spark, root, frontier, newMan)
+    // delete-only prune of everything the new manifest no longer names:
+    // prior batch data dirs, older generations, and the frontier's own
+    // now-unreferenced store dirs (its manifest stays)
+    batchIds.filter(b => b != frontier && b != gen).foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=$b"), true))
+    Seq("doc", "sh", "ex", "src", "tiny").foreach(st =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/batch=$frontier/$st"), true))
+  }
+
+  // ------------------------------------------------------------ plumbing --
+
+  private def bucketVals(df: DataFrame): Set[Long] =
+    df.distinct().collect().map(_.getLong(0)).toSet // ≤32: bounded driver state
+
+  private def storePaths(root: String, man: Map[String, Seq[Long]],
+                         store: String, buckets: Set[Long]): Seq[String] =
+    buckets.toSeq.sorted.flatMap { b =>
+      man.getOrElse(s"$store/$b", Seq.empty)
+        .map(o => s"$root/batch=$o/$store/${PCOL(store)}=$b")
+    }
+
+  private def readOr(spark: SparkSession, paths: Seq[String],
+                     schema: String): DataFrame =
+    if (paths.isEmpty) emptyDf(spark, schema)
+    else spark.read.parquet(paths: _*)
+
+  private def emptyDf(spark: SparkSession, schema: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL(schema))
+
+  /** Last-writer-wins over the versioned fact rows (ver = batchId; a doc
+    * is written at most once per batch, so the pair is unique).
+    */
+  private def latestRows(df: DataFrame): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("ver").desc)))
+      .filter(col("rn") === 1).drop("rn")
+
+  private def writeManifest(spark: SparkSession, root: String, batchId: Long,
+                            man: Map[String, Seq[Long]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/batch=$batchId/$MANIFEST")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/batch=$batchId/$MANIFEST.tmp")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent) // an empty batch writes no data directory
+    val body = HEADER + "\n" +
+      man.toSeq.sortBy(_._1).map { case (k, owners) =>
+        s"B $k ${owners.mkString(",")}\n"
+      }.mkString +
+      s"END ${man.size}\n"
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false) // replayed batch: identical body
+    require(fs.rename(tmp, p), s"could not publish manifest $p")
+  }
+
+  private def latestManifest(spark: SparkSession, root: String,
+                             batchId: Long)
+      : Option[(Long, Map[String, Seq[Long]])] = {
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return None
+    require(fs.getFileStatus(base).isDirectory,
+      s"release state path $root exists but is not a directory")
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(b => b < batchId &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/batch=$b/$MANIFEST")))
+      .sorted.lastOption
+      .map(b => (b, readManifest(fs, root, b)))
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           root: String, batchId: Long)
+      : Map[String, Seq[Long]] = {
+    val path = s"$root/batch=$batchId/$MANIFEST"
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty && lines.head == HEADER,
+      s"manifest $path has no '$HEADER' header — unknown or future format," +
+        " rebuild the release state")
+    require(lines.last.startsWith("END "),
+      s"manifest $path is truncated (no END terminator)")
+    require(lines.size - 2 == lines.last.stripPrefix("END ").trim.toInt,
+      s"manifest $path entry count disagrees with its END terminator")
+    lines.drop(1).dropRight(1).map { l =>
+      val Array(tag, k, owners) = l.trim.split(" ")
+      require(tag == "B", s"manifest $path has unknown entry tag '$tag'")
+      k -> owners.split(",").map(_.toLong).toSeq
+    }.toMap
+  }
+}

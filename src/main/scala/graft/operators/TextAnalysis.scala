@@ -204,11 +204,23 @@ object TextAnalysis {
     * the plan reproduces bit-for-bit anywhere.
     */
   def mixturePlan(docs: DataFrame,
-                  budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame = {
-    val per = docs
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+                  budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame =
+    mixturePlanFromStats(
+      docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budgetTokens)
+
+  /** [[mixturePlan]] over a pre-tokenized `(doc_id, lang, n_tokens)`
+    * relation — the SHARED kernel (the `Envelope.scd2Fold` convention):
+    * the batch plan and the incremental release readout
+    * ([[ReleaseStream.releaseState]], which re-plans over per-doc stats
+    * it maintains on disk) both call this, so the two can never drift.
+    */
+  private[operators] def mixturePlanFromStats(stats: DataFrame,
+                                              budgetTokens: Long): DataFrame = {
+    val per = stats
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .withColumn("w",
         floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
     per
@@ -246,18 +258,30 @@ object TextAnalysis {
     * shuffle beyond the plan aggregate.
     */
   def mixtureMaterialize(docs: DataFrame,
-                         budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val plan = mixturePlan(docs, budgetTokens)
+                         budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame =
+    mixtureMaterializeFromStats(
+      docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budgetTokens)
+
+  /** [[mixtureMaterialize]] over a pre-tokenized `(doc_id, lang,
+    * n_tokens)` relation — the shared kernel twin of
+    * [[mixturePlanFromStats]]; the incremental release readout re-plans
+    * the mixture over its kept set through THIS, so stream and batch
+    * multiplicities are one definition.
+    */
+  private[operators] def mixtureMaterializeFromStats(
+      stats: DataFrame, budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame = {
+    graft.functions.GraftFunctions.register(stats.sparkSession)
+    val plan = mixturePlanFromStats(stats, budgetTokens)
       .select(col("lang"), col("n_tokens").as("lang_tokens"),
         col("target_tokens"))
       .withColumn("full_epochs", expr("target_tokens DIV lang_tokens"))
       .withColumn("rem_rate_x1e6", expr(
         "((target_tokens - (target_tokens DIV lang_tokens) * lang_tokens)" +
           " * 1000000) DIV lang_tokens"))
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+    stats
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
         pmod(Sketches.phash60(
           concat(lit("mx42|"), col("doc_id").cast("string"))), lit(1000000L))
           .as("h"))

@@ -1,0 +1,196 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Curation, Dedup, ReleaseStream}
+import graft.sources.Tables
+
+/** The incremental release fold's contract: after ANY prefix of document
+  * batches, [[ReleaseStream.releaseState]] equals the batch q132 relation
+  * ([[Curation.releaseExport]]) over every document ingested so far —
+  * plus the state-machine postures every other streaming family pins:
+  * replay idempotency, strict-subset bucket reads for a small batch, and
+  * the out-of-order arrival rule (a later SMALLER doc_id flips the stored
+  * exact keeper).
+  */
+class ReleaseStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-relstream-ckpt").toString
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, Long, String, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getString(3), r.getString(4), r.getLong(5))).toSet
+
+  /** The batch twin over an arbitrary document set, all constituents
+    * derived LIVE (the q132 catalog entry reads artifacts keyed to the
+    * full fixture corpus; prefixes need the from-scratch path).
+    */
+  private def batchTwin(docs: DataFrame): Set[(Long, String, Long, String, String, Long)] =
+    rowsOf(Curation.releaseExport(docs,
+      Dedup.nearDupClusters(docs.select("doc_id", "text"), 800, cache = false)))
+
+  test("fold over interleaved batches == q132 batch relation at every " +
+    "prefix; replay of the last batch is idempotent") {
+    val corpus = Tables.documents(spark, D).persist()
+    val root = Files.createTempDirectory("graft-relstream").toString
+    val b0 = corpus.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val b1 = corpus.filter(pmod(col("doc_id"), lit(3L)) === 1)
+    val b2 = corpus.filter(pmod(col("doc_id"), lit(3L)) === 2)
+    ReleaseStream.releaseIngestBatch(b0, 0L, root)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === batchTwin(b0),
+      "batch-0 state == q132 over the first residue class")
+    ReleaseStream.releaseIngestBatch(b1, 1L, root)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) ===
+      batchTwin(b0.unionByName(b1)),
+      "batch-1 state == q132 over two residue classes")
+    ReleaseStream.releaseIngestBatch(b2, 2L, root)
+    val full = rowsOf(ReleaseStream.releaseState(spark, root))
+    assert(full === batchTwin(corpus),
+      "batch-2 state == q132 over the whole corpus")
+    assert(full.exists(_._4 == "neardup") && full.exists(_._4 == "eval") &&
+      full.exists(_._4 == "capped") && full.exists(_._6 > 0L),
+      "the fixture must exercise the near-dup, eval, cap and mixture paths")
+    // replay: re-running batch 2's fold against the committed batch-1
+    // state (never its own directory) reproduces the same readout
+    ReleaseStream.releaseIngestBatch(b2, 2L, root)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === full)
+    corpus.unpersist()
+  }
+
+  test("a small batch reads a strict subset of the prior state's buckets " +
+    "and the fold still equals the batch relation") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, D)
+      .select("doc_id", "source", "lang", "text").persist()
+    val root = Files.createTempDirectory("graft-relsubset").toString
+    ReleaseStream.releaseIngestBatch(corpus, 0L, root)
+    // one new doc: an exact copy of an existing doc's text (lands in the
+    // exact stage) under an existing source
+    val first = corpus.orderBy("doc_id").limit(1).collect()(0)
+    val newId = corpus.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val oneDoc = Seq((newId, first.getString(1), first.getString(2),
+      first.getString(3))).toDF("doc_id", "source", "lang", "text")
+    val paths = ReleaseStream.releaseIngestBatch(oneDoc, 1L, root)
+    def bkts(ps: Seq[String]): Set[String] = ps.map(_.split("/").last).toSet
+    assert(bkts(paths.doc).size < 32,
+      s"one-doc batch must read a strict subset of doc buckets, got ${bkts(paths.doc)}")
+    assert(bkts(paths.ex).size < 32 && bkts(paths.src).size < 32,
+      "exact/source reads must be bucket-pruned")
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) ===
+      batchTwin(corpus.unionByName(oneDoc)),
+      "one-doc fold == q132 over corpus + the new doc")
+    assert(rowsOf(ReleaseStream.releaseState(spark, root))
+      .exists(r => r._1 == newId && r._4 == "exact"),
+      "the duplicate newcomer loses to the stored keeper")
+    corpus.unpersist()
+  }
+
+  test("out-of-order arrival: a later batch with a SMALLER doc_id flips " +
+    "the stored exact keeper (the general rule, not append-only)") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, D)
+      .select("doc_id", "source", "lang", "text").persist()
+    val root = Files.createTempDirectory("graft-relooo").toString
+    ReleaseStream.releaseIngestBatch(corpus, 0L, root)
+    // a doc with id BELOW every fixture id, duplicating an existing text:
+    // the old doc must flip from kept to exact
+    val donor = corpus.orderBy(col("doc_id").desc).limit(1).collect()(0)
+    val small = Seq((donor.getLong(0) - 100000L, donor.getString(1),
+      donor.getString(2), donor.getString(3)))
+      .toDF("doc_id", "source", "lang", "text")
+    ReleaseStream.releaseIngestBatch(small, 1L, root)
+    val got = rowsOf(ReleaseStream.releaseState(spark, root))
+    assert(got === batchTwin(corpus.unionByName(small)),
+      "out-of-order fold == q132 over the union")
+    assert(got.exists(r => r._1 == donor.getLong(0) && r._4 == "exact"),
+      "the stored keeper must flip to exact when a smaller id arrives")
+    corpus.unpersist()
+  }
+
+  test("release churn == the diff of the two prefix batch twins, and " +
+    "surfaces old docs the last batch re-staged") {
+    val corpus = Tables.documents(spark, D).persist()
+    val root = Files.createTempDirectory("graft-relchurn").toString
+    (0L until 3L).foreach(b => ReleaseStream.releaseIngestBatch(
+      corpus.filter(pmod(col("doc_id"), lit(3L)) === b), b, root))
+    val churn = ReleaseStream.releaseChurn(spark, root, prevBatch = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val prev = batchTwin(corpus.filter(pmod(col("doc_id"), lit(3L)) < 2))
+      .map(r => r._1 -> (r._4, r._6)).toMap
+    val expected = batchTwin(corpus).flatMap { r =>
+      val (ps, pc) = prev.getOrElse(r._1, ("absent", 0L))
+      if (ps != r._4 || pc != r._6) Some((r._1, ps, r._4, pc, r._6)) else None
+    }
+    assert(churn === expected, "churn must equal the batch-twin diff")
+    assert(churn.exists(_._2 != "absent"),
+      "the last residue batch must re-stage at least one OLD doc " +
+        "(keeper flip, cluster merge, eval eviction, cap re-rank or re-plan)")
+    corpus.unpersist()
+  }
+
+  test("compaction collapses the accumulated batch directories into one " +
+    "generation, the readout is unchanged, and further batches fold on top") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, D)
+      .select("doc_id", "source", "lang", "text").persist()
+    val root = Files.createTempDirectory("graft-relcompact").toString
+    (0L until 3L).foreach(b => ReleaseStream.releaseIngestBatch(
+      corpus.filter(pmod(col("doc_id"), lit(3L)) === b), b, root))
+    val before = rowsOf(ReleaseStream.releaseState(spark, root))
+    ReleaseStream.compactReleaseState(spark, root)
+    def batchDirs(): Set[String] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("batch=")).map(_.getName).toSet
+    }
+    assert(batchDirs() === Set("batch=2", "batch=-1"),
+      s"compaction must leave only the frontier manifest + one generation," +
+        s" got ${batchDirs()}")
+    assert(!new java.io.File(s"$root/batch=2/doc").exists(),
+      "the frontier's own store dirs are unreferenced after the pivot")
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === before,
+      "compaction must not change the readout")
+    // a post-compaction batch folds against the consolidated generation:
+    // a new exact duplicate of an existing doc
+    val donor = corpus.orderBy("doc_id").limit(1).collect()(0)
+    val newId = corpus.agg(max("doc_id")).collect()(0).getLong(0) + 7
+    val oneDoc = Seq((newId, donor.getString(1), donor.getString(2),
+      donor.getString(3))).toDF("doc_id", "source", "lang", "text")
+    ReleaseStream.releaseIngestBatch(oneDoc, 3L, root)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) ===
+      batchTwin(corpus.unionByName(oneDoc)),
+      "post-compaction fold == q132 over corpus + the new doc")
+    corpus.unpersist()
+  }
+
+  test("MemoryStream end-to-end: streamingReleaseIngest maintains the " +
+    "state across micro-batches") {
+    import spark.implicits._
+    val rows = Tables.documents(spark, D)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+    val (evens, odds) = rows.partition(_._1 % 2 == 0)
+    val root = Files.createTempDirectory("graft-relmem").toString
+    val in = MemoryStream[(Long, String, String, String)](spark)
+    val q = ReleaseStream.streamingReleaseIngest(
+      in.toDF().toDF("doc_id", "source", "lang", "text"), root, ckpt())
+    try {
+      in.addData(evens); q.processAllAvailable()
+      in.addData(odds); q.processAllAvailable()
+    } finally q.stop()
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) ===
+      batchTwin(rows.toDF("doc_id", "source", "lang", "text")),
+      "streamed state == q132 over everything ingested")
+  }
+}
