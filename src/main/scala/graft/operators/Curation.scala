@@ -1738,11 +1738,26 @@ object Curation {
 
     // Q135: release churn — the docs whose stage or mixture weight moved
     // when the LAST residue batch landed on the incrementally-maintained
-    // state (see [[ReleaseStream.releaseChurn]]); both readouts resolve
-    // committed manifests, so the as-of side is free time travel.
+    // state (see [[ReleaseStream.releaseChurn]]). BOTH sides read
+    // build-once materialized exports (current, and as-of batch 1): a
+    // production pipeline PUBLISHED both relations when their batches
+    // committed, so the post-batch churn report is a diff of two on-disk
+    // exports — the q57 routing idiom, artifact==live spec-pinned. The
+    // manifest time-travel machinery that produces the as-of side is
+    // exercised by ReleaseStreamSpec directly.
     "q135_release_churn" -> ((s, d) =>
-      ReleaseStream.releaseChurn(s, ReleaseStream.ensureReleaseState(s, d),
-        prevBatch = 1L)),
+      ReleaseStream.releaseChurnFrom(
+        s.read.parquet(ReleaseStream.ensureReleaseExport(s, d)),
+        s.read.parquet(ReleaseStream.ensureReleaseExportAt(s, d, 1L)))),
+
+    // Q136: the churn transition matrix — per (prev_stage -> stage)
+    // edge, docs moved + net mixture-copy delta; the <=49-row per-batch
+    // health rollup a release pipeline alerts on. Same routed inputs as
+    // q135 (see [[ReleaseStream.releaseChurnStats]]).
+    "q136_release_churn_stats" -> ((s, d) =>
+      ReleaseStream.releaseChurnStats(ReleaseStream.releaseChurnFrom(
+        s.read.parquet(ReleaseStream.ensureReleaseExport(s, d)),
+        s.read.parquet(ReleaseStream.ensureReleaseExportAt(s, d, 1L))))),
     // Both pair sides routed through MATERIALIZED build-once artifacts
     // (round 13, the q57 move): the prior form re-ran the text band
     // probe + verify off the signature index AND the exact quadratic
@@ -1856,6 +1871,30 @@ object Curation {
          |FROM stg JOIN spl ON stg.doc_id = spl.doc_id
          |LEFT JOIN mix ON stg.doc_id = mix.doc_id
          |ORDER BY stg.doc_id""".stripMargin
+
+  /** q135 twin: the SAME composed release statement evaluated twice —
+    * once whole-corpus, once against a shadowed `documents` CTE holding
+    * the two-residue prefix (the state q135 reads as of batch 1) — then
+    * the per-doc stage/weight diff. The shadow CTE must name the base
+    * table SCHEMA-QUALIFIED (`main.documents`): under the clause-wide
+    * RECURSIVE keyword every same-clause CTE is in scope for every
+    * other, so an unqualified `documents` in its own definition is a
+    * circular reference, not the table. q136 wraps this in the
+    * transition-matrix aggregate.
+    */
+  private def releaseChurnOracleSql: String =
+    s"""WITH cur AS ($releaseExportOracleSql),
+       |prev AS (WITH RECURSIVE documents AS
+       |    (SELECT * FROM main.documents WHERE doc_id % 3 < 2),
+       |  $releaseExportOracleBody)
+       |SELECT cur.doc_id, COALESCE(prev.stage, 'absent') AS prev_stage,
+       |       cur.stage,
+       |       CAST(COALESCE(prev.n_copies, 0) AS BIGINT) AS prev_copies,
+       |       cur.n_copies
+       |FROM cur LEFT JOIN prev ON cur.doc_id = prev.doc_id
+       |WHERE COALESCE(prev.stage, 'absent') <> cur.stage
+       |   OR COALESCE(prev.n_copies, 0) <> cur.n_copies
+       |ORDER BY cur.doc_id""".stripMargin
 
   /** q71 twin: same hash-picked eval set, exact cosine, grouped max/hits. */
   private def semanticContaminationOracleSql: String =
@@ -2019,27 +2058,18 @@ object Curation {
     // contract is that its readout equals the batch release relation.
     "q134_release_incremental" -> releaseExportOracleSql,
 
-    // q135 twin: the SAME composed release statement evaluated twice —
-    // once whole-corpus, once against a shadowed `documents` CTE holding
-    // the two-residue prefix (the state q135 reads as of batch 1) — then
-    // the per-doc stage/weight diff. The shadow CTE must name the base
-    // table SCHEMA-QUALIFIED (`main.documents`): under the clause-wide
-    // RECURSIVE keyword every same-clause CTE is in scope for every
-    // other, so an unqualified `documents` in its own definition is a
-    // circular reference, not the table.
-    "q135_release_churn" ->
-      s"""WITH cur AS ($releaseExportOracleSql),
-         |prev AS (WITH RECURSIVE documents AS
-         |    (SELECT * FROM main.documents WHERE doc_id % 3 < 2),
-         |  $releaseExportOracleBody)
-         |SELECT cur.doc_id, COALESCE(prev.stage, 'absent') AS prev_stage,
-         |       cur.stage,
-         |       CAST(COALESCE(prev.n_copies, 0) AS BIGINT) AS prev_copies,
-         |       cur.n_copies
-         |FROM cur LEFT JOIN prev ON cur.doc_id = prev.doc_id
-         |WHERE COALESCE(prev.stage, 'absent') <> cur.stage
-         |   OR COALESCE(prev.n_copies, 0) <> cur.n_copies
-         |ORDER BY cur.doc_id""".stripMargin,
+    // q135 twin: see releaseChurnOracleSql (the composed release
+    // statement evaluated twice, per-doc diffed).
+    "q135_release_churn" -> releaseChurnOracleSql,
+
+    // q136 twin: the q135 statement wrapped in the transition-matrix
+    // aggregate (per (prev_stage -> stage) doc count + net copy delta).
+    "q136_release_churn_stats" ->
+      s"""SELECT prev_stage, stage, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_copies - prev_copies) AS BIGINT) AS copies_delta
+         |FROM ($releaseChurnOracleSql)
+         |GROUP BY prev_stage, stage
+         |ORDER BY prev_stage, stage""".stripMargin,
 
 
     "q127_decontam_apply" ->

@@ -319,11 +319,56 @@ object ReleaseStream {
       if (batchId == Long.MaxValue) batchId else batchId + 1)
     if (manOpt.isEmpty) return emptyDf(spark, OUT_SCHEMA)
     val man = manOpt.get._2
+    // The mixture plan is pinned BY VALUE: its #langs-row relation is
+    // computed in its OWN fixed-shape action (a bounded-driver-state
+    // collect, like the k×dim centroids) and re-enters the readout as a
+    // literal. Leaving it lazy made the readout's n_copies a function of
+    // whatever plan a CONSUMER built on top: under the q135/q136 churn
+    // join + aggregate, Catalyst's rewrite of the doubled readout tree
+    // permuted per-doc n_copies across docs (budget and cell counts
+    // conserved, per-doc values wrong — caught by the q136 cross-pin
+    // and pinned by ReleaseStreamSpec's stats==rollup assertion). A
+    // value literal is immune to consumer plan shape by construction;
+    // the assignment arithmetic itself stays in the one shared kernel
+    // ([[TextAnalysis.mixtureAssign]]). The plan aggregate and the
+    // assignment read independently re-derived staged trees (no shared
+    // lineage for the analyzer to conflate).
+    val keptStats = stagedRelation(spark, root, man, batchId)
+      .filter(col("stage") === "kept")
+      .select("doc_id", "lang", "n_tokens")
+    val planLit = {
+      val rows = TextAnalysis.mixturePlanFromStats(keptStats,
+          TextAnalysis.MIX_BUDGET_TOKENS)
+        .select("lang", "n_tokens", "target_tokens")
+        .collect() // #langs rows: bounded driver state
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      import spark.implicits._
+      rows.toDF("lang", "n_tokens", "target_tokens")
+    }
+    val staged = stagedRelation(spark, root, man, batchId)
+    val mix = TextAnalysis.mixtureAssign(
+        stagedRelation(spark, root, man, batchId)
+          .filter(col("stage") === "kept")
+          .select("doc_id", "lang", "n_tokens"), planLit)
+      .select(col("doc_id"), col("n_copies"))
+    staged.join(mix, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
+        col("split"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** The per-doc staged relation (facts + stage + split) off a resolved
+    * manifest — built FRESH on every call so no two consumers ever share
+    * lineage (see [[releaseStateAt]] on why that matters).
+    */
+  private def stagedRelation(spark: SparkSession, root: String,
+                             man: Map[String, Seq[Long]],
+                             batchId: Long): DataFrame = {
     val docPaths = man.collect { case (k, owners) if k.startsWith("doc/") =>
       val b = k.stripPrefix("doc/")
       owners.map(o => s"$root/batch=$o/doc/dbkt=$b")
     }.flatten.toSeq
-    val docs = latestRows(readOr(spark, docPaths, DOC_SCHEMA)).persist()
+    val docs = latestRows(readOr(spark, docPaths, DOC_SCHEMA))
     val tinyO = man("tiny").head
     val evals = spark.read.parquet(s"$root/batch=$tinyO/tiny/evals")
       .select(col("doc_id"), lit(1L).as("is_eval"))
@@ -340,7 +385,7 @@ object ReleaseStream {
     val nd = labels.join(broadcast(cmin), Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") =!= col("cmin")).cast("long").as("nd_rm"))
-    val staged = docs
+    docs
       .join(broadcast(nd), Seq("doc_id"), "left")
       .join(broadcast(evals), Seq("doc_id"), "left")
       .join(broadcast(capn), Seq("source"), "left")
@@ -357,17 +402,6 @@ object ReleaseStream {
           .otherwise(lit("kept")))
       .withColumn("split",
         Dedup.hashSplitOf(coalesce(col("cluster_id"), col("doc_id"))))
-      .persist()
-    val mix = TextAnalysis.mixtureMaterializeFromStats(
-        staged.filter(col("stage") === "kept")
-          .select("doc_id", "lang", "n_tokens"))
-      .select(col("doc_id"), col("n_copies"))
-    val out = staged.join(mix, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
-        col("split"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
-      .orderBy("doc_id")
-    docs.unpersist()
-    out
   }
 
   /** Build-once release-state artifact for the q134 catalog entry: the
@@ -394,6 +428,34 @@ object ReleaseStream {
       }
     }
 
+  /** Build-once MATERIALIZED current export off the state artifact — the
+    * relation a release pipeline publishes after each batch (q134's
+    * output, which production has on disk by the time it asks for
+    * churn). q135's current side reads this; the key derives from the
+    * state tree's own content-keyed dir, so a corpus or config change
+    * can only MISS.
+    */
+  private[graft] def ensureReleaseExport(spark: SparkSession,
+                                         sfDir: String): String =
+    ensureReleaseExportAt(spark, sfDir, Long.MaxValue)
+
+  /** [[ensureReleaseExport]] as of a batch cutoff — the export the
+    * pipeline PUBLISHED when that batch committed. q135/q136 diff two
+    * published exports (current vs as-of), which is exactly what a
+    * release pipeline's post-batch report does: both relations already
+    * exist on disk in production by the time churn is asked for, so the
+    * catalog reads both sides build-once and pays only the diff.
+    */
+  private[graft] def ensureReleaseExportAt(spark: SparkSession,
+                                           sfDir: String,
+                                           batchId: Long): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relexport|$batchId") {
+      val root = ensureReleaseState(spark, sfDir)
+      DedupArtifacts.ensureDerived(spark, s"relexport|$root|b=$batchId|v=1") {
+        releaseStateAt(spark, root, batchId)
+      }
+    }
+
   /** q135: RELEASE CHURN — every document whose release decision (stage)
     * or mixture multiplicity changed between the committed state as of
     * `prevBatch` and the newest state: `(doc_id, prev_stage ['absent'
@@ -407,11 +469,23 @@ object ReleaseStream {
     * doc_id; the as-of read is free — the manifests ARE the time travel.
     */
   def releaseChurn(spark: SparkSession, root: String,
-                   prevBatch: Long): DataFrame = {
-    val prev = releaseStateAt(spark, root, prevBatch)
+                   prevBatch: Long): DataFrame =
+    releaseChurnFrom(releaseState(spark, root),
+      releaseStateAt(spark, root, prevBatch))
+
+  /** [[releaseChurn]] with the CURRENT export supplied by the caller —
+    * in production the pipeline just materialized it (it IS the release
+    * deliverable), so the churn job diffs that relation against the
+    * as-of readout instead of paying the current readout a second time.
+    * The q135 catalog entry routes this side through the build-once
+    * [[ensureReleaseExport]] artifact (the q57 composition idiom);
+    * ReleaseStreamSpec pins artifact == live.
+    */
+  def releaseChurnFrom(cur: DataFrame, prevState: DataFrame): DataFrame = {
+    val prev = prevState
       .select(col("doc_id"), col("stage").as("prev_stage"),
         col("n_copies").as("prev_copies"))
-    releaseState(spark, root)
+    cur
       .join(prev, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("prev_stage"), lit("absent")).as("prev_stage"),
@@ -422,6 +496,21 @@ object ReleaseStream {
         col("prev_copies") =!= col("n_copies"))
       .orderBy("doc_id")
   }
+
+  /** q136: the churn TRANSITION MATRIX — the dashboard rollup of
+    * [[releaseChurn]]: per (prev_stage -> stage) edge, how many docs
+    * moved and the net mixture-copy delta. 'absent' rows are the batch's
+    * own arrivals; every other row is blast radius (old docs the batch
+    * re-staged or re-weighted). Aggregates the churn relation, so it is
+    * delta-plus-blast-radius-sized input to a <=49-row output — the
+    * cheap per-batch health signal a release pipeline alerts on (e.g. a
+    * crawl batch that flips thousands of kept docs to contaminated).
+    */
+  def releaseChurnStats(churn: DataFrame): DataFrame =
+    churn.groupBy("prev_stage", "stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies") - col("prev_copies")).as("copies_delta"))
+      .orderBy("prev_stage", "stage")
 
   /** Compact the release state: fold every store's accumulated per-batch
     * directories into ONE consolidated GENERATION directory and point the

