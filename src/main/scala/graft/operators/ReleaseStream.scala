@@ -596,6 +596,99 @@ object ReleaseStream {
         s"$root/batch=$frontier/$st"), true))
   }
 
+  /** FSCK for a release-state root: verify the invariants the fold and
+    * compactor maintain, WITHOUT throwing — a maintenance window runs
+    * this before/after compaction or prune and alerts on findings. At
+    * 100 TB the expensive part is deliberately bounded: checks are
+    * manifest- and directory-listing-sized (no data scan) except the
+    * optional `deep` fact-store uniqueness probe. Findings:
+    * `(check, severity [error|warn|info], detail)`.
+    *
+    *  - `manifest`: newest manifest parses (header, END count) — a torn
+    *    or legacy file is an error naming the batch.
+    *  - `missing-leaf`: a manifest-referenced `batch=<o>/<store>/<bkt>`
+    *    directory does not exist (state unreadable) — error.
+    *  - `tiny`: the manifested tiny owner lacks one of the four
+    *    relations — error.
+    *  - `labels`: the cluster-label subtree has no committed manifest —
+    *    error (readout would stage every doc as unlabeled).
+    *  - `unreferenced`: a batch directory no manifest references —
+    *    info (prune candidate; crash-mid-prune leaves these by design).
+    *  - `dup-fact` (deep only): duplicate (doc_id, ver) rows in the
+    *    live fact store — error (last-writer-wins would be ambiguous).
+    */
+  def fsckReleaseState(spark: SparkSession, root: String,
+                       deep: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val findings = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base))
+      return Seq(("manifest", "error", s"state root $root does not exist"))
+        .toDF("check", "severity", "detail")
+    val batchIds = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    val withMan = batchIds.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/batch=$b/$MANIFEST")))
+    if (withMan.isEmpty)
+      findings += (("manifest", "error", "no committed manifest under " + root))
+    else {
+      val frontier = withMan.max
+      val man =
+        try Some(readManifest(fs, root, frontier))
+        catch { case e: IllegalArgumentException =>
+          findings += (("manifest", "error", e.getMessage)); None
+        }
+      man.foreach { m =>
+        m.foreach { case (k, owners) =>
+          if (k == "tiny") {
+            Seq("evals", "evalsh", "capn", "capkeep").foreach { rel =>
+              val p = s"$root/batch=${owners.head}/tiny/$rel"
+              if (!fs.exists(new org.apache.hadoop.fs.Path(p)))
+                findings += (("tiny", "error", s"missing tiny relation $p"))
+            }
+          } else {
+            val Array(store, bkt) = k.split("/")
+            owners.foreach { o =>
+              val p = s"$root/batch=$o/$store/${PCOL(store)}=$bkt"
+              if (!fs.exists(new org.apache.hadoop.fs.Path(p)))
+                findings += (("missing-leaf", "error",
+                  s"manifest of batch=$frontier references missing $p"))
+            }
+          }
+        }
+        val referenced = m.values.flatten.toSet
+        batchIds.filterNot(b => referenced.contains(b) || b == frontier)
+          .foreach(b => findings += (("unreferenced", "info",
+            s"batch=$b is referenced by no live manifest (prune candidate)")))
+        if (deep) {
+          val docPaths = m.collect {
+            case (k, owners) if k.startsWith("doc/") =>
+              val b = k.stripPrefix("doc/")
+              owners.map(o => s"$root/batch=$o/doc/dbkt=$b")
+          }.flatten.toSeq
+          val dups = readOr(spark, docPaths, DOC_SCHEMA)
+            .groupBy("doc_id", "ver").count()
+            .filter(col("count") > 1).count()
+          if (dups > 0)
+            findings += (("dup-fact", "error",
+              s"$dups duplicate (doc_id, ver) fact rows — " +
+                "last-writer-wins is ambiguous"))
+        }
+      }
+    }
+    val lblMan = new org.apache.hadoop.fs.Path(s"$root/clabels")
+    if (!fs.exists(lblMan) || !fs.listStatus(lblMan).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch=")))
+      findings += (("labels", "error",
+        s"cluster-label subtree $root/clabels has no committed state"))
+    if (findings.isEmpty)
+      findings += (("ok", "info", s"all invariants hold at frontier " +
+        s"batch=${withMan.maxOption.getOrElse(-1L)}"))
+    findings.toSeq.toDF("check", "severity", "detail").orderBy("check", "detail")
+  }
+
   // ------------------------------------------------------------ plumbing --
 
   private def bucketVals(df: DataFrame): Set[Long] =

@@ -212,6 +212,37 @@ class ReleaseStreamSpec extends AnyFunSuite {
       "matrix cell counts must equal the churn rollup's")
   }
 
+  test("fsck: green on a healthy fold, flags a deleted referenced leaf, " +
+    "reports unreferenced batch dirs, and deep mode passes on real state") {
+    import spark.implicits._
+    val docs = Seq((1L, "web", "en", "alpha beta gamma"),
+      (2L, "web", "en", "delta epsilon zeta"),
+      (3L, "book", "de", "eta theta iota"))
+      .toDF("doc_id", "source", "lang", "text")
+    val root = Files.createTempDirectory("graft-relfsck").toString
+    (0 to 1).foreach(b => ReleaseStream.releaseIngestBatch(
+      docs.filter(col("doc_id") % 2 === b), b, root))
+    def findings(deep: Boolean = false): Seq[(String, String, String)] =
+      ReleaseStream.fsckReleaseState(spark, root, deep).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(findings(deep = true).forall(_._2 != "error"),
+      s"healthy state must have no errors, got ${findings(deep = true)}")
+    // delete one manifest-referenced doc leaf -> missing-leaf error
+    val doc0 = new java.io.File(s"$root/batch=0/doc").listFiles()
+      .filter(_.getName.startsWith("dbkt=")).head
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(doc0)
+    assert(findings().exists(f => f._1 == "missing-leaf" && f._2 == "error" &&
+      f._3.contains(doc0.getName)),
+      "a deleted referenced leaf must surface as a missing-leaf error")
+    // an unreferenced batch dir -> info prune candidate, never an error
+    new java.io.File(s"$root/batch=99").mkdirs()
+    assert(findings().exists(f => f._1 == "unreferenced" && f._2 == "info"))
+    assert(!findings().exists(f => f._1 == "unreferenced" && f._2 == "error"))
+  }
+
   test("an unknown-format or torn manifest fails with an explicit message " +
     "(migration / truncation, never a misleading downstream error)") {
     import spark.implicits._
