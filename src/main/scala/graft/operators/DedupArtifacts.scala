@@ -115,10 +115,16 @@ object DedupArtifacts {
 
   /** [[ensureDerived]] for artifacts that are a DIRECTORY TREE rather
     * than one parquet relation (the incremental release state: several
-    * bucketed stores + manifests under one root). `build` receives the
-    * target directory and must write the complete tree into it; the
-    * marker commits it exactly like the single-relation ensures — a
-    * crashed build leaves no marker and re-runs on the next call.
+    * bucketed stores + manifests under one root). `build` receives a
+    * PRIVATE staging directory and must write the complete tree into it;
+    * the marker is stamped inside the staging tree and one rename
+    * publishes the whole thing. `build` therefore never sees a
+    * partially-written target — it need not be idempotent over dirty
+    * state (the earlier in-place protocol silently relied on every tree
+    * builder rewriting deterministically with overwrite mode; this one
+    * makes no such assumption). A crash mid-build leaves only the
+    * `.tmp` staging dir, which the next attempt sweeps; a published dir
+    * is complete by construction.
     */
   private[graft] def ensureTree(key: String)(build: String => Unit): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -126,15 +132,27 @@ object DedupArtifacts {
     val dir = s"$artifactRoot/tree_$digest"
     this.synchronized {
       if (!builtDirs.contains(dir)) {
-        val marker = new java.io.File(s"$dir/_GRAFT_INDEX_OK")
-        if (!marker.exists()) {
-          build(dir)
-          marker.createNewFile()
+        val dirF = new java.io.File(dir)
+        if (!new java.io.File(dirF, "_GRAFT_INDEX_OK").exists()) {
+          val tmp = new java.io.File(s"$dir.tmp")
+          if (tmp.exists()) deleteRecursively(tmp) // crashed prior build
+          if (dirF.exists()) deleteRecursively(dirF) // markerless: incomplete
+          tmp.mkdirs()
+          build(tmp.getPath)
+          require(new java.io.File(tmp, "_GRAFT_INDEX_OK").createNewFile(),
+            s"could not stamp artifact tree marker in $tmp")
+          require(tmp.renameTo(dirF), s"could not publish artifact tree $dir")
         }
         builtDirs += dir
       }
     }
     dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    if (!f.delete() && f.exists())
+      throw new java.io.IOException(s"could not delete $f")
   }
 
   private def ensureDerivedBy(key: String)

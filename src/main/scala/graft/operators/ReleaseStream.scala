@@ -317,8 +317,23 @@ object ReleaseStream {
     graft.functions.GraftFunctions.register(spark)
     val manOpt = latestManifest(spark, root,
       if (batchId == Long.MaxValue) batchId else batchId + 1)
-    if (manOpt.isEmpty) return emptyDf(spark, OUT_SCHEMA)
+    if (manOpt.isEmpty) {
+      // Never-committed root => legitimately empty state. But committed
+      // manifests ABOVE the cutoff mean the requested history was
+      // compacted/pruned away — silently returning empty would make a
+      // churn against that as-of report every document as 'absent' (a
+      // plausible-looking wrong answer), so fail fast instead.
+      require(latestManifest(spark, root, Long.MaxValue).isEmpty,
+        s"release state $root has no committed manifest at or below batch " +
+          s"$batchId, but later manifests exist — that history was " +
+          "compacted or pruned away; read churn windows before compacting, " +
+          "or defer compaction by the retention policy")
+      return emptyDf(spark, OUT_SCHEMA)
+    }
     val man = manOpt.get._2
+    // Only empty batches committed so far (no tiny store, no facts): the
+    // readout is the empty relation, not a man("tiny") lookup throw.
+    if (!man.contains("tiny")) return emptyDf(spark, OUT_SCHEMA)
     // The mixture plan is pinned BY VALUE: its #langs-row relation is
     // computed in its OWN fixed-shape action (a bounded-driver-state
     // collect, like the k×dim centroids) and re-enters the readout as a
@@ -485,13 +500,20 @@ object ReleaseStream {
     val prev = prevState
       .select(col("doc_id"), col("stage").as("prev_stage"),
         col("n_copies").as("prev_copies"))
+    // FULL OUTER, not cur-left: under the append-only corpus the fold
+    // maintains, cur ⊇ prev and the outer side contributes nothing — but a
+    // truncated/partial current export (a bad artifact, a short read) then
+    // SURFACES its missing docs as stage='removed' rows instead of
+    // silently understating the churn. 'removed' in a report is an alarm
+    // by construction: the ingest never deletes documents.
     cur
-      .join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("stage"), col("n_copies"))
+      .join(prev, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("prev_stage"), lit("absent")).as("prev_stage"),
-        col("stage"),
+        coalesce(col("stage"), lit("removed")).as("stage"),
         coalesce(col("prev_copies"), lit(0L)).as("prev_copies"),
-        col("n_copies"))
+        coalesce(col("n_copies"), lit(0L)).as("n_copies"))
       .filter(col("prev_stage") =!= col("stage") ||
         col("prev_copies") =!= col("n_copies"))
       .orderBy("doc_id")
@@ -578,12 +600,15 @@ object ReleaseStream {
     newMan ++= consolidate("src",
       readOr(spark, live("src"), "source STRING, doc_id BIGINT, hcap BIGINT"),
       bkt(Sketches.phash60(col("source"))))
-    val tinyO = man("tiny").head
-    Seq("evals", "evalsh", "capn", "capkeep").foreach { rel =>
-      spark.read.parquet(s"$root/batch=$tinyO/tiny/$rel")
-        .write.mode("overwrite").parquet(s"$root/batch=$gen/tiny/$rel")
+    // Only empty batches committed => no tiny store to carry forward; the
+    // compacted manifest stays tiny-less and the readout guard handles it.
+    man.get("tiny").map(_.head).foreach { tinyO =>
+      Seq("evals", "evalsh", "capn", "capkeep").foreach { rel =>
+        spark.read.parquet(s"$root/batch=$tinyO/tiny/$rel")
+          .write.mode("overwrite").parquet(s"$root/batch=$gen/tiny/$rel")
+      }
+      newMan += ("tiny" -> Seq(gen))
     }
-    newMan += ("tiny" -> Seq(gen))
     // THE PIVOT: rewrite the frontier manifest to own everything at `gen`
     writeManifest(spark, root, frontier, newMan)
     // delete-only prune of everything the new manifest no longer names:
@@ -718,12 +743,30 @@ object ReleaseStream {
         Window.partitionBy("doc_id").orderBy(col("ver").desc)))
       .filter(col("rn") === 1).drop("rn")
 
+  /** Publish a manifest ATOMICALLY, including over an existing one. The
+    * overwrite case is load-bearing for [[compactReleaseState]]: its pivot
+    * REWRITES the frontier manifest with a different body, and the
+    * previous delete-then-rename protocol had a window with NO frontier
+    * manifest at all — a crash there made [[latestManifest]] silently
+    * resolve the prior batch (its data dirs still exist until prune), so
+    * the next stream fold would build on regressed state and drop the
+    * frontier batch's documents with no error. The swap must leave the
+    * path holding either the complete old or the complete new manifest at
+    * every instant: on `file://` that is `java.nio.Files.move` with
+    * `ATOMIC_MOVE` (the POSIX rename(2) overwrite); elsewhere it is
+    * `FileContext.rename(OVERWRITE)`, which HDFS implements as one atomic
+    * namenode op. (The generic `AbstractFileSystem` default for OVERWRITE
+    * is itself delete-then-rename — verified against hadoop-client 3.4.2,
+    * where `RawLocalFs` overrides only the 2-arg `renameInternal` — which
+    * is why the local path goes through nio and not FileContext.)
+    */
   private def writeManifest(spark: SparkSession, root: String, batchId: Long,
                             man: Map[String, Seq[Long]]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$root/batch=$batchId/$MANIFEST")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$root/batch=$batchId/$MANIFEST.tmp")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent) // an empty batch writes no data directory
     val body = HEADER + "\n" +
       man.toSeq.sortBy(_._1).map { case (k, owners) =>
@@ -732,8 +775,24 @@ object ReleaseStream {
       s"END ${man.size}\n"
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false) // replayed batch: identical body
-    require(fs.rename(tmp, p), s"could not publish manifest $p")
+    // The checksummed local FileSystem writes `.<name>.crc` sidecars, but
+    // FileContext.rename below goes through the RAW filesystem and moves
+    // only the data file — drop both sidecars first or a post-rename read
+    // through the checksummed fs fails on the stale crc. (Deleting p's crc
+    // BEFORE the swap is safe: a missing sidecar just skips verification.)
+    Seq(p, tmp).foreach(f => fs.delete(
+      new org.apache.hadoop.fs.Path(f.getParent, s".${f.getName}.crc"),
+      false))
+    val qp = fs.makeQualified(p)
+    if (qp.toUri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(qp.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else
+      org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
+        .rename(fs.makeQualified(tmp), qp,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def latestManifest(spark: SparkSession, root: String,

@@ -158,8 +158,18 @@ class ReleaseStreamSpec extends AnyFunSuite {
         s" got ${batchDirs()}")
     assert(!new java.io.File(s"$root/batch=2/doc").exists(),
       "the frontier's own store dirs are unreferenced after the pivot")
+    assert(!new java.io.File(s"$root/batch=2/_MANIFEST.tmp").exists(),
+      "the pivot's staging file must not survive the atomic swap")
     assert(rowsOf(ReleaseStream.releaseState(spark, root)) === before,
       "compaction must not change the readout")
+    // as-of reads below the collapsed frontier FAIL FAST (the history was
+    // compacted away) instead of returning a silently empty relation that
+    // a churn would misread as every doc being 'absent'
+    val e = intercept[IllegalArgumentException] {
+      ReleaseStream.releaseStateAt(spark, root, 1L).collect()
+    }
+    assert(e.getMessage.contains("compacted or pruned"),
+      s"pruned-history as-of read must name the cause, got: ${e.getMessage}")
     // a post-compaction batch folds against the consolidated generation:
     // a new exact duplicate of an existing doc
     val donor = corpus.orderBy("doc_id").limit(1).collect()(0)
@@ -210,6 +220,39 @@ class ReleaseStreamSpec extends AnyFunSuite {
       .map { case (k, rs) => k -> rs.size.toLong }
     assert(stats.map { case (k, v) => k -> v._1 } === cellCounts,
       "matrix cell counts must equal the churn rollup's")
+  }
+
+  test("an EMPTY first micro-batch commits a readable (empty) state: the " +
+    "readout is empty, compaction is a no-op, and a real batch folds on top") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-relempty").toString
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "source", "lang", "text")
+    ReleaseStream.releaseIngestBatch(empty, 0L, root)
+    assert(ReleaseStream.releaseState(spark, root).count() === 0L,
+      "an all-empty state reads as the empty relation, not a tiny-key throw")
+    ReleaseStream.compactReleaseState(spark, root) // must not throw either
+    assert(ReleaseStream.releaseState(spark, root).count() === 0L)
+    val docs = Seq((1L, "web", "en", "alpha beta gamma"),
+      (2L, "web", "en", "delta epsilon zeta"))
+      .toDF("doc_id", "source", "lang", "text")
+    ReleaseStream.releaseIngestBatch(docs, 1L, root)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === batchTwin(docs),
+      "a real batch after the empty prefix folds to the batch relation")
+  }
+
+  test("a truncated current export surfaces its missing docs as " +
+    "stage='removed' churn rows instead of silently understating the diff") {
+    val cur = spark.read.parquet(ReleaseStream.ensureReleaseExport(spark, D))
+    val dropped = cur.filter(col("stage") === "kept")
+      .orderBy("doc_id").limit(1).collect()(0)
+    val truncated = cur.filter(col("doc_id") =!= dropped.getLong(0))
+    val churn = ReleaseStream.releaseChurnFrom(truncated, cur)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(churn.toSeq === Seq((dropped.getLong(0), dropped.getString(3),
+      "removed", dropped.getLong(5), 0L)),
+      "exactly the dropped doc must surface, staged 'removed' at 0 copies")
   }
 
   test("fsck: green on a healthy fold, flags a deleted referenced leaf, " +
