@@ -1758,6 +1758,18 @@ object Curation {
       ReleaseStream.releaseChurnStats(ReleaseStream.releaseChurnFrom(
         s.read.parquet(ReleaseStream.ensureReleaseExport(s, d)),
         s.read.parquet(ReleaseStream.ensureReleaseExportAt(s, d, 1L))))),
+
+    // Q137: the release timeline — per (crawl batch, stage) doc/token/
+    // copy mass over EVERY published export (see
+    // [[ReleaseStream.releaseTimeline]]): the trend dashboard next to
+    // q136's one-batch blast radius. All three exports read build-once
+    // (production published each when its batch committed); per call the
+    // cost is three column-pruned export scans into <=7-row aggregates.
+    "q137_release_timeline" -> ((s, d) =>
+      ReleaseStream.releaseTimeline(Seq(
+        0L -> s.read.parquet(ReleaseStream.ensureReleaseExportAt(s, d, 0L)),
+        1L -> s.read.parquet(ReleaseStream.ensureReleaseExportAt(s, d, 1L)),
+        2L -> s.read.parquet(ReleaseStream.ensureReleaseExport(s, d))))),
     // Both pair sides routed through MATERIALIZED build-once artifacts
     // (round 13, the q57 move): the prior form re-ran the text band
     // probe + verify off the signature index AND the exact quadratic
@@ -1895,6 +1907,32 @@ object Curation {
        |WHERE COALESCE(prev.stage, 'absent') <> cur.stage
        |   OR COALESCE(prev.n_copies, 0) <> cur.n_copies
        |ORDER BY cur.doc_id""".stripMargin
+
+  /** q137 twin: the composed release statement evaluated per batch
+    * prefix (the shadowed-`documents` idiom of [[releaseChurnOracleSql]],
+    * once per residue prefix), each wrapped in the per-stage rollup.
+    */
+  private def releaseTimelineOracleSql: String = {
+    def prefixExport(n: Int): String =
+      s"""(WITH RECURSIVE documents AS
+         |    (SELECT * FROM main.documents WHERE doc_id % 3 < $n),
+         |  $releaseExportOracleBody)""".stripMargin
+    def rollup(b: Int, rel: String): String =
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, stage,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_copies) AS BIGINT) AS n_copies
+         |FROM $rel GROUP BY stage""".stripMargin
+    s"""WITH b0 AS ${prefixExport(1)},
+       |b1 AS ${prefixExport(2)},
+       |b2 AS ($releaseExportOracleSql)
+       |${rollup(0, "b0")}
+       |UNION ALL
+       |${rollup(1, "b1")}
+       |UNION ALL
+       |${rollup(2, "b2")}
+       |ORDER BY batch_id, stage""".stripMargin
+  }
 
   /** q71 twin: same hash-picked eval set, exact cosine, grouped max/hits. */
   private def semanticContaminationOracleSql: String =
@@ -2070,6 +2108,10 @@ object Curation {
          |FROM ($releaseChurnOracleSql)
          |GROUP BY prev_stage, stage
          |ORDER BY prev_stage, stage""".stripMargin,
+
+    // q137 twin: the composed release statement per batch prefix, each
+    // rolled up per stage (see releaseTimelineOracleSql).
+    "q137_release_timeline" -> releaseTimelineOracleSql,
 
 
     "q127_decontam_apply" ->

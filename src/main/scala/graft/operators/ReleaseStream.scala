@@ -534,6 +534,38 @@ object ReleaseStream {
         sum(col("n_copies") - col("prev_copies")).as("copies_delta"))
       .orderBy("prev_stage", "stage")
 
+  /** q137: the RELEASE TIMELINE — the health time-series over the
+    * pipeline's PUBLISHED exports: per (crawl batch, release stage), how
+    * many docs the release held, their token mass, and the mixture-copy
+    * mass the loader would replay. Where q135/q136 diff two adjacent
+    * exports (blast radius of one batch), the timeline reads EVERY
+    * committed export and answers trend questions — is the kept fraction
+    * eroding, is contamination creeping up batch over batch, is the
+    * mixture budget drifting — the per-release dashboard a data-curation
+    * team reviews before shipping a snapshot.
+    *
+    * Input is the sequence of (batch_id, published export) relations the
+    * pipeline wrote as each batch committed ([[ensureReleaseExportAt]]
+    * materializes them here; production has them on disk already — they
+    * ARE the release deliverables). At 100 TB each term is one
+    * column-pruned scan of an export (3 small columns of a per-doc
+    * relation) feeding a <=7-row aggregate; terms are independent and
+    * union to a (#batches x #stages)-row output — no state, no joins,
+    * nothing corpus-sized retained.
+    */
+  def releaseTimeline(exports: Seq[(Long, DataFrame)]): DataFrame = {
+    require(exports.nonEmpty, "releaseTimeline needs at least one export")
+    exports.map { case (b, df) =>
+      df.groupBy("stage").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("n_copies").as("n_copies"))
+        .withColumn("batch_id", lit(b))
+    }.reduce(_ unionByName _)
+      .select("batch_id", "stage", "n_docs", "n_tokens", "n_copies")
+      .orderBy("batch_id", "stage")
+  }
+
   /** Compact the release state: fold every store's accumulated per-batch
     * directories into ONE consolidated GENERATION directory and point the
     * newest manifest at it — the chunk-index compaction goal under the

@@ -241,6 +241,31 @@ class ReleaseStreamSpec extends AnyFunSuite {
       "a real batch after the empty prefix folds to the batch relation")
   }
 
+  test("the release timeline == the per-stage rollup of each published " +
+    "export, and the corpus grows monotonically across batches") {
+    val exports = Seq(
+      0L -> spark.read.parquet(ReleaseStream.ensureReleaseExportAt(spark, D, 0L)),
+      1L -> spark.read.parquet(ReleaseStream.ensureReleaseExportAt(spark, D, 1L)),
+      2L -> spark.read.parquet(ReleaseStream.ensureReleaseExport(spark, D)))
+    val got = ReleaseStream.releaseTimeline(exports).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = exports.flatMap { case (b, df) =>
+      // .toSeq before the value maps: mapping a Set would collapse docs
+      // sharing the same token/copy count and understate the sums
+      rowsOf(df).toSeq.groupBy(_._4).map { case (stage, rs) =>
+        (b, stage) -> (rs.size.toLong, rs.map(_._3).sum, rs.map(_._6).sum)
+      }
+    }.toMap
+    assert(got === want,
+      "each timeline row must equal the rollup of its on-disk export")
+    val docsPerBatch = got.groupBy(_._1._1)
+      .map { case (b, m) => b -> m.values.map(_._1).sum }
+    assert(docsPerBatch(0L) < docsPerBatch(1L) &&
+      docsPerBatch(1L) < docsPerBatch(2L),
+      "an append-only corpus must grow across the timeline")
+  }
+
   test("a truncated current export surfaces its missing docs as " +
     "stage='removed' churn rows instead of silently understating the diff") {
     val cur = spark.read.parquet(ReleaseStream.ensureReleaseExport(spark, D))
