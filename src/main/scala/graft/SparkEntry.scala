@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cdc.CdcQueries
-import graft.operators.{BloomJoin, Bpe, ChunkDedup, Classify, Clustering, Curation, Dedup, Multimodal, PerceptualHash, Prep, Profile, Relational, Repetition, Similarity, Sketches, Skew, TextAnalysis, TextRetrieval}
+import graft.operators.{BloomJoin, Bpe, ChunkDedup, Classify, Clustering, Curation, Dedup, Expectations, Multimodal, PerceptualHash, Prep, Profile, Relational, Repetition, Similarity, Sketches, Skew, TextAnalysis, TextRetrieval}
 
 /** Driver contract — see /root/repo/SURVEY.md s7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
       Curation.queries ++ Sketches.queries ++ TextRetrieval.queries ++
       Prep.queries ++ Repetition.queries ++ Clustering.queries ++
       Skew.queries ++ BloomJoin.queries ++ Bpe.queries ++ Profile.queries ++
-      PerceptualHash.queries ++ Classify.queries ++ ChunkDedup.queries
+      PerceptualHash.queries ++ Classify.queries ++ ChunkDedup.queries ++
+      Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -39,5 +40,5 @@ object SparkEntry {
       Prep.oracleSql ++ Repetition.oracleSql ++ Clustering.oracleSql ++
       Skew.oracleSql ++ BloomJoin.oracleSql ++ Bpe.oracleSql ++
       Profile.oracleSql ++ PerceptualHash.oracleSql ++ Classify.oracleSql ++
-      ChunkDedup.oracleSql
+      ChunkDedup.oracleSql ++ Expectations.oracleSql
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Declarative data-quality expectations (the Deequ/dbt-test capability,
+  * re-expressed Spark-first): a constraint suite evaluated against a table
+  * in as few passes as the constraint classes allow, emitting one audit
+  * row per constraint — `(table_name, constraint, n_rows, n_violations,
+  * status)`. A training-data pipeline runs this gate on every ingested
+  * snapshot before anything downstream (dedup, mixing, release) trusts
+  * the data; the audit relation is what its alerting joins against.
+  *
+  * Beyond-reference extension (the reference app trusts its Postgres
+  * schema; an analytics engine ingesting arbitrary parquet cannot).
+  *
+  * Evaluation strategy, by constraint class:
+  *
+  *  - SCALAR rules (not-null, range, accepted-set) all fold into ONE
+  *    conditional aggregate over ONE column-pruned scan of the table —
+  *    `sum(CASE WHEN ok THEN 0 ELSE 1 END)` per rule beside `count(*)` —
+  *    and the single row unpivots to per-rule rows with `stack` (still
+  *    in-plan, no driver round-trip). Adding a scalar rule adds a
+  *    column to the aggregate, never a pass. NULL fails every scalar
+  *    predicate (CASE falls to ELSE), so "value in range" means
+  *    "present AND in range" — the strict gate semantics, stated here
+  *    because both engines must agree on it.
+  *  - UNIQUENESS is necessarily key-shuffled (it IS a distributed
+  *    group-by): violations = rows whose key occurs more than once —
+  *    map-side partial counts shrink the shuffle to one row per
+  *    distinct key.
+  *  - REFERENTIAL integrity is a left-anti join against the distinct
+  *    referenced keys; AQE broadcasts a small dimension side (nation,
+  *    orders at dim scale) and shuffles fact-to-fact joins on the key.
+  *
+  * At 100 TB the audit therefore costs: one scan per audited table for
+  * all scalar rules together, plus one key-shuffle per uniqueness rule,
+  * plus one join per FK rule — each independently parallel, output
+  * #constraints rows.
+  */
+object Expectations {
+
+  /** One constraint: `name` is the audit-row label; `kind` picks the
+    * evaluation class.
+    */
+  sealed trait Rule { def name: String }
+
+  /** Scalar predicate rule: a row passes iff `ok` evaluates true (NULL
+    * fails). Covers not-null / range / accepted-set / any row predicate.
+    */
+  final case class Check(name: String, ok: Column) extends Rule
+
+  /** Key-uniqueness rule: violations = rows whose `cols` tuple occurs
+    * more than once.
+    */
+  final case class Unique(name: String, cols: Seq[String]) extends Rule
+
+  /** Referential rule: violations = rows whose `col` has no match in
+    * `refCol` of `ref` (NULL keys violate — a fact row must reference).
+    */
+  final case class RefIn(name: String, col: String, ref: DataFrame,
+                         refCol: String) extends Rule
+
+  def notNull(col: String): Rule =
+    Check(s"not_null:$col", org.apache.spark.sql.functions.col(col).isNotNull)
+
+  def between(col: String, lo: Double, hi: Double): Rule =
+    Check(s"range:$col",
+      org.apache.spark.sql.functions.col(col) >= lo &&
+        org.apache.spark.sql.functions.col(col) <= hi)
+
+  def inSet(col: String, vals: Seq[String]): Rule =
+    Check(s"in_set:$col",
+      org.apache.spark.sql.functions.col(col).isin(vals: _*))
+
+  /** Audit `df` (named `table`) against `rules`; see object doc for the
+    * per-class evaluation strategy.
+    */
+  def audit(table: String, df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = df.sparkSession
+    val checks = rules.collect { case c: Check => c }
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (checks.nonEmpty) {
+      // one scan, one conditional sum per rule, stacked to per-rule rows
+      val aggCols = count(lit(1)).as("n_rows") +:
+        checks.zipWithIndex.map { case (c, i) =>
+          sum(when(c.ok, lit(0L)).otherwise(lit(1L))).as(s"v$i")
+        }
+      val stacked = checks.zipWithIndex
+        .map { case (c, i) => s"'${c.name}', v$i" }.mkString(", ")
+      parts += df.agg(aggCols.head, aggCols.tail: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${checks.size}, $stacked) AS (constraint, n_violations)"))
+        .select(col("constraint"), col("n_rows"), col("n_violations"))
+    }
+    rules.collect { case u: Unique => u }.foreach { u =>
+      val keyCols = u.cols.map(col)
+      parts += df.groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("cnt") > 1, col("cnt"))
+            .otherwise(lit(0L))), lit(0L)).as("n_violations"))
+        .select(lit(u.name).as("constraint"), col("n_rows"),
+          col("n_violations"))
+    }
+    rules.collect { case r: RefIn => r }.foreach { r =>
+      val refKeys = r.ref.select(col(r.refCol).as("__ref_key")).distinct()
+      val missing = df.select(col(r.col).as("__key"))
+        .join(refKeys, col("__key") === col("__ref_key"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val total = df.agg(count(lit(1)).as("n_rows"))
+      parts += total.crossJoin(missing) // two single-row sides
+        .select(lit(r.name).as("constraint"), col("n_rows"),
+          col("n_violations"))
+    }
+    parts.reduce(_ unionByName _)
+      .select(lit(table).as("table_name"), col("constraint"), col("n_rows"),
+        col("n_violations"),
+        when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail"))
+          .as("status"))
+  }
+
+  /** q138: the snapshot-gate audit over the warehouse tables — the
+    * constraint suite a pipeline would run before trusting an ingested
+    * snapshot. Two rules are deliberately strict enough to FAIL on this
+    * data (the price ceiling; one-row-per-order on lineitem, which is
+    * false by construction), so the audit demonstrably surfaces
+    * violations rather than vacuously passing.
+    */
+  def warehouseAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    audit("orders", orders, Seq(
+        notNull("o_custkey"),
+        Unique("unique:o_orderkey", Seq("o_orderkey")),
+        inSet("o_orderstatus", Seq("O", "F", "P")),
+        between("o_totalprice", 0.0, 400000.0)))
+      .unionByName(audit("lineitem", lineitem, Seq(
+        between("l_quantity", 1.0, 50.0),
+        Unique("unique:l_orderkey", Seq("l_orderkey")),
+        RefIn("ref:l_orderkey->orders.o_orderkey", "l_orderkey", orders,
+          "o_orderkey"))))
+      .unionByName(audit("customer", customer, Seq(
+        notNull("c_mktsegment"),
+        RefIn("ref:c_nationkey->nation.n_nationkey", "c_nationkey", nation,
+          "n_nationkey"))))
+      .orderBy("table_name", "constraint")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_data_expectations" -> ((s, d) => warehouseAudit(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q138_data_expectations" ->
+      s"""WITH o AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_nn,
+         |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v_in,
+         |    CAST(SUM(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 400000.0 THEN 0 ELSE 1 END) AS BIGINT) AS v_rg
+         |  FROM orders),
+         |ou AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+         |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS v
+         |       FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)),
+         |l AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 0 ELSE 1 END) AS BIGINT) AS v_rg
+         |  FROM lineitem),
+         |lu AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+         |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS v
+         |       FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)),
+         |lr AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+         |         CAST(COUNT(*) AS BIGINT) AS v
+         |       FROM lineitem li
+         |       WHERE li.l_orderkey IS NULL OR NOT EXISTS
+         |         (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)),
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_nn
+         |  FROM customer),
+         |cr AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+         |         CAST(COUNT(*) AS BIGINT) AS v
+         |       FROM customer cc
+         |       WHERE cc.c_nationkey IS NULL OR NOT EXISTS
+         |         (SELECT 1 FROM nation nn WHERE nn.n_nationkey = cc.c_nationkey)),
+         |rows_all AS (
+         |  SELECT 'orders' AS table_name, 'not_null:o_custkey' AS "constraint", n_rows, v_nn AS n_violations FROM o
+         |  UNION ALL SELECT 'orders', 'unique:o_orderkey', n_rows, v FROM ou
+         |  UNION ALL SELECT 'orders', 'in_set:o_orderstatus', n_rows, v_in FROM o
+         |  UNION ALL SELECT 'orders', 'range:o_totalprice', n_rows, v_rg FROM o
+         |  UNION ALL SELECT 'lineitem', 'range:l_quantity', n_rows, v_rg FROM l
+         |  UNION ALL SELECT 'lineitem', 'unique:l_orderkey', n_rows, v FROM lu
+         |  UNION ALL SELECT 'lineitem', 'ref:l_orderkey->orders.o_orderkey', n_rows, v FROM lr
+         |  UNION ALL SELECT 'customer', 'not_null:c_mktsegment', n_rows, v_nn FROM c
+         |  UNION ALL SELECT 'customer', 'ref:c_nationkey->nation.n_nationkey', n_rows, v FROM cr)
+         |SELECT table_name, "constraint", n_rows, n_violations,
+         |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+         |FROM rows_all
+         |ORDER BY table_name, "constraint"""".stripMargin)
+}

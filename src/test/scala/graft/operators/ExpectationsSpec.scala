@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class ExpectationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val D = TestSpark.SF0001
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getString(4))).toSeq
+
+  test("audit counts planted violations exactly, per constraint class") {
+    import spark.implicits._
+    val t = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "A", 10L), (2L, "B", 20L), (2L, "A", 200L), // dup id 2; 200 out of range
+      (null, "C", 30L),                                // null id
+      (4L, "Z", null),                                 // bad status; null value
+      (5L, "A", 50L))
+      .toDF("id", "status", "value")
+    val ref = Seq("A", "B").toDF("code") // C and Z unreferenced
+    val audit = Expectations.audit("t", t, Seq(
+      Expectations.notNull("id"),
+      Expectations.Unique("unique:id", Seq("id")),
+      Expectations.inSet("status", Seq("A", "B", "C")),
+      Expectations.between("value", 0.0, 100.0),
+      Expectations.RefIn("ref:status->ref.code", "status", ref, "code")))
+    val got = rows(audit.orderBy("constraint"))
+    assert(got === Seq(
+      ("t", "in_set:status", 6L, 1L, "fail"),          // Z
+      ("t", "not_null:id", 6L, 1L, "fail"),            // one null id
+      ("t", "range:value", 6L, 2L, "fail"),            // 200 + NULL both fail
+      ("t", "ref:status->ref.code", 6L, 2L, "fail"),   // C and Z rows
+      ("t", "unique:id", 6L, 2L, "fail")),             // both id=2 rows
+      s"planted-violation audit mismatch: $got")
+  }
+
+  test("a clean table passes every constraint (NULL-free, in-range, " +
+    "unique, referenced)") {
+    import spark.implicits._
+    val t = Seq((1L, "A", 10L), (2L, "B", 20L)).toDF("id", "status", "value")
+    val ref = Seq("A", "B").toDF("code")
+    val audit = Expectations.audit("t", t, Seq(
+      Expectations.notNull("id"),
+      Expectations.Unique("unique:id", Seq("id")),
+      Expectations.between("value", 0.0, 100.0),
+      Expectations.RefIn("ref:status->ref.code", "status", ref, "code")))
+    assert(rows(audit).forall(r => r._4 == 0L && r._5 == "pass"))
+  }
+
+  test("all scalar rules on one table fold into ONE scan (the audit adds " +
+    "aggregate columns, not passes)") {
+    val orders = graft.sources.Tables.orders(spark, D)
+    val audit = Expectations.audit("orders", orders, Seq(
+      Expectations.notNull("o_custkey"),
+      Expectations.inSet("o_orderstatus", Seq("O", "F", "P")),
+      Expectations.between("o_totalprice", 0.0, 400000.0)))
+    audit.write.format("noop").mode("overwrite").save()
+    val scans = audit.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"3 scalar rules must share one table scan, got $scans")
+  }
+
+  test("the warehouse audit surfaces exactly the two deliberately strict " +
+    "constraints as failures on the fixture") {
+    val got = rows(Expectations.warehouseAudit(spark, D))
+    val failed = got.filter(_._5 == "fail").map(r => (r._1, r._2)).toSet
+    assert(failed === Set(("orders", "range:o_totalprice"),
+      ("lineitem", "unique:l_orderkey")),
+      s"unexpected failure set: $failed")
+    // n_rows must agree across every constraint row of the same table
+    got.groupBy(_._1).foreach { case (tbl, rs) =>
+      assert(rs.map(_._3).distinct.size === 1,
+        s"$tbl constraint rows disagree on n_rows: $rs")
+    }
+    // pass rows really have zero violations and vice versa
+    assert(got.forall(r => (r._4 == 0L) == (r._5 == "pass")))
+  }
+}
