@@ -154,6 +154,47 @@ object GrowthSmoke {
         f"${tot.size}%3d band_files_read=${nFiles(bandPaths)}%4d/" +
         f"${nFiles(tot)}%4d doc_dirs_read=${docPaths.size}%3d")
     }
+
+    // Release-state fold growth (round 14): the q134 family's claim is
+    // that a small crawl batch's fold reads buckets proportional to ITS
+    // OWN content, not to the accumulated corpus — and that compaction
+    // collapses the per-batch owner-dir term so a long-running stream's
+    // read fan-out stays flat. One corpus-sized base batch, then B
+    // one-doc deltas (an exact duplicate, so the ex/doc/src probes all
+    // fire); per batch we print dirs READ per store vs dirs ON DISK.
+    val relDir = java.nio.file.Files
+      .createTempDirectory("graft-growth-release").toString
+    val relBase = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "lang", "text")
+    def relDelta(b: Int): DataFrame = relBase.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + lit(b * 10000000L)).as("doc_id"),
+        col("source"), col("lang"), col("text"))
+    def relDirsOnDisk(): Int = {
+      val base = new java.io.File(relDir)
+      Option(base.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .flatMap(b => Seq("ex", "sh", "doc", "src").flatMap(st =>
+          Option(new java.io.File(b, st).listFiles).getOrElse(Array.empty)
+            .filter(_.isDirectory)))
+        .length
+    }
+    val (_, tRelBase) = timed(
+      ReleaseStream.releaseIngestBatch(relBase, 0L, relDir))
+    println(f"[growth-release] base fold docs=${relBase.count()}%7d " +
+      f"t=$tRelBase%6.2f dirs_on_disk=${relDirsOnDisk()}%4d")
+    (1 to 6).foreach { b =>
+      if (b == 5) {
+        ReleaseStream.compactReleaseState(spark, relDir)
+        println(s"[growth-release] compacted state at batch $b " +
+          s"(dirs_on_disk=${relDirsOnDisk()})")
+      }
+      val (paths, tRel) = timed(
+        ReleaseStream.releaseIngestBatch(relDelta(b), b.toLong, relDir))
+      println(f"[growth-release] batch=$b%2d ex_dirs_read=${paths.ex.size}%3d " +
+        f"sh_dirs_read=${paths.sh.size}%3d doc_dirs_read=${paths.doc.size}%3d " +
+        f"src_dirs_read=${paths.src.size}%3d dirs_on_disk=${relDirsOnDisk()}%4d " +
+        f"t=$tRel%5.2f")
+    }
     spark.stop()
   }
 }
