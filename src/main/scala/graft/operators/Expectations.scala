@@ -63,38 +63,43 @@ object Expectations {
   final case class RefIn(name: String, col: String, ref: DataFrame,
                          refCol: String) extends Rule
 
-  def notNull(col: String): Rule =
+  def notNull(col: String): Check =
     Check(s"not_null:$col", org.apache.spark.sql.functions.col(col).isNotNull)
 
-  def between(col: String, lo: Double, hi: Double): Rule =
+  def between(col: String, lo: Double, hi: Double): Check =
     Check(s"range:$col",
       org.apache.spark.sql.functions.col(col) >= lo &&
         org.apache.spark.sql.functions.col(col) <= hi)
 
-  def inSet(col: String, vals: Seq[String]): Rule =
+  def inSet(col: String, vals: Seq[String]): Check =
     Check(s"in_set:$col",
       org.apache.spark.sql.functions.col(col).isin(vals: _*))
+
+  /** The scalar-rule kernel: ONE conditional aggregate over one scan,
+    * unpivoted in-plan to `(constraint, n_rows, n_violations)` rows.
+    * Shared verbatim by the batch [[audit]] and the streaming partials
+    * ([[auditIngestBatch]]) so the two paths cannot drift.
+    */
+  private def scalarAudit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggCols = count(lit(1)).as("n_rows") +:
+      checks.zipWithIndex.map { case (c, i) =>
+        sum(when(c.ok, lit(0L)).otherwise(lit(1L))).as(s"v$i")
+      }
+    val stacked = checks.zipWithIndex
+      .map { case (c, i) => s"'${c.name}', v$i" }.mkString(", ")
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${checks.size}, $stacked) AS (constraint, n_violations)"))
+      .select(col("constraint"), col("n_rows"), col("n_violations"))
+  }
 
   /** Audit `df` (named `table`) against `rules`; see object doc for the
     * per-class evaluation strategy.
     */
   def audit(table: String, df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val spark = df.sparkSession
     val checks = rules.collect { case c: Check => c }
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    if (checks.nonEmpty) {
-      // one scan, one conditional sum per rule, stacked to per-rule rows
-      val aggCols = count(lit(1)).as("n_rows") +:
-        checks.zipWithIndex.map { case (c, i) =>
-          sum(when(c.ok, lit(0L)).otherwise(lit(1L))).as(s"v$i")
-        }
-      val stacked = checks.zipWithIndex
-        .map { case (c, i) => s"'${c.name}', v$i" }.mkString(", ")
-      parts += df.agg(aggCols.head, aggCols.tail: _*)
-        .select(col("n_rows"), expr(
-          s"stack(${checks.size}, $stacked) AS (constraint, n_violations)"))
-        .select(col("constraint"), col("n_rows"), col("n_violations"))
-    }
+    if (checks.nonEmpty) parts += scalarAudit(df, checks)
     rules.collect { case u: Unique => u }.foreach { u =>
       val keyCols = u.cols.map(col)
       parts += df.groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
@@ -120,6 +125,59 @@ object Expectations {
         when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail"))
           .as("status"))
   }
+
+  /** Streaming AUDIT monitor — the scalar rules of an audit as a
+    * long-running stream: each micro-batch reduces through the SAME
+    * [[scalarAudit]] kernel to per-rule `(constraint, n_rows,
+    * n_violations)` partials and overwrites `auditDir/batch=<id>` —
+    * conditional counts are distributive over disjoint row batches, so
+    * this is the chunk/centroid-partials posture: append-only tiny
+    * writes, no state rewrite, replay-safe by per-batch-dir overwrite.
+    * [[auditFromPartials]] reproduces the batch audit over everything
+    * ingested so far by sum-of-sums. Uniqueness and referential rules
+    * are deliberately NOT streamed here: both need keyed state (a
+    * distributed key->count store; the referenced key set) — the
+    * [[ReleaseStream]] `ex/`-store shape, not a mergeable scalar — and
+    * a monitor that summed per-batch "uniqueness" results would silently
+    * miss every cross-batch duplicate. Run those rules against the
+    * accumulated store (or the published snapshot) instead.
+    */
+  def streamingAuditIngest(docs: DataFrame, auditDir: String,
+                           checkpoint: String, checks: Seq[Check])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        auditIngestBatch(batch, batchId, auditDir, checks)
+      }
+      .start()
+
+  /** One micro-batch of the streaming audit (factored out so replay and
+    * stream==batch specs drive it directly).
+    */
+  private[graft] def auditIngestBatch(batch: DataFrame, batchId: Long,
+                                      auditDir: String,
+                                      checks: Seq[Check]): Unit = {
+    scalarAudit(batch, checks)
+      .write.mode("overwrite").parquet(s"$auditDir/batch=$batchId")
+    ()
+  }
+
+  /** The batch audit relation off a [[streamingAuditIngest]] partial
+    * store: sum-of-sums per constraint, then the identical status rule.
+    */
+  def auditFromPartials(spark: SparkSession, table: String,
+                        auditDir: String): DataFrame =
+    spark.read.parquet(auditDir)
+      .groupBy("constraint")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_violations")).as("n_violations"))
+      .select(lit(table).as("table_name"), col("constraint"), col("n_rows"),
+        col("n_violations"),
+        when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail"))
+          .as("status"))
+      .orderBy("constraint")
 
   /** q138: the snapshot-gate audit over the warehouse tables — the
     * constraint suite a pipeline would run before trusting an ingested

@@ -64,6 +64,45 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(scans === 1, s"3 scalar rules must share one table scan, got $scans")
   }
 
+  test("streaming audit: per-batch scalar partials sum to the batch audit " +
+    "over everything ingested, and replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val orders = graft.sources.Tables.orders(spark, D)
+      .select("o_custkey", "o_orderstatus", "o_totalprice")
+    val checks = Seq(
+      Expectations.notNull("o_custkey"),
+      Expectations.inSet("o_orderstatus", Seq("O", "F", "P")),
+      Expectations.between("o_totalprice", 0.0, 400000.0))
+    val all = orders.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val (evens, odds) = all.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-audit-ckpt").toString
+    val in = MemoryStream[(Long, String, Double)](spark)
+    val q = Expectations.streamingAuditIngest(
+      in.toDF().toDF("o_custkey", "o_orderstatus", "o_totalprice"),
+      dir, ckpt, checks)
+    try {
+      in.addData(evens); q.processAllAvailable()
+      in.addData(odds); q.processAllAvailable()
+    } finally q.stop()
+    val want = rows(Expectations.audit("orders", orders, checks)
+      .orderBy("constraint"))
+    assert(rows(Expectations.auditFromPartials(spark, "orders", dir)) === want,
+      "summed partials must equal the batch audit over the whole table")
+    // the range rule must genuinely fail so the streamed status rule is
+    // exercised on both outcomes
+    assert(want.exists(r => r._2 == "range:o_totalprice" && r._5 == "fail"))
+    // replay: re-running the last micro-batch overwrites its own partial
+    // directory, leaving the readout unchanged
+    Expectations.auditIngestBatch(
+      odds.toDF("o_custkey", "o_orderstatus", "o_totalprice"), 1L, dir, checks)
+    assert(rows(Expectations.auditFromPartials(spark, "orders", dir)) === want,
+      "replaying a batch must be idempotent")
+  }
+
   test("the warehouse audit surfaces exactly the two deliberately strict " +
     "constraints as failures on the fixture") {
     val got = rows(Expectations.warehouseAudit(spark, D))
