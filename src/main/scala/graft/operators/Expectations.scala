@@ -208,8 +208,38 @@ object Expectations {
       .orderBy("table_name", "constraint")
   }
 
+  /** q139: the CORPUS-INGESTION gate — the same audit machinery applied
+    * to the training corpus and its embeddings, i.e. the checks a
+    * text-pipeline runs before dedup/mixing/release trust a crawl
+    * snapshot: text present, doc_id unique, language in the accepted
+    * set, the stored n_chars consistent with the text (a cross-field
+    * rule — `Check` takes any row predicate, not just single-column
+    * shapes), embedding dimensionality uniform, vec_id unique and
+    * referencing a real document. The 64-token ceiling rule is
+    * deliberately strict (docs run to ~100 tokens): a real "fits one
+    * context window" gate that FAILS, demonstrating the audit flagging
+    * a corpus that needs chunking (q47) before export.
+    */
+  def corpusAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    audit("documents", docs, Seq(
+        notNull("text"),
+        Unique("unique:doc_id", Seq("doc_id")),
+        inSet("lang", Seq("de", "en", "es", "fr", "zh")),
+        Check("consistent:n_chars", length(col("text")) === col("n_chars")),
+        Check("range:doc_tokens",
+          size(split(col("text"), " ")).between(1, 64))))
+      .unionByName(audit("embeddings", embs, Seq(
+        Check("dim:embedding", size(col("embedding")) === 64),
+        Unique("unique:vec_id", Seq("vec_id")),
+        RefIn("ref:vec_id->documents.doc_id", "vec_id", docs, "doc_id"))))
+      .orderBy("table_name", "constraint")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q138_data_expectations" -> ((s, d) => warehouseAudit(s, d)))
+    "q138_data_expectations" -> ((s, d) => warehouseAudit(s, d)),
+    "q139_corpus_expectations" -> ((s, d) => corpusAudit(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -253,6 +283,43 @@ object Expectations {
          |  UNION ALL SELECT 'lineitem', 'ref:l_orderkey->orders.o_orderkey', n_rows, v FROM lr
          |  UNION ALL SELECT 'customer', 'not_null:c_mktsegment', n_rows, v_nn FROM c
          |  UNION ALL SELECT 'customer', 'ref:c_nationkey->nation.n_nationkey', n_rows, v FROM cr)
+         |SELECT table_name, "constraint", n_rows, n_violations,
+         |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+         |FROM rows_all
+         |ORDER BY table_name, "constraint"""".stripMargin,
+
+    "q139_corpus_expectations" ->
+      s"""WITH d AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_nn,
+         |    CAST(SUM(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END) AS BIGINT) AS v_in,
+         |    CAST(SUM(CASE WHEN len(text) = n_chars THEN 0 ELSE 1 END) AS BIGINT) AS v_nc,
+         |    CAST(SUM(CASE WHEN len(string_split(text, ' ')) BETWEEN 1 AND 64 THEN 0 ELSE 1 END) AS BIGINT) AS v_tok
+         |  FROM documents),
+         |du AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+         |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS v
+         |       FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY doc_id)),
+         |e AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN len(embedding) = 64 THEN 0 ELSE 1 END) AS BIGINT) AS v_dim
+         |  FROM embeddings),
+         |eu AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+         |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS v
+         |       FROM (SELECT COUNT(*) AS cnt FROM embeddings GROUP BY vec_id)),
+         |er AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_rows,
+         |         CAST(COUNT(*) AS BIGINT) AS v
+         |       FROM embeddings ee
+         |       WHERE ee.vec_id IS NULL OR NOT EXISTS
+         |         (SELECT 1 FROM documents dd WHERE dd.doc_id = ee.vec_id)),
+         |rows_all AS (
+         |  SELECT 'documents' AS table_name, 'not_null:text' AS "constraint", n_rows, v_nn AS n_violations FROM d
+         |  UNION ALL SELECT 'documents', 'unique:doc_id', n_rows, v FROM du
+         |  UNION ALL SELECT 'documents', 'in_set:lang', n_rows, v_in FROM d
+         |  UNION ALL SELECT 'documents', 'consistent:n_chars', n_rows, v_nc FROM d
+         |  UNION ALL SELECT 'documents', 'range:doc_tokens', n_rows, v_tok FROM d
+         |  UNION ALL SELECT 'embeddings', 'dim:embedding', n_rows, v_dim FROM e
+         |  UNION ALL SELECT 'embeddings', 'unique:vec_id', n_rows, v FROM eu
+         |  UNION ALL SELECT 'embeddings', 'ref:vec_id->documents.doc_id', n_rows, v FROM er)
          |SELECT table_name, "constraint", n_rows, n_violations,
          |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
          |FROM rows_all

@@ -64,6 +64,20 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(scans === 1, s"3 scalar rules must share one table scan, got $scans")
   }
 
+  test("the corpus gate passes the structural rules and fails exactly the " +
+    "context-window ceiling (the corpus needs chunking, and the gate says so)") {
+    val got = rows(Expectations.corpusAudit(spark, D))
+    val failed = got.filter(_._5 == "fail").map(r => (r._1, r._2)).toSet
+    assert(failed === Set(("documents", "range:doc_tokens")),
+      s"unexpected corpus-gate failure set: $failed")
+    // the cross-field consistency rule really ran over data (not vacuous)
+    val nc = got.find(_._2 == "consistent:n_chars").get
+    assert(nc._3 > 0 && nc._4 == 0L && nc._5 == "pass")
+    // the embeddings FK covers the whole embeddings table
+    val fk = got.find(_._2 == "ref:vec_id->documents.doc_id").get
+    assert(fk._3 > 0 && fk._5 == "pass")
+  }
+
   test("streaming audit: per-batch scalar partials sum to the batch audit " +
     "over everything ingested, and replay is idempotent") {
     import spark.implicits._
