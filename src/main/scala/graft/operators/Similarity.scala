@@ -410,7 +410,58 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** q140: HARD-NEGATIVE mining for contrastive training — for each of
+    * `nQueries` hash-picked anchor vectors (the q42/q71 deterministic-
+    * sample idiom), the `k` highest-cosine corpus vectors carrying a
+    * DIFFERENT label: the near-misses a contrastive/retrieval trainer
+    * wants in the batch because the current embedding confuses them with
+    * the anchor. Labels are the embeddings table's supervision column
+    * (the q99 linear-probe labels); an anchor's own row is excluded by
+    * the label inequality itself.
+    *
+    * Scale shape: the anchor side is small by construction and
+    * BROADCASTS (the q71 posture) — one shuffle-free corpus pass scores
+    * anchors x corpus, then a per-anchor top-k window partitioned by
+    * anchor (map-side the scored stream never materializes beyond the
+    * window's per-partition heap). At larger anchor counts candidate
+    * generation routes through the IVF/LSH index family (q24*, q61)
+    * exactly like [[Curation.semanticContaminationRouted]]. Exact x1e4
+    * cosine contract (the codegen'd [[graft.functions.CosineSimilarity]]
+    * with oracle-pinned operation order), so the ranking hash-checks
+    * cross-engine.
+    */
+  def hardNegatives(embs: DataFrame, nQueries: Int = 20,
+                    k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val e = embs.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val anchors = e
+      .select(col("vec_id"), col("label"), col("emb"),
+        Sketches.phash60(col("vec_id")).as("h"))
+      .orderBy("h", "vec_id").limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_x1e4").desc, col("neg_id"))
+    e.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        floor(graft.functions.GraftFunctions.cosine(col("emb"), col("q_emb"))
+          * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "q_label", "rnk", "neg_id", "neg_label", "cos_x1e4")
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q140: label-aware hard-negative mining (see [[hardNegatives]]).
+    "q140_hard_negatives" -> ((s, d) =>
+      hardNegatives(Tables.embeddings(s, d))),
+
     // Q124: bottom-decile centroid-affinity outliers (see
     // [[centroidOutliers]] — exact integer-quantized centroid, q20c
     // cosine determinism contract).
@@ -548,6 +599,29 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q140 twin: same hash-picked anchors, exact cosine with the pinned
+    // op order, per-anchor top-k over the label-excluded corpus.
+    "q140_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |             embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+         |      FROM (SELECT vec_id, label, emb,
+         |              ${Sketches.phash60Sql("vec_id")} AS h FROM e)
+         |      ORDER BY h, vec_id LIMIT 20),
+         |p AS (SELECT q.q_id, q.q_label, c.vec_id AS neg_id,
+         |        c.label AS neg_label,
+         |        CAST(FLOOR(list_dot_product(c.emb, q.q_emb) /
+         |          (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q_emb, q.q_emb)))
+         |          * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cos_x1e4
+         |      FROM e c CROSS JOIN q
+         |      WHERE c.label <> q.q_label),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |        (PARTITION BY q_id ORDER BY cos_x1e4 DESC, neg_id) AS BIGINT) AS rnk
+         |      FROM p)
+         |SELECT q_id, q_label, rnk, neg_id, neg_label, cos_x1e4
+         |FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
     "q124_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |px AS (SELECT i - 1 AS pos,

@@ -59,4 +59,41 @@ class SemanticContaminationSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(routed.toSeq === exact.toSeq)
   }
+
+  test("hard negatives: k per anchor, never the anchor's label, and the " +
+    "distributed top-k equals a driver-side brute force per anchor") {
+    val e = Tables.embeddings(spark, D)
+    val got = Similarity.hardNegatives(e, nQueries = 20, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.size === 20 && byAnchor.values.forall(_.length == 3),
+      "every anchor must yield exactly k negatives")
+    assert(got.forall(r => r._5 != r._2),
+      "a hard negative must never share its anchor's label")
+    assert(got.forall(r => r._4 != r._1),
+      "the anchor itself can never be its own negative")
+    // exactness: driver-side brute force for every anchor reproduces the
+    // distributed window's (cos desc, id) top-k row for row
+    val all = e.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2).toLong))
+    val vecs = all.map(a => a._1 -> a).toMap
+    def cosX1e4(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 10000 + 0.5).toLong
+    }
+    byAnchor.foreach { case (qId, rows) =>
+      val (_, qEmb, qLabel) = vecs(qId)
+      val want = all.filter(_._3 != qLabel)
+        .map(v => (v._1, v._3, cosX1e4(qEmb, v._2)))
+        .sortBy(v => (-v._3, v._1)).take(3)
+        .zipWithIndex
+        .map { case ((id, lbl, cos), i) =>
+          (qId, qLabel, i + 1L, id, lbl, cos) }
+      assert(rows.sortBy(_._3).toSeq === want.toSeq,
+        s"anchor $qId top-k mismatch")
+    }
+  }
 }
