@@ -89,7 +89,7 @@ def family(q):
         return "cdc"
     if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106, 109, 112, 114, 115, 122, 125, 128, 129, 131):
         return "dedup"
-    if i in (20, 24, 54, 61, 66, 69, 70, 72, 99, 100, 102, 118, 124):
+    if i in (20, 24, 54, 61, 66, 69, 70, 72, 99, 100, 102, 118, 124, 140):
         return "similarity"
     if i in (19, 25, 26, 27, 28, 41, 43, 44, 51, 52, 60, 65, 67, 77, 79, 80, 82, 96, 97, 107, 113, 116, 119):
         return "text"
