@@ -104,7 +104,11 @@ object Verify {
     val envOut = env.get("SPARK_GRAFT_OUT_DIR").filter(_.nonEmpty)
     val defaultSf  = envSf.getOrElse("/root/testdata/sf0.01")
     val defaultOut = envOut.getOrElse("verify_out")
-    args.toList match {
+    // `--flag`-shaped args are unknown options, never paths: a driver typo
+    // like `Verify --list-oracle-gaps` must not mint a committable directory
+    // literally named `--list-oracle-gaps` (round-14 incident). Drop them
+    // before positional resolution.
+    args.toList.filterNot(_.startsWith("--")) match {
       case sf :: out :: _                     => (sf, out)
       case one :: Nil if looksLikeSfDir(one)  => (one, defaultOut)
       case one :: Nil                         => (defaultSf, one)

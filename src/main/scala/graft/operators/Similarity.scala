@@ -421,17 +421,26 @@ object Similarity {
     *
     * Scale shape: the anchor side is small by construction and
     * BROADCASTS (the q71 posture) — one shuffle-free corpus pass scores
-    * anchors x corpus, then a per-anchor top-k window partitioned by
-    * anchor (map-side the scored stream never materializes beyond the
-    * window's per-partition heap). At larger anchor counts candidate
-    * generation routes through the IVF/LSH index family (q24*, q61)
-    * exactly like [[Curation.semanticContaminationRouted]]. Exact x1e4
-    * cosine contract (the codegen'd [[graft.functions.CosineSimilarity]]
-    * with oracle-pinned operation order), so the ranking hash-checks
-    * cross-engine.
+    * anchors x corpus. The per-anchor top-k is a SALTED TWO-PHASE cut
+    * (round-14 verdict fix): a single `Window.partitionBy(q_id)` would
+    * hash the corpus×nQueries scored stream into only nQueries partition
+    * keys, each reducer fully sorting a corpus-sized slice (WindowExec
+    * sorts its partition — it does not heap). Instead phase 1 salts on
+    * `pmod(xxhash64(neg_id), S)` so the local cut shuffles on
+    * nQueries×S keys with ~corpus/S rows each, and phase 2 re-cuts the
+    * surviving ≤ nQueries×S×k rows per anchor — the final sort touches a
+    * stream whose size is independent of the corpus. The (cos desc,
+    * neg_id) ordering is total, so any global top-k row is also in its
+    * salt bucket's top-k: the two-phase result is exactly the one-window
+    * result (spec-pinned against a driver brute force). At larger anchor
+    * counts candidate generation routes through the IVF/LSH index family
+    * (q24*, q61) exactly like [[Curation.semanticContaminationRouted]].
+    * Exact x1e4 cosine contract (the codegen'd
+    * [[graft.functions.CosineSimilarity]] with oracle-pinned operation
+    * order), so the ranking hash-checks cross-engine.
     */
   def hardNegatives(embs: DataFrame, nQueries: Int = 20,
-                    k: Int = 3): DataFrame = {
+                    k: Int = 3, salts: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.register(embs.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val e = embs.select(col("vec_id"),
@@ -443,15 +452,25 @@ object Similarity {
       .orderBy("h", "vec_id").limit(nQueries)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("emb").as("q_emb"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cos_x1e4").desc, col("neg_id"))
-    e.crossJoin(broadcast(anchors))
+    val scored = e.crossJoin(broadcast(anchors))
       .filter(col("label") =!= col("q_label"))
       .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
         col("label").as("neg_label"),
         floor(graft.functions.GraftFunctions.cosine(col("emb"), col("q_emb"))
           * 10000 + lit(0.5)).cast("long").as("cos_x1e4"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    // phase 1: local top-k per (anchor, salt) — nQueries×salts keys
+    val wLocal = Window.partitionBy("q_id", "salt")
+      .orderBy(col("cos_x1e4").desc, col("neg_id"))
+    val survivors = scored
+      .withColumn("salt", pmod(xxhash64(col("neg_id")), lit(salts)))
+      .withColumn("lrnk", row_number().over(wLocal))
+      .filter(col("lrnk") <= k)
+      .drop("salt", "lrnk")
+    // phase 2: final top-k per anchor over ≤ nQueries×salts×k rows
+    val wFinal = Window.partitionBy("q_id")
+      .orderBy(col("cos_x1e4").desc, col("neg_id"))
+    survivors
+      .withColumn("rnk", row_number().over(wFinal).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "q_label", "rnk", "neg_id", "neg_label", "cos_x1e4")
       .orderBy("q_id", "rnk")

@@ -40,6 +40,21 @@ class ContractSpec extends AnyFunSuite {
     assert(oracle.count() === 1)
   }
 
+  test("resolveArgs never treats a --flag as a path (round-14 junk-dir " +
+    "incident)") {
+    val env = Map("SPARK_GRAFT_SF_DIR" -> "/sf", "SPARK_GRAFT_OUT_DIR" -> "/out")
+    // a lone unknown flag falls through to env defaults, never an outDir
+    assert(Verify.resolveArgs(Array("--list-oracle-gaps"), env) ===
+      ("/sf", "/out"))
+    // flags mixed with real positionals are dropped, positionals survive
+    assert(Verify.resolveArgs(
+      Array("--verbose", "/data/sf0.01", "--x", "myout"), env) ===
+      ("/data/sf0.01", "myout"))
+    // the documented two-positional contract is unchanged
+    assert(Verify.resolveArgs(Array("/data/sf0.01", "out"), env) ===
+      ("/data/sf0.01", "out"))
+  }
+
   test("jsonQuote escapes control characters and quotes safely") {
     assert(Verify.jsonQuote("a\"b\\c\nd\te\rf\u0001g") ===
       "\"a\\\"b\\\\c\\nd\\te\\rf\\u0001g\"")

@@ -139,6 +139,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"message passing must stay equi-join shaped:\n$plan")
   }
 
+  test("q140: the corpus-scale scored stream shuffles on (q_id, salt), " +
+    "never on q_id alone") {
+    val plan = finalPlan("q140_hard_negatives")
+    // phase 1: the exchange the corpus passes through must carry the salt —
+    // nQueries×salts keys, not nQueries (the round-14 verdict's skew shape)
+    assert("Exchange hashpartitioning\\(q_id#\\d+L, salt#".r
+      .findFirstIn(plan).isDefined,
+      s"corpus-sized stream must shuffle on (q_id, salt):\n$plan")
+    // and it is map-side top-k-limited before it ships (WindowGroupLimit
+    // Partial), so each mapper emits ≤ nQueries×salts×k rows
+    assert("WindowGroupLimit \\[q_id#\\d+L, salt#\\d+L\\][^\\n]*Partial".r
+      .findFirstIn(plan).isDefined,
+      s"phase-1 cut must apply map-side before the salted exchange:\n$plan")
+    // phase 2's q_id-only exchange exists but only sees phase-1 survivors:
+    // textually it sits ABOVE (downstream of) the salted window
+    val qOnly = plan.indexOf(
+      "Exchange hashpartitioning\\(q_id#\\d+L, \\d".r.findFirstIn(plan)
+        .getOrElse("<<missing>>"))
+    val salted = plan.indexOf(
+      "Exchange hashpartitioning\\(q_id#\\d+L, salt#".r.findFirstIn(plan)
+        .getOrElse("<<missing>>"))
+    assert(qOnly >= 0 && salted >= 0 && qOnly < salted,
+      s"the per-anchor exchange must consume the salted cut's survivors:\n$plan")
+  }
+
   test("q105: single-partition work is stage-count sized — one one-row reduce per stage") {
     val plan = finalPlan("q105_funnel")
     assert(plan.contains("Window"), "conversion ratios are window functions")
