@@ -83,20 +83,33 @@ object Expectations {
   private def scalarAudit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val aggCols = count(lit(1)).as("n_rows") +:
       checks.zipWithIndex.map { case (c, i) =>
-        sum(when(c.ok, lit(0L)).otherwise(lit(1L))).as(s"v$i")
+        // coalesce: sum() over ZERO rows is NULL, but the audit contract is
+        // "0 violations" — an empty table passes every scalar rule (the
+        // oracle SQL carries the same COALESCE)
+        coalesce(sum(when(c.ok, lit(0L)).otherwise(lit(1L))), lit(0L))
+          .as(s"v$i")
       }
-    val stacked = checks.zipWithIndex
-      .map { case (c, i) => s"'${c.name}', v$i" }.mkString(", ")
+    // in-plan unpivot via Column-API explode(array(struct…)) — same
+    // Generate shape as `stack` but with the constraint names as literal
+    // Columns, never spliced into a SQL string: a name containing quotes
+    // (audit() is public API, names are caller-chosen) cannot break
+    // parsing or inject into the plan
+    val pairs = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("constraint"), col(s"v$i").as("n_violations"))
+    }
     df.agg(aggCols.head, aggCols.tail: _*)
-      .select(col("n_rows"), expr(
-        s"stack(${checks.size}, $stacked) AS (constraint, n_violations)"))
-      .select(col("constraint"), col("n_rows"), col("n_violations"))
+      .select(col("n_rows"), explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.constraint").as("constraint"), col("n_rows"),
+        col("kv.n_violations").as("n_violations"))
   }
 
   /** Audit `df` (named `table`) against `rules`; see object doc for the
     * per-class evaluation strategy.
     */
   def audit(table: String, df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty,
+      s"audit('$table'): rules must be non-empty — an empty suite is a " +
+        "caller bug, not a vacuous pass")
     val checks = rules.collect { case c: Check => c }
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (checks.nonEmpty) parts += scalarAudit(df, checks)
@@ -245,16 +258,16 @@ object Expectations {
     "q138_data_expectations" ->
       s"""WITH o AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_nn,
-         |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v_in,
-         |    CAST(SUM(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 400000.0 THEN 0 ELSE 1 END) AS BIGINT) AS v_rg
+         |    CAST(COALESCE(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_nn,
+         |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_in,
+         |    CAST(COALESCE(SUM(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 400000.0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_rg
          |  FROM orders),
          |ou AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
          |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS v
          |       FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)),
          |l AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |    CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 0 ELSE 1 END) AS BIGINT) AS v_rg
+         |    CAST(COALESCE(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_rg
          |  FROM lineitem),
          |lu AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
          |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS v
@@ -266,7 +279,7 @@ object Expectations {
          |         (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)),
          |c AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |    CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_nn
+         |    CAST(COALESCE(SUM(CASE WHEN c_mktsegment IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_nn
          |  FROM customer),
          |cr AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
          |         CAST(COUNT(*) AS BIGINT) AS v
@@ -291,17 +304,17 @@ object Expectations {
     "q139_corpus_expectations" ->
       s"""WITH d AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |    CAST(SUM(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_nn,
-         |    CAST(SUM(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END) AS BIGINT) AS v_in,
-         |    CAST(SUM(CASE WHEN len(text) = n_chars THEN 0 ELSE 1 END) AS BIGINT) AS v_nc,
-         |    CAST(SUM(CASE WHEN len(string_split(text, ' ')) BETWEEN 1 AND 64 THEN 0 ELSE 1 END) AS BIGINT) AS v_tok
+         |    CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_nn,
+         |    CAST(COALESCE(SUM(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_in,
+         |    CAST(COALESCE(SUM(CASE WHEN len(text) = n_chars THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_nc,
+         |    CAST(COALESCE(SUM(CASE WHEN len(string_split(text, ' ')) BETWEEN 1 AND 64 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_tok
          |  FROM documents),
          |du AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
          |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS v
          |       FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY doc_id)),
          |e AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |    CAST(SUM(CASE WHEN len(embedding) = 64 THEN 0 ELSE 1 END) AS BIGINT) AS v_dim
+         |    CAST(COALESCE(SUM(CASE WHEN len(embedding) = 64 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_dim
          |  FROM embeddings),
          |eu AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
          |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS v

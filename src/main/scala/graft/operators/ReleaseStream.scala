@@ -822,9 +822,24 @@ object ReleaseStream {
         java.nio.file.Paths.get(qp.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     else
-      org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
-        .rename(fs.makeQualified(tmp), qp,
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      try
+        org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
+          .rename(fs.makeQualified(tmp), qp,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // Object-store connectors (s3a, gs, abfs) register a FileSystem
+          // but no AbstractFileSystem, so FileContext cannot bind there.
+          // Fall back to delete+rename through the FileSystem API — NOT
+          // atomic (a crash between the two leaves no frontier manifest
+          // and latestManifest resolves the prior batch), which is the
+          // pre-round-14 behavior on exactly the stores that never offered
+          // an atomic rename anyway; HDFS and file:// keep the atomic swap.
+          fs.delete(qp, false)
+          if (!fs.rename(fs.makeQualified(tmp), qp))
+            sys.error(s"manifest publication failed: rename($tmp -> $qp) " +
+              "returned false after delete — frontier manifest is missing")
+      }
   }
 
   private def latestManifest(spark: SparkSession, root: String,

@@ -51,6 +51,34 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(rows(audit).forall(r => r._4 == 0L && r._5 == "pass"))
   }
 
+  test("hostile constraint names (quotes, backslashes) are labels, not " +
+    "SQL — the unpivot is Column-API, audit() is public") {
+    import spark.implicits._
+    val t = Seq((1L, 10L), (2L, 200L)).toDF("id", "value")
+    val name = "weird' name\\ , 99999999), ('pwned"
+    val got = rows(Expectations.audit("t", t, Seq(
+      Expectations.Check(name, col("value") <= 100),
+      Expectations.notNull("id"))).orderBy("constraint"))
+    assert(got.map(_._2).contains(name),
+      s"the hostile name must come back verbatim as the label: $got")
+    assert(got.find(_._2 == name).get._4 === 1L) // and it really counted
+  }
+
+  test("audit with no rules is a caller error; a ZERO-ROW table passes " +
+    "scalar rules with 0 violations, never NULL") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Expectations.audit("t", Seq((1L, 2L)).toDF("a", "b"), Seq.empty)
+    }
+    val empty = Seq.empty[(java.lang.Long, java.lang.Long)].toDF("a", "b")
+    val got = rows(Expectations.audit("t", empty, Seq(
+      Expectations.notNull("a"),
+      Expectations.Unique("unique:a", Seq("a")),
+      Expectations.between("b", 0.0, 1.0))).orderBy("constraint"))
+    assert(got.forall(r => r._3 == 0L && r._4 == 0L && r._5 == "pass"),
+      s"zero-row audit must be all-pass with 0 (not NULL) counts: $got")
+  }
+
   test("all scalar rules on one table fold into ONE scan (the audit adds " +
     "aggregate columns, not passes)") {
     val orders = graft.sources.Tables.orders(spark, D)
