@@ -1227,6 +1227,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q142: the release export GATED by the corpus-ingestion expectations
+    * (the q139 audit composed INTO the deliverable, not beside it): every
+    * export row carries `gate_status` (`blocked` iff any gate rule
+    * failed) and the fail count, so a training run that reads the export
+    * cannot miss that its inputs flunked ingestion — the alerting
+    * contract moves from "remember to check the audit relation" to "the
+    * deliverable says so itself". On the fixtures the corpus gate FAILS
+    * (the q139 context-window ceiling), so the shipped relation is
+    * demonstrably `blocked` — spec-pinned both ways with a manufactured
+    * clean gate.
+    *
+    * Scale shape: the gate relation is ≤ #constraints rows; its verdict
+    * aggregates to ONE row and broadcasts onto the corpus-sized export —
+    * the flag costs one broadcast, never a shuffle of the export.
+    */
+  def gatedReleaseExport(export: DataFrame, gate: DataFrame): DataFrame = {
+    val verdict = gate.agg(
+      coalesce(sum(when(col("status") === "fail", lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as("n_gate_failed"))
+    export.crossJoin(broadcast(verdict)) // single-row gate side
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
+        col("split"), col("n_copies"),
+        when(col("n_gate_failed") > 0, lit("blocked")).otherwise(lit("clear"))
+          .as("gate_status"),
+        col("n_gate_failed"))
+      .orderBy("doc_id")
+  }
+
   /** The three release-stage artifacts q132 reads — per-doc dedup stages
     * (q125), decontamination stages (q127) and the cap-kept relation
     * (q111), each build-once and content-keyed on the corpus text
@@ -1726,6 +1754,22 @@ object Curation {
     "q127_decontam_apply" -> ((s, d) =>
       decontamApply(Tables.documents(s, d))),
 
+    // Q142: the gated release export (see [[gatedReleaseExport]]) — the
+    // q132 composition with the q139 ingestion-gate verdict broadcast
+    // onto every row; export inputs from the same artifacts as q132, the
+    // gate from the batch corpus audit.
+    "q142_gated_release" -> ((s, d) => {
+      val (dd, dc, cp) = ensureReleaseStages(s, d)
+      gatedReleaseExport(
+        releaseExport(Tables.documents(s, d),
+          Dedup.clustersFromPairs(
+            s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))),
+          dedupStages = Some(s.read.parquet(dd)),
+          deconStages = Some(s.read.parquet(dc)),
+          capRelation = Some(s.read.parquet(cp))),
+        Expectations.corpusAudit(s, d))
+    }),
+
     // Q134: the release relation read off INCREMENTALLY-maintained state
     // (see [[ReleaseStream]]) — the corpus folded in as three interleaved
     // doc_id-residue batches into the content-keyed state artifact; the
@@ -1883,6 +1927,23 @@ object Curation {
          |FROM stg JOIN spl ON stg.doc_id = spl.doc_id
          |LEFT JOIN mix ON stg.doc_id = mix.doc_id
          |ORDER BY stg.doc_id""".stripMargin
+
+  /** q142 twin: the q132 release statement joined with the q139 gate
+    * verdict — `gate AS` wraps the corpus-expectations statement
+    * (embedded VERBATIM from its q139 twin) in a one-row fail count.
+    */
+  private def gatedReleaseOracleSql: String =
+    s"""WITH cur AS ($releaseExportOracleSql),
+       |gate AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gate_failed
+       |         FROM (${Expectations.corpusGateOracleSql}) g
+       |         WHERE g.status = 'fail')
+       |SELECT cur.doc_id, cur.source, cur.n_tokens, cur.stage, cur.split,
+       |       cur.n_copies,
+       |       CASE WHEN n_gate_failed > 0 THEN 'blocked' ELSE 'clear' END
+       |         AS gate_status,
+       |       n_gate_failed
+       |FROM cur CROSS JOIN gate
+       |ORDER BY cur.doc_id""".stripMargin
 
   /** q135 twin: the SAME composed release statement evaluated twice —
     * once whole-corpus, once against a shadowed `documents` CTE holding
@@ -2095,6 +2156,11 @@ object Curation {
     // q134 shares q132's oracle VERBATIM: the incremental fold's whole
     // contract is that its readout equals the batch release relation.
     "q134_release_incremental" -> releaseExportOracleSql,
+
+    // q142 twin: the q132 statement CROSS JOINed with the q139 gate
+    // verdict (one row) — the deliverable itself records whether its
+    // inputs passed the ingestion expectations.
+    "q142_gated_release" -> gatedReleaseOracleSql,
 
     // q135 twin: see releaseChurnOracleSql (the composed release
     // statement evaluated twice, per-doc diffed).

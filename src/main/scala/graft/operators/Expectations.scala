@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.sources.Tables
 
@@ -192,6 +193,267 @@ object Expectations {
           .as("status"))
       .orderBy("constraint")
 
+  // ------------------------------------------------------------------
+  // KEYED streaming audit — Unique/RefIn as a stream (round-15 rung).
+  //
+  // The scalar stream above is honest but partial: uniqueness and
+  // referential rules need keyed state, and a monitor that summed
+  // per-batch "uniqueness" results would miss every CROSS-BATCH
+  // duplicate. The keyed ingest closes that gap with the release-store
+  // posture (bucketed per-batch appends, replay = deterministic rewrite
+  // of your own batch dir from state strictly below your own id):
+  //
+  //  - per key-set (each Unique rule's columns; each RefIn rule's fact
+  //    column), a KEY-COUNT STORE under `root/key_<cols>/batch=<id>/
+  //    kbkt=<b>/` holding the batch's (key, cnt) partial counts. Counts
+  //    are distributive over disjoint row batches, so the accumulated
+  //    store IS the corpus's key histogram — compact (one row per
+  //    distinct key per batch that saw it) and append-only: a batch
+  //    writes its own delta, never rewrites old state.
+  //  - per batch, a LIVE uniqueness delta (`root/live/batch=<id>`): the
+  //    batch's keys probe ONLY the prior-store buckets they hash into
+  //    (≤ N_BUCKETS leaf dirs, delta-bounded read — the `ex/`-store
+  //    shape), and the change in Σ_{cnt(k)>1} cnt(k) is computed from
+  //    (prior, batch) count pairs alone. Summing live deltas tracks the
+  //    exact running violation count INCLUDING cross-batch duplicates —
+  //    the alerting signal, spec-pinned equal to the readout.
+  //  - READOUT ([[keyedAuditFromStore]]): scalar rules sum partials;
+  //    Unique re-aggregates the key store (one shuffle over key-count
+  //    partials, never the raw rows again); RefIn anti-joins the fact
+  //    key store against the referenced key store — exact under LATE
+  //    REFERENCE ARRIVALS by construction, because membership is decided
+  //    at readout over everything ingested so far, not frozen per batch.
+  //    (That is also why RefIn has no per-batch live delta here: a
+  //    fact-side miss can be retro-filled by a later ref batch, so a
+  //    truthful running counter needs a pending-miss store probed by ref
+  //    deltas — the bidirectional rung above this one, documented, not
+  //    faked by summing per-batch misses.)
+  //
+  // At 100 TB: per batch writes are delta-sized key partials + one tiny
+  // live row per rule; the only corpus-shaped costs are the readout's
+  // one key shuffle per Unique rule and one join per RefIn rule — the
+  // same shuffles the batch audit pays, but over compact (key, cnt)
+  // partials instead of raw rows.
+  // ------------------------------------------------------------------
+
+  private val N_BUCKETS = 32L
+
+  /** Streaming referential rule: fact rows' `col` must appear in the
+    * key-count store rooted at `refStore` (another keyed audit's
+    * `key_<cols>` directory — for q139, the documents ingest's doc_id
+    * store). The store IS the referenced key set, accumulated so far.
+    */
+  final case class RefStream(name: String, col: String, refStore: String)
+
+  private def keyStoreName(cols: Seq[String]): String =
+    "key_" + cols.map(_.toLowerCase.replaceAll("[^a-z0-9]", "_"))
+      .mkString("__")
+
+  /** The key-count store directory a rule's columns map to. Public shape
+    * contract: a [[RefStream]] points at the REFERENCED table's store via
+    * this name.
+    */
+  def keyStoreDir(root: String, cols: Seq[String]): String =
+    s"$root/${keyStoreName(cols)}"
+
+  private def withKeyCols(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val ks = cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }
+    df.select(ks: _*)
+  }
+
+  private def keyCnt(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val n = cols.size
+    withKeyCols(df, cols)
+      .groupBy((0 until n).map(i => col(s"k$i")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("kbkt",
+        pmod(xxhash64((0 until n).map(i => col(s"k$i")): _*), lit(N_BUCKETS)))
+  }
+
+  /** Null-safe equi-condition on k0..kn between two aliased sides —
+    * uniqueness treats a NULL key tuple as a group like the batch
+    * `groupBy` does, so the store joins must match NULLs to themselves.
+    */
+  private def keyCond(l: String, r: String, n: Int): Column =
+    (0 until n).map(i => col(s"$l.k$i") <=> col(s"$r.k$i"))
+      .reduce(_ && _)
+
+  /** Prior-store leaf dirs for batches strictly below `batchId`, limited
+    * to `touched` buckets (None = all). Listing is #batches × #buckets —
+    * filesystem metadata, not data.
+    */
+  private def storeLeafDirs(spark: SparkSession, store: String,
+                            batchId: Long,
+                            touched: Option[Set[Long]]): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(store)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Nil
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+      .filter(_._1 < batchId)
+      .flatMap { case (_, bp) =>
+        fs.listStatus(bp).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("kbkt="))
+          .filter(s => touched.forall(_.contains(
+            s.getPath.getName.stripPrefix("kbkt=").toLong)))
+          .map(_.getPath.toString)
+      }
+  }
+
+  private def readStore(spark: SparkSession, store: String, batchId: Long,
+                        touched: Option[Set[Long]], nKeys: Int): DataFrame = {
+    val dirs = storeLeafDirs(spark, store, batchId, touched)
+    if (dirs.isEmpty) {
+      val schema = (0 until nKeys).map(i => s"k$i STRING")
+        .mkString("", ", ", ", cnt BIGINT")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(schema))
+    } else
+      spark.read.option("basePath", store).parquet(dirs: _*)
+        .select((0 until nKeys).map(i => col(s"k$i")) :+ col("cnt"): _*)
+  }
+
+  /** One micro-batch of the keyed audit (the foreachBatch body, factored
+    * out for the replay/equality specs): scalar partials + per-rule key
+    * stores + the live uniqueness delta, all written under `batch=<id>`
+    * dirs so replay overwrites deterministically.
+    */
+  private[graft] def keyedAuditIngestBatch(batch: DataFrame, batchId: Long,
+                                           root: String, checks: Seq[Check],
+                                           uniques: Seq[Unique],
+                                           refs: Seq[RefStream]): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    if (checks.nonEmpty) auditIngestBatch(b, batchId, s"$root/scalar", checks)
+    // every key-set that needs a store: each Unique's cols, each
+    // RefStream's fact col (deduped — q139's unique:vec_id and the FK
+    // share one store)
+    val keySets = (uniques.map(_.cols) ++ refs.map(r => Seq(r.col))).distinct
+    val liveRows = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    keySets.foreach { cols =>
+      val store = keyStoreDir(root, cols)
+      val bk = keyCnt(b, cols).persist()
+      // live delta for the Unique rules on this key-set: batch keys probe
+      // only their own buckets of the prior store
+      val rules = uniques.filter(_.cols == cols)
+      if (rules.nonEmpty) {
+        val touched = bk.select("kbkt").distinct()
+          .collect().map(_.getLong(0)).toSet // ≤ N_BUCKETS values
+        val prior = readStore(spark, store, batchId, Some(touched), cols.size)
+          .alias("p")
+          .join(bk.alias("t"), keyCond("p", "t", cols.size), "left_semi")
+          .groupBy((0 until cols.size).map(i => col(s"k$i")): _*)
+          .agg(sum(col("cnt")).as("pcnt"))
+        val delta = bk.alias("b")
+          .join(prior.alias("q"), keyCond("b", "q", cols.size), "left")
+          .select(col("b.cnt").as("bcnt"),
+            coalesce(col("q.pcnt"), lit(0L)).as("pcnt"))
+          .select(
+            (when(col("pcnt") + col("bcnt") > 1, col("pcnt") + col("bcnt"))
+              .otherwise(lit(0L)) -
+              when(col("pcnt") > 1, col("pcnt")).otherwise(lit(0L)))
+              .as("d"),
+            col("bcnt"))
+          .agg(coalesce(sum(col("d")), lit(0L)).as("v_delta"),
+            coalesce(sum(col("bcnt")), lit(0L)).as("n_rows"))
+          .collect()(0) // single row
+        rules.foreach(u =>
+          liveRows += ((u.name, delta.getLong(1), delta.getLong(0))))
+      }
+      bk.write.mode("overwrite").partitionBy("kbkt")
+        .parquet(s"$store/batch=$batchId")
+      bk.unpersist()
+      ()
+    }
+    import spark.implicits._
+    liveRows.toSeq.toDF("constraint", "n_rows", "v_delta")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/live/batch=$batchId")
+    b.unpersist()
+    ()
+  }
+
+  /** The long-running keyed ingest: one audited table's stream →
+    * scalar partials + key stores + live uniqueness deltas under `root`.
+    */
+  def streamingKeyedAuditIngest(docs: DataFrame, root: String,
+                                checkpoint: String, checks: Seq[Check],
+                                uniques: Seq[Unique], refs: Seq[RefStream])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        keyedAuditIngestBatch(batch, batchId, root, checks, uniques, refs)
+      }
+      .start()
+
+  /** The batch-audit relation off a keyed ingest's stores: equals
+    * [[audit]] over everything ingested so far, rule for rule — the
+    * stream==batch contract, spec-pinned with planted cross-batch
+    * duplicates and a late-arriving referenced key.
+    */
+  def keyedAuditFromStore(spark: SparkSession, table: String, root: String,
+                          checks: Seq[Check], uniques: Seq[Unique],
+                          refs: Seq[RefStream]): DataFrame = {
+    require(checks.nonEmpty || uniques.nonEmpty || refs.nonEmpty,
+      s"keyedAuditFromStore('$table'): no rules")
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (checks.nonEmpty)
+      parts += spark.read.parquet(s"$root/scalar")
+        .groupBy("constraint")
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("n_violations")).as("n_violations"))
+        .select(col("constraint"), col("n_rows"), col("n_violations"))
+    uniques.foreach { u =>
+      val acc = readStore(spark, keyStoreDir(root, u.cols), Long.MaxValue,
+          None, u.cols.size)
+        .groupBy((0 until u.cols.size).map(i => col(s"k$i")): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+      parts += acc
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("cnt") > 1, col("cnt"))
+            .otherwise(lit(0L))), lit(0L)).as("n_violations"))
+        .select(lit(u.name).as("constraint"), col("n_rows"),
+          col("n_violations"))
+    }
+    refs.foreach { r =>
+      val facts = readStore(spark, keyStoreDir(root, Seq(r.col)),
+          Long.MaxValue, None, 1)
+        .groupBy("k0").agg(sum(col("cnt")).as("cnt"))
+      val refKeys = readStore(spark, r.refStore, Long.MaxValue, None, 1)
+        .select(col("k0").as("__ref_key")).distinct()
+      // === (not <=>): a NULL fact key matches nothing and violates —
+      // the batch RefIn's exact semantics
+      val missing = facts.join(refKeys, col("k0") === col("__ref_key"),
+          "left_anti")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_violations"))
+      val total = facts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"))
+      parts += total.crossJoin(missing) // two single-row sides
+        .select(lit(r.name).as("constraint"), col("n_rows"),
+          col("n_violations"))
+    }
+    parts.reduce(_ unionByName _)
+      .select(lit(table).as("table_name"), col("constraint"), col("n_rows"),
+        col("n_violations"),
+        when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail"))
+          .as("status"))
+      .orderBy("constraint")
+  }
+
+  /** The exact running uniqueness-violation count after the ingest so
+    * far: Σ of the per-batch live deltas — the monitor signal that
+    * catches cross-batch duplicates the moment the second copy lands.
+    */
+  def liveUniquenessViolations(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/live")
+      .groupBy("constraint")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("v_delta")).as("n_violations"))
+      .orderBy("constraint")
+
   /** q138: the snapshot-gate audit over the warehouse tables — the
     * constraint suite a pipeline would run before trusting an ingested
     * snapshot. Two rules are deliberately strict enough to FAIL on this
@@ -233,26 +495,88 @@ object Expectations {
     * context window" gate that FAILS, demonstrating the audit flagging
     * a corpus that needs chunking (q47) before export.
     */
+  /** The q139 rule sets, named once so the batch gate and its streaming
+    * twin (q141) evaluate the SAME constraints — the scd2Fold
+    * shared-kernel convention.
+    */
+  private[graft] val corpusDocChecks: Seq[Check] = Seq(
+    notNull("text"),
+    inSet("lang", Seq("de", "en", "es", "fr", "zh")),
+    Check("consistent:n_chars", length(col("text")) === col("n_chars")),
+    Check("range:doc_tokens", size(split(col("text"), " ")).between(1, 64)))
+  private[graft] val corpusDocUniques: Seq[Unique] =
+    Seq(Unique("unique:doc_id", Seq("doc_id")))
+  private[graft] val corpusEmbChecks: Seq[Check] =
+    Seq(Check("dim:embedding", size(col("embedding")) === 64))
+  private[graft] val corpusEmbUniques: Seq[Unique] =
+    Seq(Unique("unique:vec_id", Seq("vec_id")))
+  private val REF_RULE_NAME = "ref:vec_id->documents.doc_id"
+
   def corpusAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val embs = Tables.embeddings(spark, sfDir)
-    audit("documents", docs, Seq(
-        notNull("text"),
-        Unique("unique:doc_id", Seq("doc_id")),
-        inSet("lang", Seq("de", "en", "es", "fr", "zh")),
-        Check("consistent:n_chars", length(col("text")) === col("n_chars")),
-        Check("range:doc_tokens",
-          size(split(col("text"), " ")).between(1, 64))))
-      .unionByName(audit("embeddings", embs, Seq(
-        Check("dim:embedding", size(col("embedding")) === 64),
-        Unique("unique:vec_id", Seq("vec_id")),
-        RefIn("ref:vec_id->documents.doc_id", "vec_id", docs, "doc_id"))))
+    audit("documents", docs,
+        corpusDocChecks ++ corpusDocUniques)
+      .unionByName(audit("embeddings", embs,
+        corpusEmbChecks ++ corpusEmbUniques :+
+          RefIn(REF_RULE_NAME, "vec_id", docs, "doc_id")))
       .orderBy("table_name", "constraint")
   }
 
+  /** q141: the q139 corpus-ingestion gate run END-TO-END AS A STREAM —
+    * documents and embeddings each folded into the keyed audit state in
+    * three deterministic hash-residue batches (the q134 residue idiom),
+    * then the gate read off the stores alone: scalar partials summed,
+    * uniqueness re-aggregated from the key-count stores (catching
+    * cross-batch duplicates), and the FK anti-joined against the
+    * documents ingest's own doc_id key store. The oracle is q139's SQL
+    * VERBATIM — equality with the batch gate at every scale IS the
+    * stream==batch contract (the q134/q132 convention). State is a
+    * content-keyed build-once artifact: per catalog call the cost is
+    * the production READOUT, not the refold.
+    */
+  def streamingCorpusGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureKeyedAuditState(spark, sfDir)
+    keyedAuditFromStore(spark, "documents", s"$root/docs",
+        corpusDocChecks, corpusDocUniques, Seq.empty)
+      .unionByName(keyedAuditFromStore(spark, "embeddings", s"$root/embs",
+        corpusEmbChecks, corpusEmbUniques, Seq(corpusRefStream(root))))
+      .orderBy("table_name", "constraint")
+  }
+
+  private def corpusRefStream(root: String): RefStream =
+    RefStream(REF_RULE_NAME, "vec_id",
+      keyStoreDir(s"$root/docs", Seq("doc_id")))
+
+  private def ensureKeyedAuditState(spark: SparkSession,
+                                    sfDir: String): String =
+    DedupArtifacts.cachedDir(s"kaudit|$sfDir") {
+      val docs = Tables.documents(spark, sfDir)
+      val embs = Tables.embeddings(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs, s"kaudit|$sfDir") + "|" +
+        DedupArtifacts.embeddingsKey(embs, "e") + "|v=1"
+      DedupArtifacts.ensureTree(key) { stage =>
+        (0 until 3).foreach { i =>
+          keyedAuditIngestBatch(
+            docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i),
+            i.toLong, s"$stage/docs", corpusDocChecks, corpusDocUniques,
+            Seq.empty)
+        }
+        (0 until 3).foreach { i =>
+          keyedAuditIngestBatch(
+            embs.filter(pmod(xxhash64(col("vec_id")), lit(3)) === i),
+            i.toLong, s"$stage/embs", corpusEmbChecks, corpusEmbUniques,
+            Seq(corpusRefStream(stage)))
+        }
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_data_expectations" -> ((s, d) => warehouseAudit(s, d)),
-    "q139_corpus_expectations" -> ((s, d) => corpusAudit(s, d)))
+    "q139_corpus_expectations" -> ((s, d) => corpusAudit(s, d)),
+    // Q141: the q139 gate as a stream (see [[streamingCorpusGate]]);
+    // oracle shared VERBATIM with q139 — stream==batch is the contract.
+    "q141_streaming_corpus_gate" -> ((s, d) => streamingCorpusGate(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -301,7 +625,13 @@ object Expectations {
          |FROM rows_all
          |ORDER BY table_name, "constraint"""".stripMargin,
 
-    "q139_corpus_expectations" ->
+    "q139_corpus_expectations" -> corpusGateOracleSql,
+    // the stream==batch contract: q141's readout must hash-match the
+    // batch gate's oracle at every scale
+    "q141_streaming_corpus_gate" -> corpusGateOracleSql)
+
+  /** The q139/q141 shared oracle (also embedded by q142's gate CTE). */
+  private[graft] lazy val corpusGateOracleSql: String =
       s"""WITH d AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
          |    CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_nn,
@@ -336,5 +666,5 @@ object Expectations {
          |SELECT table_name, "constraint", n_rows, n_violations,
          |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
          |FROM rows_all
-         |ORDER BY table_name, "constraint"""".stripMargin)
+         |ORDER BY table_name, "constraint"""".stripMargin
 }

@@ -145,6 +145,116 @@ class ExpectationsSpec extends AnyFunSuite {
       "replaying a batch must be idempotent")
   }
 
+  test("keyed streaming audit: the q139 corpus gate runs END-TO-END as a " +
+    "stream — cross-batch duplicates and a late-arriving referenced key " +
+    "are exact, and the readout equals the batch audit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docChecks = Seq(
+      Expectations.notNull("text"),
+      Expectations.inSet("lang", Seq("de", "en", "es", "fr", "zh")))
+    val docUq = Seq(Expectations.Unique("unique:doc_id", Seq("doc_id")))
+    val embChecks = Seq(Expectations.Check("dim:embedding",
+      size(col("embedding")) === 2))
+    val embUq = Seq(Expectations.Unique("unique:vec_id", Seq("vec_id")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-keyed-audit").toString
+    val (dRoot, eRoot) = (s"$base/docs", s"$base/embs")
+    val embRefs = Seq(Expectations.RefStream(
+      "ref:vec_id->documents.doc_id", "vec_id",
+      Expectations.keyStoreDir(dRoot, Seq("doc_id"))))
+
+    // three doc batches; doc_id 2 repeats in batches 0 AND 2 (the
+    // cross-batch duplicate a summed per-batch monitor would miss);
+    // doc_id 7 arrives only in batch 2 — LATE relative to the embedding
+    // that references it in batch 1
+    val docBatches = Seq(
+      Seq((1L, "en", "aa"), (2L, "en", "bb"), (3L, "fr", "cc")),
+      Seq((4L, "xx", "dd"), (5L, "de", null: String)),
+      Seq((2L, "en", "bb2"), (6L, "zh", "ff"), (7L, "es", "gg")))
+    // vec_id 9 references no document EVER (a true violation); vec_id 7
+    // references the late doc; vec_id 4 duplicates across batches 0 and 1
+    val embBatches = Seq(
+      Seq((1L, Seq(0.1f, 0.2f)), (4L, Seq(0.3f, 0.4f))),
+      Seq((4L, Seq(0.3f, 0.4f)), (7L, Seq(0.5f)), (9L, Seq(0.6f, 0.7f))),
+      Seq((2L, Seq(0.8f, 0.9f))))
+
+    val dIn = MemoryStream[(Long, String, String)](spark)
+    val dq = Expectations.streamingKeyedAuditIngest(
+      dIn.toDF().toDF("doc_id", "lang", "text"),
+      dRoot, s"$base/dckpt", docChecks, docUq, Seq.empty)
+    try {
+      docBatches.foreach { b => dIn.addData(b); dq.processAllAvailable() }
+    } finally dq.stop()
+    val eIn = MemoryStream[(Long, Seq[Float])](spark)
+    val eq = Expectations.streamingKeyedAuditIngest(
+      eIn.toDF().toDF("vec_id", "embedding"),
+      eRoot, s"$base/eckpt", embChecks, embUq, embRefs)
+    try {
+      embBatches.foreach { b => eIn.addData(b); eq.processAllAvailable() }
+    } finally eq.stop()
+
+    val docsAll = docBatches.flatten.toDF("doc_id", "lang", "text")
+    val embsAll = embBatches.flatten.toDF("vec_id", "embedding")
+    val wantDocs = rows(Expectations.audit("documents", docsAll,
+      docChecks ++ docUq).orderBy("constraint"))
+    val wantEmbs = rows(Expectations.audit("embeddings", embsAll,
+      embChecks ++ embUq :+ Expectations.RefIn(
+        "ref:vec_id->documents.doc_id", "vec_id", docsAll, "doc_id"))
+      .orderBy("constraint"))
+    val gotDocs = rows(Expectations.keyedAuditFromStore(spark, "documents",
+      dRoot, docChecks, docUq, Seq.empty))
+    val gotEmbs = rows(Expectations.keyedAuditFromStore(spark, "embeddings",
+      eRoot, embChecks, embUq, embRefs))
+    assert(gotDocs === wantDocs, "documents stream==batch audit")
+    assert(gotEmbs === wantEmbs, "embeddings stream==batch audit")
+    // the planted facts really exercised every keyed path: the
+    // cross-batch doc duplicate, the cross-batch vec duplicate, the
+    // never-referenced key (1 violation, NOT the late-arriving doc 7)
+    assert(wantDocs.find(_._2 == "unique:doc_id").get._4 === 2L)
+    assert(wantEmbs.find(_._2 == "unique:vec_id").get._4 === 2L)
+    assert(wantEmbs.find(_._2 == "ref:vec_id->documents.doc_id").get._4
+      === 1L, "the late doc must retro-satisfy vec 7; only vec 9 violates")
+
+    // the LIVE per-batch deltas sum to the exact readout counts — the
+    // monitor caught the cross-batch duplicates as they landed
+    val live = Expectations.liveUniquenessViolations(spark, dRoot)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(live("unique:doc_id") ===
+      wantDocs.find(_._2 == "unique:doc_id").get._4)
+    val liveE = Expectations.liveUniquenessViolations(spark, eRoot)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(liveE("unique:vec_id") ===
+      wantEmbs.find(_._2 == "unique:vec_id").get._4)
+
+    // replay: re-running the LAST micro-batch of each ingest overwrites
+    // its own batch dirs; readout and live counters are unchanged
+    Expectations.keyedAuditIngestBatch(
+      docBatches(2).toDF("doc_id", "lang", "text"), 2L, dRoot,
+      docChecks, docUq, Seq.empty)
+    Expectations.keyedAuditIngestBatch(
+      embBatches(2).toDF("vec_id", "embedding"), 2L, eRoot,
+      embChecks, embUq, embRefs)
+    assert(rows(Expectations.keyedAuditFromStore(spark, "documents", dRoot,
+      docChecks, docUq, Seq.empty)) === wantDocs, "doc replay idempotent")
+    assert(rows(Expectations.keyedAuditFromStore(spark, "embeddings", eRoot,
+      embChecks, embUq, embRefs)) === wantEmbs, "emb replay idempotent")
+    assert(Expectations.liveUniquenessViolations(spark, dRoot)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      .apply("unique:doc_id") === live("unique:doc_id"),
+      "replayed live delta must overwrite, not double-count")
+  }
+
+  test("q141: the streaming corpus gate equals the batch q139 gate row " +
+    "for row (the artifact-backed residue fold converged)") {
+    val want = rows(Expectations.corpusAudit(spark, D))
+    val got = rows(Expectations.streamingCorpusGate(spark, D))
+    assert(got === want, "stream readout must equal the batch gate")
+    // and it genuinely read stores, not the raw tables: the failing
+    // context-window rule came through the scalar partials
+    assert(got.exists(r => r._2 == "range:doc_tokens" && r._5 == "fail"))
+  }
+
   test("the warehouse audit surfaces exactly the two deliberately strict " +
     "constraints as failures on the fixture") {
     val got = rows(Expectations.warehouseAudit(spark, D))

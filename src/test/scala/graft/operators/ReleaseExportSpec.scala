@@ -89,4 +89,33 @@ class ReleaseExportSpec extends AnyFunSuite {
     assert(pairs.nonEmpty &&
       pairs.forall { case (a, b) => splitOf(a) == splitOf(b) })
   }
+
+  test("q142: a failing ingestion gate flags EVERY export row blocked; " +
+    "a clean gate ships clear — and the export body is q132 verbatim") {
+    import spark.implicits._
+    val gated = SparkEntry.queries("q142_gated_release")(spark, D)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5), r.getString(6), r.getLong(7)))
+    // the fixture corpus gate fails (q139's context-window ceiling), so
+    // the deliverable itself must say blocked — on every row
+    val nFail = Expectations.corpusAudit(spark, D)
+      .filter(org.apache.spark.sql.functions.col("status") === "fail")
+      .count()
+    assert(nFail >= 1, "fixture gate must fail for this pin to bite")
+    assert(gated.nonEmpty &&
+      gated.forall(r => r._7 == "blocked" && r._8 == nFail),
+      "gate-fail must flag every export row")
+    // the export body is exactly q132's relation
+    assert(gated.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq ===
+      q132.toSeq, "the gate flag must not perturb the export body")
+    // a clean gate ships clear: same export, manufactured all-pass audit
+    val cleanGate = Seq(("documents", "not_null:text", 10L, 0L, "pass"))
+      .toDF("table_name", "constraint", "n_rows", "n_violations", "status")
+    val clear = Curation.gatedReleaseExport(
+      SparkEntry.queries("q132_release_export")(spark, D), cleanGate)
+      .select("gate_status", "n_gate_failed").distinct().collect()
+    assert(clear.length === 1 && clear(0).getString(0) === "clear" &&
+      clear(0).getLong(1) === 0L)
+  }
 }
