@@ -223,11 +223,12 @@ object Expectations {
   //    key store against the referenced key store — exact under LATE
   //    REFERENCE ARRIVALS by construction, because membership is decided
   //    at readout over everything ingested so far, not frozen per batch.
-  //    (That is also why RefIn has no per-batch live delta here: a
-  //    fact-side miss can be retro-filled by a later ref batch, so a
-  //    truthful running counter needs a pending-miss store probed by ref
-  //    deltas — the bidirectional rung above this one, documented, not
-  //    faked by summing per-batch misses.)
+  //    (The SINGLE-TABLE ingest has no per-batch RefIn delta: a fact-side
+  //    miss can be retro-filled by a later ref batch, so a truthful
+  //    running counter needs a pending-miss store probed by ref deltas —
+  //    that bidirectional rung is [[dualKeyedAuditIngestBatch]] below,
+  //    which applies the two tables' batches in a defined order and
+  //    maintains exactly that store.)
   //
   // At 100 TB: per batch writes are delta-sized key partials + one tiny
   // live row per rule; the only corpus-shaped costs are the readout's
@@ -454,6 +455,130 @@ object Expectations {
         sum(col("v_delta")).as("n_violations"))
       .orderBy("constraint")
 
+  // ------------------------------------------------------------------
+  // LIVE referential deltas — the bidirectional rung above the keyed
+  // ingest. A RefIn violation is not batch-local in EITHER direction: a
+  // fact row's miss can be retro-filled by a LATER reference batch, so a
+  // truthful running counter must (a) count new misses when fact keys
+  // probe the reference store, and (b) count RESOLUTIONS when reference
+  // keys probe a store of still-pending misses. That needs the two
+  // tables' batches to apply in a defined order — exactly what a CDC
+  // topic carrying both tables gives a consumer — so the dual ingest
+  // below processes (reference batch, fact batch) per micro-batch,
+  // reference first. State: a PENDING-MISS store (`miss/batch=<id>/
+  // kbkt=<b>`, last-writer-wins rows `(k0, cnt, ver)` — the release
+  // fold's `doc/`-store idiom; a resolution writes a cnt=0 tombstone).
+  // Per batch the store reads are bucket-subset: fact keys probe the
+  // reference store, reference keys probe the pending store, both
+  // delta-bounded. Σ(live deltas) == the readout anti-join at every
+  // prefix — spec-pinned with a late-arriving referenced key.
+  // ------------------------------------------------------------------
+
+  /** Latest row per key of a last-writer-wins store (pending misses),
+    * restricted to `touched` buckets and batches strictly below
+    * `batchId`.
+    */
+  private def pendingMisses(spark: SparkSession, store: String,
+                            batchId: Long,
+                            touched: Option[Set[Long]]): DataFrame = {
+    val dirs = storeLeafDirs(spark, store, batchId, touched)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL("k0 STRING, cnt BIGINT"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      spark.read.option("basePath", store).parquet(dirs: _*)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k0").orderBy(col("ver").desc)))
+        .filter(col("rn") === 1 && col("cnt") > 0)
+        .select("k0", "cnt")
+    }
+  }
+
+  /** One micro-batch of the DUAL keyed audit: the reference table's batch
+    * applies first (its keys can resolve pending misses), then the fact
+    * table's (its keys can add misses). Both tables get their own full
+    * keyed ingest (scalar partials, key stores, live uniqueness deltas);
+    * on top, the FK rule's live delta and pending-miss store are
+    * maintained under `factRoot/miss` and appended to
+    * `factRoot/liveref/batch=<id>`.
+    */
+  private[graft] def dualKeyedAuditIngestBatch(
+      refBatch: DataFrame, factBatch: DataFrame, batchId: Long,
+      refRoot: String, factRoot: String,
+      refChecks: Seq[Check], refUniques: Seq[Unique],
+      factChecks: Seq[Check], factUniques: Seq[Unique],
+      ref: RefStream, refCol: String): Unit = {
+    val spark = refBatch.sparkSession
+    import spark.implicits._
+    // reference first: its new keys are visible to this batch's facts
+    keyedAuditIngestBatch(refBatch, batchId, refRoot, refChecks, refUniques,
+      Seq.empty)
+    keyedAuditIngestBatch(factBatch, batchId, factRoot, factChecks,
+      factUniques, Seq(ref))
+    val missStore = s"$factRoot/miss"
+    // resolutions: pending keys the reference batch just satisfied
+    val refKeysB = keyCnt(refBatch, Seq(refCol))
+    val refTouched = refKeysB.select("kbkt").distinct()
+      .collect().map(_.getLong(0)).toSet // ≤ N_BUCKETS
+    val resolved = pendingMisses(spark, missStore, batchId,
+        Some(refTouched)).alias("p")
+      .join(refKeysB.alias("r"), col("p.k0") === col("r.k0"), "left_semi")
+      .persist()
+    // new misses: this batch's fact keys absent from the ACCUMULATED
+    // reference store (including this batch's own reference keys)
+    val factKeys = keyCnt(factBatch, Seq(ref.col)).persist()
+    val factTouched = factKeys.select("kbkt").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val refAcc = readStore(spark, ref.refStore, batchId + 1,
+        Some(factTouched), 1)
+      .select("k0").distinct()
+    val misses = factKeys.alias("f")
+      .join(refAcc.alias("a"), col("f.k0") === col("a.k0"), "left_anti")
+      .select(col("k0"), col("cnt"), col("kbkt")).persist()
+    // pending-store update rows: misses fold onto any existing pending
+    // count for the same key; resolutions tombstone to 0
+    val priorForMiss = pendingMisses(spark, missStore, batchId,
+        Some(factTouched)).alias("q")
+      .join(misses.alias("m"), col("q.k0") === col("m.k0"), "left_semi")
+      .select(col("k0"), col("cnt").as("pcnt"))
+    val updates = misses.alias("m")
+      .join(priorForMiss.alias("q2"), col("m.k0") === col("q2.k0"), "left")
+      .select(col("m.k0").as("k0"),
+        (col("m.cnt") + coalesce(col("q2.pcnt"), lit(0L))).as("cnt"),
+        col("m.kbkt").as("kbkt"))
+      .unionByName(resolved
+        .select(col("k0"), lit(0L).as("cnt"),
+          pmod(xxhash64(col("k0")), lit(N_BUCKETS)).as("kbkt")))
+      .withColumn("ver", lit(batchId))
+    updates.write.mode("overwrite").partitionBy("kbkt")
+      .parquet(s"$missStore/batch=$batchId")
+    val vDelta = misses.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0)
+      .getLong(0) -
+      resolved.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0)
+        .getLong(0)
+    val nRows = factKeys.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0)
+      .getLong(0)
+    misses.unpersist(); resolved.unpersist(); factKeys.unpersist()
+    Seq((ref.name, nRows, vDelta)).toDF("constraint", "n_rows", "v_delta")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$factRoot/liveref/batch=$batchId")
+    ()
+  }
+
+  /** The exact running referential-violation count: Σ of the per-batch
+    * dual-ingest deltas — positive when facts miss, negative when a late
+    * reference retro-fills. Equals [[keyedAuditFromStore]]'s RefIn row
+    * at every prefix (spec-pinned).
+    */
+  def liveRefViolations(spark: SparkSession, factRoot: String): DataFrame =
+    spark.read.parquet(s"$factRoot/liveref")
+      .groupBy("constraint")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("v_delta")).as("n_violations"))
+      .orderBy("constraint")
+
   /** q138: the snapshot-gate audit over the warehouse tables — the
     * constraint suite a pipeline would run before trusting an ingested
     * snapshot. Two rules are deliberately strict enough to FAIL on this
@@ -548,25 +673,28 @@ object Expectations {
     RefStream(REF_RULE_NAME, "vec_id",
       keyStoreDir(s"$root/docs", Seq("doc_id")))
 
-  private def ensureKeyedAuditState(spark: SparkSession,
-                                    sfDir: String): String =
+  private[graft] def ensureKeyedAuditState(spark: SparkSession,
+                                           sfDir: String): String =
     DedupArtifacts.cachedDir(s"kaudit|$sfDir") {
       val docs = Tables.documents(spark, sfDir)
       val embs = Tables.embeddings(spark, sfDir)
       val key = DedupArtifacts.corpusKey(docs, s"kaudit|$sfDir") + "|" +
-        DedupArtifacts.embeddingsKey(embs, "e") + "|v=1"
+        DedupArtifacts.embeddingsKey(embs, "e") + "|v=2"
+      // v=2: the DUAL ingest (reference batch applied before the same
+      // micro-batch's facts) so the artifact also carries the
+      // pending-miss store and live FK deltas — an embedding whose
+      // document lands in a LATER residue batch is a real transient miss
+      // here, retro-filled when that batch applies (spec-pinned: the
+      // accumulated live count equals the readout anti-join)
       DedupArtifacts.ensureTree(key) { stage =>
         (0 until 3).foreach { i =>
-          keyedAuditIngestBatch(
+          dualKeyedAuditIngestBatch(
             docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i),
-            i.toLong, s"$stage/docs", corpusDocChecks, corpusDocUniques,
-            Seq.empty)
-        }
-        (0 until 3).foreach { i =>
-          keyedAuditIngestBatch(
             embs.filter(pmod(xxhash64(col("vec_id")), lit(3)) === i),
-            i.toLong, s"$stage/embs", corpusEmbChecks, corpusEmbUniques,
-            Seq(corpusRefStream(stage)))
+            i.toLong, s"$stage/docs", s"$stage/embs",
+            corpusDocChecks, corpusDocUniques,
+            corpusEmbChecks, corpusEmbUniques,
+            corpusRefStream(stage), refCol = "doc_id")
         }
       }
     }

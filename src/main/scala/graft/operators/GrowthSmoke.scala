@@ -182,14 +182,12 @@ object GrowthSmoke {
       ReleaseStream.releaseIngestBatch(relBase, 0L, relDir))
     println(f"[growth-release] base fold docs=${relBase.count()}%7d " +
       f"t=$tRelBase%6.2f dirs_on_disk=${relDirsOnDisk()}%4d")
+    // retention is the CODED policy now (round-15): compact-every-5 runs
+    // inside the ingest itself — no manual compaction call anywhere in
+    // this loop; the batch-5 dirs_on_disk drop is the policy firing
     (1 to 6).foreach { b =>
-      if (b == 5) {
-        ReleaseStream.compactReleaseState(spark, relDir)
-        println(s"[growth-release] compacted state at batch $b " +
-          s"(dirs_on_disk=${relDirsOnDisk()})")
-      }
-      val (paths, tRel) = timed(
-        ReleaseStream.releaseIngestBatch(relDelta(b), b.toLong, relDir))
+      val (paths, tRel) = timed(ReleaseStream.releaseIngestWithPolicy(
+        relDelta(b), b.toLong, relDir, compactEvery = 5))
       println(f"[growth-release] batch=$b%2d ex_dirs_read=${paths.ex.size}%3d " +
         f"sh_dirs_read=${paths.sh.size}%3d doc_dirs_read=${paths.doc.size}%3d " +
         f"src_dirs_read=${paths.src.size}%3d dirs_on_disk=${relDirsOnDisk()}%4d " +

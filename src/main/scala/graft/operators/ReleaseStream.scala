@@ -96,18 +96,49 @@ object ReleaseStream {
 
   /** The long-running ingest: document batches (`doc_id, source, lang,
     * text`) → incrementally maintained release state under `root`.
+    *
+    * `compactEvery` > 0 turns the SCALING.md retention rationale into
+    * CODE: every K-th batch runs [[compactReleaseState]] automatically,
+    * so the per-bucket owner lists (and with them each fold's read
+    * fan-out) stay bounded at ~K without a maintenance window ever
+    * calling compaction by hand. The policy fires BEFORE the batch's own
+    * fold, pivoting only state STRICTLY BELOW the current batch id:
+    * compacting after the fold would prune the manifests a replay of the
+    * CURRENT batch still resolves (a crash between foreachBatch
+    * returning and the checkpoint commit replays batch N, which reads
+    * strictly below N), and an UNBOUNDED compact-then-fold has the same
+    * hazard one step later — a replayed policy batch's own first-attempt
+    * manifest is the newest, so pivoting it would delete the replay
+    * anchor. Bounding the pivot at the batch's own id closes both: a
+    * replayed batch re-compacts the same frontier its first attempt
+    * compacted (readout-preserving, so the re-fold is content-identical)
+    * — spec-pinned by replaying the policy batch itself.
     */
   def streamingReleaseIngest(docs: DataFrame, root: String,
-                             checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                             checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, "compactEvery: 0 disables, else every K batches")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        releaseIngestBatch(batch, batchId, root)
+        releaseIngestWithPolicy(batch, batchId, root, compactEvery)
         ()
       }
       .start()
+  }
+
+  /** [[releaseIngestBatch]] under the compact-every-K retention policy
+    * (factored out so the growth smoke and replay specs drive the POLICY
+    * itself, not a hand-placed compaction call).
+    */
+  private[graft] def releaseIngestWithPolicy(batch: DataFrame, batchId: Long,
+                                             root: String,
+                                             compactEvery: Int): ReadPaths = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactReleaseState(batch.sparkSession, root, below = batchId)
+    releaseIngestBatch(batch, batchId, root)
+  }
 
   /** One micro-batch of the fold (the foreachBatch body, factored out so
     * replay/equality specs and the q134 artifact build drive it
@@ -594,8 +625,16 @@ object ReleaseStream {
     * defer compaction by the retention policy (the standard
     * time-travel-vs-GC trade every manifested store makes).
     */
-  def compactReleaseState(spark: SparkSession, root: String): Unit = {
-    val manOpt = latestManifest(spark, root, Long.MaxValue)
+  /** `below` bounds which manifest the pivot may target: the retention
+    * policy passes the CURRENT batch id so a replayed policy batch can
+    * never pivot (and then prune the anchor of) its own first-attempt
+    * manifest — it re-compacts the same frontier the first attempt
+    * compacted, then re-folds deterministically on top. Manual
+    * maintenance calls keep the default (newest committed manifest).
+    */
+  def compactReleaseState(spark: SparkSession, root: String,
+                          below: Long = Long.MaxValue): Unit = {
+    val manOpt = latestManifest(spark, root, below)
     if (manOpt.isEmpty) return
     val (frontier, man) = manOpt.get
     val base = new org.apache.hadoop.fs.Path(root)

@@ -55,18 +55,43 @@ object Scd2Stream {
   /** The long-running ingest: raw change records (`value: string`, the
     * Kafka contract) → incrementally maintained SCD2 state under
     * `scd2Dir`.
+    *
+    * `pruneEvery` > 0 codes the retention policy: every K-th batch runs
+    * [[pruneScd2States]] (retaining `keep` committed states) so the
+    * unreferenced batch directories a long stream sheds are retired
+    * automatically instead of by a maintenance window. Safe AFTER the
+    * fold, unlike the release stream's compaction-first ordering: prune
+    * is delete-only of dirs no retained manifest references, and
+    * `keep >= 2` always preserves the newest manifest AND its
+    * predecessor — exactly the replay anchor a re-run of the current
+    * batch resolves.
     */
   def streamingScd2Ingest(records: DataFrame, scd2Dir: String,
-                          checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                          checkpoint: String, pruneEvery: Int = 0,
+                          keep: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(pruneEvery >= 0, "pruneEvery: 0 disables, else every K batches")
     records.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        scd2IngestBatch(batch, batchId, scd2Dir)
+        scd2IngestWithPolicy(batch, batchId, scd2Dir, pruneEvery, keep)
         ()
       }
       .start()
+  }
+
+  /** [[scd2IngestBatch]] under the prune-every-K retention policy
+    * (factored out so specs drive the policy itself).
+    */
+  private[graft] def scd2IngestWithPolicy(batch: DataFrame, batchId: Long,
+                                          scd2Dir: String, pruneEvery: Int,
+                                          keep: Int = 2): Seq[String] = {
+    val read = scd2IngestBatch(batch, batchId, scd2Dir)
+    if (pruneEvery > 0 && batchId > 0 && batchId % pruneEvery == 0)
+      pruneScd2States(batch.sparkSession, scd2Dir, keep)
+    read
+  }
 
   /** One micro-batch of the fold (the foreachBatch body, factored out so
     * replay/equality specs can drive it directly). Returns the prior-state

@@ -245,6 +245,59 @@ class ExpectationsSpec extends AnyFunSuite {
       "replayed live delta must overwrite, not double-count")
   }
 
+  test("dual keyed ingest: the LIVE referential delta tracks the readout " +
+    "at every prefix — misses count when facts land, resolutions when a " +
+    "late reference retro-fills — and replay is idempotent") {
+    import spark.implicits._
+    val docChecks = Seq(Expectations.notNull("text"))
+    val docUq = Seq(Expectations.Unique("unique:doc_id", Seq("doc_id")))
+    val embChecks = Seq.empty[Expectations.Check]
+    val embUq = Seq(Expectations.Unique("unique:vec_id", Seq("vec_id")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dual-audit").toString
+    val (dRoot, eRoot) = (s"$base/docs", s"$base/embs")
+    val fk = Expectations.RefStream("ref:vec_id->documents.doc_id",
+      "vec_id", Expectations.keyStoreDir(dRoot, Seq("doc_id")))
+    // same planted shape as the keyed test: vec 4 misses in batch 0,
+    // doc 4 lands in batch 1 (resolution), vec 7 misses in batch 1,
+    // doc 7 lands in batch 2 (resolution), vec 9 never resolves
+    val docBatches = Seq(
+      Seq((1L, "aa"), (2L, "bb"), (3L, "cc")),
+      Seq((4L, "dd"), (5L, "ee")),
+      Seq((2L, "bb2"), (6L, "ff"), (7L, "gg")))
+    val embBatches = Seq(
+      Seq((1L, 1L), (4L, 2L)),
+      Seq((4L, 2L), (7L, 3L), (9L, 4L)),
+      Seq((2L, 5L)))
+    val wantDeltas = Seq(1L, 2L, 1L) // cumulative after each batch
+    (0 until 3).foreach { i =>
+      Expectations.dualKeyedAuditIngestBatch(
+        docBatches(i).toDF("doc_id", "text"),
+        embBatches(i).toDF("vec_id", "x"),
+        i.toLong, dRoot, eRoot, docChecks, docUq, embChecks, embUq,
+        fk, refCol = "doc_id")
+      val live = Expectations.liveRefViolations(spark, eRoot)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      val readout = rows(Expectations.keyedAuditFromStore(spark,
+        "embeddings", eRoot, embChecks, embUq, Seq(fk)))
+        .find(_._2 == fk.name).get._4
+      assert(live(fk.name) === wantDeltas(i),
+        s"prefix $i live FK count")
+      assert(live(fk.name) === readout,
+        s"prefix $i: live must equal the readout anti-join")
+    }
+    // replay the last dual batch: pending reads strictly below own id,
+    // all writes overwrite own batch dirs — counters unchanged
+    Expectations.dualKeyedAuditIngestBatch(
+      docBatches(2).toDF("doc_id", "text"),
+      embBatches(2).toDF("vec_id", "x"),
+      2L, dRoot, eRoot, docChecks, docUq, embChecks, embUq,
+      fk, refCol = "doc_id")
+    assert(Expectations.liveRefViolations(spark, eRoot)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      .apply(fk.name) === 1L, "replayed dual batch must be idempotent")
+  }
+
   test("q141: the streaming corpus gate equals the batch q139 gate row " +
     "for row (the artifact-backed residue fold converged)") {
     val want = rows(Expectations.corpusAudit(spark, D))
@@ -253,6 +306,16 @@ class ExpectationsSpec extends AnyFunSuite {
     // and it genuinely read stores, not the raw tables: the failing
     // context-window rule came through the scalar partials
     assert(got.exists(r => r._2 == "range:doc_tokens" && r._5 == "fail"))
+    // the artifact was built by the DUAL ingest: the accumulated live FK
+    // deltas (misses minus retro-fills across residue batches — an
+    // embedding whose document lands in a later residue batch is a real
+    // transient miss) equal the readout's final anti-join count
+    val root = Expectations.ensureKeyedAuditState(spark, D)
+    val live = Expectations.liveRefViolations(spark, s"$root/embs")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val fkReadout = got.find(_._2 == "ref:vec_id->documents.doc_id").get._4
+    assert(live("ref:vec_id->documents.doc_id") === fkReadout,
+      "accumulated live FK deltas must equal the readout anti-join")
   }
 
   test("the warehouse audit surfaces exactly the two deliberately strict " +

@@ -183,6 +183,43 @@ class ReleaseStreamSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("compact-every-K policy: retention fires inside the ingest, the " +
+    "fold equals the batch relation, on-disk dirs stay bounded, and " +
+    "REPLAYING the policy batch itself is idempotent") {
+    val corpus = Tables.documents(spark, D)
+      .select("doc_id", "source", "lang", "text").persist()
+    val root = Files.createTempDirectory("graft-relpolicy").toString
+    def part(b: Long): DataFrame =
+      corpus.filter(pmod(col("doc_id"), lit(5L)) === b)
+    def batchDirs(): Set[Long] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("batch=")).map(_.getName.stripPrefix("batch=")
+        .toLong).toSet
+    }
+    // five batches, compactEvery=2: the policy compacts before folding
+    // batches 2 and 4 — no manual compaction call anywhere
+    (0L until 5L).foreach(b =>
+      ReleaseStream.releaseIngestWithPolicy(part(b), b, root,
+        compactEvery = 2))
+    // bounded retention: after the batch-4 pivot only the pivoted
+    // frontier (3), its generation dir, and batch 4 itself remain
+    assert(batchDirs().filter(_ >= 0) === Set(3L, 4L) &&
+      batchDirs().count(_ < 0) === 1,
+      s"policy must bound on-disk batch dirs, got ${batchDirs()}")
+    val full = rowsOf(ReleaseStream.releaseState(spark, root))
+    assert(full === batchTwin(corpus),
+      "policy-folded state == q132 over the whole corpus")
+    // replay the POLICY batch (4): compaction is bounded strictly below
+    // the batch's own id, so it re-pivots frontier 3 — never batch 4's
+    // own first-attempt manifest — and the re-fold converges
+    ReleaseStream.releaseIngestWithPolicy(part(4L), 4L, root,
+      compactEvery = 2)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === full,
+      "replaying the policy batch must be idempotent")
+    corpus.unpersist()
+  }
+
   test("the materialized export artifacts == the live readouts, and the " +
     "routed churn + transition matrix == their diff (the q135/q136 routing)") {
     val root = ReleaseStream.ensureReleaseState(spark, D)

@@ -125,6 +125,36 @@ class Scd2StreamSpec extends AnyFunSuite {
     assert(histRows(Scd2Stream.scd2State(spark, dir)) === before)
   }
 
+  test("prune-every-K policy: retention fires inside the ingest, the " +
+    "state stays exact, and replaying the policy batch is idempotent") {
+    val dir = tmp()
+    // five batches under pruneEvery=2 (prunes after batches 2 and 4);
+    // every batch touches all keys, so each supersedes its predecessor
+    val spans = Seq((0L, 2000L), (2000L, 4000L), (4000L, 6000L),
+      (6000L, 8000L), (8000L, 10000L))
+    spans.zipWithIndex.foreach { case ((lo, hi), i) =>
+      Scd2Stream.scd2IngestWithPolicy(
+        CdcQueries.scd2SyntheticValues(spark, lo, hi), i.toLong, dir,
+        pruneEvery = 2)
+    }
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(dirs === Set("batch=3", "batch=4"),
+      s"the policy must retire superseded dirs automatically, got $dirs")
+    val streamed = histRows(Scd2Stream.scd2State(spark, dir))
+    assert(streamed === histRows(Envelope.scd2History(Envelope.parse(
+      CdcQueries.scd2SyntheticValues(spark, 0, 10000)))),
+      "policy-folded state == batch history over everything ingested")
+    // replay batch 4 (a policy batch): the fold resolves its keep>=2
+    // replay anchor (batch 3), then prunes again — state unchanged
+    Scd2Stream.scd2IngestWithPolicy(
+      CdcQueries.scd2SyntheticValues(spark, 8000, 10000), 4L, dir,
+      pruneEvery = 2)
+    assert(histRows(Scd2Stream.scd2State(spark, dir)) === streamed,
+      "replaying the policy batch must be idempotent")
+  }
+
   test("an unknown-format manifest fails with the migration message") {
     val dir = tmp()
     Scd2Stream.scd2IngestBatch(
