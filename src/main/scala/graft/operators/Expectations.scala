@@ -669,6 +669,45 @@ object Expectations {
       .orderBy("table_name", "constraint")
   }
 
+  /** q143: the GATE TIMELINE — per (crawl batch, constraint), the rows
+    * audited and the violations that batch CONTRIBUTED, read entirely
+    * off the keyed-audit stores (the q137 trend posture applied to
+    * expectations): scalar rows come from the per-batch partials,
+    * uniqueness rows from the live key-probe deltas (cross-batch
+    * duplicates surface in the batch that landed the SECOND copy), and
+    * FK rows from the dual ingest's live referential deltas — NEGATIVE
+    * when a late-arriving reference retro-fills an earlier miss, so the
+    * trend shows both the damage and the repair. Next to q139's "is the
+    * corpus clean now", this is "which crawl batch made it dirty" —
+    * the alerting join for ingest triage.
+    *
+    * Scale shape: pure readout — three store scans of per-batch partial
+    * relations (each #constraints×#batches-ish rows for scalar/live;
+    * never the corpus), no joins, no raw-table access. The oracle
+    * re-derives every batch's rows from the residue classes in SQL —
+    * per-batch equality at every scale IS the delta-correctness
+    * contract.
+    */
+  def corpusGateTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureKeyedAuditState(spark, sfDir)
+    def scalar(tbl: String, sub: String): DataFrame =
+      spark.read.parquet(s"$root/$sub/scalar")
+        .select(col("batch").cast("long").as("batch_id"),
+          lit(tbl).as("table_name"), col("constraint"), col("n_rows"),
+          col("n_violations"))
+    def live(tbl: String, sub: String, rel: String): DataFrame =
+      spark.read.parquet(s"$root/$sub/$rel")
+        .select(col("batch").cast("long").as("batch_id"),
+          lit(tbl).as("table_name"), col("constraint"), col("n_rows"),
+          col("v_delta").as("n_violations"))
+    scalar("documents", "docs")
+      .unionByName(live("documents", "docs", "live"))
+      .unionByName(scalar("embeddings", "embs"))
+      .unionByName(live("embeddings", "embs", "live"))
+      .unionByName(live("embeddings", "embs", "liveref"))
+      .orderBy("table_name", "constraint", "batch_id")
+  }
+
   private def corpusRefStream(root: String): RefStream =
     RefStream(REF_RULE_NAME, "vec_id",
       keyStoreDir(s"$root/docs", Seq("doc_id")))
@@ -679,18 +718,22 @@ object Expectations {
       val docs = Tables.documents(spark, sfDir)
       val embs = Tables.embeddings(spark, sfDir)
       val key = DedupArtifacts.corpusKey(docs, s"kaudit|$sfDir") + "|" +
-        DedupArtifacts.embeddingsKey(embs, "e") + "|v=2"
+        DedupArtifacts.embeddingsKey(embs, "e") + "|v=3"
       // v=2: the DUAL ingest (reference batch applied before the same
       // micro-batch's facts) so the artifact also carries the
       // pending-miss store and live FK deltas — an embedding whose
       // document lands in a LATER residue batch is a real transient miss
       // here, retro-filled when that batch applies (spec-pinned: the
-      // accumulated live count equals the readout anti-join)
+      // accumulated live count equals the readout anti-join).
+      // v=3: residue split by `id % 3` (the q134 idiom, DuckDB-
+      // reproducible) instead of xxhash64 — q143's per-batch timeline
+      // oracle re-derives each batch's rows in SQL, so the split itself
+      // must be cross-engine.
       DedupArtifacts.ensureTree(key) { stage =>
         (0 until 3).foreach { i =>
           dualKeyedAuditIngestBatch(
-            docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i),
-            embs.filter(pmod(xxhash64(col("vec_id")), lit(3)) === i),
+            docs.filter(pmod(col("doc_id"), lit(3L)) === i),
+            embs.filter(pmod(col("vec_id"), lit(3L)) === i),
             i.toLong, s"$stage/docs", s"$stage/embs",
             corpusDocChecks, corpusDocUniques,
             corpusEmbChecks, corpusEmbUniques,
@@ -704,7 +747,9 @@ object Expectations {
     "q139_corpus_expectations" -> ((s, d) => corpusAudit(s, d)),
     // Q141: the q139 gate as a stream (see [[streamingCorpusGate]]);
     // oracle shared VERBATIM with q139 — stream==batch is the contract.
-    "q141_streaming_corpus_gate" -> ((s, d) => streamingCorpusGate(s, d)))
+    "q141_streaming_corpus_gate" -> ((s, d) => streamingCorpusGate(s, d)),
+    // Q143: per-batch expectation trend (see [[corpusGateTimeline]]).
+    "q143_gate_timeline" -> ((s, d) => corpusGateTimeline(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -756,7 +801,64 @@ object Expectations {
     "q139_corpus_expectations" -> corpusGateOracleSql,
     // the stream==batch contract: q141's readout must hash-match the
     // batch gate's oracle at every scale
-    "q141_streaming_corpus_gate" -> corpusGateOracleSql)
+    "q141_streaming_corpus_gate" -> corpusGateOracleSql,
+
+    // q143 twin: every batch's rows re-derived from the residue classes —
+    // scalar sums per class, uniqueness/FK as PREFIX-CUMULATIVE counts
+    // diffed with LAG (so a second copy charges the batch that landed it,
+    // and a late reference CREDITS the batch that filled it)
+    "q143_gate_timeline" ->
+      s"""WITH dsc AS (
+         |  SELECT doc_id % 3 AS batch_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_nn,
+         |    CAST(COALESCE(SUM(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_in,
+         |    CAST(COALESCE(SUM(CASE WHEN len(text) = n_chars THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_nc,
+         |    CAST(COALESCE(SUM(CASE WHEN len(string_split(text, ' ')) BETWEEN 1 AND 64 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_tok
+         |  FROM documents GROUP BY 1),
+         |esc AS (
+         |  SELECT vec_id % 3 AS batch_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COALESCE(SUM(CASE WHEN len(embedding) = 64 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_dim
+         |  FROM embeddings GROUP BY 1),
+         |pr AS (SELECT CAST(p AS BIGINT) AS batch_id FROM (VALUES (0), (1), (2)) t(p)),
+         |du AS (SELECT batch_id,
+         |    (SELECT CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT)
+         |     FROM (SELECT COUNT(*) AS cnt FROM documents
+         |           WHERE doc_id % 3 <= pr.batch_id GROUP BY doc_id)) AS v
+         |  FROM pr),
+         |dud AS (SELECT batch_id,
+         |    v - COALESCE(LAG(v) OVER (ORDER BY batch_id), 0) AS d FROM du),
+         |eu AS (SELECT batch_id,
+         |    (SELECT CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT)
+         |     FROM (SELECT COUNT(*) AS cnt FROM embeddings
+         |           WHERE vec_id % 3 <= pr.batch_id GROUP BY vec_id)) AS v
+         |  FROM pr),
+         |eud AS (SELECT batch_id,
+         |    v - COALESCE(LAG(v) OVER (ORDER BY batch_id), 0) AS d FROM eu),
+         |fk AS (SELECT batch_id,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+         |     WHERE e.vec_id % 3 <= pr.batch_id AND (e.vec_id IS NULL OR
+         |       NOT EXISTS (SELECT 1 FROM documents d
+         |         WHERE d.doc_id = e.vec_id AND d.doc_id % 3 <= pr.batch_id))) AS v
+         |  FROM pr),
+         |fkd AS (SELECT batch_id,
+         |    v - COALESCE(LAG(v) OVER (ORDER BY batch_id), 0) AS d FROM fk),
+         |rows_all AS (
+         |  SELECT batch_id, 'documents' AS table_name, 'not_null:text' AS "constraint", n_rows, v_nn AS n_violations FROM dsc
+         |  UNION ALL SELECT batch_id, 'documents', 'in_set:lang', n_rows, v_in FROM dsc
+         |  UNION ALL SELECT batch_id, 'documents', 'consistent:n_chars', n_rows, v_nc FROM dsc
+         |  UNION ALL SELECT batch_id, 'documents', 'range:doc_tokens', n_rows, v_tok FROM dsc
+         |  UNION ALL SELECT d.batch_id, 'documents', 'unique:doc_id', s.n_rows, d.d
+         |    FROM dud d JOIN dsc s ON d.batch_id = s.batch_id
+         |  UNION ALL SELECT batch_id, 'embeddings', 'dim:embedding', n_rows, v_dim FROM esc
+         |  UNION ALL SELECT d.batch_id, 'embeddings', 'unique:vec_id', s.n_rows, d.d
+         |    FROM eud d JOIN esc s ON d.batch_id = s.batch_id
+         |  UNION ALL SELECT d.batch_id, 'embeddings', 'ref:vec_id->documents.doc_id', s.n_rows, d.d
+         |    FROM fkd d JOIN esc s ON d.batch_id = s.batch_id)
+         |SELECT batch_id, table_name, "constraint", n_rows, n_violations
+         |FROM rows_all
+         |ORDER BY table_name, "constraint", batch_id""".stripMargin)
 
   /** The q139/q141 shared oracle (also embedded by q142's gate CTE). */
   private[graft] lazy val corpusGateOracleSql: String =

@@ -237,6 +237,48 @@ object TextAnalysis {
 
   private[operators] val MIX_BUDGET_TOKENS = 100000L
 
+  /** q144: COMPOSITION DRIFT — per (crawl batch, language), the batch's
+    * token share against the whole corpus's share, signed ×1e6 (the
+    * trend the mixture planner (q116/q120) alerts on: a crawl batch
+    * whose language mix lurches away from the corpus-wide mix will bend
+    * every downstream sampling plan the moment it lands — this relation
+    * is where that shows up, per batch, before re-planning). Batches are
+    * the q134 residue classes (`doc_id % 3`), the stand-in for crawl
+    * snapshot ids the fixtures carry.
+    *
+    * Scale shape: ONE corpus pass — map-side token counting inside the
+    * scan projection into a (batch, lang) partial aggregate (≤
+    * #batches×#langs rows shuffle); every downstream term (per-batch
+    * totals, global shares) derives from that tiny persisted relation,
+    * broadcast back. Integer math throughout (floor-scaled shares,
+    * integer division), so the relation reproduces bit-for-bit
+    * cross-engine.
+    */
+  def compositionDrift(docs: DataFrame): DataFrame = {
+    val perBatchLang = docs
+      .select(pmod(col("doc_id"), lit(3L)).as("batch_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("batch_id", "lang")
+      .agg(sum("n_tokens").as("lang_tokens"))
+      .persist() // ≤ #batches×#langs rows — the one corpus pass
+    val perBatch = perBatchLang.groupBy("batch_id")
+      .agg(sum("lang_tokens").as("batch_tokens"))
+    val global = perBatchLang.groupBy("lang")
+      .agg(sum("lang_tokens").as("g_lang_tokens"))
+    val gtot = global.agg(sum("g_lang_tokens").as("g_tokens"))
+    perBatchLang
+      .join(broadcast(perBatch), Seq("batch_id"))
+      .join(broadcast(global), Seq("lang"))
+      .crossJoin(broadcast(gtot)) // single-row corpus total
+      .select(col("batch_id"), col("lang"), col("lang_tokens"),
+        expr("(lang_tokens * 1000000) div batch_tokens").as("share_x1e6"),
+        expr("(g_lang_tokens * 1000000) div g_tokens")
+          .as("global_share_x1e6"))
+      .withColumn("drift_x1e6",
+        col("share_x1e6") - col("global_share_x1e6"))
+      .orderBy("batch_id", "lang")
+  }
+
   /** q120: MIXTURE MATERIALIZATION — turn the q81 plan into the per-doc
     * sampling multiplicities a data loader executes: every doc of a
     * domain appears `target DIV n_tokens` times (the full epochs), and
@@ -554,6 +596,10 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Q144: per-batch corpus composition drift (see [[compositionDrift]]).
+    "q144_composition_drift" -> ((s, d) =>
+      compositionDrift(Tables.documents(s, d))),
+
     // Q113: vocabulary-growth (Heaps-law) curve over nested hash slices.
     "q113_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d))),
 
@@ -706,6 +752,25 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q144_composition_drift" ->
+      s"""WITH pbl AS (
+         |  SELECT doc_id % 3 AS batch_id, lang,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |pb AS (SELECT batch_id, CAST(SUM(lang_tokens) AS BIGINT) AS batch_tokens
+         |       FROM pbl GROUP BY 1),
+         |g AS (SELECT lang, CAST(SUM(lang_tokens) AS BIGINT) AS g_lang_tokens
+         |      FROM pbl GROUP BY 1),
+         |gt AS (SELECT CAST(SUM(g_lang_tokens) AS BIGINT) AS g_tokens FROM g)
+         |SELECT pbl.batch_id, pbl.lang, pbl.lang_tokens,
+         |  (pbl.lang_tokens * 1000000) // pb.batch_tokens AS share_x1e6,
+         |  (g.g_lang_tokens * 1000000) // gt.g_tokens AS global_share_x1e6,
+         |  (pbl.lang_tokens * 1000000) // pb.batch_tokens -
+         |    (g.g_lang_tokens * 1000000) // gt.g_tokens AS drift_x1e6
+         |FROM pbl JOIN pb ON pbl.batch_id = pb.batch_id
+         |JOIN g ON pbl.lang = g.lang CROSS JOIN gt
+         |ORDER BY pbl.batch_id, pbl.lang""".stripMargin,
+
     "q113_vocab_growth" ->
       s"""WITH d AS (SELECT string_split(text, ' ') AS toks,
          |        ${Sketches.phash60Sql("doc_id")} // $GROWTH_SLICE_W AS slice
