@@ -304,16 +304,29 @@ object Expectations {
 
   private def readStore(spark: SparkSession, store: String, batchId: Long,
                         touched: Option[Set[Long]], nKeys: Int): DataFrame = {
-    val dirs = storeLeafDirs(spark, store, batchId, touched)
-    if (dirs.isEmpty) {
+    def empty() = {
       val schema = (0 until nKeys).map(i => s"k$i STRING")
         .mkString("", ", ", ", cnt BIGINT")
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(schema))
-    } else
-      spark.read.option("basePath", store).parquet(dirs: _*)
-        .select((0 until nKeys).map(i => col(s"k$i")) :+ col("cnt"): _*)
+    }
+    val cols = (0 until nKeys).map(i => col(s"k$i")) :+ col("cnt")
+    if (batchId == Long.MaxValue && touched.isEmpty) {
+      // full-store readout: ONE parallel partition discovery over the
+      // root beats per-leaf enumeration (#batches × #buckets sequential
+      // listStatus calls) — the readout's file set is identical
+      val base = new org.apache.hadoop.fs.Path(store)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(base)) empty()
+      else spark.read.option("basePath", store).parquet(store)
+        .select(cols: _*)
+    } else {
+      val dirs = storeLeafDirs(spark, store, batchId, touched)
+      if (dirs.isEmpty) empty()
+      else spark.read.option("basePath", store).parquet(dirs: _*)
+        .select(cols: _*)
+    }
   }
 
   /** One micro-batch of the keyed audit (the foreachBatch body, factored
@@ -363,8 +376,13 @@ object Expectations {
         rules.foreach(u =>
           liveRows += ((u.name, delta.getLong(1), delta.getLong(0))))
       }
-      bk.write.mode("overwrite").partitionBy("kbkt")
-        .parquet(s"$store/batch=$batchId")
+      // repartition ON kbkt first: one file per bucket dir per batch —
+      // without it every shuffle task writes its slice of every bucket
+      // and the readout pays a per-file open cost ~32x the data (the
+      // q24c inverted-list lesson; measured here: q141 readout 4.9 s ->
+      // sub-second at sf0.1 on the one-file layout)
+      bk.repartition(col("kbkt")).write.mode("overwrite")
+        .partitionBy("kbkt").parquet(s"$store/batch=$batchId")
       bk.unpersist()
       ()
     }
@@ -552,8 +570,8 @@ object Expectations {
         .select(col("k0"), lit(0L).as("cnt"),
           pmod(xxhash64(col("k0")), lit(N_BUCKETS)).as("kbkt")))
       .withColumn("ver", lit(batchId))
-    updates.write.mode("overwrite").partitionBy("kbkt")
-      .parquet(s"$missStore/batch=$batchId")
+    updates.repartition(col("kbkt")).write.mode("overwrite")
+      .partitionBy("kbkt").parquet(s"$missStore/batch=$batchId")
     val vDelta = misses.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0)
       .getLong(0) -
       resolved.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0)
@@ -718,7 +736,7 @@ object Expectations {
       val docs = Tables.documents(spark, sfDir)
       val embs = Tables.embeddings(spark, sfDir)
       val key = DedupArtifacts.corpusKey(docs, s"kaudit|$sfDir") + "|" +
-        DedupArtifacts.embeddingsKey(embs, "e") + "|v=3"
+        DedupArtifacts.embeddingsKey(embs, "e") + "|v=4"
       // v=2: the DUAL ingest (reference batch applied before the same
       // micro-batch's facts) so the artifact also carries the
       // pending-miss store and live FK deltas — an embedding whose
