@@ -597,6 +597,40 @@ object Expectations {
         sum(col("v_delta")).as("n_violations"))
       .orderBy("constraint")
 
+  /** q145: VIOLATION ROWS — the row-level companion to the [[audit]]
+    * counts (Deequ's row-level results): for every row that fails a
+    * scalar rule, one `(table_name, constraint, row_key)` row — the
+    * QUARANTINE relation an ingest pipeline diverts for triage/repair
+    * while the clean remainder proceeds. Counts tell you the gate
+    * failed; this tells you which rows to fix.
+    *
+    * Scale shape: ONE column-pruned scan per table (all rules ride the
+    * same pass via the in-plan `explode` unpivot — same Generate shape
+    * as [[scalarAudit]], with the same injection-proof literal names),
+    * output violation-sized. NULL fails every rule (the strict-gate
+    * semantics, `pred IS NOT TRUE` in the oracle).
+    */
+  def violationRows(table: String, df: DataFrame, keyCol: String,
+                    checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, s"violationRows('$table'): no rules")
+    val pairs = checks.map(c => struct(lit(c.name).as("constraint"),
+      when(c.ok, lit(0L)).otherwise(lit(1L)).as("bad")))
+    df.select(col(keyCol).as("row_key"), explode(array(pairs: _*)).as("kv"))
+      .filter(col("kv.bad") === 1)
+      .select(lit(table).as("table_name"),
+        col("kv.constraint").as("constraint"), col("row_key"))
+  }
+
+  /** The q145 catalog relation: the corpus gate's scalar rules applied
+    * row-level over documents + embeddings.
+    */
+  def corpusViolationRows(spark: SparkSession, sfDir: String): DataFrame =
+    violationRows("documents", Tables.documents(spark, sfDir), "doc_id",
+        corpusDocChecks)
+      .unionByName(violationRows("embeddings",
+        Tables.embeddings(spark, sfDir), "vec_id", corpusEmbChecks))
+      .orderBy("table_name", "constraint", "row_key")
+
   /** q138: the snapshot-gate audit over the warehouse tables — the
     * constraint suite a pipeline would run before trusting an ingested
     * snapshot. Two rules are deliberately strict enough to FAIL on this
@@ -767,7 +801,9 @@ object Expectations {
     // oracle shared VERBATIM with q139 — stream==batch is the contract.
     "q141_streaming_corpus_gate" -> ((s, d) => streamingCorpusGate(s, d)),
     // Q143: per-batch expectation trend (see [[corpusGateTimeline]]).
-    "q143_gate_timeline" -> ((s, d) => corpusGateTimeline(s, d)))
+    "q143_gate_timeline" -> ((s, d) => corpusGateTimeline(s, d)),
+    // Q145: row-level quarantine relation (see [[violationRows]]).
+    "q145_violation_rows" -> ((s, d) => corpusViolationRows(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -820,6 +856,23 @@ object Expectations {
     // the stream==batch contract: q141's readout must hash-match the
     // batch gate's oracle at every scale
     "q141_streaming_corpus_gate" -> corpusGateOracleSql,
+
+    // q145 twin: one `pred IS NOT TRUE` filter per scalar rule — NULL
+    // fails, matching the CASE-falls-to-ELSE strict-gate semantics
+    "q145_violation_rows" ->
+      s"""WITH rows_all AS (
+         |  SELECT 'documents' AS table_name, 'not_null:text' AS "constraint", doc_id AS row_key
+         |    FROM documents WHERE (text IS NOT NULL) IS NOT TRUE
+         |  UNION ALL SELECT 'documents', 'in_set:lang', doc_id
+         |    FROM documents WHERE (lang IN ('de','en','es','fr','zh')) IS NOT TRUE
+         |  UNION ALL SELECT 'documents', 'consistent:n_chars', doc_id
+         |    FROM documents WHERE (len(text) = n_chars) IS NOT TRUE
+         |  UNION ALL SELECT 'documents', 'range:doc_tokens', doc_id
+         |    FROM documents WHERE (len(string_split(text, ' ')) BETWEEN 1 AND 64) IS NOT TRUE
+         |  UNION ALL SELECT 'embeddings', 'dim:embedding', vec_id
+         |    FROM embeddings WHERE (len(embedding) = 64) IS NOT TRUE)
+         |SELECT table_name, "constraint", row_key FROM rows_all
+         |ORDER BY table_name, "constraint", row_key""".stripMargin,
 
     // q143 twin: every batch's rows re-derived from the residue classes —
     // scalar sums per class, uniqueness/FK as PREFIX-CUMULATIVE counts

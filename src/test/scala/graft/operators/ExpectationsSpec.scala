@@ -318,6 +318,28 @@ class ExpectationsSpec extends AnyFunSuite {
       "accumulated live FK deltas must equal the readout anti-join")
   }
 
+  test("q145: the row-level quarantine relation agrees with the audit's " +
+    "counts per constraint, and all rules ride one scan per table") {
+    val vr = Expectations.corpusViolationRows(spark, D)
+    val perConstraint = vr.groupBy("table_name", "constraint").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val audit = rows(Expectations.corpusAudit(spark, D))
+      .filter(r => r._2.startsWith("not_null") || r._2.startsWith("in_set") ||
+        r._2.startsWith("consistent") || r._2.startsWith("range") ||
+        r._2.startsWith("dim"))
+    audit.foreach { a =>
+      assert(perConstraint.getOrElse((a._1, a._2), 0L) === a._4,
+        s"row-level count must equal audit n_violations for ${a._2}")
+    }
+    assert(vr.count() > 0, "the fixture's token-ceiling rule must quarantine")
+    // one scan per audited table (2 tables => 2 scans)
+    vr.write.format("noop").mode("overwrite").save()
+    val scans = vr.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 2, s"all rules must share one scan per table, got $scans")
+  }
+
   test("the warehouse audit surfaces exactly the two deliberately strict " +
     "constraints as failures on the fixture") {
     val got = rows(Expectations.warehouseAudit(spark, D))
