@@ -279,6 +279,54 @@ object Expectations {
     (0 until n).map(i => col(s"$l.k$i") <=> col(s"$r.k$i"))
       .reduce(_ && _)
 
+  private val GEN_MARKER = "_GEN"
+  private val GEN_HEADER = "GRAFT_KAUDIT_GEN v1"
+
+  /** The compaction pointer of a store, if any: `(gen, covered)` — the
+    * negative generation dir holding everything consolidated so far, and
+    * the highest non-negative batch id it covers. Published atomically
+    * (tmp + rename), so it either names a COMPLETE generation or is
+    * absent.
+    */
+  private def readGen(fs: org.apache.hadoop.fs.FileSystem,
+                      store: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$store/$GEN_MARKER")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.headOption.contains(GEN_HEADER),
+      s"unknown keyed-audit gen marker format in $p: " +
+        s"'${lines.headOption.getOrElse("")}' — migration needed")
+    val Array(g, c) = lines(1).split(" ")
+    Some((g.toLong, c.toLong))
+  }
+
+  /** The batch ids a reader (or the compactor) may consume: without a
+    * `_GEN` pointer, every non-negative dir; with one, the named
+    * generation plus non-negative dirs ABOVE its coverage. Negative dirs
+    * not named by the pointer are in-flight or superseded generations —
+    * invisible either way, which is what makes compaction crash-safe
+    * without a per-batch manifest: publish-the-pointer is the commit.
+    */
+  private def eligibleBatches(fs: org.apache.hadoop.fs.FileSystem,
+                              store: String, below: Long): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(store)
+    if (!fs.exists(base)) return Nil
+    val all = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val gen = readGen(fs, store)
+    all.filter { b =>
+      gen match {
+        case Some((g, covered)) => b == g || (b >= 0 && b > covered)
+        case None               => b >= 0
+      }
+    }.filter(_ < below)
+  }
+
   /** Prior-store leaf dirs for batches strictly below `batchId`, limited
     * to `touched` buckets (None = all). Listing is #batches × #buckets —
     * filesystem metadata, not data.
@@ -289,11 +337,9 @@ object Expectations {
     val base = new org.apache.hadoop.fs.Path(store)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return Nil
-    fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
-      .filter(_._1 < batchId)
-      .flatMap { case (_, bp) =>
+    eligibleBatches(fs, store, batchId)
+      .map(b => new org.apache.hadoop.fs.Path(s"$store/batch=$b"))
+      .flatMap { bp =>
         fs.listStatus(bp).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("kbkt="))
           .filter(s => touched.forall(_.contains(
@@ -312,14 +358,17 @@ object Expectations {
         StructType.fromDDL(schema))
     }
     val cols = (0 until nKeys).map(i => col(s"k$i")) :+ col("cnt")
-    if (batchId == Long.MaxValue && touched.isEmpty) {
+    val baseP = new org.apache.hadoop.fs.Path(store)
+    val fsChk = baseP.getFileSystem(spark.sessionState.newHadoopConf())
+    val neverCompacted = fsChk.exists(baseP) &&
+      !fsChk.exists(new org.apache.hadoop.fs.Path(s"$store/$GEN_MARKER"))
+    if (batchId == Long.MaxValue && touched.isEmpty && neverCompacted) {
       // full-store readout: ONE parallel partition discovery over the
       // root beats per-leaf enumeration (#batches × #buckets sequential
-      // listStatus calls) — the readout's file set is identical
-      val base = new org.apache.hadoop.fs.Path(store)
-      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(base)) empty()
-      else spark.read.option("basePath", store).parquet(store)
+      // listStatus calls) — valid only while no `_GEN` pointer exists
+      // (then every visible dir is eligible); a compacted store must go
+      // through the pointer-aware enumeration below
+      spark.read.option("basePath", store).parquet(store)
         .select(cols: _*)
     } else {
       val dirs = storeLeafDirs(spark, store, batchId, touched)
@@ -396,18 +445,142 @@ object Expectations {
 
   /** The long-running keyed ingest: one audited table's stream →
     * scalar partials + key stores + live uniqueness deltas under `root`.
+    *
+    * `compactEvery` > 0 codes the retention policy (the
+    * `streamingReleaseIngest` posture): every K-th batch consolidates
+    * the PROBED stores (`key_*`, `miss`) before folding, so a bucket
+    * probe reads ≤ K+1 files instead of one per batch ever ingested.
+    * The per-batch HISTORY stores (`scalar`, `live`, `liveref`) are
+    * never compacted — they ARE the q143 timeline. Compaction
+    * consolidates strictly below the batch's own id (the
+    * `compactReleaseState(below)` replay rule): a replayed policy batch
+    * re-consolidates the same prefix its first attempt did, then
+    * re-folds deterministically on top.
     */
   def streamingKeyedAuditIngest(docs: DataFrame, root: String,
                                 checkpoint: String, checks: Seq[Check],
-                                uniques: Seq[Unique], refs: Seq[RefStream])
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                                uniques: Seq[Unique], refs: Seq[RefStream],
+                                compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, "compactEvery: 0 disables, else every K batches")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactKeyedAuditStores(batch.sparkSession, root, below = batchId)
         keyedAuditIngestBatch(batch, batchId, root, checks, uniques, refs)
       }
       .start()
+  }
+
+  /** Consolidate a keyed-audit root's PROBED stores: each `key_*` store's
+    * eligible per-batch (key, cnt) partials below `below` sum into one
+    * generation dir (`batch=<gen>`, gen < 0 — the release-state
+    * convention); the `miss` store keeps the latest surviving row per key
+    * (tombstones and superseded versions drop; `ver` is preserved so
+    * later writes still win). Readout equality is by construction (sums
+    * of sums; LWW of LWW); the per-batch HISTORY stores (`scalar`,
+    * `live`, `liveref` — the q143 timeline) are untouched.
+    *
+    * Crash safety WITHOUT per-batch manifests, via the `_GEN` pointer
+    * (publish-the-pointer is the commit):
+    *  1. stage the consolidated relation into a hidden `.compact.tmp`
+    *     (invisible to every reader),
+    *  2. rename it to `batch=<gen>` — still invisible: readers ignore
+    *     negative dirs the pointer does not name,
+    *  3. atomically publish `_GEN  (gen, covered)` — the ONE commit
+    *     point; from here readers see exactly {gen} ∪ {b > covered},
+    *  4. delete the consolidated dirs (stale leftovers from a crash here
+    *     are invisible by the pointer rule and swept by the next pass).
+    */
+  def compactKeyedAuditStores(spark: SparkSession, root: String,
+                              below: Long = Long.MaxValue): Unit = {
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    val stores = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && (s.getPath.getName.startsWith("key_") ||
+        s.getPath.getName == "miss"))
+      .map(_.getPath)
+    stores.foreach { sp =>
+      val batches = eligibleBatches(fs, sp.toString, below)
+      if (batches.size > 1) {
+        val allDirs = fs.listStatus(sp).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        val gen = math.min(allDirs.min, 0L) - 1L
+        val covered = batches.filter(_ >= 0).max
+        val dirs = batches.map(b => s"$sp/batch=$b")
+        val acc = spark.read.option("basePath", sp.toString)
+          .parquet(dirs: _*)
+        val kCols = acc.columns.toSeq
+          .filter(c => c.startsWith("k") && c != "kbkt").sorted
+        val out =
+          if (sp.getName == "miss") {
+            // LWW: latest row per key, survivors only (cnt > 0)
+            import org.apache.spark.sql.expressions.Window
+            acc.withColumn("rn", row_number().over(
+                Window.partitionBy(kCols.map(col): _*)
+                  .orderBy(col("ver").desc)))
+              .filter(col("rn") === 1 && col("cnt") > 0)
+              .select((kCols.map(col) :+ col("cnt") :+ col("ver") :+
+                col("kbkt")): _*)
+          } else
+            acc.groupBy((kCols :+ "kbkt").map(col): _*)
+              .agg(sum(col("cnt")).as("cnt"))
+              .select((kCols.map(col) :+ col("cnt") :+ col("kbkt")): _*)
+        // 1. stage hidden; a crashed prior attempt is swept first
+        val staging = new org.apache.hadoop.fs.Path(s"$sp/.compact.tmp")
+        fs.delete(staging, true)
+        out.repartition(col("kbkt")).write.mode("overwrite")
+          .partitionBy("kbkt").parquet(staging.toString)
+        // 2. rename into place — invisible until the pointer names it
+        val genDir = new org.apache.hadoop.fs.Path(s"$sp/batch=$gen")
+        fs.delete(genDir, true) // only ever a crashed unnamed attempt
+        require(fs.rename(staging, genDir),
+          s"could not move staged generation into $genDir")
+        // 3. COMMIT: atomic pointer publication. Overwrite must be a
+        // true atomic swap (the round-13 release-manifest lesson): a
+        // delete-then-rename window with NO pointer would hide every
+        // consolidated generation from readers — on file:// use nio
+        // ATOMIC_MOVE, elsewhere FileContext rename(OVERWRITE) with the
+        // object-store fallback.
+        val gp = new org.apache.hadoop.fs.Path(s"$sp/$GEN_MARKER")
+        val gtmp = new org.apache.hadoop.fs.Path(s"$sp/$GEN_MARKER.tmp")
+        val os = fs.create(gtmp, true)
+        try os.write(s"$GEN_HEADER\n$gen $covered\n".getBytes("UTF-8"))
+        finally os.close()
+        Seq(gp, gtmp).foreach(f => fs.delete(
+          new org.apache.hadoop.fs.Path(f.getParent, s".${f.getName}.crc"),
+          false))
+        val qp = fs.makeQualified(gp)
+        val conf = spark.sessionState.newHadoopConf()
+        if (qp.toUri.getScheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(fs.makeQualified(gtmp).toUri.getPath),
+            java.nio.file.Paths.get(qp.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else
+          try
+            org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
+              .rename(fs.makeQualified(gtmp), qp,
+                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              // object stores: no AbstractFileSystem binding — non-atomic
+              // fallback, documented loss (same caveat as writeManifest)
+              fs.delete(qp, false)
+              require(fs.rename(fs.makeQualified(gtmp), qp),
+                s"could not publish $gp after delete — pointer is missing")
+          }
+        // 4. retire everything the pointer no longer names
+        allDirs.filter(b => b != gen && !(b >= 0 && b > covered))
+          .foreach(b => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$sp/batch=$b"), true))
+      }
+    }
+  }
 
   /** The batch-audit relation off a keyed ingest's stores: equals
     * [[audit]] over everything ingested so far, rule for rule — the

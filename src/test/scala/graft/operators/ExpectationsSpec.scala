@@ -298,6 +298,55 @@ class ExpectationsSpec extends AnyFunSuite {
       .apply(fk.name) === 1L, "replayed dual batch must be idempotent")
   }
 
+  test("keyed-store compaction: probe reads stay bounded under the " +
+    "compact-every-K policy, duplicates spanning a compaction are still " +
+    "caught, readout/live are unchanged, and replaying the policy batch " +
+    "is idempotent") {
+    import spark.implicits._
+    val uq = Seq(Expectations.Unique("unique:id", Seq("id")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-kaudit-compact").toString
+    // five batches; id 10 repeats in batches 0 and 4 — the duplicate
+    // STRADDLES the compaction at batch 2 (and 4), so detection must
+    // read the consolidated generation, not the retired batch dirs
+    val batches = Seq(Seq(10L, 11L), Seq(12L), Seq(13L), Seq(14L),
+      Seq(10L, 15L))
+    def ingest(i: Int): Unit = {
+      if (i > 0 && i % 2 == 0)
+        Expectations.compactKeyedAuditStores(spark, root, below = i.toLong)
+      Expectations.keyedAuditIngestBatch(batches(i).toDF("id"), i.toLong,
+        root, Seq.empty, uq, Seq.empty)
+    }
+    (0 until 5).foreach(ingest)
+    def dirsOf(store: String): Set[String] = {
+      val d = new java.io.File(s"$root/$store")
+      d.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("batch=")).map(_.getName).toSet
+    }
+    // after the batch-4 compaction (covers 0-3 incl. the batch-2 gen):
+    // one generation + batch 4 itself
+    assert(dirsOf("key_id") === Set("batch=-2", "batch=4"),
+      s"policy must bound store dirs, got ${dirsOf("key_id")}")
+    val want = rows(Expectations.audit("t",
+      batches.flatten.toDF("id"), uq).orderBy("constraint"))
+    assert(rows(Expectations.keyedAuditFromStore(spark, "t", root,
+      Seq.empty, uq, Seq.empty)) === want,
+      "compacted readout == batch audit")
+    assert(want.head._4 === 2L, "the straddling duplicate must count")
+    val live = Expectations.liveUniquenessViolations(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(live("unique:id") === 2L,
+      "the live probe must catch the duplicate ACROSS the compaction")
+    // replay batch 4 (a policy batch): compaction below=4 is a no-op on
+    // already-consolidated state; the re-fold converges
+    ingest(4)
+    assert(rows(Expectations.keyedAuditFromStore(spark, "t", root,
+      Seq.empty, uq, Seq.empty)) === want, "replay idempotent")
+    assert(Expectations.liveUniquenessViolations(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      .apply("unique:id") === 2L, "replayed live delta must not double")
+  }
+
   test("q141: the streaming corpus gate equals the batch q139 gate row " +
     "for row (the artifact-backed residue fold converged)") {
     val want = rows(Expectations.corpusAudit(spark, D))
