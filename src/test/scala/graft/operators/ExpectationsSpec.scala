@@ -347,6 +347,24 @@ class ExpectationsSpec extends AnyFunSuite {
       .apply("unique:id") === 2L, "replayed live delta must not double")
   }
 
+  test("an unknown-format _GEN pointer fails with the migration message, " +
+    "never a silent wrong view") {
+    import spark.implicits._
+    val uq = Seq(Expectations.Unique("unique:id", Seq("id")))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-kaudit-gen").toString
+    Expectations.keyedAuditIngestBatch(Seq(1L, 2L).toDF("id"), 0L, root,
+      Seq.empty, uq, Seq.empty)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/key_id/_GEN"), "GARBAGE v9\n-1 0\n")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.keyedAuditFromStore(spark, "t", root, Seq.empty, uq,
+        Seq.empty).collect()
+    }
+    assert(e.getMessage.contains("migration"),
+      s"torn/unknown pointer must fail fast naming the cause: ${e.getMessage}")
+  }
+
   test("q141: the streaming corpus gate equals the batch q139 gate row " +
     "for row (the artifact-backed residue fold converged)") {
     val want = rows(Expectations.corpusAudit(spark, D))
