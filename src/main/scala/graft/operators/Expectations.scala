@@ -804,6 +804,131 @@ object Expectations {
         Tables.embeddings(spark, sfDir), "vec_id", corpusEmbChecks))
       .orderBy("table_name", "constraint", "row_key")
 
+  /** q146: QUARANTINE ROUTING — the applied twin of [[violationRows]]
+    * (the q125-to-q115 / q127-to-q50 relationship, for expectations):
+    * EVERY row of the audited table labeled `clean` or `quarantined`,
+    * with the failure count and the alphabetically-ordered list of
+    * failed constraints. q145 lists the violations; this is the relation
+    * an ingest pipeline actually splits on — quarantined rows divert for
+    * triage/repair, clean rows proceed to dedup/mixing/release — and the
+    * two share one rule set ([[corpusDocChecks]]/[[corpusEmbChecks]]) so
+    * report and routing cannot disagree (spec-pinned: per-constraint
+    * quarantined membership == q145's rows).
+    *
+    * Scale shape: ONE column-pruned scan per table; every rule is a
+    * per-row predicate folded into two row-local expressions (a sum and
+    * a null-skipping `concat_ws` — checks pre-sorted by name so the
+    * label list needs no per-row sort), so the route is shuffle-free and
+    * whole-stage-codegen'd end to end. NULL fails every rule (the
+    * strict-gate semantics shared with [[scalarAudit]]).
+    */
+  def quarantineRoute(table: String, df: DataFrame, keyCol: String,
+                      checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, s"quarantineRoute('$table'): no rules")
+    val sorted = checks.sortBy(_.name)
+    val nFailed = sorted.map(c => when(c.ok, lit(0L)).otherwise(lit(1L)))
+      .reduce(_ + _)
+    val failed = concat_ws(",", sorted.map(c =>
+      when(c.ok, lit(null).cast("string")).otherwise(lit(c.name))): _*)
+    df.select(col(keyCol).as("row_key"), nFailed.as("n_failed"),
+        failed.as("failed"))
+      .select(lit(table).as("table_name"), col("row_key"), col("n_failed"),
+        col("failed"),
+        when(col("n_failed") === 0, lit("clean"))
+          .otherwise(lit("quarantined")).as("status"))
+  }
+
+  /** The q146 catalog relation: the corpus gate's scalar rules routed
+    * row-level over documents + embeddings.
+    */
+  def corpusQuarantineRoute(spark: SparkSession, sfDir: String): DataFrame =
+    quarantineRoute("documents", Tables.documents(spark, sfDir), "doc_id",
+        corpusDocChecks)
+      .unionByName(quarantineRoute("embeddings",
+        Tables.embeddings(spark, sfDir), "vec_id", corpusEmbChecks))
+      .orderBy("table_name", "row_key")
+
+  // ------------------------------------------------------------------
+  // Streaming quarantine — q145's violation rows as a CHANNEL (q147).
+  // Scalar-rule violations are row-local, so the stream is the cheapest
+  // posture in the family (the chunk-ingest shape): each micro-batch
+  // writes ITS OWN violation rows under `batch=<id>` — append-only
+  // deltas, no state, no probe of prior batches — and the accumulated
+  // store read back IS the batch q145 relation over everything ingested
+  // (distributivity is trivial: a row's violations depend on that row
+  // alone). Replay = deterministic overwrite of your own batch dir.
+  // This is the quarantine SINK a streaming ingest actually wires: the
+  // diverted rows land as they arrive, not at the next full audit.
+  // ------------------------------------------------------------------
+
+  /** One micro-batch of the streaming quarantine (factored out so the
+    * replay and stream==batch specs drive it directly).
+    */
+  private[graft] def quarantineIngestBatch(batch: DataFrame, batchId: Long,
+                                           qdir: String, table: String,
+                                           keyCol: String,
+                                           checks: Seq[Check]): Unit = {
+    violationRows(table, batch, keyCol, checks)
+      .write.mode("overwrite").parquet(s"$qdir/batch=$batchId")
+    ()
+  }
+
+  /** The long-running quarantine channel for one audited table's stream:
+    * per micro-batch, its scalar-rule violation rows append under
+    * `qdir/batch=<id>`.
+    */
+  def streamingQuarantineIngest(docs: DataFrame, qdir: String,
+                                checkpoint: String, table: String,
+                                keyCol: String, checks: Seq[Check])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quarantineIngestBatch(batch, batchId, qdir, table, keyCol, checks)
+      }
+      .start()
+
+  /** The accumulated quarantine relation of one table's channel —
+    * equals [[violationRows]] over everything ingested so far.
+    */
+  def quarantineFromStore(spark: SparkSession, qdir: String): DataFrame =
+    spark.read.option("basePath", qdir).parquet(qdir)
+      .select("table_name", "constraint", "row_key")
+
+  /** q147: the q145 quarantine relation read off the STREAMING channels —
+    * documents and embeddings each folded in three deterministic
+    * residue batches (the q141 idiom), then the relation is the two
+    * stores' union. The oracle is q145's SQL VERBATIM — stream==batch
+    * equality at every scale IS the contract. State is a content-keyed
+    * build-once artifact; per catalog call the cost is the readout.
+    */
+  def streamingQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureQuarantineState(spark, sfDir)
+    quarantineFromStore(spark, s"$root/docs")
+      .unionByName(quarantineFromStore(spark, s"$root/embs"))
+      .orderBy("table_name", "constraint", "row_key")
+  }
+
+  private[graft] def ensureQuarantineState(spark: SparkSession,
+                                           sfDir: String): String =
+    DedupArtifacts.cachedDir(s"quarantine|$sfDir") {
+      val docs = Tables.documents(spark, sfDir)
+      val embs = Tables.embeddings(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs, s"quarantine|$sfDir") + "|" +
+        DedupArtifacts.embeddingsKey(embs, "e") + "|v=1"
+      DedupArtifacts.ensureTree(key) { stage =>
+        (0 until 3).foreach { i =>
+          quarantineIngestBatch(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === i), i.toLong,
+            s"$stage/docs", "documents", "doc_id", corpusDocChecks)
+          quarantineIngestBatch(
+            embs.filter(pmod(col("vec_id"), lit(3L)) === i), i.toLong,
+            s"$stage/embs", "embeddings", "vec_id", corpusEmbChecks)
+        }
+      }
+    }
+
   /** q138: the snapshot-gate audit over the warehouse tables — the
     * constraint suite a pipeline would run before trusting an ingested
     * snapshot. Two rules are deliberately strict enough to FAIL on this
@@ -976,7 +1101,13 @@ object Expectations {
     // Q143: per-batch expectation trend (see [[corpusGateTimeline]]).
     "q143_gate_timeline" -> ((s, d) => corpusGateTimeline(s, d)),
     // Q145: row-level quarantine relation (see [[violationRows]]).
-    "q145_violation_rows" -> ((s, d) => corpusViolationRows(s, d)))
+    "q145_violation_rows" -> ((s, d) => corpusViolationRows(s, d)),
+    // Q146: per-row clean/quarantined routing (see [[quarantineRoute]]).
+    "q146_quarantine_route" -> ((s, d) => corpusQuarantineRoute(s, d)),
+    // Q147: the quarantine relation off the streaming channels (see
+    // [[streamingQuarantine]]); oracle shared VERBATIM with q145 —
+    // stream==batch is the contract.
+    "q147_streaming_quarantine" -> ((s, d) => streamingQuarantine(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -1032,20 +1163,40 @@ object Expectations {
 
     // q145 twin: one `pred IS NOT TRUE` filter per scalar rule — NULL
     // fails, matching the CASE-falls-to-ELSE strict-gate semantics
-    "q145_violation_rows" ->
-      s"""WITH rows_all AS (
-         |  SELECT 'documents' AS table_name, 'not_null:text' AS "constraint", doc_id AS row_key
-         |    FROM documents WHERE (text IS NOT NULL) IS NOT TRUE
-         |  UNION ALL SELECT 'documents', 'in_set:lang', doc_id
-         |    FROM documents WHERE (lang IN ('de','en','es','fr','zh')) IS NOT TRUE
-         |  UNION ALL SELECT 'documents', 'consistent:n_chars', doc_id
-         |    FROM documents WHERE (len(text) = n_chars) IS NOT TRUE
-         |  UNION ALL SELECT 'documents', 'range:doc_tokens', doc_id
-         |    FROM documents WHERE (len(string_split(text, ' ')) BETWEEN 1 AND 64) IS NOT TRUE
-         |  UNION ALL SELECT 'embeddings', 'dim:embedding', vec_id
-         |    FROM embeddings WHERE (len(embedding) = 64) IS NOT TRUE)
-         |SELECT table_name, "constraint", row_key FROM rows_all
-         |ORDER BY table_name, "constraint", row_key""".stripMargin,
+    "q145_violation_rows" -> violationRowsOracleSql,
+    // the stream==batch contract: q147's channel readout must hash-match
+    // the batch quarantine relation at every scale
+    "q147_streaming_quarantine" -> violationRowsOracleSql,
+
+    // q146 twin: the same strict-gate predicates folded row-local — the
+    // failure count as a CASE sum, the label list as a null-skipping
+    // CONCAT_WS over the name-sorted rules (both engines skip NULL args
+    // and emit '' when nothing failed)
+    "q146_quarantine_route" ->
+      s"""WITH d AS (
+         |  SELECT 'documents' AS table_name, doc_id AS row_key,
+         |    CAST((CASE WHEN (len(text) = n_chars) IS NOT TRUE THEN 1 ELSE 0 END)
+         |       + (CASE WHEN (lang IN ('de','en','es','fr','zh')) IS NOT TRUE THEN 1 ELSE 0 END)
+         |       + (CASE WHEN (text IS NOT NULL) IS NOT TRUE THEN 1 ELSE 0 END)
+         |       + (CASE WHEN (len(string_split(text, ' ')) BETWEEN 1 AND 64) IS NOT TRUE THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',',
+         |      CASE WHEN (len(text) = n_chars) IS NOT TRUE THEN 'consistent:n_chars' END,
+         |      CASE WHEN (lang IN ('de','en','es','fr','zh')) IS NOT TRUE THEN 'in_set:lang' END,
+         |      CASE WHEN (text IS NOT NULL) IS NOT TRUE THEN 'not_null:text' END,
+         |      CASE WHEN (len(string_split(text, ' ')) BETWEEN 1 AND 64) IS NOT TRUE THEN 'range:doc_tokens' END)
+         |      AS failed
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'embeddings', vec_id,
+         |    CAST(CASE WHEN (len(embedding) = 64) IS NOT TRUE THEN 1 ELSE 0 END AS BIGINT),
+         |    CONCAT_WS(',',
+         |      CASE WHEN (len(embedding) = 64) IS NOT TRUE THEN 'dim:embedding' END)
+         |  FROM embeddings)
+         |SELECT table_name, row_key, n_failed, failed,
+         |       CASE WHEN n_failed = 0 THEN 'clean' ELSE 'quarantined' END AS status
+         |FROM d
+         |ORDER BY table_name, row_key""".stripMargin,
 
     // q143 twin: every batch's rows re-derived from the residue classes —
     // scalar sums per class, uniqueness/FK as PREFIX-CUMULATIVE counts
@@ -1103,6 +1254,24 @@ object Expectations {
          |SELECT batch_id, table_name, "constraint", n_rows, n_violations
          |FROM rows_all
          |ORDER BY table_name, "constraint", batch_id""".stripMargin)
+
+  /** The q145/q147 shared oracle: one `pred IS NOT TRUE` filter per
+    * scalar rule — stream==batch is q147's contract.
+    */
+  private[graft] lazy val violationRowsOracleSql: String =
+    s"""WITH rows_all AS (
+       |  SELECT 'documents' AS table_name, 'not_null:text' AS "constraint", doc_id AS row_key
+       |    FROM documents WHERE (text IS NOT NULL) IS NOT TRUE
+       |  UNION ALL SELECT 'documents', 'in_set:lang', doc_id
+       |    FROM documents WHERE (lang IN ('de','en','es','fr','zh')) IS NOT TRUE
+       |  UNION ALL SELECT 'documents', 'consistent:n_chars', doc_id
+       |    FROM documents WHERE (len(text) = n_chars) IS NOT TRUE
+       |  UNION ALL SELECT 'documents', 'range:doc_tokens', doc_id
+       |    FROM documents WHERE (len(string_split(text, ' ')) BETWEEN 1 AND 64) IS NOT TRUE
+       |  UNION ALL SELECT 'embeddings', 'dim:embedding', vec_id
+       |    FROM embeddings WHERE (len(embedding) = 64) IS NOT TRUE)
+       |SELECT table_name, "constraint", row_key FROM rows_all
+       |ORDER BY table_name, "constraint", row_key""".stripMargin
 
   /** The q139/q141 shared oracle (also embedded by q142's gate CTE). */
   private[graft] lazy val corpusGateOracleSql: String =

@@ -410,6 +410,63 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** q148: EMBEDDING-SPACE DRIFT per crawl batch — the embedding-side
+    * analog of q144's token-composition drift: for each ingest batch
+    * (the `vec_id % 3` residue idiom), how far the batch's mean
+    * embedding sits from the corpus-wide mean. A trainer watches this
+    * next to q144 because a crawl batch can keep the language mix stable
+    * while shifting the embedding distribution (new topic, encoder
+    * regression, corrupted shard) — the drift that silently moves every
+    * IVF/LSH index and SemDeDup threshold built on the corpus.
+    *
+    * Exactness: components quantize to x1e6 integers ([[q124]]'s
+    * `centroidComponents` rule), so per (batch, dim) the sums are exact
+    * BIGINTs and the per-dim mean gap `|sb/nb - sc/nc|` evaluates as
+    * `abs(sb*nc - sc*nb) div (nb*nc)` — one integer division of
+    * non-negative exact products, identical in both engines; the L1
+    * report sums those per-dim integers (truncation is part of the
+    * metric's definition). The products stay far inside BIGINT at any
+    * single-cluster scale (|sb| <= n·1e6, times nc); at corpus sizes
+    * where n_b·n_c·1e6 approaches 9.2e18 (~10^9 vectors), widen the two
+    * products to DECIMAL(38,0) — a two-line change, same plan shape.
+    *
+    * Scale shape: ONE corpus pass (posexplode + partial-aggregated
+    * (batch, pos) sums — #batches × dim rows retained), the corpus-wide
+    * sums derived from that relation, everything after broadcast-sized.
+    * Output: one row per batch — vectors, L1 drift, the worst dimension
+    * and its gap (argmax by gap DESC, pos ASC — the dimension to look at
+    * first when the alarm fires).
+    */
+  def embeddingDrift(embs: DataFrame): DataFrame = {
+    val e = asDouble(embs)
+    val pb = e
+      .select(pmod(col("vec_id"), lit(3L)).as("batch_id"),
+        posexplode(col("emb")).as(Seq("pos", "x")))
+      .select(col("batch_id"), col("pos"),
+        floor(col("x") * 1000000 + lit(0.5)).cast("long").as("qx"))
+      .groupBy("batch_id", "pos")
+      .agg(sum(col("qx")).as("sb"), count(lit(1)).as("nb"))
+      .persist() // ≤ #batches × dim rows — the one corpus pass
+    val g = pb.groupBy("pos")
+      .agg(sum(col("sb")).as("sc"), sum(col("nb")).as("nc"))
+    val dd = pb.join(broadcast(g), Seq("pos"))
+      .select(col("batch_id"), col("pos"), col("nb"),
+        expr("abs(sb * nc - sc * nb) div (nb * nc)").as("d"))
+    val worst = dd
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("batch_id")
+          .orderBy(col("d").desc, col("pos"))))
+      .filter(col("rn") === 1)
+      .select(col("batch_id"), col("pos").cast("long").as("worst_pos"),
+        col("d").as("max_drift_x1e6"))
+    dd.groupBy("batch_id")
+      .agg(max(col("nb")).as("n_vecs"), sum(col("d")).as("l1_drift_x1e6"))
+      .join(worst, Seq("batch_id"))
+      .select(col("batch_id"), col("n_vecs"), col("l1_drift_x1e6"),
+        col("worst_pos"), col("max_drift_x1e6"))
+      .orderBy("batch_id")
+  }
+
   /** q140: HARD-NEGATIVE mining for contrastive training — for each of
     * `nQueries` hash-picked anchor vectors (the q42/q71 deterministic-
     * sample idiom), the `k` highest-cosine corpus vectors carrying a
@@ -486,6 +543,10 @@ object Similarity {
     // cosine determinism contract).
     "q124_embedding_outliers" -> ((s, d) =>
       centroidOutliers(Tables.embeddings(s, d))),
+
+    // Q148: per-batch embedding-space drift (see [[embeddingDrift]]).
+    "q148_embedding_drift" -> ((s, d) =>
+      embeddingDrift(Tables.embeddings(s, d))),
 
     // Q100: recall@3 of the q24c multi-probe index vs brute force (the
     // index side off the persisted bucket relation, like q24c itself).
@@ -640,6 +701,36 @@ object Similarity {
          |SELECT q_id, q_label, rnk, neg_id, neg_label, cos_x1e4
          |FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
+
+    // q148 twin: identical quantization, residue split, exact-integer
+    // cross products and `//` division; MAX(nb) is the batch's vector
+    // count under the same "has that dimension" definition
+    "q148_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |px AS (SELECT vec_id % 3 AS batch_id, i - 1 AS pos,
+         |         CAST(FLOOR(emb[i] * 1000000 + 0.5) AS BIGINT) AS qx
+         |       FROM e, unnest(range(1, len(emb) + 1)) AS u(i)),
+         |pb AS (SELECT batch_id, pos, CAST(SUM(qx) AS BIGINT) AS sb,
+         |         CAST(COUNT(*) AS BIGINT) AS nb
+         |       FROM px GROUP BY 1, 2),
+         |g AS (SELECT pos, CAST(SUM(sb) AS BIGINT) AS sc,
+         |        CAST(SUM(nb) AS BIGINT) AS nc
+         |      FROM pb GROUP BY pos),
+         |dd AS (SELECT batch_id, pb.pos, nb,
+         |         ABS(sb * nc - sc * nb) // (nb * nc) AS d
+         |       FROM pb JOIN g ON pb.pos = g.pos),
+         |w AS (SELECT batch_id, CAST(pos AS BIGINT) AS worst_pos,
+         |        d AS max_drift_x1e6,
+         |        ROW_NUMBER() OVER (PARTITION BY batch_id
+         |          ORDER BY d DESC, pos) AS rn
+         |      FROM dd)
+         |SELECT dd.batch_id, CAST(MAX(dd.nb) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(dd.d) AS BIGINT) AS l1_drift_x1e6,
+         |  ANY_VALUE(w.worst_pos) AS worst_pos,
+         |  CAST(ANY_VALUE(w.max_drift_x1e6) AS BIGINT) AS max_drift_x1e6
+         |FROM dd JOIN w ON dd.batch_id = w.batch_id AND w.rn = 1
+         |GROUP BY dd.batch_id
+         |ORDER BY dd.batch_id""".stripMargin,
 
     "q124_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -407,6 +407,109 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(scans === 2, s"all rules must share one scan per table, got $scans")
   }
 
+  test("q146: quarantine routing counts failed rules exactly, lists them " +
+    "name-sorted, NULL fails (strict gate), and the routing agrees with " +
+    "the violation rows row for row") {
+    import spark.implicits._
+    val t = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "en", 10L),            // clean
+      (2L, "xx", 10L),            // fails in_set only
+      (3L, "en", 999L),           // fails range only
+      (4L, null, null),           // fails both (NULL fails both rules)
+      (5L, "yy", 999L))           // fails both with real values
+      .toDF("id", "lang", "value")
+    val checks = Seq(
+      Expectations.inSet("lang", Seq("en", "fr")),
+      Expectations.between("value", 0.0, 100.0))
+    val route = Expectations.quarantineRoute("t", t, "id", checks)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4))).sortBy(_._1).toSeq
+    assert(route === Seq(
+      (1L, 0L, "", "clean"),
+      (2L, 1L, "in_set:lang", "quarantined"),
+      (3L, 1L, "range:value", "quarantined"),
+      (4L, 2L, "in_set:lang,range:value", "quarantined"),
+      (5L, 2L, "in_set:lang,range:value", "quarantined")),
+      s"routing mismatch: $route")
+    // report/apply agreement: a key carries a constraint in `failed` iff
+    // the violation-rows relation lists that (constraint, key) pair
+    val vr = Expectations.violationRows("t", t, "id", checks)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    val fromRoute = route.flatMap { case (k, _, failed, _) =>
+      failed.split(",").filter(_.nonEmpty).map(c => (c, k)) }.toSet
+    assert(fromRoute === vr, "route labels must equal the q145 rows")
+  }
+
+  test("q146 on the fixture: clean/quarantined partitions both tables, " +
+    "membership agrees with q145 per constraint, one scan per table") {
+    val route = Expectations.corpusQuarantineRoute(spark, D)
+    val rt = route.collect().map(r => ((r.getString(0), r.getLong(1)),
+      (r.getLong(2), r.getString(3), r.getString(4))))
+    val nDocs = graft.sources.Tables.documents(spark, D).count()
+    val nEmbs = graft.sources.Tables.embeddings(spark, D).count()
+    assert(rt.length.toLong === nDocs + nEmbs,
+      "every row of both tables must be routed exactly once")
+    assert(rt.forall { case (_, (n, f, s)) =>
+      (n == 0L) == (s == "clean") && (n == 0L) == f.isEmpty &&
+        n == f.split(",").count(_.nonEmpty) })
+    val vr = Expectations.corpusViolationRows(spark, D)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val fromRoute = rt.flatMap { case ((tbl, k), (_, f, _)) =>
+      f.split(",").filter(_.nonEmpty).map(c => (tbl, c, k)) }.toSet
+    assert(fromRoute === vr.toSet,
+      "fixture route labels must equal the q145 relation")
+    // plan pin on a FRESH DataFrame: collect() above finalized `route`'s
+    // AdaptiveSparkPlan, whose toString then prints Final AND Initial
+    // plans — doubling every scan line
+    val fresh = Expectations.corpusQuarantineRoute(spark, D)
+    fresh.write.format("noop").mode("overwrite").save()
+    val scans = fresh.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 2, s"all rules must share one scan per table, got $scans")
+  }
+
+  test("q147: the streaming quarantine channel equals the batch violation " +
+    "rows over everything ingested, replay is idempotent, and the catalog " +
+    "readout equals q145 row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val checks = Seq(
+      Expectations.notNull("text"),
+      Expectations.inSet("lang", Seq("en", "fr")))
+    val batches = Seq(
+      Seq((1L, "en", "aa"), (2L, "xx", "bb")),            // in_set violation
+      Seq((3L, "fr", null: String), (4L, "zz", null: String))) // both rules
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-quarantine").toString
+    val in = MemoryStream[(Long, String, String)](spark)
+    val q = Expectations.streamingQuarantineIngest(
+      in.toDF().toDF("doc_id", "lang", "text"),
+      s"$base/q", s"$base/ckpt", "docs", "doc_id", checks)
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val want = rowsOf(Expectations.violationRows("docs",
+      batches.flatten.toDF("doc_id", "lang", "text"), "doc_id", checks))
+    assert(want.size === 4, "the plant must produce cross-rule violations")
+    assert(rowsOf(Expectations.quarantineFromStore(spark, s"$base/q"))
+      === want, "channel readout must equal the batch violation rows")
+    // replay: re-running the last micro-batch overwrites its own dir
+    Expectations.quarantineIngestBatch(
+      batches(1).toDF("doc_id", "lang", "text"), 1L, s"$base/q", "docs",
+      "doc_id", checks)
+    assert(rowsOf(Expectations.quarantineFromStore(spark, s"$base/q"))
+      === want, "replaying a batch must be idempotent")
+    // catalog contract: the artifact-backed residue fold == batch q145
+    val got = Expectations.streamingQuarantine(spark, D).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = Expectations.corpusViolationRows(spark, D).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === batch, "q147 must equal q145 row for row")
+  }
+
   test("the warehouse audit surfaces exactly the two deliberately strict " +
     "constraints as failures on the fixture") {
     val got = rows(Expectations.warehouseAudit(spark, D))

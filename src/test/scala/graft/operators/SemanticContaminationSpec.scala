@@ -60,6 +60,48 @@ class SemanticContaminationSpec extends AnyFunSuite {
     assert(routed.toSeq === exact.toSeq)
   }
 
+  test("embedding drift: exact integer recomputation on a planted fixture " +
+    "— identical batches score alike, the shifted batch stands out on its " +
+    "shifted dimension, and the metric is layout-invariant") {
+    import spark.implicits._
+    // batches by vec_id % 3; batch 1 shifted +0.4 on dim 1, batches 0 and
+    // 2 identical by construction
+    val data = Seq(
+      (0L, Seq(0.5f, 0.5f)), (3L, Seq(0.7f, 0.3f)),
+      (1L, Seq(0.5f, 0.9f)), (4L, Seq(0.7f, 0.7f)),
+      (2L, Seq(0.5f, 0.5f)), (5L, Seq(0.7f, 0.3f)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDrift(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // driver-side recomputation with the operator's own integer formula
+    val q = data.flatMap { case (id, emb) =>
+      emb.zipWithIndex.map { case (x, pos) =>
+        (id % 3, pos, math.floor(x.toDouble * 1000000 + 0.5).toLong) }
+    }
+    val pb = q.groupBy(t => (t._1, t._2)).map { case ((b, p), ts) =>
+      ((b, p), (ts.map(_._3).sum, ts.size.toLong)) }
+    val g = pb.groupBy(_._1._2).map { case (p, m) =>
+      (p, (m.values.map(_._1).sum, m.values.map(_._2).sum)) }
+    val dd = pb.map { case ((b, p), (sb, nb)) =>
+      val (sc, nc) = g(p)
+      (b, p, nb, math.abs(sb * nc - sc * nb) / (nb * nc)) }
+    val want = dd.groupBy(_._1).map { case (b, ts) =>
+      val worst = ts.toSeq.sortBy(t => (-t._4, t._2)).head
+      (b, ts.map(_._3).max, ts.map(_._4).sum, worst._2.toLong, worst._4)
+    }.toSeq.sortBy(_._1)
+    assert(got === want, s"drift recomputation mismatch: $got vs $want")
+    val Seq(b0, b1, b2) = got.sortBy(_._1)
+    assert(b0._3 === b2._3, "identical batches must score identically")
+    assert(b1._3 > b0._3, "the shifted batch must stand out")
+    assert(b1._4 === 1L, "the shifted dimension must be the worst dim")
+    // layout invariance: the integer math cannot depend on partitioning
+    val re = Similarity.embeddingDrift(df.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(re === got)
+  }
+
   test("hard negatives: k per anchor, never the anchor's label, and the " +
     "distributed top-k equals a driver-side brute force per anchor") {
     val e = Tables.embeddings(spark, D)
