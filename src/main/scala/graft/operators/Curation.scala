@@ -917,11 +917,19 @@ object Curation {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.centroidComponents(Similarity.asDouble(batch))
-          .write.mode("overwrite").parquet(s"$centDir/batch=$batchId")
-        ()
+        centroidIngestBatch(batch, batchId, centDir)
       }
       .start()
+
+  /** One micro-batch of the centroid ingest (factored out so replay and
+    * stream==batch specs drive it directly).
+    */
+  private[graft] def centroidIngestBatch(batch: DataFrame, batchId: Long,
+                                         centDir: String): Unit = {
+    Similarity.centroidComponents(Similarity.asDouble(batch))
+      .write.mode("overwrite").parquet(s"$centDir/batch=$batchId")
+    ()
+  }
 
   /** The exact whole-corpus `(pos, sq, n)` component relation off a
     * [[streamingCentroidIngest]] index (sum-of-sums — integer-exact;
@@ -979,6 +987,56 @@ object Curation {
   def centroidOutliersFromIndex(embs: DataFrame, centDir: String): DataFrame =
     Similarity.outliersAgainst(Similarity.asDouble(embs),
       centroidFromIndex(embs.sparkSession, centDir))
+
+  /** q149: the q148 EMBEDDING-DRIFT report read off a
+    * [[streamingCentroidIngest]] index — the per-micro-batch `batch=<id>`
+    * partial dirs ARE the per-ingest-batch `(pos, sb, nb)` component
+    * relation q148 computes from the raw corpus, so the drift monitor
+    * runs off dim-sized state the stream already maintains for the q124
+    * centroid: the corpus is never rescanned, and each new crawl batch's
+    * drift row costs one dim-sized partial write plus a
+    * #batches×dim-row readout through the SHARED
+    * [[Similarity.driftFromComponents]] kernel (stream==batch by one
+    * definition).
+    *
+    * History contract (the q143-timeline rule): drift is a PER-BATCH
+    * readout, so it must point at an UNCOMPACTED index —
+    * [[compactCentroidIndex]] serves the q124 use where only the summed
+    * centroid matters and deliberately erases batch identity. An index
+    * that should feed both keeps drift's per-batch dirs and lets q124
+    * read the same dirs summed ([[centroidFromIndex]] works on either).
+    */
+  def embeddingDriftFromIndex(spark: SparkSession,
+                              centDir: String): DataFrame =
+    Similarity.driftFromComponents(
+      spark.read.option("basePath", centDir).parquet(centDir)
+        .select(col("batch").cast("long").as("batch_id"), col("pos"),
+          col("sq").as("sb"), col("n").as("nb"))
+        .groupBy("batch_id", "pos")
+        .agg(sum(col("sb")).as("sb"), sum(col("nb")).as("nb")))
+
+  /** The q149 catalog relation: the drift report off a content-keyed
+    * build-once centroid index fed by the `vec_id % 3` residue batches
+    * (the q141/q147 idiom) — oracle is q148's SQL VERBATIM; stream==batch
+    * equality at every scale IS the contract.
+    */
+  def streamingEmbeddingDrift(spark: SparkSession,
+                              sfDir: String): DataFrame =
+    embeddingDriftFromIndex(spark, ensureCentroidBatchState(spark, sfDir))
+
+  private[graft] def ensureCentroidBatchState(spark: SparkSession,
+                                              sfDir: String): String =
+    DedupArtifacts.cachedDir(s"centdrift|$sfDir") {
+      val embs = Tables.embeddings(spark, sfDir)
+      val key = DedupArtifacts.embeddingsKey(embs, s"centdrift|$sfDir") +
+        "|v=1"
+      DedupArtifacts.ensureTree(key) { stage =>
+        (0 until 3).foreach { i =>
+          centroidIngestBatch(
+            embs.filter(pmod(col("vec_id"), lit(3L)) === i), i.toLong, stage)
+        }
+      }
+    }
 
   /** Retire unreferenced label-state directories left by
     * [[streamingClusterIngest]]. Buckets carry forward by manifest
@@ -1252,6 +1310,47 @@ object Curation {
         when(col("n_gate_failed") > 0, lit("blocked")).otherwise(lit("clear"))
           .as("gate_status"),
         col("n_gate_failed"))
+      .orderBy("doc_id")
+  }
+
+  /** q150: QUARANTINE-COMPOSED release export — q146's row-level ingest
+    * gate applied INSIDE the release composition, not beside it (the
+    * row-level sibling of q142's whole-corpus verdict flag): rows the
+    * scalar expectations quarantine never reach the cascade, so the
+    * export labels them `quarantined` AHEAD of every other stage (an
+    * ingest diverts a failing row before dedup ever hashes it — the
+    * precedence a production pipeline actually has), and the mixture
+    * budget is RE-PLANNED over the kept-AND-clean set so no token
+    * budget is spent on rows the gate diverted. On the fixtures the
+    * deliberately strict context-window rule quarantines most of the
+    * corpus (the q139 demo convention), so the composition visibly
+    * reshapes the export; a clean route reproduces q132 verbatim
+    * (spec-pinned both ways).
+    *
+    * Scale shape: the route is a row-local flag on the corpus scan
+    * (q146's posture), the stage overlay one doc_id-keyed join, and the
+    * re-plan reuses the q120 machinery (broadcast plan, one tokenize
+    * pass over the kept set). Split assignment is untouched — it is
+    * component-keyed and must stay stable as gate rules evolve, or a
+    * rule change would shuffle documents across train/eval.
+    */
+  def quarantinedReleaseExport(docs: DataFrame, export: DataFrame,
+                               route: DataFrame): DataFrame = {
+    val q = route.filter(col("table_name") === "documents")
+      .select(col("row_key").as("doc_id"), col("status"))
+    val staged = export.join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(col("status") === "quarantined", lit("quarantined"))
+          .otherwise(col("stage")).as("stage"),
+        col("split"))
+      .persist()
+    val keptDocs = docs.join(
+      staged.filter(col("stage") === "kept").select("doc_id"), Seq("doc_id"))
+    val mix = TextAnalysis.mixtureMaterialize(keptDocs)
+      .select(col("doc_id"), col("n_copies"))
+    staged.join(mix, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
+        col("split"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
       .orderBy("doc_id")
   }
 
@@ -1707,6 +1806,11 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q149: q148's drift report off the streaming centroid index (see
+    // [[streamingEmbeddingDrift]]); oracle shared VERBATIM with q148 —
+    // stream==batch is the contract.
+    "q149_streaming_drift" -> ((s, d) => streamingEmbeddingDrift(s, d)),
+
     // Q126: per-source quality KS distance (see [[qualityKs]]).
     "q126_quality_ks" -> ((s, d) => qualityKs(Tables.documents(s, d))),
 
@@ -1753,6 +1857,24 @@ object Curation {
 
     "q127_decontam_apply" -> ((s, d) =>
       decontamApply(Tables.documents(s, d))),
+
+    // Q150: the quarantine-composed release export (see
+    // [[quarantinedReleaseExport]]) — q146's row-level gate folded into
+    // the q132 composition with the mixture re-planned over the clean
+    // kept set; export inputs from the same artifacts as q132.
+    "q150_quarantined_release" -> ((s, d) => {
+      val (dd, dc, cp) = ensureReleaseStages(s, d)
+      quarantinedReleaseExport(
+        Tables.documents(s, d),
+        releaseExport(Tables.documents(s, d),
+          Dedup.clustersFromPairs(
+            s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))),
+          dedupStages = Some(s.read.parquet(dd)),
+          deconStages = Some(s.read.parquet(dc)),
+          capRelation = Some(s.read.parquet(cp))),
+        Expectations.quarantineRoute("documents", Tables.documents(s, d),
+          "doc_id", Expectations.corpusDocChecks))
+    }),
 
     // Q142: the gated release export (see [[gatedReleaseExport]]) — the
     // q132 composition with the q139 ingestion-gate verdict broadcast
@@ -1841,6 +1963,36 @@ object Curation {
   private def releaseExportOracleSql: String =
     s"WITH RECURSIVE $releaseExportOracleBody"
 
+  /** The q120 mixture CTE chain over a kept-set CTE named `keptCte`,
+    * every CTE name prefixed with `p` — factored so a composed export
+    * can RE-PLAN the mixture over a different kept set (q132 uses
+    * ("kept", ""); q150 re-plans over its quarantine-filtered kept set
+    * with a distinct prefix in the same statement). Emits CTE
+    * definitions ending in `<p>mix (doc_id, n_copies)`, no trailing
+    * comma — the caller splices them before its final SELECT.
+    */
+  private def mixtureCtesSql(keptCte: String, p: String): String =
+    s"""${p}mper AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+       |         FROM documents JOIN $keptCte USING (doc_id) GROUP BY lang),
+       |${p}mw AS (SELECT lang, lang_tokens,
+       |         CAST(FLOOR(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w
+       |       FROM ${p}mper),
+       |${p}mt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM ${p}mw),
+       |${p}mplan AS (SELECT lang, lang_tokens,
+       |            (${TextAnalysis.MIX_BUDGET_TOKENS} * w) // tw AS target_tokens
+       |          FROM ${p}mw, ${p}mt),
+       |${p}mp2 AS (SELECT lang, lang_tokens,
+       |          target_tokens // lang_tokens AS full_epochs,
+       |          ((target_tokens - (target_tokens // lang_tokens) * lang_tokens)
+       |            * 1000000) // lang_tokens AS rem_rate_x1e6
+       |        FROM ${p}mplan),
+       |${p}md AS (SELECT doc_id, lang,
+       |         ${Sketches.phash60Sql("'mx42|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS mh
+       |       FROM documents JOIN $keptCte USING (doc_id)),
+       |${p}mix AS (SELECT doc_id,
+       |          full_epochs + CASE WHEN mh < rem_rate_x1e6 THEN 1 ELSE 0 END AS n_copies
+       |        FROM ${p}md JOIN ${p}mp2 ON ${p}md.lang = ${p}mp2.lang)""".stripMargin
+
   /** Everything after the WITH RECURSIVE keyword — so q135's oracle can
     * evaluate the SAME statement against a SHADOWED `documents` CTE (the
     * prefix corpus) inside one query: a CTE named after a base table
@@ -1902,26 +2054,7 @@ object Curation {
          |               ELSE 'test' END AS split
          |        FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id),
          |kept AS (SELECT doc_id FROM stg WHERE stage = 'kept'),
-         |mper AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
-         |         FROM documents JOIN kept USING (doc_id) GROUP BY lang),
-         |mw AS (SELECT lang, lang_tokens,
-         |         CAST(FLOOR(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w
-         |       FROM mper),
-         |mt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM mw),
-         |mplan AS (SELECT lang, lang_tokens,
-         |            (${TextAnalysis.MIX_BUDGET_TOKENS} * w) // tw AS target_tokens
-         |          FROM mw, mt),
-         |mp2 AS (SELECT lang, lang_tokens,
-         |          target_tokens // lang_tokens AS full_epochs,
-         |          ((target_tokens - (target_tokens // lang_tokens) * lang_tokens)
-         |            * 1000000) // lang_tokens AS rem_rate_x1e6
-         |        FROM mplan),
-         |md AS (SELECT doc_id, lang,
-         |         ${Sketches.phash60Sql("'mx42|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS mh
-         |       FROM documents JOIN kept USING (doc_id)),
-         |mix AS (SELECT doc_id,
-         |          full_epochs + CASE WHEN mh < rem_rate_x1e6 THEN 1 ELSE 0 END AS n_copies
-         |        FROM md JOIN mp2 ON md.lang = mp2.lang)
+         |${mixtureCtesSql("kept", "")}
          |SELECT stg.doc_id, stg.source, stg.n_tokens, stg.stage, spl.split,
          |       CAST(COALESCE(mix.n_copies, 0) AS BIGINT) AS n_copies
          |FROM stg JOIN spl ON stg.doc_id = spl.doc_id
@@ -1932,6 +2065,33 @@ object Curation {
     * verdict — `gate AS` wraps the corpus-expectations statement
     * (embedded VERBATIM from its q139 twin) in a one-row fail count.
     */
+  /** q150 twin: the q132 statement wrapped as `cur`, overlaid with the
+    * q146 documents-route predicate (quarantine wins every precedence),
+    * and the mixture CTE chain re-emitted over the clean kept set
+    * (prefix `z` — same statement, distinct names).
+    */
+  private def quarantinedReleaseOracleSql: String =
+    s"""WITH cur AS ($releaseExportOracleSql),
+       |qr AS (SELECT doc_id,
+       |         CASE WHEN ((len(text) = n_chars) IS NOT TRUE)
+       |               OR ((lang IN ('de','en','es','fr','zh')) IS NOT TRUE)
+       |               OR ((text IS NOT NULL) IS NOT TRUE)
+       |               OR ((len(string_split(text, ' ')) BETWEEN 1 AND 64) IS NOT TRUE)
+       |              THEN 'quarantined' ELSE 'clean' END AS status
+       |       FROM documents),
+       |stg2 AS (SELECT cur.doc_id, cur.source, cur.n_tokens,
+       |           CASE WHEN qr.status = 'quarantined' THEN 'quarantined'
+       |                ELSE cur.stage END AS stage,
+       |           cur.split
+       |         FROM cur JOIN qr USING (doc_id)),
+       |kept2 AS (SELECT doc_id FROM stg2 WHERE stage = 'kept'),
+       |${mixtureCtesSql("kept2", "z")}
+       |SELECT stg2.doc_id, stg2.source, stg2.n_tokens, stg2.stage,
+       |       stg2.split,
+       |       CAST(COALESCE(zmix.n_copies, 0) AS BIGINT) AS n_copies
+       |FROM stg2 LEFT JOIN zmix ON stg2.doc_id = zmix.doc_id
+       |ORDER BY stg2.doc_id""".stripMargin
+
   private def gatedReleaseOracleSql: String =
     s"""WITH cur AS ($releaseExportOracleSql),
        |gate AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gate_failed
@@ -2057,6 +2217,9 @@ object Curation {
        |LIMIT $DSIR_TOPK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q149: q148's SQL VERBATIM — stream==batch is the contract
+    "q149_streaming_drift" -> Similarity.embeddingDriftOracleSql,
+
     "q126_quality_ks" ->
       s"""WITH d AS (SELECT COALESCE(source, '') AS source,
          |        (${TextAnalysis.QUALITY_SQL}) // 100 AS qb
@@ -2161,6 +2324,7 @@ object Curation {
     // verdict (one row) — the deliverable itself records whether its
     // inputs passed the ingestion expectations.
     "q142_gated_release" -> gatedReleaseOracleSql,
+    "q150_quarantined_release" -> quarantinedReleaseOracleSql,
 
     // q135 twin: see releaseChurnOracleSql (the composed release
     // statement evaluated twice, per-doc diffed).

@@ -439,14 +439,23 @@ object Similarity {
     */
   def embeddingDrift(embs: DataFrame): DataFrame = {
     val e = asDouble(embs)
-    val pb = e
+    driftFromComponents(e
       .select(pmod(col("vec_id"), lit(3L)).as("batch_id"),
         posexplode(col("emb")).as(Seq("pos", "x")))
       .select(col("batch_id"), col("pos"),
         floor(col("x") * 1000000 + lit(0.5)).cast("long").as("qx"))
       .groupBy("batch_id", "pos")
-      .agg(sum(col("qx")).as("sb"), count(lit(1)).as("nb"))
-      .persist() // ≤ #batches × dim rows — the one corpus pass
+      .agg(sum(col("qx")).as("sb"), count(lit(1)).as("nb")))
+  }
+
+  /** The q148 report tail over a per-batch component relation
+    * `(batch_id, pos, sb, nb)` — ONE definition shared by the batch
+    * query and the streaming-index readout (q149) so the two can never
+    * drift. `sb`/`nb` are [[centroidComponents]]' quantized sums, keyed
+    * by ingest batch.
+    */
+  private[operators] def driftFromComponents(pb0: DataFrame): DataFrame = {
+    val pb = pb0.persist() // ≤ #batches × dim rows — the one corpus pass
     val g = pb.groupBy("pos")
       .agg(sum(col("sb")).as("sc"), sum(col("nb")).as("nc"))
     val dd = pb.join(broadcast(g), Seq("pos"))
@@ -704,33 +713,10 @@ object Similarity {
 
     // q148 twin: identical quantization, residue split, exact-integer
     // cross products and `//` division; MAX(nb) is the batch's vector
-    // count under the same "has that dimension" definition
-    "q148_embedding_drift" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |px AS (SELECT vec_id % 3 AS batch_id, i - 1 AS pos,
-         |         CAST(FLOOR(emb[i] * 1000000 + 0.5) AS BIGINT) AS qx
-         |       FROM e, unnest(range(1, len(emb) + 1)) AS u(i)),
-         |pb AS (SELECT batch_id, pos, CAST(SUM(qx) AS BIGINT) AS sb,
-         |         CAST(COUNT(*) AS BIGINT) AS nb
-         |       FROM px GROUP BY 1, 2),
-         |g AS (SELECT pos, CAST(SUM(sb) AS BIGINT) AS sc,
-         |        CAST(SUM(nb) AS BIGINT) AS nc
-         |      FROM pb GROUP BY pos),
-         |dd AS (SELECT batch_id, pb.pos, nb,
-         |         ABS(sb * nc - sc * nb) // (nb * nc) AS d
-         |       FROM pb JOIN g ON pb.pos = g.pos),
-         |w AS (SELECT batch_id, CAST(pos AS BIGINT) AS worst_pos,
-         |        d AS max_drift_x1e6,
-         |        ROW_NUMBER() OVER (PARTITION BY batch_id
-         |          ORDER BY d DESC, pos) AS rn
-         |      FROM dd)
-         |SELECT dd.batch_id, CAST(MAX(dd.nb) AS BIGINT) AS n_vecs,
-         |  CAST(SUM(dd.d) AS BIGINT) AS l1_drift_x1e6,
-         |  ANY_VALUE(w.worst_pos) AS worst_pos,
-         |  CAST(ANY_VALUE(w.max_drift_x1e6) AS BIGINT) AS max_drift_x1e6
-         |FROM dd JOIN w ON dd.batch_id = w.batch_id AND w.rn = 1
-         |GROUP BY dd.batch_id
-         |ORDER BY dd.batch_id""".stripMargin,
+    // count under the same "has that dimension" definition. Shared
+    // VERBATIM by q149 (the index readout) — stream==batch is its
+    // contract.
+    "q148_embedding_drift" -> embeddingDriftOracleSql,
 
     "q124_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -921,4 +907,34 @@ object Similarity {
         |SELECT q_id, vec_id, cos_x1e4, rnk FROM ranked WHERE rnk <= 3
         |ORDER BY q_id, rnk""".stripMargin
   )
+
+  /** The q148/q149 shared oracle (q149 reads the same report off the
+    * streaming centroid index — one SQL, one contract).
+    */
+  private[operators] lazy val embeddingDriftOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |px AS (SELECT vec_id % 3 AS batch_id, i - 1 AS pos,
+       |         CAST(FLOOR(emb[i] * 1000000 + 0.5) AS BIGINT) AS qx
+       |       FROM e, unnest(range(1, len(emb) + 1)) AS u(i)),
+       |pb AS (SELECT batch_id, pos, CAST(SUM(qx) AS BIGINT) AS sb,
+       |         CAST(COUNT(*) AS BIGINT) AS nb
+       |       FROM px GROUP BY 1, 2),
+       |g AS (SELECT pos, CAST(SUM(sb) AS BIGINT) AS sc,
+       |        CAST(SUM(nb) AS BIGINT) AS nc
+       |      FROM pb GROUP BY pos),
+       |dd AS (SELECT batch_id, pb.pos, nb,
+       |         ABS(sb * nc - sc * nb) // (nb * nc) AS d
+       |       FROM pb JOIN g ON pb.pos = g.pos),
+       |w AS (SELECT batch_id, CAST(pos AS BIGINT) AS worst_pos,
+       |        d AS max_drift_x1e6,
+       |        ROW_NUMBER() OVER (PARTITION BY batch_id
+       |          ORDER BY d DESC, pos) AS rn
+       |      FROM dd)
+       |SELECT dd.batch_id, CAST(MAX(dd.nb) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(dd.d) AS BIGINT) AS l1_drift_x1e6,
+       |  ANY_VALUE(w.worst_pos) AS worst_pos,
+       |  CAST(ANY_VALUE(w.max_drift_x1e6) AS BIGINT) AS max_drift_x1e6
+       |FROM dd JOIN w ON dd.batch_id = w.batch_id AND w.rn = 1
+       |GROUP BY dd.batch_id
+       |ORDER BY dd.batch_id""".stripMargin
 }

@@ -90,6 +90,54 @@ class ReleaseExportSpec extends AnyFunSuite {
       pairs.forall { case (a, b) => splitOf(a) == splitOf(b) })
   }
 
+  test("q150: quarantined rows override every release stage, weights are " +
+    "re-planned over the clean kept set through the shared mixture " +
+    "kernel, and an all-clean route reproduces q132 verbatim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = graft.sources.Tables.documents(spark, D)
+    val q150 = SparkEntry.queries("q150_quarantined_release")(spark, D)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    val route = Expectations.quarantineRoute("documents", docs, "doc_id",
+        Expectations.corpusDocChecks)
+      .collect().map(r => (r.getLong(1), r.getString(4))).toMap
+    val q132m = q132.map(r => r._1 -> r).toMap
+    assert(q150.length === q132.length, "every export row must be routed")
+    q150.foreach { r =>
+      if (route(r._1) == "quarantined")
+        assert(r._4 === "quarantined", s"doc ${r._1} must be diverted")
+      else assert(r._4 === q132m(r._1)._4,
+        s"clean doc ${r._1} must keep q132's stage")
+    }
+    assert(q150.exists(_._4 == "quarantined"),
+      "the fixture ceiling rule must quarantine (the q139 demo convention)")
+    // weights land only on kept rows, and equal the mixture RE-PLANNED
+    // over the clean kept set through the shared q120 kernel
+    assert(q150.filter(_._4 != "kept").forall(_._6 == 0L),
+      "diverted/removed rows must carry zero mixture weight")
+    val keptDf = q150.filter(_._4 == "kept").map(_._1).toSeq.toDF("doc_id")
+    val want = TextAnalysis.mixtureMaterialize(docs.join(keptDf, "doc_id"))
+      .select("doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q150.filter(_._4 == "kept").foreach { r =>
+      assert(r._6 === want.getOrElse(r._1, 0L),
+        s"kept doc ${r._1} weight must come from the re-planned mixture")
+    }
+    // an all-clean route must reproduce q132 verbatim, weights included
+    val cleanRoute = docs.select(lit("documents").as("table_name"),
+      col("doc_id").as("row_key"), lit(0L).as("n_failed"),
+      lit("").as("failed"), lit("clean").as("status"))
+    val repro = Curation.quarantinedReleaseExport(docs,
+        SparkEntry.queries("q132_release_export")(spark, D), cleanRoute)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(repro.toSeq === q132.toSeq,
+      "a clean gate must leave the export untouched")
+  }
+
   test("q142: a failing ingestion gate flags EVERY export row blocked; " +
     "a clean gate ships clear — and the export body is q132 verbatim") {
     import spark.implicits._

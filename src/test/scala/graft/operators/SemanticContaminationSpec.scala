@@ -102,6 +102,33 @@ class SemanticContaminationSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("q149: the drift report off the streaming centroid index equals " +
+    "the batch q148 row for row, and replaying a batch is idempotent — " +
+    "the dim-sized partials the stream keeps for q124 already carry the " +
+    "drift history") {
+    val e = Tables.embeddings(spark, D)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-centdrift").toString
+    (0 until 3).foreach { i =>
+      Curation.centroidIngestBatch(
+        e.filter(pmod(col("vec_id"), lit(3L)) === i), i.toLong, dir)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = rows(Similarity.embeddingDrift(e))
+    assert(rows(Curation.embeddingDriftFromIndex(spark, dir)) === want,
+      "index readout must equal the batch drift report")
+    // replay: re-running the last micro-batch overwrites its own dir
+    Curation.centroidIngestBatch(
+      e.filter(pmod(col("vec_id"), lit(3L)) === 2), 2L, dir)
+    assert(rows(Curation.embeddingDriftFromIndex(spark, dir)) === want,
+      "replaying a batch must be idempotent")
+    // the catalog's artifact-backed path converges to the same relation
+    assert(rows(Curation.streamingEmbeddingDrift(spark, D)) === want,
+      "q149 must equal q148 row for row")
+  }
+
   test("hard negatives: k per anchor, never the anchor's label, and the " +
     "distributed top-k equals a driver-side brute force per anchor") {
     val e = Tables.embeddings(spark, D)
