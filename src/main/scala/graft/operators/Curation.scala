@@ -978,8 +978,17 @@ object Curation {
       require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
         s"could not publish $tmp under $base")
       fs.delete(marker, false)
+      // permanent record (underscore-prefixed: invisible to the parquet
+      // readers): compaction erases batch identity, and the per-batch
+      // consumers ([[embeddingDriftFromIndex]]) must refuse this index
+      // loudly instead of reporting one merged batch with ~zero drift
+      val done = fs.create(
+        new org.apache.hadoop.fs.Path(base, COMPACTED_RECORD), true)
+      try done.write(s"$upToBatch\n".getBytes("UTF-8")) finally done.close()
     }
   }
+
+  private[operators] val COMPACTED_RECORD = "_COMPACTED"
 
   /** The q124 report off a centroid index: the identical
     * [[Similarity.outliersAgainst]] tail over the merged components.
@@ -1007,13 +1016,34 @@ object Curation {
     * read the same dirs summed ([[centroidFromIndex]] works on either).
     */
   def embeddingDriftFromIndex(spark: SparkSession,
-                              centDir: String): DataFrame =
+                              centDir: String): DataFrame = {
+    // enforce the uncompacted-index contract, not just document it: a
+    // compacted index (a supported q124 state) has one merged batch=0 —
+    // reading it here would silently report a single batch with ~zero
+    // drift, and a CRASHED compaction (tmp/marker present) is a
+    // mixed/duplicated tree. Both misuses fail loudly instead.
+    val base = new org.apache.hadoop.fs.Path(centDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(base)) {
+      require(!fs.exists(new org.apache.hadoop.fs.Path(base, COMPACT_TMP)) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(base, COMPACT_MARKER)),
+        s"embeddingDriftFromIndex($centDir): a compaction is in flight or " +
+          "crashed (compact tmp/marker present) — run centroidFromIndex " +
+          "(which recovers it) for the summed centroid, or finish the " +
+          "compaction; the drift readout would see a mixed tree")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(base, COMPACTED_RECORD)),
+        s"embeddingDriftFromIndex($centDir): this index was compacted " +
+          "(batch identity erased) — drift is a per-batch readout and " +
+          "needs the uncompacted per-batch dirs; keep a drift-feeding " +
+          "index uncompacted (q124's centroidFromIndex reads it summed)")
+    }
     Similarity.driftFromComponents(
       spark.read.option("basePath", centDir).parquet(centDir)
         .select(col("batch").cast("long").as("batch_id"), col("pos"),
           col("sq").as("sb"), col("n").as("nb"))
         .groupBy("batch_id", "pos")
         .agg(sum(col("sb")).as("sb"), sum(col("nb")).as("nb")))
+  }
 
   /** The q149 catalog relation: the drift report off a content-keyed
     * build-once centroid index fed by the `vec_id % 3` residue batches
@@ -1338,7 +1368,19 @@ object Curation {
                                route: DataFrame): DataFrame = {
     val q = route.filter(col("table_name") === "documents")
       .select(col("row_key").as("doc_id"), col("status"))
-    val staged = export.join(q, Seq("doc_id"))
+    // LEFT join + loud per-row failure on a coverage gap: with an inner
+    // join a stale/partial route would silently DROP export rows from the
+    // release relation (no error, a smaller deliverable). The route must
+    // cover every export row; raise_error keeps the check row-local (no
+    // extra pass) and only ever evaluates on the violating row.
+    val staged = export.join(q, Seq("doc_id"), "left")
+      .withColumn("status", when(col("status").isNull,
+          raise_error(concat(
+            lit("quarantinedReleaseExport: quarantine route has no row for " +
+              "doc_id "), col("doc_id").cast("string"),
+            lit(" — a partial/stale route cannot silently remove documents " +
+              "from the export"))).cast("string"))
+        .otherwise(col("status")))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         when(col("status") === "quarantined", lit("quarantined"))
           .otherwise(col("stage")).as("stage"),

@@ -138,6 +138,26 @@ class ReleaseExportSpec extends AnyFunSuite {
       "a clean gate must leave the export untouched")
   }
 
+  test("q150 guard: a PARTIAL route fails loudly instead of silently " +
+    "shrinking the release relation") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, D)
+    val full = Expectations.quarantineRoute("documents", docs, "doc_id",
+      Expectations.corpusDocChecks)
+    val partial = full.filter(col("row_key") =!= full
+      .select("row_key").orderBy("row_key").limit(1)
+      .collect()(0).getLong(0))
+    val ex = intercept[Exception] {
+      Curation.quarantinedReleaseExport(docs,
+        SparkEntry.queries("q132_release_export")(spark, D), partial)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("quarantine route has no row")),
+      s"expected the coverage-gap error, got: $ex")
+  }
+
   test("q142: a failing ingestion gate flags EVERY export row blocked; " +
     "a clean gate ships clear — and the export body is q132 verbatim") {
     import spark.implicits._

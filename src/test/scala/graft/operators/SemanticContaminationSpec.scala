@@ -127,6 +127,31 @@ class SemanticContaminationSpec extends AnyFunSuite {
     // the catalog's artifact-backed path converges to the same relation
     assert(rows(Curation.streamingEmbeddingDrift(spark, D)) === want,
       "q149 must equal q148 row for row")
+    // guard: a COMPACTED index (batch identity erased — a supported q124
+    // state) must be refused loudly, not read as one ~zero-drift batch;
+    // and a crashed compaction (tmp/marker present) likewise
+    Curation.compactCentroidIndex(spark, dir, upToBatch = 3)
+    val exC = intercept[IllegalArgumentException] {
+      Curation.embeddingDriftFromIndex(spark, dir)
+    }
+    assert(exC.getMessage.contains("compacted"),
+      s"expected the compacted-index refusal, got: $exC")
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-centdrift2").toString
+    (0 until 2).foreach { i =>
+      Curation.centroidIngestBatch(
+        e.filter(pmod(col("vec_id"), lit(3L)) === i), i.toLong, dir2)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mk = fs.create(
+      new org.apache.hadoop.fs.Path(dir2, ".compact-commit"), true)
+    try mk.write("2\n".getBytes("UTF-8")) finally mk.close()
+    val exM = intercept[IllegalArgumentException] {
+      Curation.embeddingDriftFromIndex(spark, dir2)
+    }
+    assert(exM.getMessage.contains("in flight or"),
+      s"expected the crashed-compaction refusal, got: $exM")
   }
 
   test("hard negatives: k per anchor, never the anchor's label, and the " +
