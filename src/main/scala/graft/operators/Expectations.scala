@@ -929,6 +929,181 @@ object Expectations {
       }
     }
 
+  // ------------------------------------------------------------------
+  // KEYED row-level quarantine (round-16 rung) — q145/q146 cover scalar
+  // rules only, but a real ingest gate must also divert the
+  // SECOND-AND-LATER COPIES of a duplicated key (Unique) and the
+  // DANGLING-FK facts (RefIn): both violation classes have row identity
+  // too. Batch twins below; the streaming form ([[keyedRouteFromStore]])
+  // reads the keyed-audit key-count stores — which already hold exactly
+  // the state needed — and never rescans the raw table.
+  // ------------------------------------------------------------------
+
+  /** q151: the keyed companion to [[violationRows]]: one `(table_name,
+    * constraint, row_key)` row per PHYSICAL ROW violating a Unique or
+    * RefIn rule — every copy of a duplicated key (the batch [[audit]]
+    * counts ALL copies of a cnt>1 group as violations, and this relation
+    * pins that membership row-for-row: its per-constraint count equals
+    * the audit's `n_violations`), and every fact row whose key misses the
+    * referenced set (a NULL key violates — the strict RefIn semantics).
+    *
+    * `keyCol` is the table's row-identity column; for a table with no
+    * row identity beyond the audited key itself (lineitem), the key IS
+    * the row_key and multiplicity carries "how many copies".
+    *
+    * Scale shape: one key-shuffle per Unique rule (a window count over
+    * the key — the same shuffle the audit pays, but retaining the
+    * violating rows) and one join per RefIn rule; output
+    * violation-sized.
+    */
+  def keyedViolationRows(table: String, df: DataFrame, keyCol: String,
+                         uniques: Seq[Unique], refs: Seq[RefIn]): DataFrame = {
+    require(uniques.nonEmpty || refs.nonEmpty,
+      s"keyedViolationRows('$table'): no keyed rules")
+    import org.apache.spark.sql.expressions.Window
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    uniques.foreach { u =>
+      val w = Window.partitionBy(u.cols.map(col): _*)
+      parts += df
+        .select(col(keyCol).as("row_key"),
+          count(lit(1)).over(w).as("__cnt"))
+        .filter(col("__cnt") > 1)
+        .select(lit(table).as("table_name"), lit(u.name).as("constraint"),
+          col("row_key"))
+    }
+    refs.foreach { r =>
+      val refKeys = r.ref.select(col(r.refCol).as("__ref_key")).distinct()
+      parts += df.select(col(keyCol).as("row_key"), col(r.col).as("__key"))
+        .join(refKeys, col("__key") === col("__ref_key"), "left_anti")
+        .select(lit(table).as("table_name"), lit(r.name).as("constraint"),
+          col("row_key"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** q152: the COMPLETE row-level gate route — [[quarantineRoute]]
+    * extended with the keyed rule classes, i.e. the relation an ingest
+    * actually splits on when its suite carries scalar AND Unique AND
+    * RefIn rules: every physical row labeled `clean`/`quarantined` with
+    * the failure count and the name-sorted failed-constraint list.
+    *
+    * Unique semantics ("divert the second-and-later copies"): within a
+    * duplicated key, copies rank by their NON-UNIQUE failure signature
+    * (failure count, then the name-sorted label list) so the CLEANEST
+    * copy is the one kept — a deterministic multiset: copies with equal
+    * signatures are interchangeable rows, and differing copies order
+    * deterministically. The kept copy carries no unique failure; every
+    * later copy does. RefIn failures are row-local flags (NULL key
+    * fails).
+    *
+    * Scale shape: scalar + RefIn flags ride one column-pruned scan (one
+    * key join per RefIn rule, AQE-broadcast for dim-sized reference
+    * sets); each Unique rule adds one key-shuffled window — the same
+    * shuffle its audit pays. Output = #rows, labeled.
+    */
+  def keyedQuarantineRoute(table: String, df: DataFrame, keyCol: String,
+                           checks: Seq[Check], uniques: Seq[Unique],
+                           refs: Seq[RefIn]): DataFrame = {
+    require(checks.nonEmpty || uniques.nonEmpty || refs.nonEmpty,
+      s"keyedQuarantineRoute('$table'): no rules")
+    import org.apache.spark.sql.expressions.Window
+    // RefIn presence markers: one left join per rule on the distinct
+    // referenced keys (=== not <=>: a NULL fact key matches nothing)
+    val withRefs = refs.zipWithIndex.foldLeft(df) { case (acc, (r, i)) =>
+      val rk = r.ref.select(col(r.refCol).as(s"__rk$i")).distinct()
+        .withColumn(s"__rp$i", lit(1))
+      acc.join(rk, acc(r.col) === rk(s"__rk$i"), "left").drop(s"__rk$i")
+    }
+    val scalarPairs = checks.map(c =>
+      (c.name, when(c.ok, lit(0L)).otherwise(lit(1L))))
+    val refPairs = refs.zipWithIndex.map { case (r, i) =>
+      (r.name, when(col(s"__rp$i").isNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val otherPairs = (scalarPairs ++ refPairs).sortBy(_._1)
+    val nfOther = otherPairs.map(_._2).reduceOption(_ + _).getOrElse(lit(0L))
+    val failedOther = concat_ws(",", otherPairs.map { case (n, f) =>
+      when(f === 1L, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*)
+    val sig = withRefs.withColumn("__nfo", nfOther)
+      .withColumn("__sfo", failedOther)
+    val withU = uniques.zipWithIndex.foldLeft(sig) { case (acc, (u, i)) =>
+      val w = Window.partitionBy(u.cols.map(col): _*)
+        .orderBy(col("__nfo"), col("__sfo"))
+      acc.withColumn(s"__uf$i",
+        (row_number().over(w) > 1).cast("long"))
+    }
+    val uniquePairs = uniques.zipWithIndex.map { case (u, i) =>
+      (u.name, col(s"__uf$i"))
+    }
+    val sorted = (scalarPairs ++ refPairs ++ uniquePairs).sortBy(_._1)
+    val nFailed = sorted.map(_._2).reduce(_ + _)
+    val failed = concat_ws(",", sorted.map { case (n, f) =>
+      when(f === 1L, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*)
+    withU
+      .select(col(keyCol).as("row_key"), nFailed.as("n_failed"),
+        failed.as("failed"))
+      .select(lit(table).as("table_name"), col("row_key"), col("n_failed"),
+        col("failed"),
+        when(col("n_failed") === 0, lit("clean"))
+          .otherwise(lit("quarantined")).as("status"))
+  }
+
+  /** q153: the KEYED route read off a keyed-audit ingest's stores — the
+    * streaming form of [[keyedQuarantineRoute]]'s Unique/RefIn classes.
+    * The key-count stores already hold (key, cnt) partials and the
+    * referenced key set, so the route never rescans the raw table: per
+    * key, `explode(sequence(1, cnt))` reconstitutes the copies (1 clean
+    * + cnt-1 quarantined under a duplicated Unique key — exactly the
+    * batch twin's multiset, which among indistinguishable copies is the
+    * whole truth), and RefIn membership is one anti-join of compact key
+    * partials decided at readout — exact under late reference arrivals
+    * (the [[keyedAuditFromStore]] rule).
+    *
+    * Scale shape: reads are (distinct-key)-sized partial relations, one
+    * key shuffle to merge partials, one join per RefIn rule, and an
+    * output-sized generate — never a corpus rescan.
+    */
+  def keyedRouteFromStore(spark: SparkSession, table: String, root: String,
+                          uniques: Seq[Unique],
+                          refs: Seq[RefStream]): DataFrame = {
+    require(uniques.nonEmpty || refs.nonEmpty,
+      s"keyedRouteFromStore('$table'): no keyed rules")
+    val keySets = (uniques.map(_.cols) ++ refs.map(r => Seq(r.col))).distinct
+    require(keySets.size == 1 && keySets.head.size == 1,
+      s"keyedRouteFromStore('$table'): all keyed rules must share one " +
+        "single-column key set (the table's audited key) — rules on " +
+        s"${keySets.mkString(", ")} have no shared row identity in the store")
+    val cols = keySets.head
+    val acc = readStore(spark, keyStoreDir(root, cols), Long.MaxValue,
+        None, 1)
+      .groupBy("k0").agg(sum(col("cnt")).as("cnt"))
+    val withRefs = refs.zipWithIndex.foldLeft(acc) { case (a, (r, i)) =>
+      val rk = readStore(spark, r.refStore, Long.MaxValue, None, 1)
+        .select(col("k0").as(s"__rk$i")).distinct()
+        .withColumn(s"__rp$i", lit(1))
+      a.join(rk, a("k0") === rk(s"__rk$i"), "left").drop(s"__rk$i")
+    }
+    val copies = withRefs.withColumn("__copy",
+      explode(sequence(lit(1L), col("cnt"))))
+    val pairs = (uniques.map(u =>
+        (u.name, when(col("__copy") > 1, lit(1L)).otherwise(lit(0L)))) ++
+      refs.zipWithIndex.map { case (r, i) =>
+        (r.name, when(col(s"__rp$i").isNull, lit(1L)).otherwise(lit(0L)))
+      }).sortBy(_._1)
+    val nFailed = pairs.map(_._2).reduce(_ + _)
+    val failed = concat_ws(",", pairs.map { case (n, f) =>
+      when(f === 1L, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*)
+    copies
+      .select(col("k0").as("row_key"), nFailed.as("n_failed"),
+        failed.as("failed"))
+      .select(lit(table).as("table_name"), col("row_key"), col("n_failed"),
+        col("failed"),
+        when(col("n_failed") === 0, lit("clean"))
+          .otherwise(lit("quarantined")).as("status"))
+  }
+
   /** q138: the snapshot-gate audit over the warehouse tables — the
     * constraint suite a pipeline would run before trusting an ingested
     * snapshot. Two rules are deliberately strict enough to FAIL on this
@@ -936,27 +1111,130 @@ object Expectations {
     * false by construction), so the audit demonstrably surfaces
     * violations rather than vacuously passing.
     */
+  /** The q138 warehouse rule sets, named once so the audit (q138), the
+    * keyed row-level relations (q151/q152) and the streaming keyed route
+    * (q153) evaluate the SAME constraints — the corpusDocChecks
+    * convention applied to the warehouse gate.
+    */
+  private[graft] val ordersChecks: Seq[Check] = Seq(
+    notNull("o_custkey"),
+    inSet("o_orderstatus", Seq("O", "F", "P")),
+    between("o_totalprice", 0.0, 400000.0))
+  private[graft] val ordersUniques: Seq[Unique] =
+    Seq(Unique("unique:o_orderkey", Seq("o_orderkey")))
+  private[graft] val lineitemChecks: Seq[Check] =
+    Seq(between("l_quantity", 1.0, 50.0))
+  private[graft] val lineitemUniques: Seq[Unique] =
+    Seq(Unique("unique:l_orderkey", Seq("l_orderkey")))
+  private[graft] val LI_REF_NAME = "ref:l_orderkey->orders.o_orderkey"
+  private[graft] val customerChecks: Seq[Check] = Seq(notNull("c_mktsegment"))
+  private[graft] val CUST_REF_NAME = "ref:c_nationkey->nation.n_nationkey"
+
   def warehouseAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
     val lineitem = Tables.lineitem(spark, sfDir)
     val customer = Tables.customer(spark, sfDir)
     val nation = Tables.nation(spark, sfDir)
-    audit("orders", orders, Seq(
-        notNull("o_custkey"),
-        Unique("unique:o_orderkey", Seq("o_orderkey")),
-        inSet("o_orderstatus", Seq("O", "F", "P")),
-        between("o_totalprice", 0.0, 400000.0)))
-      .unionByName(audit("lineitem", lineitem, Seq(
-        between("l_quantity", 1.0, 50.0),
-        Unique("unique:l_orderkey", Seq("l_orderkey")),
-        RefIn("ref:l_orderkey->orders.o_orderkey", "l_orderkey", orders,
-          "o_orderkey"))))
-      .unionByName(audit("customer", customer, Seq(
-        notNull("c_mktsegment"),
-        RefIn("ref:c_nationkey->nation.n_nationkey", "c_nationkey", nation,
-          "n_nationkey"))))
+    audit("orders", orders, ordersChecks ++ ordersUniques)
+      .unionByName(audit("lineitem", lineitem,
+        lineitemChecks ++ lineitemUniques :+
+          RefIn(LI_REF_NAME, "l_orderkey", orders, "o_orderkey")))
+      .unionByName(audit("customer", customer,
+        customerChecks :+
+          RefIn(CUST_REF_NAME, "c_nationkey", nation, "n_nationkey")))
       .orderBy("table_name", "constraint")
   }
+
+  /** The q151 catalog relation: keyed row-level violations over the
+    * warehouse gate's Unique/RefIn rules — populated by construction
+    * (lineitem's one-row-per-order rule is false on this data, so every
+    * multi-line order's copies surface), membership spec-pinned equal to
+    * q138's per-rule `n_violations`.
+    */
+  def warehouseKeyedViolationRows(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    keyedViolationRows("orders", orders, "o_orderkey", ordersUniques, Nil)
+      .unionByName(keyedViolationRows("lineitem",
+        Tables.lineitem(spark, sfDir), "l_orderkey", lineitemUniques,
+        Seq(RefIn(LI_REF_NAME, "l_orderkey", orders, "o_orderkey"))))
+      .unionByName(keyedViolationRows("customer",
+        Tables.customer(spark, sfDir), "c_custkey", Nil,
+        Seq(RefIn(CUST_REF_NAME, "c_nationkey", Tables.nation(spark, sfDir),
+          "n_nationkey"))))
+      .orderBy("table_name", "constraint", "row_key")
+  }
+
+  /** The q152 catalog relation: the complete row-level gate route
+    * (scalar + Unique + RefIn) over the warehouse tables — q138's whole
+    * rule suite as the split relation an ingest diverts on. The final
+    * order includes (n_failed, failed) so duplicated row_keys (copies
+    * with different verdicts) order totally.
+    */
+  def warehouseRowGateRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    keyedQuarantineRoute("orders", orders, "o_orderkey", ordersChecks,
+        ordersUniques, Nil)
+      .unionByName(keyedQuarantineRoute("lineitem",
+        Tables.lineitem(spark, sfDir), "l_orderkey", lineitemChecks,
+        lineitemUniques,
+        Seq(RefIn(LI_REF_NAME, "l_orderkey", orders, "o_orderkey"))))
+      .unionByName(keyedQuarantineRoute("customer",
+        Tables.customer(spark, sfDir), "c_custkey", customerChecks, Nil,
+        Seq(RefIn(CUST_REF_NAME, "c_nationkey", Tables.nation(spark, sfDir),
+          "n_nationkey"))))
+      .orderBy("table_name", "row_key", "n_failed", "failed")
+  }
+
+  /** q153: the keyed route read off STREAMING keyed-audit stores —
+    * orders and lineitem folded in three residue batches (lineitem split
+    * on `(4·l_orderkey + l_linenumber) mod 3`, so the copies of one
+    * order land in DIFFERENT batches: the cross-batch duplicates a
+    * per-batch monitor would miss are the catalog case itself, not just
+    * a spec plant), then the route reconstituted from the key-count
+    * stores alone. The oracle is the batch keyed route's SQL — the
+    * stream==batch contract over state that never rescans raw rows.
+    */
+  def streamingWarehouseKeyedRoute(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val root = ensureWarehouseKeyedState(spark, sfDir)
+    keyedRouteFromStore(spark, "orders", s"$root/orders", ordersUniques, Nil)
+      .unionByName(keyedRouteFromStore(spark, "lineitem", s"$root/lineitem",
+        lineitemUniques,
+        Seq(RefStream(LI_REF_NAME, "l_orderkey",
+          keyStoreDir(s"$root/orders", Seq("o_orderkey"))))))
+      .orderBy("table_name", "row_key", "n_failed", "failed")
+  }
+
+  private[graft] def ensureWarehouseKeyedState(spark: SparkSession,
+                                               sfDir: String): String =
+    DedupArtifacts.cachedDir(s"whkaudit|$sfDir") {
+      val orders = Tables.orders(spark, sfDir)
+      val lineitem = Tables.lineitem(spark, sfDir)
+      def fp(df: DataFrame, k: String, k2: String): String = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(col(k)), lit(0L)),
+          coalesce(expr(s"bit_xor(xxhash64($k, $k2))"), lit(0L))).collect()(0)
+        s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+      }
+      val key = s"whkaudit|${fp(orders, "o_orderkey", "o_custkey")}|" +
+        s"${fp(lineitem, "l_orderkey", "l_linenumber")}|v=1"
+      DedupArtifacts.ensureTree(key) { stage =>
+        (0 until 3).foreach { i =>
+          keyedAuditIngestBatch(
+            orders.filter(pmod(col("o_orderkey"), lit(3L)) === i), i.toLong,
+            s"$stage/orders", Nil, ordersUniques, Nil)
+        }
+        (0 until 3).foreach { i =>
+          keyedAuditIngestBatch(
+            lineitem.filter(pmod(col("l_orderkey") * 4 + col("l_linenumber"),
+              lit(3L)) === i), i.toLong,
+            s"$stage/lineitem", Nil, lineitemUniques,
+            Seq(RefStream(LI_REF_NAME, "l_orderkey",
+              keyStoreDir(s"$stage/orders", Seq("o_orderkey")))))
+        }
+      }
+    }
 
   /** q139: the CORPUS-INGESTION gate — the same audit machinery applied
     * to the training corpus and its embeddings, i.e. the checks a
@@ -1107,7 +1385,17 @@ object Expectations {
     // Q147: the quarantine relation off the streaming channels (see
     // [[streamingQuarantine]]); oracle shared VERBATIM with q145 —
     // stream==batch is the contract.
-    "q147_streaming_quarantine" -> ((s, d) => streamingQuarantine(s, d)))
+    "q147_streaming_quarantine" -> ((s, d) => streamingQuarantine(s, d)),
+    // Q151: keyed row-level violations (see [[keyedViolationRows]]).
+    "q151_keyed_violation_rows" -> ((s, d) =>
+      warehouseKeyedViolationRows(s, d)),
+    // Q152: the complete row-level gate route (see
+    // [[keyedQuarantineRoute]]).
+    "q152_row_gate_route" -> ((s, d) => warehouseRowGateRoute(s, d)),
+    // Q153: the keyed route off the streaming keyed-audit stores (see
+    // [[streamingWarehouseKeyedRoute]]); stream==batch is the contract.
+    "q153_streaming_keyed_route" -> ((s, d) =>
+      streamingWarehouseKeyedRoute(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -1197,6 +1485,126 @@ object Expectations {
          |       CASE WHEN n_failed = 0 THEN 'clean' ELSE 'quarantined' END AS status
          |FROM d
          |ORDER BY table_name, row_key""".stripMargin,
+
+    // q151 twin: all copies of a duplicated key (window count) + every
+    // dangling/NULL fact key (NOT EXISTS), one row per physical row
+    "q151_keyed_violation_rows" ->
+      s"""WITH rows_all AS (
+         |  SELECT 'orders' AS table_name, 'unique:o_orderkey' AS "constraint", o_orderkey AS row_key
+         |  FROM (SELECT o_orderkey, COUNT(*) OVER (PARTITION BY o_orderkey) AS c FROM orders) WHERE c > 1
+         |  UNION ALL
+         |  SELECT 'lineitem', 'unique:l_orderkey', l_orderkey
+         |  FROM (SELECT l_orderkey, COUNT(*) OVER (PARTITION BY l_orderkey) AS c FROM lineitem) WHERE c > 1
+         |  UNION ALL
+         |  SELECT 'lineitem', 'ref:l_orderkey->orders.o_orderkey', l_orderkey
+         |  FROM lineitem l WHERE l.l_orderkey IS NULL OR NOT EXISTS
+         |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         |  UNION ALL
+         |  SELECT 'customer', 'ref:c_nationkey->nation.n_nationkey', c_custkey
+         |  FROM customer c WHERE c.c_nationkey IS NULL OR NOT EXISTS
+         |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+         |SELECT table_name, "constraint", row_key FROM rows_all
+         |ORDER BY table_name, "constraint", row_key""".stripMargin,
+
+    // q152 twin: scalar + RefIn flags row-local; the unique flag by
+    // row_number per key ordered by the non-unique failure signature
+    // (cleanest copy kept) — the multiset is deterministic because
+    // equal-signature copies are indistinguishable rows
+    "q152_row_gate_route" ->
+      s"""WITH o1 AS (
+         |  SELECT o_orderkey AS row_key,
+         |    CASE WHEN (o_orderstatus IN ('O','F','P')) IS NOT TRUE THEN 1 ELSE 0 END AS f_in,
+         |    CASE WHEN (o_custkey IS NOT NULL) IS NOT TRUE THEN 1 ELSE 0 END AS f_nn,
+         |    CASE WHEN (o_totalprice >= 0.0 AND o_totalprice <= 400000.0) IS NOT TRUE THEN 1 ELSE 0 END AS f_rg
+         |  FROM orders),
+         |o2 AS (
+         |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY row_key
+         |      ORDER BY f_in + f_nn + f_rg,
+         |        CONCAT_WS(',', CASE WHEN f_in = 1 THEN 'in_set:o_orderstatus' END,
+         |                       CASE WHEN f_nn = 1 THEN 'not_null:o_custkey' END,
+         |                       CASE WHEN f_rg = 1 THEN 'range:o_totalprice' END)) > 1
+         |    THEN 1 ELSE 0 END AS f_u
+         |  FROM o1),
+         |ot AS (
+         |  SELECT 'orders' AS table_name, row_key,
+         |    CAST(f_in + f_nn + f_rg + f_u AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',', CASE WHEN f_in = 1 THEN 'in_set:o_orderstatus' END,
+         |                   CASE WHEN f_nn = 1 THEN 'not_null:o_custkey' END,
+         |                   CASE WHEN f_rg = 1 THEN 'range:o_totalprice' END,
+         |                   CASE WHEN f_u = 1 THEN 'unique:o_orderkey' END) AS failed
+         |  FROM o2),
+         |l1 AS (
+         |  SELECT l_orderkey AS row_key,
+         |    CASE WHEN (l_quantity >= 1.0 AND l_quantity <= 50.0) IS NOT TRUE THEN 1 ELSE 0 END AS f_rg,
+         |    CASE WHEN l.l_orderkey IS NULL OR NOT EXISTS
+         |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END AS f_ref
+         |  FROM lineitem l),
+         |l2 AS (
+         |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY row_key
+         |      ORDER BY f_rg + f_ref,
+         |        CONCAT_WS(',', CASE WHEN f_rg = 1 THEN 'range:l_quantity' END,
+         |                       CASE WHEN f_ref = 1 THEN 'ref:l_orderkey->orders.o_orderkey' END)) > 1
+         |    THEN 1 ELSE 0 END AS f_u
+         |  FROM l1),
+         |lt AS (
+         |  SELECT 'lineitem' AS table_name, row_key,
+         |    CAST(f_rg + f_ref + f_u AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',', CASE WHEN f_rg = 1 THEN 'range:l_quantity' END,
+         |                   CASE WHEN f_ref = 1 THEN 'ref:l_orderkey->orders.o_orderkey' END,
+         |                   CASE WHEN f_u = 1 THEN 'unique:l_orderkey' END) AS failed
+         |  FROM l2),
+         |c1 AS (
+         |  SELECT c_custkey AS row_key,
+         |    CASE WHEN (c_mktsegment IS NOT NULL) IS NOT TRUE THEN 1 ELSE 0 END AS f_nn,
+         |    CASE WHEN c.c_nationkey IS NULL OR NOT EXISTS
+         |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) THEN 1 ELSE 0 END AS f_ref
+         |  FROM customer c),
+         |ct AS (
+         |  SELECT 'customer' AS table_name, row_key,
+         |    CAST(f_nn + f_ref AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',', CASE WHEN f_nn = 1 THEN 'not_null:c_mktsegment' END,
+         |                   CASE WHEN f_ref = 1 THEN 'ref:c_nationkey->nation.n_nationkey' END) AS failed
+         |  FROM c1),
+         |rows_all AS (SELECT * FROM ot UNION ALL SELECT * FROM lt
+         |             UNION ALL SELECT * FROM ct)
+         |SELECT table_name, row_key, n_failed, failed,
+         |       CASE WHEN n_failed = 0 THEN 'clean' ELSE 'quarantined' END AS status
+         |FROM rows_all
+         |ORDER BY table_name, row_key, n_failed, failed""".stripMargin,
+
+    // q153 twin: the keyed-only route (Unique + RefIn) over orders +
+    // lineitem — what the store readout must reconstitute without ever
+    // rescanning the raw tables; stream==batch is the contract
+    "q153_streaming_keyed_route" ->
+      s"""WITH o2 AS (
+         |  SELECT o_orderkey AS row_key,
+         |    CASE WHEN row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderkey) > 1
+         |      THEN 1 ELSE 0 END AS f_u
+         |  FROM orders),
+         |ot AS (
+         |  SELECT 'orders' AS table_name, row_key, CAST(f_u AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',', CASE WHEN f_u = 1 THEN 'unique:o_orderkey' END) AS failed
+         |  FROM o2),
+         |l1 AS (
+         |  SELECT l_orderkey AS row_key,
+         |    CASE WHEN l.l_orderkey IS NULL OR NOT EXISTS
+         |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END AS f_ref
+         |  FROM lineitem l),
+         |l2 AS (
+         |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY row_key ORDER BY f_ref) > 1
+         |    THEN 1 ELSE 0 END AS f_u
+         |  FROM l1),
+         |lt AS (
+         |  SELECT 'lineitem' AS table_name, row_key,
+         |    CAST(f_ref + f_u AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',', CASE WHEN f_ref = 1 THEN 'ref:l_orderkey->orders.o_orderkey' END,
+         |                   CASE WHEN f_u = 1 THEN 'unique:l_orderkey' END) AS failed
+         |  FROM l2),
+         |rows_all AS (SELECT * FROM ot UNION ALL SELECT * FROM lt)
+         |SELECT table_name, row_key, n_failed, failed,
+         |       CASE WHEN n_failed = 0 THEN 'clean' ELSE 'quarantined' END AS status
+         |FROM rows_all
+         |ORDER BY table_name, row_key, n_failed, failed""".stripMargin,
 
     // q143 twin: every batch's rows re-derived from the residue classes —
     // scalar sums per class, uniqueness/FK as PREFIX-CUMULATIVE counts

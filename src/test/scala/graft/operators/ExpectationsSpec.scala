@@ -525,4 +525,147 @@ class ExpectationsSpec extends AnyFunSuite {
     // pass rows really have zero violations and vice versa
     assert(got.forall(r => (r._4 == 0L) == (r._5 == "pass")))
   }
+
+  test("q151: keyed violation-row membership equals the audit's " +
+    "n_violations per Unique/RefIn rule, copy for copy") {
+    val audit = rows(Expectations.warehouseAudit(spark, D))
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val v = Expectations.warehouseKeyedViolationRows(spark, D).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val counts = v.groupBy(r => (r._1, r._2)).view.mapValues(_.length.toLong)
+    // every keyed rule of the warehouse suite appears with EXACTLY the
+    // audit's violation count (zero-count rules are legitimately absent
+    // from a violation-rows relation)
+    val keyedRules = Seq(("orders", "unique:o_orderkey"),
+      ("lineitem", "unique:l_orderkey"),
+      ("lineitem", Expectations.LI_REF_NAME),
+      ("customer", Expectations.CUST_REF_NAME))
+    keyedRules.foreach { k =>
+      assert(counts.getOrElse(k, 0L) === audit(k),
+        s"$k membership must equal the audit count")
+    }
+    assert(counts.getOrElse(("lineitem", "unique:l_orderkey"), 0L) > 0L,
+      "the fixture one-row-per-order rule must be violated (q138 demo)")
+    // and per duplicated key, EVERY copy is listed (the audit counts all
+    // copies of a cnt>1 group)
+    val liCnt = graft.sources.Tables.lineitem(spark, D)
+      .groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    v.filter(r => r._1 == "lineitem" && r._2 == "unique:l_orderkey")
+      .groupBy(_._3).foreach { case (k, copies) =>
+        assert(copies.length.toLong === liCnt(k),
+          s"order $k: all ${liCnt(k)} copies must be listed")
+      }
+  }
+
+  test("keyedQuarantineRoute: the cleanest copy of a duplicated key is " +
+    "kept, second-and-later copies divert, dangling and NULL FK rows " +
+    "divert — and the multiset is deterministic") {
+    import spark.implicits._
+    val facts = Seq((java.lang.Long.valueOf(10L), 5L),
+      (java.lang.Long.valueOf(20L), 5L), (java.lang.Long.valueOf(20L), 500L),
+      (java.lang.Long.valueOf(30L), 5L), (java.lang.Long.valueOf(30L), 6L),
+      (java.lang.Long.valueOf(40L), 5L), (null.asInstanceOf[java.lang.Long], 5L))
+      .toDF("k", "v")
+    val ref = Seq(10L, 20L, 30L).toDF("rk")
+    val route = Expectations.keyedQuarantineRoute("t", facts, "k",
+        Seq(Expectations.Check("range:v", col("v").between(0, 100))),
+        Seq(Expectations.Unique("unique:k", Seq("k"))),
+        Seq(Expectations.RefIn("ref:k->r.rk", "k", ref, "rk")))
+      .collect()
+      .map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2),
+        r.getString(3), r.getString(4)))
+      .sortBy(r => (r._1.getOrElse(-1L), r._2, r._3))
+    val want = Seq(
+      (None, 1L, "ref:k->r.rk", "quarantined"),
+      (Some(10L), 0L, "", "clean"),
+      (Some(20L), 0L, "", "clean"),
+      (Some(20L), 2L, "range:v,unique:k", "quarantined"),
+      (Some(30L), 0L, "", "clean"),
+      (Some(30L), 1L, "unique:k", "quarantined"),
+      (Some(40L), 1L, "ref:k->r.rk", "quarantined")).sortBy(
+      r => (r._1.getOrElse(-1L), r._2, r._3))
+    assert(route.toSeq === want,
+      "the kept copy must be the scalar-cleanest; all others divert")
+  }
+
+  test("keyed route from store: a planted cross-batch duplicate and a " +
+    "dangling fact route identically to the batch keyed route, and " +
+    "replay is idempotent") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-keyed-route").toString
+    val (fRoot, rRoot) = (s"$base/facts", s"$base/refs")
+    val uq = Seq(Expectations.Unique("unique:k", Seq("k")))
+    val refUq = Seq(Expectations.Unique("unique:rk", Seq("rk")))
+    val refStream = Seq(Expectations.RefStream("ref:k->r.rk", "k",
+      Expectations.keyStoreDir(rRoot, Seq("rk"))))
+    val refBatches = Seq(Seq(10L, 20L), Seq(30L))
+    val factBatches = Seq(Seq(10L, 20L), Seq(20L, 30L, 40L))
+    refBatches.zipWithIndex.foreach { case (b, i) =>
+      Expectations.keyedAuditIngestBatch(b.toDF("rk"), i.toLong, rRoot,
+        Nil, refUq, Nil)
+    }
+    factBatches.zipWithIndex.foreach { case (b, i) =>
+      Expectations.keyedAuditIngestBatch(b.toDF("k"), i.toLong, fRoot,
+        Nil, uq, refStream)
+    }
+    def routeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    val got = routeRows(Expectations.keyedRouteFromStore(spark, "t", fRoot,
+      uq, refStream))
+    val want = routeRows(Expectations.keyedQuarantineRoute("t",
+      factBatches.flatten.toDF("k"), "k", Nil, uq,
+      Seq(Expectations.RefIn("ref:k->r.rk", "k",
+        refBatches.flatten.toDF("rk"), "rk"))))
+    assert(got === want, "store route must equal the batch keyed route")
+    // the plant really exercised the keyed paths: 20 duplicated ACROSS
+    // batches (one copy diverted), 40 dangling (diverted)
+    assert(got.count(r => r._1 == 20L && r._3.contains("unique:k")) === 1)
+    assert(got.count(r => r._1 == 40L && r._3.contains("ref:k")) === 1)
+    // replay: re-running the last fact batch overwrites its own dirs
+    Expectations.keyedAuditIngestBatch(factBatches(1).toDF("k"), 1L, fRoot,
+      Nil, uq, refStream)
+    assert(routeRows(Expectations.keyedRouteFromStore(spark, "t", fRoot,
+      uq, refStream)) === got, "replay must be idempotent")
+  }
+
+  test("q152/q153 catalog coherence: per-rule route flags reconcile with " +
+    "the audit — scalar and RefIn exactly, Unique minus one kept copy " +
+    "per duplicated key") {
+    val audit = rows(Expectations.warehouseAudit(spark, D))
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val route = Expectations.warehouseRowGateRoute(spark, D).collect()
+      .map(r => (r.getString(0), r.getString(3)))
+    def flagged(tbl: String, rule: String): Long =
+      route.count(r => r._1 == tbl &&
+        r._2.split(",").contains(rule)).toLong
+    // scalar + RefIn flags: exact
+    assert(flagged("orders", "range:o_totalprice") ===
+      audit(("orders", "range:o_totalprice")))
+    assert(flagged("lineitem", "range:l_quantity") ===
+      audit(("lineitem", "range:l_quantity")))
+    assert(flagged("lineitem", Expectations.LI_REF_NAME) ===
+      audit(("lineitem", Expectations.LI_REF_NAME)))
+    assert(flagged("customer", Expectations.CUST_REF_NAME) ===
+      audit(("customer", Expectations.CUST_REF_NAME)))
+    // unique flags: audit counts ALL copies; the route keeps one per key
+    val nDupKeys = graft.sources.Tables.lineitem(spark, D)
+      .groupBy("l_orderkey").count()
+      .filter(col("count") > 1).count()
+    assert(flagged("lineitem", "unique:l_orderkey") ===
+      audit(("lineitem", "unique:l_orderkey")) - nDupKeys)
+    // and the streaming keyed route agrees with the batch route on the
+    // keyed flags
+    val streamed = Expectations.streamingWarehouseKeyedRoute(spark, D)
+      .collect().map(r => (r.getString(0), r.getString(3)))
+    def sflagged(tbl: String, rule: String): Long =
+      streamed.count(r => r._1 == tbl &&
+        r._2.split(",").contains(rule)).toLong
+    assert(sflagged("lineitem", "unique:l_orderkey") ===
+      flagged("lineitem", "unique:l_orderkey"))
+    assert(sflagged("orders", "unique:o_orderkey") ===
+      flagged("orders", "unique:o_orderkey"))
+  }
 }
