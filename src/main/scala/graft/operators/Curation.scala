@@ -1396,6 +1396,49 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q154: the DIVERTED release export — the batch twin of the GATED
+    * streaming ingest ([[ReleaseStream.streamingReleaseIngest]] with
+    * `gateChecks`): rows failing the scalar ingestion gate are diverted
+    * BEFORE the cascade ever sees them (they enter no exact-hash minima,
+    * no cluster index, no eval tournament, no cap rank — unlike q150,
+    * which overlays quarantine on a cascade computed over the full
+    * corpus), and the whole release pipeline runs over the CLEAN corpus
+    * alone. Diverted rows ship as `stage='quarantined'` with a
+    * doc_id-keyed split (they never clustered) and zero mixture weight.
+    *
+    * `pairs` is the full-corpus verified-pair artifact; the clean
+    * corpus's pair relation is its restriction to clean endpoints —
+    * pairs(gated) == pairs(corpus) ∩ gated² (the ArtifactSpec-pinned
+    * pairwise property the q57 routing already relies on), so the gate
+    * costs two semi-joins, not a fresh LSH pass.
+    *
+    * Scale shape: the gate is a row-local flag on the corpus scan (the
+    * q146 posture); everything downstream is q132's own plan over the
+    * clean subset; the diverted relation is one more row-local
+    * projection of the same scan.
+    */
+  def divertedReleaseExport(docs: DataFrame,
+                            checks: Seq[Expectations.Check],
+                            pairs: DataFrame): DataFrame = {
+    require(checks.nonEmpty, "divertedReleaseExport: empty gate suite")
+    val allOk = checks.map(_.ok).reduce(_ && _)
+    val clean = docs.filter(allOk)
+    val cleanIds = clean.select("doc_id")
+    val cleanPairs = pairs
+      .join(cleanIds.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+        "left_semi")
+      .join(cleanIds.withColumnRenamed("doc_id", "d2"), Seq("d2"),
+        "left_semi")
+    val cur = releaseExport(clean, Dedup.clustersFromPairs(cleanPairs))
+    val quar = docs.filter(!coalesce(allOk, lit(false)))
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        lit("quarantined").as("stage"),
+        Dedup.hashSplitOf(col("doc_id")).as("split"),
+        lit(0L).as("n_copies"))
+    cur.unionByName(quar).orderBy("doc_id")
+  }
+
   /** The three release-stage artifacts q132 reads — per-doc dedup stages
     * (q125), decontamination stages (q127) and the cap-kept relation
     * (q111), each build-once and content-keyed on the corpus text
@@ -1934,6 +1977,22 @@ object Curation {
         Expectations.corpusAudit(s, d))
     }),
 
+    // Q154: the diverted release export (see [[divertedReleaseExport]])
+    // — the ingest gate applied BEFORE the cascade, whole pipeline over
+    // the clean corpus; clean pairs = the full-corpus pair artifact
+    // restricted to clean endpoints (the pinned pairwise property).
+    "q154_diverted_release" -> ((s, d) =>
+      divertedReleaseExport(Tables.documents(s, d),
+        Expectations.corpusDocChecks,
+        s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))),
+
+    // Q155: the diverted release read off the GATED incremental state
+    // (see [[ReleaseStream.streamingReleaseIngest]] with gateChecks);
+    // oracle shared VERBATIM with q154 — stream==batch is the contract.
+    "q155_streaming_diverted_release" -> ((s, d) =>
+      ReleaseStream.releaseState(s,
+        ReleaseStream.ensureGatedReleaseState(s, d))),
+
     // Q134: the release relation read off INCREMENTALLY-maintained state
     // (see [[ReleaseStream]]) — the corpus folded in as three interleaved
     // doc_id-residue batches into the content-keyed state artifact; the
@@ -2133,6 +2192,36 @@ object Curation {
        |       CAST(COALESCE(zmix.n_copies, 0) AS BIGINT) AS n_copies
        |FROM stg2 LEFT JOIN zmix ON stg2.doc_id = zmix.doc_id
        |ORDER BY stg2.doc_id""".stripMargin
+
+  /** q154/q155 twin: the q132 statement evaluated against a shadowed
+    * `documents` CTE holding the CLEAN corpus (the releaseChurn idiom —
+    * the whole cascade, labels included, re-derives over the gated
+    * subset), unioned with the diverted rows projected straight off the
+    * raw table (stage `quarantined`, doc_id-keyed split, zero weight).
+    * The clean predicate requires every q139 document rule TRUE; the
+    * diverted predicate is its `IS NOT TRUE` complement, so the two
+    * partition the corpus exactly.
+    */
+  private def divertedReleaseOracleSql: String = {
+    val cleanPred =
+      """(text IS NOT NULL) AND (lang IN ('de','en','es','fr','zh'))
+        |      AND (len(text) = n_chars)
+        |      AND (len(string_split(text, ' ')) BETWEEN 1 AND 64)""".stripMargin
+    s"""WITH cur AS (WITH RECURSIVE documents AS
+       |    (SELECT * FROM main.documents WHERE $cleanPred),
+       |  $releaseExportOracleBody),
+       |quar AS (SELECT doc_id, COALESCE(source, '') AS source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    'quarantined' AS stage,
+       |    CASE WHEN ${Sketches.phash60Sql("doc_id")} % 100 < 90 THEN 'train'
+       |         WHEN ${Sketches.phash60Sql("doc_id")} % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CAST(0 AS BIGINT) AS n_copies
+       |  FROM documents
+       |  WHERE ($cleanPred) IS NOT TRUE)
+       |SELECT * FROM cur UNION ALL SELECT * FROM quar
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private def gatedReleaseOracleSql: String =
     s"""WITH cur AS ($releaseExportOracleSql),
@@ -2367,6 +2456,9 @@ object Curation {
     // inputs passed the ingestion expectations.
     "q142_gated_release" -> gatedReleaseOracleSql,
     "q150_quarantined_release" -> quarantinedReleaseOracleSql,
+    "q154_diverted_release" -> divertedReleaseOracleSql,
+    // q155: q154's SQL VERBATIM — stream==batch is the contract
+    "q155_streaming_diverted_release" -> divertedReleaseOracleSql,
 
     // q135 twin: see releaseChurnOracleSql (the composed release
     // statement evaluated twice, per-doc diffed).

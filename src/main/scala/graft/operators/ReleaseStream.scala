@@ -79,12 +79,14 @@ object ReleaseStream {
     " ver BIGINT"
   private val OUT_SCHEMA = "doc_id BIGINT, source STRING, n_tokens BIGINT," +
     " stage STRING, split STRING, n_copies BIGINT"
+  private val QUAR_SCHEMA = "doc_id BIGINT, source STRING," +
+    " n_tokens BIGINT, ver BIGINT"
 
   /** Partition-column name per store (the manifest keys buckets as
     * `<store>/<bucket>`; paths are `batch=<owner>/<store>/<pcol>=<bucket>`).
     */
   private val PCOL = Map("doc" -> "dbkt", "sh" -> "gbkt", "ex" -> "xbkt",
-    "src" -> "sbkt")
+    "src" -> "sbkt", "quar" -> "qbkt")
 
   private def bkt(c: Column): Column = pmod(c, lit(N_BUCKETS))
 
@@ -114,15 +116,28 @@ object ReleaseStream {
     * compacted (readout-preserving, so the re-fold is content-identical)
     * — spec-pinned by replaying the policy batch itself.
     */
+  /** `gateChecks` non-empty GATES the ingest (round-16 rung): each
+    * micro-batch routes through the scalar expectations FIRST — a
+    * failing row is diverted to the bucketed `quar` store before the
+    * fold ever hashes it (never entering the exact-hash minima, the
+    * cluster index, the eval tournament or the cap ranks — the
+    * precedence q150's doc states), and only the clean rows fold. The
+    * readout then emits the diverted rows as `stage='quarantined'` with
+    * a doc_id-keyed split and zero mixture weight, equal to the batch
+    * [[Curation.divertedReleaseExport]] over everything ingested
+    * (stream==batch spec-pinned with planted dirty rows + replay).
+    */
   def streamingReleaseIngest(docs: DataFrame, root: String,
-                             checkpoint: String, compactEvery: Int = 0)
+                             checkpoint: String, compactEvery: Int = 0,
+                             gateChecks: Seq[Expectations.Check] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 0, "compactEvery: 0 disables, else every K batches")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        releaseIngestWithPolicy(batch, batchId, root, compactEvery)
+        releaseIngestWithPolicy(batch, batchId, root, compactEvery,
+          gateChecks)
         ()
       }
       .start()
@@ -134,10 +149,12 @@ object ReleaseStream {
     */
   private[graft] def releaseIngestWithPolicy(batch: DataFrame, batchId: Long,
                                              root: String,
-                                             compactEvery: Int): ReadPaths = {
+                                             compactEvery: Int,
+                                             gateChecks: Seq[Expectations.Check] = Nil)
+      : ReadPaths = {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compactReleaseState(batch.sparkSession, root, below = batchId)
-    releaseIngestBatch(batch, batchId, root)
+    releaseIngestBatch(batch, batchId, root, gateChecks)
   }
 
   /** One micro-batch of the fold (the foreachBatch body, factored out so
@@ -147,10 +164,31 @@ object ReleaseStream {
     * `exact` — the general rule, spec-pinned with an out-of-order batch.
     */
   private[graft] def releaseIngestBatch(batch: DataFrame, batchId: Long,
-                                        root: String): ReadPaths = {
+                                        root: String,
+                                        gateChecks: Seq[Expectations.Check] = Nil)
+      : ReadPaths = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val d = batch.select(col("doc_id"),
+    // the ingest gate: divert failing rows (NULL fails — the strict
+    // q145/q146 semantics) to the bucketed quar store BEFORE the fold
+    // sees them; both filters are row-local flags on the batch scan
+    val (rows, qWritten) =
+      if (gateChecks.isEmpty) (batch, Set.empty[Long])
+      else {
+        val allOk = gateChecks.map(_.ok).reduce(_ && _)
+        val qOut = batch.filter(!coalesce(allOk, lit(false)))
+          .select(col("doc_id"),
+            coalesce(col("source"), lit("")).as("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("ver", lit(batchId))
+          .withColumn("qbkt", bkt(col("doc_id"))).persist()
+        qOut.write.mode("overwrite").partitionBy("qbkt")
+          .parquet(s"$root/batch=$batchId/quar")
+        val w = bucketVals(qOut.select(col("qbkt").as("b")))
+        qOut.unpersist()
+        (batch.filter(allOk), w)
+      }
+    val d = rows.select(col("doc_id"),
         coalesce(col("source"), lit("")).as("source"),
         col("lang"), col("text"))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
@@ -161,8 +199,14 @@ object ReleaseStream {
       .persist()
     val prior = latestManifest(spark, root, batchId)
       .map(_._2).getOrElse(Map.empty[String, Seq[Long]])
-    if (d.isEmpty) { // state unchanged, commit as-is
-      writeManifest(spark, root, batchId, prior)
+    // the quar store appends like ex/sh/src: this batch's buckets join
+    // the prior owner lists
+    val priorQ = qWritten.foldLeft(prior) { (m, b) =>
+      val k = s"quar/$b"
+      m + (k -> (m.getOrElse(k, Seq.empty[Long]) :+ batchId))
+    }
+    if (d.isEmpty) { // no clean rows: fold state unchanged, commit quar
+      writeManifest(spark, root, batchId, priorQ)
       d.unpersist()
       return ReadPaths(Nil, Nil, Nil, Nil)
     }
@@ -314,7 +358,7 @@ object ReleaseStream {
     capkeep.write.mode("overwrite")
       .parquet(s"$root/batch=$batchId/tiny/capkeep")
     val man = Seq("doc" -> docWritten, "sh" -> shWritten, "ex" -> exWritten,
-      "src" -> srcWritten).foldLeft(prior) { case (m, (store, written)) =>
+      "src" -> srcWritten).foldLeft(priorQ) { case (m, (store, written)) =>
         written.foldLeft(m) { (m2, b) =>
           val k = s"$store/$b"
           m2 + (k -> (m2.getOrElse(k, Seq.empty[Long]) :+ batchId))
@@ -362,9 +406,23 @@ object ReleaseStream {
       return emptyDf(spark, OUT_SCHEMA)
     }
     val man = manOpt.get._2
-    // Only empty batches committed so far (no tiny store, no facts): the
-    // readout is the empty relation, not a man("tiny") lookup throw.
-    if (!man.contains("tiny")) return emptyDf(spark, OUT_SCHEMA)
+    // diverted rows of a GATED ingest: the quar store's latest row per
+    // doc becomes a `quarantined` export row — doc_id-keyed split (the
+    // row never clustered: diverted before dedup hashed it), zero
+    // mixture weight
+    val quarPaths = man.collect { case (k, owners) if k.startsWith("quar/") =>
+      val b = k.stripPrefix("quar/")
+      owners.map(o => s"$root/batch=$o/quar/qbkt=$b")
+    }.flatten.toSeq
+    val quar = latestRows(readOr(spark, quarPaths, QUAR_SCHEMA))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        lit("quarantined").as("stage"),
+        Dedup.hashSplitOf(col("doc_id")).as("split"),
+        lit(0L).as("n_copies"))
+    // Only empty/fully-diverted batches committed so far (no tiny store,
+    // no facts): the readout is the quarantined relation alone, not a
+    // man("tiny") lookup throw.
+    if (!man.contains("tiny")) return quar.orderBy("doc_id")
     // The mixture plan is pinned BY VALUE: its #langs-row relation is
     // computed in its OWN fixed-shape action (a bounded-driver-state
     // collect, like the k×dim centroids) and re-enters the readout as a
@@ -400,6 +458,7 @@ object ReleaseStream {
     staged.join(mix, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
         col("split"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
+      .unionByName(quar)
       .orderBy("doc_id")
   }
 
@@ -470,6 +529,29 @@ object ReleaseStream {
         (0L until 3L).foreach { b =>
           releaseIngestBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === b),
             b, dir)
+        }
+      }
+    }
+
+  /** Build-once GATED release-state artifact for the q155 catalog entry:
+    * the same three doc_id-residue batches as [[ensureReleaseState]],
+    * folded through the INGEST GATE (`gateChecks` = the q139 document
+    * rules) — failing rows divert to the quar store per micro-batch and
+    * only the clean rows fold. The readout's oracle is q154's SQL: the
+    * stream==batch contract for the diverted semantics.
+    */
+  private[graft] def ensureGatedReleaseState(spark: SparkSession,
+                                             sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relstreamgated") {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
+        "relstreamgated") +
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=3" +
+        "|gate=docv1|v=1"
+      DedupArtifacts.ensureTree(key) { dir =>
+        (0L until 3L).foreach { b =>
+          releaseIngestBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            b, dir, Expectations.corpusDocChecks)
         }
       }
     }
@@ -671,6 +753,12 @@ object ReleaseStream {
     newMan ++= consolidate("src",
       readOr(spark, live("src"), "source STRING, doc_id BIGINT, hcap BIGINT"),
       bkt(Sketches.phash60(col("source"))))
+    // the gated ingest's quarantine store: latest row per doc survives
+    // (same merge-on-read rule the readout applies)
+    if (man.keys.exists(_.startsWith("quar/")))
+      newMan ++= consolidate("quar",
+        latestRows(readOr(spark, live("quar"), QUAR_SCHEMA)),
+        bkt(col("doc_id")))
     // Only empty batches committed => no tiny store to carry forward; the
     // compacted manifest stays tiny-less and the readout guard handles it.
     man.get("tiny").map(_.head).foreach { tinyO =>
@@ -687,7 +775,7 @@ object ReleaseStream {
     // now-unreferenced store dirs (its manifest stays)
     batchIds.filter(b => b != frontier && b != gen).foreach(b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=$b"), true))
-    Seq("doc", "sh", "ex", "src", "tiny").foreach(st =>
+    Seq("doc", "sh", "ex", "src", "quar", "tiny").foreach(st =>
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$root/batch=$frontier/$st"), true))
   }

@@ -378,6 +378,59 @@ class ReleaseStreamSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("truncated"))
   }
 
+  test("gated ingest: failing rows divert BEFORE the fold hashes them — " +
+    "state == the diverted batch twin at every prefix, a dirty duplicate " +
+    "never steals an exact keeper, replay is idempotent, and compaction " +
+    "carries the quarantine store") {
+    import spark.implicits._
+    import graft.operators.Expectations
+    val checks = Seq(Expectations.notNull("text"),
+      Expectations.inSet("lang", Seq("en", "de")))
+    // batch 0 is ENTIRELY dirty (exercises the no-clean-rows commit
+    // path); doc 1 is a dirty EXACT COPY of clean doc 5's text with a
+    // SMALLER id — an ungated fold makes doc 5 'exact', the gate must
+    // divert doc 1 before the hash store ever sees it
+    val b0 = Seq((1L, "s1", "xx", "a b c"), (2L, "s1", "zz", "d e f"))
+    val b1 = Seq((5L, "s1", "en", "a b c"), (6L, "s2", "xx", "q r"),
+      (7L, "s2", "de", "x y z")) ++
+      (100L until 125L).map(i => (i, "s3", "en", s"filler text $i"))
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "source", "lang", "text")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    def gatedTwin(rows: Seq[(Long, String, String, String)]) =
+      rowsOf(Curation.divertedReleaseExport(df(rows), checks, emptyPairs))
+    val root = Files.createTempDirectory("graft-relgated").toString
+    ReleaseStream.releaseIngestBatch(df(b0), 0L, root, checks)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === gatedTwin(b0),
+      "an all-dirty first batch commits a quarantine-only readable state")
+    ReleaseStream.releaseIngestBatch(df(b1), 1L, root, checks)
+    val full = rowsOf(ReleaseStream.releaseState(spark, root))
+    assert(full === gatedTwin(b0 ++ b1),
+      "gated state == the diverted batch twin over everything ingested")
+    // precedence: gated keeps doc 5 un-deduped (the dirty smaller-id
+    // copy never hashed); an UNGATED fold over the same batches makes
+    // it 'exact'
+    assert(full.find(_._1 == 5L).get._4 !== "exact",
+      "the diverted copy must not steal doc 5's exact keeper")
+    assert(full.filter(r => Set(1L, 2L, 6L).contains(r._1))
+      .forall(r => r._4 == "quarantined" && r._6 == 0L),
+      "dirty rows ship quarantined with zero mixture weight")
+    val ungated = Files.createTempDirectory("graft-relungated").toString
+    ReleaseStream.releaseIngestBatch(df(b0), 0L, ungated)
+    ReleaseStream.releaseIngestBatch(df(b1), 1L, ungated)
+    assert(rowsOf(ReleaseStream.releaseState(spark, ungated))
+      .find(_._1 == 5L).get._4 === "exact",
+      "the ungated fold must show the hazard the gate prevents")
+    // replay: re-running the last gated batch reproduces the state
+    ReleaseStream.releaseIngestBatch(df(b1), 1L, root, checks)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === full,
+      "gated replay is idempotent")
+    // compaction consolidates the quar store with everything else
+    ReleaseStream.compactReleaseState(spark, root)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === full,
+      "compaction must preserve the quarantined relation")
+  }
+
   test("MemoryStream end-to-end: streamingReleaseIngest maintains the " +
     "state across micro-batches") {
     import spark.implicits._
