@@ -530,56 +530,235 @@ object Expectations {
             acc.groupBy((kCols :+ "kbkt").map(col): _*)
               .agg(sum(col("cnt")).as("cnt"))
               .select((kCols.map(col) :+ col("cnt") :+ col("kbkt")): _*)
-        // 1. stage hidden; a crashed prior attempt is swept first
-        val staging = new org.apache.hadoop.fs.Path(s"$sp/.compact.tmp")
-        fs.delete(staging, true)
-        out.repartition(col("kbkt")).write.mode("overwrite")
-          .partitionBy("kbkt").parquet(staging.toString)
-        // 2. rename into place — invisible until the pointer names it
-        val genDir = new org.apache.hadoop.fs.Path(s"$sp/batch=$gen")
-        fs.delete(genDir, true) // only ever a crashed unnamed attempt
-        require(fs.rename(staging, genDir),
-          s"could not move staged generation into $genDir")
-        // 3. COMMIT: atomic pointer publication. Overwrite must be a
-        // true atomic swap (the round-13 release-manifest lesson): a
-        // delete-then-rename window with NO pointer would hide every
-        // consolidated generation from readers — on file:// use nio
-        // ATOMIC_MOVE, elsewhere FileContext rename(OVERWRITE) with the
-        // object-store fallback.
-        val gp = new org.apache.hadoop.fs.Path(s"$sp/$GEN_MARKER")
-        val gtmp = new org.apache.hadoop.fs.Path(s"$sp/$GEN_MARKER.tmp")
-        val os = fs.create(gtmp, true)
-        try os.write(s"$GEN_HEADER\n$gen $covered\n".getBytes("UTF-8"))
-        finally os.close()
-        Seq(gp, gtmp).foreach(f => fs.delete(
-          new org.apache.hadoop.fs.Path(f.getParent, s".${f.getName}.crc"),
-          false))
-        val qp = fs.makeQualified(gp)
-        val conf = spark.sessionState.newHadoopConf()
-        if (qp.toUri.getScheme == "file")
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(fs.makeQualified(gtmp).toUri.getPath),
-            java.nio.file.Paths.get(qp.toUri.getPath),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        else
-          try
-            org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
-              .rename(fs.makeQualified(gtmp), qp,
-                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-          catch {
-            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-              // object stores: no AbstractFileSystem binding — non-atomic
-              // fallback, documented loss (same caveat as writeManifest)
-              fs.delete(qp, false)
-              require(fs.rename(fs.makeQualified(gtmp), qp),
-                s"could not publish $gp after delete — pointer is missing")
-          }
-        // 4. retire everything the pointer no longer names
-        allDirs.filter(b => b != gen && !(b >= 0 && b > covered))
-          .foreach(b => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$sp/batch=$b"), true))
+        // steps 1-4 (stage hidden / rename / atomic pointer / retire)
+        // shared with the history rollup
+        publishGeneration(spark, fs, sp.toString, gen, covered, allDirs,
+          out.repartition(col("kbkt")).write.partitionBy("kbkt"))
       }
     }
+  }
+
+  /** The crash-safe generation-publish protocol shared by the key-store
+    * compaction and the history rollup:
+    *  1. stage the consolidated relation into a hidden `.compact.tmp`
+    *     (invisible to every reader; a crashed prior attempt is swept),
+    *  2. rename it to `batch=<gen>` — still invisible: readers ignore
+    *     negative dirs the pointer does not name,
+    *  3. atomically publish `_GEN (gen, covered)` — the ONE commit
+    *     point. Overwrite must be a true atomic swap (the round-13
+    *     release-manifest lesson): a delete-then-rename window with NO
+    *     pointer would hide every consolidated generation from readers —
+    *     on file:// use nio ATOMIC_MOVE, elsewhere FileContext
+    *     rename(OVERWRITE) with the object-store fallback,
+    *  4. retire everything the pointer no longer names (stale leftovers
+    *     from a crash here are invisible by the pointer rule and swept
+    *     by the next pass).
+    */
+  private def publishGeneration(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                store: String, gen: Long, covered: Long,
+                                allDirs: Seq[Long],
+                                writer: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : Unit = {
+    val staging = new org.apache.hadoop.fs.Path(s"$store/.compact.tmp")
+    fs.delete(staging, true)
+    writer.mode("overwrite").parquet(staging.toString)
+    val genDir = new org.apache.hadoop.fs.Path(s"$store/batch=$gen")
+    fs.delete(genDir, true) // only ever a crashed unnamed attempt
+    require(fs.rename(staging, genDir),
+      s"could not move staged generation into $genDir")
+    val gp = new org.apache.hadoop.fs.Path(s"$store/$GEN_MARKER")
+    val gtmp = new org.apache.hadoop.fs.Path(s"$store/$GEN_MARKER.tmp")
+    val os = fs.create(gtmp, true)
+    try os.write(s"$GEN_HEADER\n$gen $covered\n".getBytes("UTF-8"))
+    finally os.close()
+    Seq(gp, gtmp).foreach(f => fs.delete(
+      new org.apache.hadoop.fs.Path(f.getParent, s".${f.getName}.crc"),
+      false))
+    val qp = fs.makeQualified(gp)
+    val conf = spark.sessionState.newHadoopConf()
+    if (qp.toUri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(gtmp).toUri.getPath),
+        java.nio.file.Paths.get(qp.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else
+      try
+        org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
+          .rename(fs.makeQualified(gtmp), qp,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // object stores: no AbstractFileSystem binding — non-atomic
+          // fallback, documented loss (same caveat as writeManifest)
+          fs.delete(qp, false)
+          require(fs.rename(fs.makeQualified(gtmp), qp),
+            s"could not publish $gp after delete — pointer is missing")
+      }
+    allDirs.filter(b => b != gen && !(b >= 0 && b > covered))
+      .foreach(b => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$store/batch=$b"), true))
+  }
+
+  // ------------------------------------------------------------------
+  // EPOCH ROLLUP for the HISTORY stores (round-16 rung) — `scalar/`,
+  // `live/` and `liveref/` grow one dir per batch FOREVER under the
+  // documented q143 timeline contract. The rollup bounds them: batches
+  // older than `keepRecent` consolidate into COARSE EPOCH ROWS (one row
+  // per (epoch, constraint), carrying the contributing batch range) in
+  // ONE generation dir under the `_GEN` pointer, while the recent window
+  // keeps per-batch granularity. Sums are distributive, so every
+  // sum-of-partials reader (the q141 gate, the live monitors) is exact
+  // over a rolled store; only the PER-BATCH timeline (q143) loses
+  // resolution below epoch granularity — it refuses a rolled store
+  // loudly (the drift-guard rule) and [[corpusGateTimelineEpochs]] is
+  // its rolled-store readout.
+  // ------------------------------------------------------------------
+
+  private val HISTORY_STORES = Seq("scalar", "live", "liveref")
+
+  /** The value column of a history store's rows. */
+  private def historyVcol(store: String): String =
+    if (store.endsWith("/scalar")) "n_violations" else "v_delta"
+
+  /** Roll a keyed-audit root's history stores: batches strictly below
+    * `frontier - keepRecent` group into epochs of `epochSize` and
+    * consolidate — per (epoch, constraint) one summed row carrying
+    * `(epoch, batch_lo, batch_hi)` — into a new generation published
+    * under the `_GEN` pointer ([[publishGeneration]]: crash anywhere
+    * leaves the prior state readable). A previously-published epoch
+    * generation re-rolls losslessly (its rows already carry their epoch
+    * ids; re-grouping is sum-of-sums). `keepRecent >= 1` keeps the
+    * stream's replayable frontier batch out of every rollup, so a
+    * replayed ingest batch overwrites its own (un-rolled) dir exactly as
+    * before — replay-safe by the same argument as the key-store
+    * compaction.
+    */
+  def rollupAuditHistory(spark: SparkSession, root: String,
+                         epochSize: Int, keepRecent: Int = 1): Unit = {
+    require(epochSize >= 1, "epochSize >= 1")
+    require(keepRecent >= 1,
+      "keepRecent >= 1: the stream's replayable frontier batch must stay " +
+        "per-batch")
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    HISTORY_STORES.map(s => s"$root/$s").foreach { store =>
+      val sp = new org.apache.hadoop.fs.Path(store)
+      if (fs.exists(sp)) {
+        val eligible = eligibleBatches(fs, store, Long.MaxValue)
+        val nonNeg = eligible.filter(_ >= 0)
+        val toRoll = nonNeg.filter(_ < (nonNeg.maxOption.getOrElse(-1L) + 1
+          - keepRecent))
+        if (toRoll.nonEmpty) {
+          val vcol = historyVcol(store)
+          val allDirs = fs.listStatus(sp).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+            .map(_.getPath.getName.stripPrefix("batch=").toLong)
+          val gen = math.min(allDirs.min, 0L) - 1L
+          val covered = toRoll.max
+          val fresh = spark.read.option("basePath", store)
+            .parquet(toRoll.map(b => s"$store/batch=$b"): _*)
+            .select(expr(s"CAST(batch AS BIGINT) div $epochSize")
+                .as("epoch"),
+              col("batch").cast("long").as("batch_lo"),
+              col("batch").cast("long").as("batch_hi"),
+              col("constraint"), col("n_rows"), col(vcol))
+          val prior = eligible.filter(_ < 0).map { g =>
+            spark.read.parquet(s"$store/batch=$g")
+              .select(col("epoch"), col("batch_lo"), col("batch_hi"),
+                col("constraint"), col("n_rows"), col(vcol))
+          }
+          val out = (fresh +: prior).reduce(_ unionByName _)
+            .groupBy("epoch", "constraint")
+            .agg(min(col("batch_lo")).as("batch_lo"),
+              max(col("batch_hi")).as("batch_hi"),
+              sum(col("n_rows")).as("n_rows"),
+              sum(col(vcol)).as(vcol))
+            .select(col("epoch"), col("batch_lo"), col("batch_hi"),
+              col("constraint"), col("n_rows"), col(vcol))
+          publishGeneration(spark, fs, store, gen, covered, allDirs,
+            out.coalesce(1).write)
+        }
+      }
+    }
+  }
+
+  /** A history store's rows restricted to the named columns, pointer
+    * aware: epoch generations and per-batch dirs read separately (their
+    * on-disk schemas differ) and union — exact for every sum-of-partials
+    * consumer because the rolled rows are already the sums of the dirs
+    * they replaced.
+    */
+  private def readHistoryRows(spark: SparkSession, store: String,
+                              schema: String): DataFrame = {
+    val cols = StructType.fromDDL(schema).fieldNames.toSeq
+    val base = new org.apache.hadoop.fs.Path(store)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(schema))
+    val (gens, batches) = eligibleBatches(fs, store, Long.MaxValue)
+      .partition(_ < 0)
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    gens.foreach(g => parts +=
+      spark.read.parquet(s"$store/batch=$g").select(cols.map(col): _*))
+    if (batches.nonEmpty) parts +=
+      spark.read.option("basePath", store)
+        .parquet(batches.map(b => s"$store/batch=$b"): _*)
+        .select(cols.map(col): _*)
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(schema))
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** The q156 readout: the gate timeline AT THE STORED GRANULARITY —
+    * one row per (epoch, constraint) where the history was rolled, one
+    * per (batch, constraint) in the recent window, each carrying the
+    * contributing `(batch_lo, batch_hi)` range. Over an unrolled store
+    * every row is a singleton range and this IS q143 re-keyed; over a
+    * rolled store it equals the unrolled timeline aggregated by the
+    * rollup's epoch mapping (the lossless-at-epoch-granularity
+    * contract, spec-pinned and oracle-gated).
+    */
+  def corpusGateTimelineEpochs(spark: SparkSession, root: String): DataFrame = {
+    def hist(tbl: String, sub: String, rel: String): DataFrame = {
+      val store = s"$root/$sub/$rel"
+      val vcol = historyVcol(store)
+      val rangeSchema = s"epoch BIGINT, batch_lo BIGINT, batch_hi BIGINT, " +
+        s"constraint STRING, n_rows BIGINT, $vcol BIGINT"
+      val base = new org.apache.hadoop.fs.Path(store)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(base))
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL("batch_lo BIGINT, batch_hi BIGINT, " +
+            "table_name STRING, constraint STRING, n_rows BIGINT, " +
+            "n_violations BIGINT"))
+      val (gens, batches) = eligibleBatches(fs, store, Long.MaxValue)
+        .partition(_ < 0)
+      val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      gens.foreach(g => parts += spark.read.parquet(s"$store/batch=$g")
+        .select(col("batch_lo"), col("batch_hi"), col("constraint"),
+          col("n_rows"), col(vcol).as("n_violations")))
+      if (batches.nonEmpty) parts += spark.read.option("basePath", store)
+        .parquet(batches.map(b => s"$store/batch=$b"): _*)
+        .select(col("batch").cast("long").as("batch_lo"),
+          col("batch").cast("long").as("batch_hi"), col("constraint"),
+          col("n_rows"), col(vcol).as("n_violations"))
+      parts.reduce(_ unionByName _)
+        .select(col("batch_lo"), col("batch_hi"), lit(tbl).as("table_name"),
+          col("constraint"), col("n_rows"), col("n_violations"))
+    }
+    hist("documents", "docs", "scalar")
+      .unionByName(hist("documents", "docs", "live"))
+      .unionByName(hist("embeddings", "embs", "scalar"))
+      .unionByName(hist("embeddings", "embs", "live"))
+      .unionByName(hist("embeddings", "embs", "liveref"))
+      .orderBy("table_name", "constraint", "batch_lo")
   }
 
   /** The batch-audit relation off a keyed ingest's stores: equals
@@ -594,7 +773,8 @@ object Expectations {
       s"keyedAuditFromStore('$table'): no rules")
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (checks.nonEmpty)
-      parts += spark.read.parquet(s"$root/scalar")
+      parts += readHistoryRows(spark, s"$root/scalar",
+          "constraint STRING, n_rows BIGINT, n_violations BIGINT")
         .groupBy("constraint")
         .agg(sum(col("n_rows")).as("n_rows"),
           sum(col("n_violations")).as("n_violations"))
@@ -640,7 +820,8 @@ object Expectations {
     * catches cross-batch duplicates the moment the second copy lands.
     */
   def liveUniquenessViolations(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/live")
+    readHistoryRows(spark, s"$root/live",
+        "constraint STRING, n_rows BIGINT, v_delta BIGINT")
       .groupBy("constraint")
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("v_delta")).as("n_violations"))
@@ -764,7 +945,8 @@ object Expectations {
     * at every prefix (spec-pinned).
     */
   def liveRefViolations(spark: SparkSession, factRoot: String): DataFrame =
-    spark.read.parquet(s"$factRoot/liveref")
+    readHistoryRows(spark, s"$factRoot/liveref",
+        "constraint STRING, n_rows BIGINT, v_delta BIGINT")
       .groupBy("constraint")
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("v_delta")).as("n_violations"))
@@ -1318,6 +1500,20 @@ object Expectations {
     */
   def corpusGateTimeline(spark: SparkSession, sfDir: String): DataFrame = {
     val root = ensureKeyedAuditState(spark, sfDir)
+    // per-batch resolution is this readout's contract: a ROLLED history
+    // store (epoch generations under a _GEN pointer) can no longer
+    // honor it — refuse loudly (the drift-guard rule) instead of
+    // silently dropping the rolled batches
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("docs/scalar", "docs/live", "embs/scalar", "embs/live",
+      "embs/liveref").foreach { s =>
+      require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/$s/$GEN_MARKER")),
+        s"corpusGateTimeline: history store $s was rolled to epoch " +
+          "granularity — per-batch resolution is gone; read " +
+          "corpusGateTimelineEpochs instead")
+    }
     def scalar(tbl: String, sub: String): DataFrame =
       spark.read.parquet(s"$root/$sub/scalar")
         .select(col("batch").cast("long").as("batch_id"),
@@ -1339,6 +1535,30 @@ object Expectations {
   private def corpusRefStream(root: String): RefStream =
     RefStream(REF_RULE_NAME, "vec_id",
       keyStoreDir(s"$root/docs", Seq("doc_id")))
+
+  /** Build-once ROLLED keyed-audit artifact for the q156 catalog entry:
+    * the q143 state tree copied, then [[rollupAuditHistory]] applied
+    * with `epochSize=2, keepRecent=1` — batches 0-1 consolidate to one
+    * epoch, batch 2 (the replayable frontier) stays per-batch. The
+    * oracle re-derives the unrolled timeline and aggregates it by the
+    * same mapping: lossless-at-epoch-granularity IS the contract.
+    */
+  private[graft] def ensureRolledAuditState(spark: SparkSession,
+                                            sfDir: String): String =
+    DedupArtifacts.cachedDir(s"kauditroll|$sfDir") {
+      val src = ensureKeyedAuditState(spark, sfDir)
+      DedupArtifacts.ensureTree(s"kauditroll|$src|e=2|r=1|v=1") { stage =>
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+        Seq("docs", "embs").foreach { sub =>
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(s"$src/$sub"), fs,
+            new org.apache.hadoop.fs.Path(s"$stage/$sub"), false, conf)
+          rollupAuditHistory(spark, s"$stage/$sub", epochSize = 2,
+            keepRecent = 1)
+        }
+      }
+    }
 
   private[graft] def ensureKeyedAuditState(spark: SparkSession,
                                            sfDir: String): String =
@@ -1395,7 +1615,11 @@ object Expectations {
     // Q153: the keyed route off the streaming keyed-audit stores (see
     // [[streamingWarehouseKeyedRoute]]); stream==batch is the contract.
     "q153_streaming_keyed_route" -> ((s, d) =>
-      streamingWarehouseKeyedRoute(s, d)))
+      streamingWarehouseKeyedRoute(s, d)),
+    // Q156: the gate timeline over a ROLLED history (see
+    // [[corpusGateTimelineEpochs]] / [[rollupAuditHistory]]).
+    "q156_gate_timeline_epochs" -> ((s, d) =>
+      corpusGateTimelineEpochs(s, ensureRolledAuditState(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -1610,7 +1834,25 @@ object Expectations {
     // scalar sums per class, uniqueness/FK as PREFIX-CUMULATIVE counts
     // diffed with LAG (so a second copy charges the batch that landed it,
     // and a late reference CREDITS the batch that filled it)
-    "q143_gate_timeline" ->
+    "q143_gate_timeline" -> gateTimelineOracleSql,
+
+    // q156 twin: the q143 statement aggregated by the rollup's epoch
+    // mapping (batches 0-1 -> one epoch; batch 2 stays per-batch) —
+    // lossless-at-epoch-granularity is the rollup's contract
+    "q156_gate_timeline_epochs" ->
+      s"""WITH base AS ($gateTimelineOracleSql),
+         |g AS (SELECT CASE WHEN batch_id < 2 THEN -1 ELSE batch_id END AS grp, *
+         |      FROM base)
+         |SELECT CAST(MIN(batch_id) AS BIGINT) AS batch_lo,
+         |       CAST(MAX(batch_id) AS BIGINT) AS batch_hi,
+         |       table_name, "constraint",
+         |       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |       CAST(SUM(n_violations) AS BIGINT) AS n_violations
+         |FROM g GROUP BY grp, table_name, "constraint"
+         |ORDER BY table_name, "constraint", batch_lo""".stripMargin)
+
+  /** The q143 oracle (also the q156 base statement). */
+  private[graft] lazy val gateTimelineOracleSql: String =
       s"""WITH dsc AS (
          |  SELECT doc_id % 3 AS batch_id,
          |    CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1661,7 +1903,7 @@ object Expectations {
          |    FROM fkd d JOIN esc s ON d.batch_id = s.batch_id)
          |SELECT batch_id, table_name, "constraint", n_rows, n_violations
          |FROM rows_all
-         |ORDER BY table_name, "constraint", batch_id""".stripMargin)
+         |ORDER BY table_name, "constraint", batch_id""".stripMargin
 
   /** The q145/q147 shared oracle: one `pred IS NOT TRUE` filter per
     * scalar rule — stream==batch is q147's contract.

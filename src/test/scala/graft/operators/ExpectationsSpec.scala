@@ -526,6 +526,75 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(got.forall(r => (r._4 == 0L) == (r._5 == "pass")))
   }
 
+  test("epoch rollup: the gate readout and live monitors stay exact over " +
+    "a rolled history, the epoch timeline equals the per-batch " +
+    "aggregation, a re-roll merges the prior generation, dirs stay " +
+    "bounded, and replay after rollup is idempotent") {
+    import spark.implicits._
+    val checks = Seq(Expectations.notNull("text"))
+    val uq = Seq(Expectations.Unique("unique:doc_id", Seq("doc_id")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-histroll").toString
+    val root = s"$base/docs"
+    // id 2 duplicates across batches 0 and 3; batch 1 carries a NULL text
+    val batches = Seq(
+      Seq((1L, "aa"), (2L, "bb")),
+      Seq((3L, null.asInstanceOf[String])),
+      Seq((4L, "dd")),
+      Seq((2L, "bb2"), (5L, "ee")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Expectations.keyedAuditIngestBatch(b.toDF("doc_id", "text"), i.toLong,
+        root, checks, uq, Nil)
+    }
+    def gate() = rows(Expectations.keyedAuditFromStore(spark, "t", root,
+      checks, uq, Nil))
+    def live() = Expectations.liveUniquenessViolations(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def epochs() = Expectations.corpusGateTimelineEpochs(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    def nDirs(rel: String): Int = new java.io.File(s"$root/$rel")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("batch="))
+    val (gateB, liveB, epochsB) = (gate(), live(), epochs())
+    assert(nDirs("scalar") === 4 && nDirs("live") === 4)
+    // roll batches {0,1,2} (frontier 4, keepRecent 1): epochs {0,1}+{2}
+    Expectations.rollupAuditHistory(spark, root, epochSize = 2,
+      keepRecent = 1)
+    assert(nDirs("scalar") === 2 && nDirs("live") === 2,
+      "rolled stores hold one generation + the recent window")
+    assert(gate() === gateB, "the gate readout is exact over sums of sums")
+    assert(live() === liveB, "the live monitor is exact over sums of sums")
+    def agg(rs: Seq[(Long, Long, String, String, Long, Long)],
+            grp: Long => Long) =
+      rs.groupBy(r => (grp(r._1), r._3, r._4)).map { case (_, g) =>
+        (g.map(_._1).min, g.map(_._2).max, g.head._3, g.head._4,
+          g.map(_._5).sum, g.map(_._6).sum)
+      }.toSeq.sortBy(r => (r._3, r._4, r._1))
+    assert(epochs().sortBy(r => (r._3, r._4, r._1)) ===
+      agg(epochsB, b => if (b < 3) b / 2 else 100 + b),
+      "the rolled timeline equals the per-batch timeline at epoch " +
+        "granularity")
+    // a new batch, then a RE-ROLL: batch 3 joins epoch 1 by merging the
+    // published generation (sum-of-sums)
+    Expectations.keyedAuditIngestBatch(Seq((6L, "ff")).toDF("doc_id", "text"),
+      4L, root, checks, uq, Nil)
+    Expectations.rollupAuditHistory(spark, root, epochSize = 2,
+      keepRecent = 1)
+    assert(nDirs("scalar") === 2, "re-roll keeps the dir bound")
+    val gateAll = rows(Expectations.audit("t",
+      (batches.flatten ++ Seq((6L, "ff"))).toDF("doc_id", "text"),
+      checks ++ uq).orderBy("constraint"))
+    assert(gate() === gateAll,
+      "readout over the re-rolled store equals the batch audit")
+    val epochRows = epochs()
+    assert(epochRows.exists(r => r._1 == 2L && r._2 == 3L),
+      "batch 3 must merge into epoch 1's (lo=2, hi=3) range")
+    // replay: the frontier batch stays per-batch, its rewrite is exact
+    Expectations.keyedAuditIngestBatch(Seq((6L, "ff")).toDF("doc_id", "text"),
+      4L, root, checks, uq, Nil)
+    assert(gate() === gateAll, "replay after rollup is idempotent")
+  }
+
   test("q151: keyed violation-row membership equals the audit's " +
     "n_violations per Unique/RefIn rule, copy for copy") {
     val audit = rows(Expectations.warehouseAudit(spark, D))
