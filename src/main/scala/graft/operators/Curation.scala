@@ -1993,6 +1993,23 @@ object Curation {
       ReleaseStream.releaseState(s,
         ReleaseStream.ensureGatedReleaseState(s, d))),
 
+    // Q158: the release export gated by the DRIFT rule alone (see
+    // [[Expectations.corpusDriftGate]] / [[gatedReleaseExport]]) — the
+    // planted drifting crawl batch BLOCKS the release exactly the way a
+    // failed scalar rule does (q142's verdict now covers all three
+    // signal families); the unshifted corpus ships clear (spec-pinned).
+    "q158_drift_gated_release" -> ((s, d) => {
+      val (dd, dc, cp) = ensureReleaseStages(s, d)
+      gatedReleaseExport(
+        releaseExport(Tables.documents(s, d),
+          Dedup.clustersFromPairs(
+            s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d))),
+          dedupStages = Some(s.read.parquet(dd)),
+          deconStages = Some(s.read.parquet(dc)),
+          capRelation = Some(s.read.parquet(cp))),
+        Expectations.corpusDriftGate(s, d))
+    }),
+
     // Q134: the release relation read off INCREMENTALLY-maintained state
     // (see [[ReleaseStream]]) — the corpus folded in as three interleaved
     // doc_id-residue batches into the content-keyed state artifact; the
@@ -2459,6 +2476,20 @@ object Curation {
     "q154_diverted_release" -> divertedReleaseOracleSql,
     // q155: q154's SQL VERBATIM — stream==batch is the contract
     "q155_streaming_diverted_release" -> divertedReleaseOracleSql,
+    // q158: the q132 statement gated by the drift row's verdict (the
+    // gatedReleaseOracleSql shape with the drift fragment as the gate)
+    "q158_drift_gated_release" ->
+      s"""WITH cur AS ($releaseExportOracleSql),
+         |gate AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gate_failed
+         |         FROM (${Expectations.driftGateOracleSql}) g
+         |         WHERE g.status = 'fail')
+         |SELECT cur.doc_id, cur.source, cur.n_tokens, cur.stage, cur.split,
+         |       cur.n_copies,
+         |       CASE WHEN n_gate_failed > 0 THEN 'blocked' ELSE 'clear' END
+         |         AS gate_status,
+         |       n_gate_failed
+         |FROM cur CROSS JOIN gate
+         |ORDER BY cur.doc_id""".stripMargin,
 
     // q135 twin: see releaseChurnOracleSql (the composed release
     // statement evaluated twice, per-doc diffed).

@@ -1447,6 +1447,80 @@ object Expectations {
     Seq(Unique("unique:vec_id", Seq("vec_id")))
   private val REF_RULE_NAME = "ref:vec_id->documents.doc_id"
 
+  // ------------------------------------------------------------------
+  // DRIFT-AS-EXPECTATION (round-16 rung) — q148/q149 report embedding
+  // drift but nothing consumed it. A Drift rule turns the per-batch L1
+  // report into an audit row that participates in the gate exactly like
+  // a failed scalar rule: a drifting crawl batch then BLOCKS the release
+  // (q158) the way a schema violation does, closing the third signal
+  // family (scalar/keyed/drift) under one verdict.
+  // ------------------------------------------------------------------
+
+  /** The drift threshold: a batch whose L1 mean-gap exceeds this many
+    * x1e6 units is drifting. 8e6 sits an order of magnitude above the
+    * fixtures' natural batch noise (~0.2-0.5e6 at every scale) and well
+    * below a planted +0.25 shift (~10.7e6), and — because a drifted
+    * batch also drags the corpus mean, lifting every OTHER batch to
+    * ~5.3e6 — above the contamination the drifting batch induces on its
+    * neighbors, so exactly the planted batch trips it.
+    */
+  private[graft] val DRIFT_MAX_L1_X1E6 = 8000000L
+  private[graft] val DRIFT_RULE_NAME = "drift:embedding"
+
+  /** The Drift rule's audit row over a q148-shaped per-batch drift
+    * relation `(batch_id, n_vecs, l1_drift_x1e6, ...)`: `n_rows` = all
+    * vectors audited, `n_violations` = the vectors of every batch whose
+    * L1 drift exceeds `maxL1X1e6` — an audit-semantics weight (the rows
+    * you would re-crawl), not a batch count, so the row composes with
+    * the other audit rows' row-mass arithmetic.
+    *
+    * Scale shape: the drift relation is #batches rows (its own cost is
+    * q148's one corpus pass, or FREE off a q149 centroid index); this
+    * adapter is a single-row aggregate.
+    */
+  def driftAudit(table: String, drift: DataFrame, name: String,
+                 maxL1X1e6: Long): DataFrame =
+    drift.agg(
+        coalesce(sum(col("n_vecs")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("l1_drift_x1e6") > maxL1X1e6, col("n_vecs"))
+          .otherwise(lit(0L))), lit(0L)).as("n_violations"))
+      .select(lit(table).as("table_name"), lit(name).as("constraint"),
+        col("n_rows"), col("n_violations"),
+        when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail"))
+          .as("status"))
+
+  /** The q157/q158 PLANTED corpus: the latest crawl batch's embeddings
+    * shifted by +0.25 per dimension — a deterministic, cross-engine
+    * reproducible stand-in for an encoder regression/topic shift (the
+    * q139 demo convention: the gate must demonstrably FIRE, not
+    * vacuously pass; the unshifted corpus passes, spec-pinned).
+    */
+  private[graft] def shiftedEmbeddings(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).withColumn("embedding",
+      transform(col("embedding"), x => x.cast("double") +
+        when(pmod(col("vec_id"), lit(3L)) === 2, lit(0.25))
+          .otherwise(lit(0.0))))
+
+  /** The drift gate over the planted corpus — q158's gate relation. */
+  private[graft] def corpusDriftGate(spark: SparkSession,
+                                     sfDir: String): DataFrame =
+    driftAudit("embeddings",
+      Similarity.embeddingDrift(shiftedEmbeddings(spark, sfDir)),
+      DRIFT_RULE_NAME, DRIFT_MAX_L1_X1E6)
+
+  /** q157: the corpus-ingestion gate EXTENDED with the Drift rule — the
+    * q139 audit rows plus the `drift:embedding` row evaluated on the
+    * planted corpus (whose latest crawl batch drifted). The scalar/
+    * keyed rows are shift-invariant (the shift changes no dimension
+    * count, id or reference), so the relation is q139's with one more
+    * row — failing, because the planted batch drifts.
+    */
+  def corpusAuditWithDrift(spark: SparkSession, sfDir: String): DataFrame =
+    corpusAudit(spark, sfDir)
+      .unionByName(corpusDriftGate(spark, sfDir))
+      .orderBy("table_name", "constraint")
+
   def corpusAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val embs = Tables.embeddings(spark, sfDir)
@@ -1619,7 +1693,10 @@ object Expectations {
     // Q156: the gate timeline over a ROLLED history (see
     // [[corpusGateTimelineEpochs]] / [[rollupAuditHistory]]).
     "q156_gate_timeline_epochs" -> ((s, d) =>
-      corpusGateTimelineEpochs(s, ensureRolledAuditState(s, d))))
+      corpusGateTimelineEpochs(s, ensureRolledAuditState(s, d))),
+    // Q157: the gate + the Drift rule over the planted drifting corpus
+    // (see [[corpusAuditWithDrift]]).
+    "q157_drift_expectations" -> ((s, d) => corpusAuditWithDrift(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -1836,6 +1913,14 @@ object Expectations {
     // and a late reference CREDITS the batch that filled it)
     "q143_gate_timeline" -> gateTimelineOracleSql,
 
+    // q157 twin: the q139 gate rows + the Drift row over the planted
+    // corpus, re-sorted together
+    "q157_drift_expectations" ->
+      s"""WITH g AS ($corpusGateOracleSql),
+         |dr AS ($driftGateOracleSql)
+         |SELECT * FROM g UNION ALL SELECT * FROM dr
+         |ORDER BY table_name, "constraint"""".stripMargin,
+
     // q156 twin: the q143 statement aggregated by the rollup's epoch
     // mapping (batches 0-1 -> one epoch; batch 2 stays per-batch) —
     // lossless-at-epoch-granularity is the rollup's contract
@@ -1850,6 +1935,38 @@ object Expectations {
          |       CAST(SUM(n_violations) AS BIGINT) AS n_violations
          |FROM g GROUP BY grp, table_name, "constraint"
          |ORDER BY table_name, "constraint", batch_lo""".stripMargin)
+
+  /** The q157/q158 drift-gate oracle fragment: q148's exact-integer
+    * drift statement over the PLANTED corpus (batch `vec_id%3==2`
+    * shifted +0.25 per dim), aggregated to the one Drift audit row.
+    * Shared by q157's union and q158's gate CTE.
+    */
+  private[graft] lazy val driftGateOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |px AS (SELECT vec_id % 3 AS batch_id, i - 1 AS pos,
+       |         CAST(FLOOR((emb[i] + CASE WHEN vec_id % 3 = 2 THEN 0.25 ELSE 0 END)
+       |           * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qx
+       |       FROM e, unnest(range(1, len(emb) + 1)) AS u(i)),
+       |pb AS (SELECT batch_id, pos, CAST(SUM(qx) AS BIGINT) AS sb,
+       |         CAST(COUNT(*) AS BIGINT) AS nb
+       |       FROM px GROUP BY 1, 2),
+       |g AS (SELECT pos, CAST(SUM(sb) AS BIGINT) AS sc,
+       |        CAST(SUM(nb) AS BIGINT) AS nc
+       |      FROM pb GROUP BY pos),
+       |dd AS (SELECT batch_id, pb.pos, nb,
+       |         ABS(sb * nc - sc * nb) // (nb * nc) AS d
+       |       FROM pb JOIN g ON pb.pos = g.pos),
+       |b AS (SELECT batch_id, CAST(MAX(nb) AS BIGINT) AS n_vecs,
+       |        CAST(SUM(d) AS BIGINT) AS l1
+       |      FROM dd GROUP BY 1),
+       |r AS (SELECT CAST(COALESCE(SUM(n_vecs), 0) AS BIGINT) AS n_rows,
+       |        CAST(COALESCE(SUM(CASE WHEN l1 > $DRIFT_MAX_L1_X1E6
+       |          THEN n_vecs ELSE 0 END), 0) AS BIGINT) AS n_violations
+       |      FROM b)
+       |SELECT 'embeddings' AS table_name,
+       |       '$DRIFT_RULE_NAME' AS "constraint", n_rows, n_violations,
+       |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+       |FROM r""".stripMargin
 
   /** The q143 oracle (also the q156 base statement). */
   private[graft] lazy val gateTimelineOracleSql: String =

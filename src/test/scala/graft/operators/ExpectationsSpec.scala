@@ -595,6 +595,47 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(gate() === gateAll, "replay after rollup is idempotent")
   }
 
+  test("drift rule: the unshifted corpus passes, the planted drifting " +
+    "batch fails with exactly its vectors as violations, and the drift " +
+    "verdict flips a gated release blocked/clear like a scalar rule") {
+    import spark.implicits._
+    val embs = graft.sources.Tables.embeddings(spark, D)
+    val clean = rows(Expectations.driftAudit("embeddings",
+      Similarity.embeddingDrift(embs), Expectations.DRIFT_RULE_NAME,
+      Expectations.DRIFT_MAX_L1_X1E6))
+    assert(clean.length === 1 && clean.head._5 === "pass" &&
+      clean.head._4 === 0L,
+      s"the unshifted corpus must pass the drift gate: $clean")
+    val planted = rows(Expectations.corpusDriftGate(spark, D))
+    val nShifted = embs.filter(pmod(col("vec_id"), lit(3L)) === 2).count()
+    assert(planted.length === 1 && planted.head._5 === "fail" &&
+      planted.head._4 === nShifted,
+      "exactly the planted batch's vectors must count as violations " +
+        s"(want $nShifted): $planted")
+    // q157 = q139's rows + the drift row, nothing else perturbed
+    val q157 = rows(Expectations.corpusAuditWithDrift(spark, D))
+    val q139 = rows(Expectations.corpusAudit(spark, D))
+    assert(q157.filter(_._2 != Expectations.DRIFT_RULE_NAME) === q139,
+      "the drift row must not perturb the q139 audit rows")
+    assert(q157.exists(r => r._2 == Expectations.DRIFT_RULE_NAME &&
+      r._5 == "fail"), "q157 must carry the failing drift row")
+    // the verdict composes into the release gate exactly like a scalar
+    // rule: shifted -> blocked, unshifted -> clear
+    val export = Seq((1L, "s", 3L, "kept", "train", 1L),
+      (2L, "s", 2L, "exact", "test", 0L))
+      .toDF("doc_id", "source", "n_tokens", "stage", "split", "n_copies")
+    val blocked = Curation.gatedReleaseExport(export,
+      Expectations.corpusDriftGate(spark, D)).collect()
+    assert(blocked.forall(r => r.getString(6) == "blocked" &&
+      r.getLong(7) == 1L), "a drifting batch must block the release")
+    val clear = Curation.gatedReleaseExport(export,
+      Expectations.driftAudit("embeddings", Similarity.embeddingDrift(embs),
+        Expectations.DRIFT_RULE_NAME, Expectations.DRIFT_MAX_L1_X1E6))
+      .collect()
+    assert(clear.forall(r => r.getString(6) == "clear" &&
+      r.getLong(7) == 0L), "an undrifted corpus must ship clear")
+  }
+
   test("q151: keyed violation-row membership equals the audit's " +
     "n_violations per Unique/RefIn rule, copy for copy") {
     val audit = rows(Expectations.warehouseAudit(spark, D))
