@@ -102,4 +102,64 @@ class ExpectationsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: the keyed route (q152 semantics) matches the driver " +
+    "model as a multiset — cleanest copy kept per duplicated key, " +
+    "RefIn row-local, keyed violation rows reconcile") {
+    import spark.implicits._
+    (81 to 120).foreach { seed =>
+      val (baseRows, rules) = genCase(seed.toLong)
+      // fold a KEY column in (small domain forces duplicates; every
+      // third seed plants a NULL key — a group of its own that always
+      // fails RefIn)
+      val keyed = baseRows.zipWithIndex.map { case (r, i) =>
+        val k: Option[Long] =
+          if (seed % 3 == 0 && i % 7 == 3) None
+          else Some(((seed * 11 + i * 5) % 8) + 1L)
+        (k, r)
+      }
+      val refSet = (1L to 8L).filter(k => ((seed >> (k % 5)) & 1L) == 0L)
+      val df = keyed.map { case (k, r) =>
+        (k.map(Long.box).orNull, r.v.map(Long.box).orNull, r.s.orNull)
+      }.toDF("k", "v", "s")
+      val refDf = refSet.toDF("rk")
+      val uq = Seq(Expectations.Unique("unique:k", Seq("k")))
+      val refs = Seq(Expectations.RefIn("ref:k->r.rk", "k", refDf, "rk"))
+      val got = Expectations.keyedQuarantineRoute("t", df, "k",
+          rules.map(_.check), uq, refs)
+        .collect()
+        .map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2),
+          r.getString(3), r.getString(4)))
+        .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2, r._3)).toSeq
+      // driver model: per row the non-unique failures; per key group
+      // the copies sorted by that signature, first kept
+      val model = keyed.groupBy(_._1).toSeq.flatMap { case (k, group) =>
+        val sigs = group.map { case (_, r) =>
+          val scalarF = rules.filter(ru => !ru.pred(r)).map(_.name)
+          val refF = if (k.exists(refSet.contains)) Nil
+            else List("ref:k->r.rk")
+          (scalarF ++ refF).sorted
+        }.sortBy(f => (f.size, f.mkString(",")))
+        sigs.zipWithIndex.map { case (f, pos) =>
+          val all = (f ++ (if (pos > 0 && group.size > 1)
+            List("unique:k") else Nil)).sorted
+          (k, all.size.toLong, all.mkString(","),
+            if (all.isEmpty) "clean" else "quarantined")
+        }
+      }.sortBy(r => (r._1.getOrElse(Long.MinValue), r._2, r._3))
+      assert(got === model, s"seed $seed: keyed route multiset")
+      // keyed violation rows reconcile: all copies of duplicated keys +
+      // every dangling row, as a multiset per (constraint, key)
+      val vr = Expectations.keyedViolationRows("t", df, "k", uq, refs)
+        .collect()
+        .map(r => (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      val wantU = keyed.groupBy(_._1).toSeq.filter(_._2.size > 1)
+        .flatMap { case (k, g) => g.map(_ => ("unique:k", k)) }
+      val wantR = keyed.filter { case (k, _) => !k.exists(refSet.contains) }
+        .map { case (k, _) => ("ref:k->r.rk", k) }
+      assert(vr.sortBy(r => (r._1, r._2.getOrElse(Long.MinValue))).toSeq ===
+        (wantU ++ wantR).sortBy(r => (r._1, r._2.getOrElse(Long.MinValue))),
+        s"seed $seed: keyed violation rows")
+    }
+  }
 }
