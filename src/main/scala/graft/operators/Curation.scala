@@ -1419,7 +1419,10 @@ object Curation {
     */
   def divertedReleaseExport(docs: DataFrame,
                             checks: Seq[Expectations.Check],
-                            pairs: DataFrame): DataFrame = {
+                            pairs: DataFrame,
+                            dedupStages: Option[DataFrame] = None,
+                            deconStages: Option[DataFrame] = None,
+                            capRelation: Option[DataFrame] = None): DataFrame = {
     require(checks.nonEmpty, "divertedReleaseExport: empty gate suite")
     val allOk = checks.map(_.ok).reduce(_ && _)
     val clean = docs.filter(allOk)
@@ -1429,7 +1432,8 @@ object Curation {
         "left_semi")
       .join(cleanIds.withColumnRenamed("doc_id", "d2"), Seq("d2"),
         "left_semi")
-    val cur = releaseExport(clean, Dedup.clustersFromPairs(cleanPairs))
+    val cur = releaseExport(clean, Dedup.clustersFromPairs(cleanPairs),
+      dedupStages, deconStages, capRelation)
     val quar = docs.filter(!coalesce(allOk, lit(false)))
       .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -1437,6 +1441,40 @@ object Curation {
         Dedup.hashSplitOf(col("doc_id")).as("split"),
         lit(0L).as("n_copies"))
     cur.unionByName(quar).orderBy("doc_id")
+  }
+
+  /** The q154 stage artifacts: [[ensureReleaseStages]]' three relations
+    * computed over the CLEAN (gate-surviving) corpus — in the diverted
+    * semantics the gate ran at ingest, so the clean corpus IS the stored
+    * corpus and these are prior pipeline stages' outputs exactly as in
+    * q132. Content-keyed on the clean corpus text, so a gate-rule change
+    * (different clean set) can only MISS.
+    */
+  private[graft] def ensureDivertedStages(spark: SparkSession,
+                                          sfDir: String): (String, String, String) = {
+    def clean() = {
+      val docs = Tables.documents(spark, sfDir)
+      docs.filter(Expectations.corpusDocChecks.map(_.ok).reduce(_ && _))
+    }
+    def part(tag: String)(build: DataFrame => DataFrame): String =
+      DedupArtifacts.cachedDir(s"$sfDir|divstages|$tag") {
+        val c = clean()
+        val key = DedupArtifacts.corpusKey(c.select("doc_id", "text"),
+          "divstages")
+        DedupArtifacts.ensureDerived(spark, s"$key|$tag")(build(c))
+      }
+    val dd = part("dedupapply|v=1") { c =>
+      val ids = c.select("doc_id")
+      val cleanPairs = spark.read
+        .parquet(DedupArtifacts.ensureVerifiedPairs(spark, sfDir))
+        .join(ids.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+      ChunkDedup.dedupApply(c, Dedup.clustersFromPairs(cleanPairs))
+    }
+    val dc = part("decontam|p=20|t=100|v=1")(c => decontamApply(c))
+    val cp = part(s"sourcecap|c=${Prep.SOURCE_CAP}|v=1")(c =>
+      Prep.sourceCap(c))
+    (dd, dc, cp)
   }
 
   /** The three release-stage artifacts q132 reads — per-doc dedup stages
@@ -1981,10 +2019,15 @@ object Curation {
     // — the ingest gate applied BEFORE the cascade, whole pipeline over
     // the clean corpus; clean pairs = the full-corpus pair artifact
     // restricted to clean endpoints (the pinned pairwise property).
-    "q154_diverted_release" -> ((s, d) =>
+    "q154_diverted_release" -> ((s, d) => {
+      val (dd, dc, cp) = ensureDivertedStages(s, d)
       divertedReleaseExport(Tables.documents(s, d),
         Expectations.corpusDocChecks,
-        s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)))),
+        s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)),
+        dedupStages = Some(s.read.parquet(dd)),
+        deconStages = Some(s.read.parquet(dc)),
+        capRelation = Some(s.read.parquet(cp)))
+    }),
 
     // Q155: the diverted release read off the GATED incremental state
     // (see [[ReleaseStream.streamingReleaseIngest]] with gateChecks);
