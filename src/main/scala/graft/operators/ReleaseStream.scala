@@ -409,12 +409,36 @@ object ReleaseStream {
     // diverted rows of a GATED ingest: the quar store's latest row per
     // doc becomes a `quarantined` export row — doc_id-keyed split (the
     // row never clustered: diverted before dedup hashed it), zero
-    // mixture weight
+    // mixture weight. A doc can appear in BOTH stores (re-arrival with a
+    // flipped gate verdict — dirty then corrected-clean, or clean then
+    // corrupted-dirty in a re-crawl): the LATEST verdict wins, same-batch
+    // tie to quarantine (the gate's precedence). Cascade state follows
+    // the ingest-time decisions (the fold's general LWW posture); only
+    // the row-level verdict reconciles here — ungated roots have no quar
+    // store and skip all of this.
     val quarPaths = man.collect { case (k, owners) if k.startsWith("quar/") =>
       val b = k.stripPrefix("quar/")
       owners.map(o => s"$root/batch=$o/quar/qbkt=$b")
     }.flatten.toSeq
-    val quar = latestRows(readOr(spark, quarPaths, QUAR_SCHEMA))
+    val gated = quarPaths.nonEmpty
+    val quarAll = latestRows(readOr(spark, quarPaths, QUAR_SCHEMA))
+    val quarWinners =
+      if (!gated) quarAll.select("doc_id") // empty; never joined below
+      else {
+        val docPaths = man.collect {
+          case (k, owners) if k.startsWith("doc/") =>
+            val b = k.stripPrefix("doc/")
+            owners.map(o => s"$root/batch=$o/doc/dbkt=$b")
+        }.flatten.toSeq
+        val fv = latestRows(readOr(spark, docPaths, DOC_SCHEMA))
+          .select(col("doc_id"), col("ver").as("fver"))
+        quarAll.select(col("doc_id"), col("ver"))
+          .join(fv, Seq("doc_id"), "left")
+          .filter(col("fver").isNull || col("ver") >= col("fver"))
+          .select("doc_id")
+      }
+    val quar = quarAll
+      .join(quarWinners, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         lit("quarantined").as("stage"),
         Dedup.hashSplitOf(col("doc_id")).as("split"),
@@ -455,11 +479,14 @@ object ReleaseStream {
           .filter(col("stage") === "kept")
           .select("doc_id", "lang", "n_tokens"), planLit)
       .select(col("doc_id"), col("n_copies"))
-    staged.join(mix, Seq("doc_id"), "left")
+    val base = staged.join(mix, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
         col("split"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
-      .unionByName(quar)
-      .orderBy("doc_id")
+    val out =
+      if (!gated) base
+      else base.join(quarWinners, Seq("doc_id"), "left_anti") // quar wins
+        .unionByName(quar)
+    out.orderBy("doc_id")
   }
 
   /** The per-doc staged relation (facts + stage + split) off a resolved

@@ -431,6 +431,35 @@ class ReleaseStreamSpec extends AnyFunSuite {
       "compaction must preserve the quarantined relation")
   }
 
+  test("gated ingest re-arrival: a flipped gate verdict wins by latest " +
+    "batch — dirty-then-clean re-enters the cascade, clean-then-dirty " +
+    "diverts, a same-batch tie goes to quarantine — one row per doc") {
+    import spark.implicits._
+    import graft.operators.Expectations
+    val checks = Seq(Expectations.inSet("lang", Seq("en", "de")))
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "source", "lang", "text")
+    val root = Files.createTempDirectory("graft-relrearr").toString
+    // batch 0: doc 5 clean, doc 6 dirty; batch 1 flips both; doc 9
+    // arrives TWICE in batch 1 — one clean copy, one dirty (the tie)
+    ReleaseStream.releaseIngestBatch(df(Seq(
+      (5L, "s1", "en", "a b"), (6L, "s1", "xx", "c d"))), 0L, root, checks)
+    ReleaseStream.releaseIngestBatch(df(Seq(
+      (5L, "s1", "xx", "a b"), (6L, "s1", "en", "c d"),
+      (9L, "s2", "en", "e f"), (9L, "s2", "xx", "e f"))), 1L, root, checks)
+    val out = ReleaseStream.releaseState(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(3))
+    assert(out.length === out.map(_._1).distinct.length,
+      s"one row per doc: $out")
+    val stages = out.toMap
+    assert(stages(5L) === "quarantined",
+      "clean-then-dirty must divert by the newer verdict")
+    assert(stages(6L) !== "quarantined",
+      "dirty-then-clean must re-enter the cascade")
+    assert(stages(9L) === "quarantined",
+      "a same-batch clean/dirty tie goes to quarantine (gate precedence)")
+  }
+
   test("MemoryStream end-to-end: streamingReleaseIngest maintains the " +
     "state across micro-batches") {
     import spark.implicits._
