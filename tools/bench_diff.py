@@ -61,6 +61,7 @@ BUDGETS = {
     "curation": 1.25,     # q26/q32/q57 composition
     "sketch": 1.30,       # q16b, q34b, q59
     "multimodal": 1.30,   # q29
+    "expectations": 1.25,  # q138/q139 audits + keyed/row-level/rolled family
 }
 NOISE_SEC = 0.15
 
@@ -89,14 +90,16 @@ def family(q):
         return "cdc"
     if i in (18, 21, 22, 23, 40, 45, 49, 58, 64, 86, 87, 95, 98, 101, 106, 109, 112, 114, 115, 122, 125, 128, 129, 131):
         return "dedup"
-    if i in (20, 24, 54, 61, 66, 69, 70, 72, 99, 100, 102, 118, 124, 140):
+    if i in (20, 24, 54, 61, 66, 69, 70, 72, 99, 100, 102, 118, 124, 140, 148, 149):
         return "similarity"
-    if i in (19, 25, 26, 27, 28, 41, 43, 44, 51, 52, 60, 65, 67, 77, 79, 80, 82, 96, 97, 107, 113, 116, 119):
+    if i in (19, 25, 26, 27, 28, 41, 43, 44, 51, 52, 60, 65, 67, 77, 79, 80, 82, 96, 97, 107, 113, 116, 119, 144):
         return "text"
     if i in (42, 46, 47, 48, 50, 53, 55, 56, 71, 76, 81, 85, 91, 92, 93, 94, 103, 104, 111, 120, 127):
         return "prep"
-    if i in (32, 57, 117, 126, 132, 134, 135, 136, 137):
+    if i in (32, 57, 117, 126, 132, 134, 135, 136, 137, 142, 150, 154, 155, 158):
         return "curation"
+    if i in (138, 139, 141, 143, 145, 146, 147, 151, 152, 153, 156, 157):
+        return "expectations"
     if (q.startswith("q16b") or q.startswith("q34b")) or i in (59, 68, 74, 78, 83, 84, 121):
         return "sketch"
     if i in (29, 73, 75):
