@@ -457,21 +457,47 @@ object Expectations {
     * re-consolidates the same prefix its first attempt did, then
     * re-folds deterministically on top.
     */
+  /** `rollupEvery` > 0 codes the HISTORY retention too (round 16): every
+    * K-th batch rolls the history stores' batches older than the
+    * frontier's recent window into epoch rows ([[rollupAuditHistory]]
+    * with `frontier = batchId`, so a replayed policy batch re-rolls the
+    * same prefix). The per-batch q143 timeline then trades resolution
+    * for the bound EXACTLY as configured — deployments keeping the full
+    * timeline leave it 0 (the default contract, unchanged).
+    */
   def streamingKeyedAuditIngest(docs: DataFrame, root: String,
                                 checkpoint: String, checks: Seq[Check],
                                 uniques: Seq[Unique], refs: Seq[RefStream],
-                                compactEvery: Int = 0)
+                                compactEvery: Int = 0,
+                                rollupEvery: Int = 0,
+                                epochSize: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 0, "compactEvery: 0 disables, else every K batches")
+    require(rollupEvery >= 0, "rollupEvery: 0 disables, else every K batches")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compactKeyedAuditStores(batch.sparkSession, root, below = batchId)
-        keyedAuditIngestBatch(batch, batchId, root, checks, uniques, refs)
+        keyedAuditIngestWithPolicy(batch, batchId, root, checks, uniques,
+          refs, compactEvery, rollupEvery, epochSize)
       }
       .start()
+  }
+
+  /** The foreachBatch body under both retention policies (factored out
+    * so the growth/replay specs drive the POLICIES, not hand-placed
+    * maintenance calls).
+    */
+  private[graft] def keyedAuditIngestWithPolicy(
+      batch: DataFrame, batchId: Long, root: String, checks: Seq[Check],
+      uniques: Seq[Unique], refs: Seq[RefStream], compactEvery: Int,
+      rollupEvery: Int, epochSize: Int = 4): Unit = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactKeyedAuditStores(batch.sparkSession, root, below = batchId)
+    if (rollupEvery > 0 && batchId > 0 && batchId % rollupEvery == 0)
+      rollupAuditHistory(batch.sparkSession, root, epochSize,
+        keepRecent = 1, frontier = batchId)
+    keyedAuditIngestBatch(batch, batchId, root, checks, uniques, refs)
   }
 
   /** Consolidate a keyed-audit root's PROBED stores: each `key_*` store's
@@ -634,8 +660,16 @@ object Expectations {
     * before — replay-safe by the same argument as the key-store
     * compaction.
     */
+  /** `frontier` (when >= 0) pins the cutoff to `frontier - keepRecent`
+    * instead of deriving it from the newest existing dir — the
+    * ingest-policy form ([[streamingKeyedAuditIngest]] passes its own
+    * batch id, the `compactReleaseState(below)` replay rule): a REPLAYED
+    * policy batch then re-rolls exactly the prefix its first attempt
+    * rolled, even though the first attempt's own batch dir now exists.
+    */
   def rollupAuditHistory(spark: SparkSession, root: String,
-                         epochSize: Int, keepRecent: Int = 1): Unit = {
+                         epochSize: Int, keepRecent: Int = 1,
+                         frontier: Long = -1L): Unit = {
     require(epochSize >= 1, "epochSize >= 1")
     require(keepRecent >= 1,
       "keepRecent >= 1: the stream's replayable frontier batch must stay " +
@@ -648,8 +682,10 @@ object Expectations {
       if (fs.exists(sp)) {
         val eligible = eligibleBatches(fs, store, Long.MaxValue)
         val nonNeg = eligible.filter(_ >= 0)
-        val toRoll = nonNeg.filter(_ < (nonNeg.maxOption.getOrElse(-1L) + 1
-          - keepRecent))
+        val cutoff =
+          if (frontier >= 0) frontier - keepRecent
+          else nonNeg.maxOption.getOrElse(-1L) + 1 - keepRecent
+        val toRoll = nonNeg.filter(_ < cutoff)
         if (toRoll.nonEmpty) {
           val vcol = historyVcol(store)
           val allDirs = fs.listStatus(sp).toSeq

@@ -636,6 +636,60 @@ class ExpectationsSpec extends AnyFunSuite {
       r.getLong(7) == 0L), "an undrifted corpus must ship clear")
   }
 
+  test("coded retention: compact-every-K + rollup-every-K fire inside " +
+    "the keyed ingest, dirs stay bounded in BOTH store families, the " +
+    "gate readout stays exact, and replaying a policy batch is " +
+    "readout-idempotent") {
+    import spark.implicits._
+    val checks = Seq(Expectations.notNull("text"))
+    val uq = Seq(Expectations.Unique("unique:doc_id", Seq("doc_id")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-kaudit-policy").toString
+    val root = s"$base/docs"
+    // 9 batches; ids collide across batches (i%4) so uniqueness state is
+    // live the whole stream
+    val batches = (0 until 9).map(b =>
+      Seq((b.toLong % 4, s"t$b"), (100L + b, s"u$b")))
+    def drive(b: Seq[(Long, String)], id: Long): Unit =
+      Expectations.keyedAuditIngestWithPolicy(b.toDF("doc_id", "text"),
+        id, root, checks, uq, Nil, compactEvery = 3, rollupEvery = 3,
+        epochSize = 2)
+    batches.zipWithIndex.foreach { case (b, i) => drive(b, i.toLong) }
+    def nDirs(rel: String): Int = new java.io.File(s"$root/$rel")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("batch="))
+    // history: last policy fired at batch 6 with keepRecent=1 (cutoff
+    // 6-1=5: rolls 0-4, keeps batch 5 — the replay anchor — plus 6-8
+    // written after) => 1 gen + 4 recent; key store: compacted strictly
+    // below 6, appended 6-8 => 1 gen + 3
+    assert(nDirs("scalar") === 5, s"scalar dirs: ${nDirs("scalar")}")
+    assert(nDirs("live") === 5, s"live dirs: ${nDirs("live")}")
+    assert(nDirs("key_doc_id") === 4, s"key dirs: ${nDirs("key_doc_id")}")
+    val want = rows(Expectations.audit("t",
+      batches.flatten.toDF("doc_id", "text"), checks ++ uq)
+      .orderBy("constraint"))
+    def gate() = rows(Expectations.keyedAuditFromStore(spark, "t", root,
+      checks, uq, Nil))
+    assert(gate() === want, "gate readout exact under both policies")
+    val live = Expectations.liveUniquenessViolations(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(live("unique:doc_id") ===
+      want.find(_._2 == "unique:doc_id").get._4,
+      "live counter exact across compaction + rollup")
+    // replay the LAST POLICY batch (6): both policies re-fire with the
+    // frontier pinned to the batch's own id, so the replay re-rolls/
+    // re-compacts the same prefix its first attempt did, then re-folds
+    drive(batches(6), 6L)
+    assert(gate() === want, "policy-batch replay is readout-idempotent")
+    // the epoch timeline reads the rolled store (scalar rows present for
+    // every epoch + recent batch)
+    val ep = Expectations.corpusGateTimelineEpochs(spark, base)
+      .filter(org.apache.spark.sql.functions.col("table_name") ===
+        "documents")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted
+    assert(ep.exists(r => r._1 < r._2), s"some range must be an epoch: ${ep.toSeq}")
+    assert(ep.map(_._2).max === 8L, s"recent batches stay per-batch: ${ep.toSeq}")
+  }
+
   test("q151: keyed violation-row membership equals the audit's " +
     "n_violations per Unique/RefIn rule, copy for copy") {
     val audit = rows(Expectations.warehouseAudit(spark, D))
