@@ -25,6 +25,17 @@ object Curation {
   private val QUALITY_MIN = 700L
   private val JACCARD_MIN = 800
 
+  /** Null-safe whitespace token count for the quarantine projections.
+    * `size(split(NULL,' '))` is -1 under Spark's default
+    * `legacy.sizeOfNull`, but the DuckDB oracle's
+    * `length(string_split(text,' '))` is NULL — and NULL-text rows land
+    * exactly here (not_null:text is a gate rule), so the convention must
+    * match: NULL text -> NULL n_tokens.
+    */
+  private[operators] def nTokensWs: org.apache.spark.sql.Column =
+    when(col("text").isNull, lit(null).cast("long"))
+      .otherwise(size(split(col("text"), " ")).cast("long"))
+
   /** Quality-scored corpus: doc_id, lang, n_tokens, quality_x1e3, text.
     * The score expressions are TextAnalysis's — one definition, one oracle
     * twin, shared with q26.
@@ -241,6 +252,11 @@ object Curation {
       if (fs.exists(tmp))
         require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
           s"could not publish $tmp under $base")
+      // a marker means a compaction committed: record it permanently so
+      // per-batch consumers ([[embeddingDriftFromIndex]]) refuse the tree
+      // even when the crash happened before the happy path could write
+      // the record (inert for indexes with no per-batch consumers)
+      writeCompactedRecord(fs, base, upTo)
       fs.delete(marker, false)
     } else if (fs.exists(tmp)) {
       fs.delete(tmp, true) // died before commit: originals are authoritative
@@ -977,15 +993,24 @@ object Curation {
       batches.foreach(s => fs.delete(s.getPath, true))
       require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
         s"could not publish $tmp under $base")
-      fs.delete(marker, false)
       // permanent record (underscore-prefixed: invisible to the parquet
       // readers): compaction erases batch identity, and the per-batch
       // consumers ([[embeddingDriftFromIndex]]) must refuse this index
-      // loudly instead of reporting one merged batch with ~zero drift
-      val done = fs.create(
-        new org.apache.hadoop.fs.Path(base, COMPACTED_RECORD), true)
-      try done.write(s"$upToBatch\n".getBytes("UTF-8")) finally done.close()
+      // loudly instead of reporting one merged batch with ~zero drift.
+      // Written BEFORE the marker delete so no crash window leaves a
+      // compacted tree without the record: up to here the marker still
+      // stands and [[recoverCompaction]]'s marker path re-writes it.
+      writeCompactedRecord(fs, base, upToBatch)
+      fs.delete(marker, false)
     }
+  }
+
+  private def writeCompactedRecord(fs: org.apache.hadoop.fs.FileSystem,
+                                   base: org.apache.hadoop.fs.Path,
+                                   upToBatch: Long): Unit = {
+    val done = fs.create(
+      new org.apache.hadoop.fs.Path(base, COMPACTED_RECORD), true)
+    try done.write(s"$upToBatch\n".getBytes("UTF-8")) finally done.close()
   }
 
   private[operators] val COMPACTED_RECORD = "_COMPACTED"
@@ -1436,7 +1461,7 @@ object Curation {
       dedupStages, deconStages, capRelation)
     val quar = docs.filter(!coalesce(allOk, lit(false)))
       .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        nTokensWs.as("n_tokens"),
         lit("quarantined").as("stage"),
         Dedup.hashSplitOf(col("doc_id")).as("split"),
         lit(0L).as("n_copies"))

@@ -785,6 +785,15 @@ object Expectations {
         .select(col("batch").cast("long").as("batch_lo"),
           col("batch").cast("long").as("batch_hi"), col("constraint"),
           col("n_rows"), col(vcol).as("n_violations"))
+      // a store dir that exists but holds no eligible batch dirs (e.g.
+      // created-then-crashed ingest) is the same empty relation as a
+      // missing store — readHistoryRows' guard, mirrored here
+      if (parts.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL("batch_lo BIGINT, batch_hi BIGINT, " +
+            "table_name STRING, constraint STRING, n_rows BIGINT, " +
+            "n_violations BIGINT"))
       parts.reduce(_ unionByName _)
         .select(col("batch_lo"), col("batch_hi"), lit(tbl).as("table_name"),
           col("constraint"), col("n_rows"), col("n_violations"))
@@ -1208,11 +1217,16 @@ object Expectations {
     * Unique semantics ("divert the second-and-later copies"): within a
     * duplicated key, copies rank by their NON-UNIQUE failure signature
     * (failure count, then the name-sorted label list) so the CLEANEST
-    * copy is the one kept — a deterministic multiset: copies with equal
-    * signatures are interchangeable rows, and differing copies order
-    * deterministically. The kept copy carries no unique failure; every
-    * later copy does. RefIn failures are row-local flags (NULL key
-    * fails).
+    * copy is the one kept; signature ties break on a whole-row hash, and
+    * with 2+ Unique rules a per-signature tie INDEX (one extra narrow
+    * shuffle, only in that case) keeps the kept copy consistent across
+    * every rule's window — the combined failed-label multiset is a
+    * deterministic function of the input multiset (fully identical
+    * physical rows are interchangeable by construction; 64-bit hash
+    * collisions between differing rows are the only residual, and only
+    * for their tie order). The kept copy carries no unique failure;
+    * every later copy does. RefIn failures are row-local flags (NULL
+    * key fails).
     *
     * Scale shape: scalar + RefIn flags ride one column-pruned scan (one
     * key join per RefIn rule, AQE-broadcast for dim-sized reference
@@ -1242,11 +1256,25 @@ object Expectations {
     val failedOther = concat_ws(",", otherPairs.map { case (n, f) =>
       when(f === 1L, lit(n)).otherwise(lit(null).cast("string"))
     }: _*)
-    val sig = withRefs.withColumn("__nfo", nfOther)
+    // shared deterministic tiebreakers for the unique windows: a
+    // whole-row hash (row-local, rides the windows' own key shuffles)
+    // orders differing copies totally; with 2+ Unique rules, identical
+    // rows additionally get a per-hash tie index so every rule's window
+    // keeps the SAME copy (one extra narrow shuffle, only in that case)
+    val rowSig = xxhash64(df.columns.map(c => df(c)): _*)
+    val sig0 = withRefs.withColumn("__nfo", nfOther)
       .withColumn("__sfo", failedOther)
+      .withColumn("__rsig", rowSig)
+    val sig =
+      if (uniques.size <= 1) sig0
+      else sig0.withColumn("__tie", row_number().over(
+        Window.partitionBy(col("__rsig")).orderBy(lit(1))))
+    val tieCols =
+      if (uniques.size <= 1) Seq(col("__rsig"))
+      else Seq(col("__rsig"), col("__tie"))
     val withU = uniques.zipWithIndex.foldLeft(sig) { case (acc, (u, i)) =>
       val w = Window.partitionBy(u.cols.map(col): _*)
-        .orderBy(col("__nfo"), col("__sfo"))
+        .orderBy(col("__nfo") +: col("__sfo") +: tieCols: _*)
       acc.withColumn(s"__uf$i",
         (row_number().over(w) > 1).cast("long"))
     }

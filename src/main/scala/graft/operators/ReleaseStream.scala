@@ -179,7 +179,7 @@ object ReleaseStream {
         val qOut = batch.filter(!coalesce(allOk, lit(false)))
           .select(col("doc_id"),
             coalesce(col("source"), lit("")).as("source"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+            Curation.nTokensWs.as("n_tokens"))
           .withColumn("ver", lit(batchId))
           .withColumn("qbkt", bkt(col("doc_id"))).persist()
         qOut.write.mode("overwrite").partitionBy("qbkt")
@@ -191,7 +191,7 @@ object ReleaseStream {
     val d = rows.select(col("doc_id"),
         coalesce(col("source"), lit("")).as("source"),
         col("lang"), col("text"))
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens", Curation.nTokensWs)
       .withColumn("h", sha2(col("text"), 256))
       .withColumn("hcap", Sketches.phash60(
         concat(lit("sc42|"), col("doc_id").cast("string"))))
