@@ -1468,6 +1468,133 @@ object Curation {
     cur.unionByName(quar).orderBy("doc_id")
   }
 
+  /** The deterministic RE-CRAWLED corpus multiset for the q159/q160
+    * family, tagged with `rc` (0 = the base corpus, 1 = the re-crawl
+    * wave): every base document, plus IDENTICAL re-crawl copies of the
+    * `doc_id % 7 == 3` docs (cross-batch duplicate keys — the Unique
+    * gate's case), plus `doc_id % 11 == 5` docs re-keyed at
+    * `doc_id + 1000000` (late crawl docs no embedding references — the
+    * RefIn gate's case). Cross-engine reproducible by construction
+    * (the shiftedEmbeddings planting convention).
+    */
+  private[graft] def recrawledCorpusTagged(spark: SparkSession,
+                                           sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.withColumn("rc", lit(0L))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 3)
+        .withColumn("rc", lit(1L)))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(11L)) === 5)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("rc", lit(1L)))
+  }
+
+  /** [[recrawledCorpusTagged]] as the plain physical-row multiset. */
+  private[graft] def recrawledCorpus(spark: SparkSession,
+                                     sfDir: String): DataFrame =
+    recrawledCorpusTagged(spark, sfDir).drop("rc")
+
+  /** q159: the diverted release export under the COMPLETE q152 rule
+    * suite — [[divertedReleaseExport]] extended with the keyed classes,
+    * over a physical-row MULTISET (duplicate keys allowed; this is what
+    * an ingest actually receives). Per key, copies rank by
+    * (dirty, phash60(text)) — a fully-clean copy folds, and only one
+    * does (`unique` semantics: the cleanest copy is kept, every other
+    * copy diverts); a row failing any scalar rule or whose `RefIn` key
+    * is dangling (NULL fails) diverts regardless of rank. Every
+    * diverted COPY ships as its own `quarantined` row — rows in ==
+    * rows out, the per-copy accounting [[ReleaseStream
+    * .keyedGatedReleaseState]] mirrors.
+    *
+    * Scale shape: scalar + RefIn verdicts are row-local flags on the
+    * corpus scan (one join per RefIn on the dim-sized distinct
+    * reference keys, AQE-broadcast); the Unique rank is ONE key-shuffle
+    * window (the same shuffle the q138 audit pays); the cascade runs
+    * q132's own plan over the clean subset.
+    */
+  def keyedDivertedReleaseExport(docs: DataFrame,
+                                 checks: Seq[Expectations.Check],
+                                 refs: Seq[Expectations.RefIn],
+                                 pairs: DataFrame,
+                                 dedupStages: Option[DataFrame] = None,
+                                 deconStages: Option[DataFrame] = None,
+                                 capRelation: Option[DataFrame] = None)
+      : DataFrame = {
+    require(checks.nonEmpty || refs.nonEmpty,
+      "keyedDivertedReleaseExport: empty gate suite")
+    import org.apache.spark.sql.expressions.Window
+    val baseCols = docs.columns.toSeq
+    val withRef = refs.zipWithIndex.foldLeft(docs) { case (acc, (r, i)) =>
+      val rk = r.ref.select(col(r.refCol).as(s"__rk$i")).distinct()
+        .withColumn(s"__rp$i", lit(1))
+      acc.join(rk, acc(r.col) === col(s"__rk$i"), "left").drop(s"__rk$i")
+    }
+    val ok = (checks.map(_.ok) ++
+        refs.indices.map(i => col(s"__rp$i").isNotNull))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val flagged = withRef
+      .withColumn("__dirty",
+        when(coalesce(ok, lit(false)), lit(0L)).otherwise(lit(1L)))
+      .withColumn("__rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("__dirty"), Sketches.phash60(col("text")))))
+    val clean = flagged.filter(col("__dirty") === 0L && col("__rn") === 1L)
+      .select(baseCols.map(col): _*)
+    val cleanIds = clean.select("doc_id")
+    val cleanPairs = pairs
+      .join(cleanIds.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+        "left_semi")
+      .join(cleanIds.withColumnRenamed("doc_id", "d2"), Seq("d2"),
+        "left_semi")
+    val cur = releaseExport(clean, Dedup.clustersFromPairs(cleanPairs),
+      dedupStages, deconStages, capRelation)
+    val quar = flagged.filter(col("__dirty") === 1L || col("__rn") > 1L)
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
+        nTokensWs.as("n_tokens"),
+        lit("quarantined").as("stage"),
+        Dedup.hashSplitOf(col("doc_id")).as("split"),
+        lit(0L).as("n_copies"))
+    // duplicate doc_ids are legal here (per-copy accounting), so the
+    // deterministic order needs the stage as a second key; copies equal
+    // in (doc_id, stage) are identical rows
+    cur.unionByName(quar).orderBy("doc_id", "stage")
+  }
+
+  /** The q159 stage artifacts: [[ensureDivertedStages]]' idiom over the
+    * KEYED-clean corpus — the base docs passing every scalar rule AND
+    * holding an embedding (the re-crawl copies are identical to their
+    * originals and the re-keyed late docs never pass RefIn, so the
+    * unique-ranked clean SET equals this subset of the base corpus).
+    */
+  private[graft] def ensureKeyedDivertedStages(spark: SparkSession,
+                                               sfDir: String): (String, String, String) = {
+    def clean() = {
+      val docs = Tables.documents(spark, sfDir)
+      docs.filter(Expectations.corpusDocChecks.map(_.ok).reduce(_ && _))
+        .join(Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+    }
+    def part(tag: String)(build: DataFrame => DataFrame): String =
+      DedupArtifacts.cachedDir(s"$sfDir|kdivstages|$tag") {
+        val c = clean()
+        val key = DedupArtifacts.corpusKey(c.select("doc_id", "text"),
+          "kdivstages")
+        DedupArtifacts.ensureDerived(spark, s"$key|$tag")(build(c))
+      }
+    val dd = part("dedupapply|v=1") { c =>
+      val ids = c.select("doc_id")
+      val cleanPairs = spark.read
+        .parquet(DedupArtifacts.ensureVerifiedPairs(spark, sfDir))
+        .join(ids.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+      ChunkDedup.dedupApply(c, Dedup.clustersFromPairs(cleanPairs))
+    }
+    val dc = part("decontam|p=20|t=100|v=1")(c => decontamApply(c))
+    val cp = part(s"sourcecap|c=${Prep.SOURCE_CAP}|v=1")(c =>
+      Prep.sourceCap(c))
+    (dd, dc, cp)
+  }
+
   /** The q154 stage artifacts: [[ensureReleaseStages]]' three relations
     * computed over the CLEAN (gate-surviving) corpus — in the diverted
     * semantics the gate ran at ingest, so the clean corpus IS the stored
@@ -2061,6 +2188,30 @@ object Curation {
       ReleaseStream.releaseState(s,
         ReleaseStream.ensureGatedReleaseState(s, d))),
 
+    // Q159: the diverted release under the COMPLETE q152 rule suite
+    // (scalar + unique:doc_id + ref:doc_id->embeddings.vec_id) over the
+    // re-crawled corpus multiset (see [[keyedDivertedReleaseExport]]) —
+    // per-copy accounting: every diverted COPY is its own row.
+    "q159_keyed_diverted_release" -> ((s, d) => {
+      val (dd, dc, cp) = ensureKeyedDivertedStages(s, d)
+      keyedDivertedReleaseExport(recrawledCorpus(s, d),
+        Expectations.corpusDocChecks,
+        Seq(Expectations.RefIn("ref:doc_id->embeddings.vec_id", "doc_id",
+          Tables.embeddings(s, d), "vec_id")),
+        s.read.parquet(DedupArtifacts.ensureVerifiedPairs(s, d)),
+        dedupStages = Some(s.read.parquet(dd)),
+        deconStages = Some(s.read.parquet(dc)),
+        capRelation = Some(s.read.parquet(cp)))
+    }),
+
+    // Q160: the keyed-gated release read off the incremental state (see
+    // [[ReleaseStream.streamingReleaseIngest]] with gateUnique/gateRefs
+    // and [[ReleaseStream.keyedGatedReleaseState]]); oracle shared
+    // VERBATIM with q159 — stream==batch is the contract.
+    "q160_streaming_keyed_diverted_release" -> ((s, d) =>
+      ReleaseStream.keyedGatedReleaseState(s,
+        ReleaseStream.ensureKeyedGatedReleaseState(s, d))),
+
     // Q158: the release export gated by the DRIFT rule alone (see
     // [[Expectations.corpusDriftGate]] / [[gatedReleaseExport]]) — the
     // planted drifting crawl batch BLOCKS the release exactly the way a
@@ -2287,11 +2438,17 @@ object Curation {
     * diverted predicate is its `IS NOT TRUE` complement, so the two
     * partition the corpus exactly.
     */
+  /** The q139 document scalar rules as one SQL predicate (TRUE = clean;
+    * NULL-failing callers wrap with IS NOT TRUE) — shared by the
+    * diverted-release twins.
+    */
+  private val docCleanPredSql: String =
+    """(text IS NOT NULL) AND (lang IN ('de','en','es','fr','zh'))
+      |      AND (len(text) = n_chars)
+      |      AND (len(string_split(text, ' ')) BETWEEN 1 AND 64)""".stripMargin
+
   private def divertedReleaseOracleSql: String = {
-    val cleanPred =
-      """(text IS NOT NULL) AND (lang IN ('de','en','es','fr','zh'))
-        |      AND (len(text) = n_chars)
-        |      AND (len(string_split(text, ' ')) BETWEEN 1 AND 64)""".stripMargin
+    val cleanPred = docCleanPredSql
     s"""WITH cur AS (WITH RECURSIVE documents AS
        |    (SELECT * FROM main.documents WHERE $cleanPred),
        |  $releaseExportOracleBody),
@@ -2307,6 +2464,49 @@ object Curation {
        |SELECT * FROM cur UNION ALL SELECT * FROM quar
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q159/q160 twin: the q154 statement under the COMPLETE q152 rule
+    * suite over the re-crawled corpus MULTISET. The clean corpus the
+    * cascade shadows is the base documents passing every scalar rule
+    * AND referencing an embedding (the identical re-crawl copies add no
+    * new clean keys and the re-keyed late docs are dangling, so the
+    * unique-ranked clean set reduces to exactly this subset); the
+    * diverted relation ranks every physical copy per key (clean-first)
+    * and emits each non-kept copy as its own quarantined row. Ordered
+    * by (doc_id, stage): duplicate keys are legal in the per-copy
+    * output and copies equal in both are identical rows.
+    */
+  private def keyedDivertedReleaseOracleSql: String =
+    s"""WITH cur AS (WITH RECURSIVE documents AS
+       |    (SELECT d.* FROM main.documents d WHERE $docCleanPredSql
+       |       AND EXISTS (SELECT 1 FROM main.embeddings e
+       |                   WHERE e.vec_id = d.doc_id)),
+       |  $releaseExportOracleBody),
+       |corpus AS (SELECT doc_id, text, lang, source, n_chars FROM main.documents
+       |  UNION ALL
+       |  SELECT doc_id, text, lang, source, n_chars FROM main.documents
+       |  WHERE doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM main.documents WHERE doc_id % 11 = 5),
+       |flg AS (SELECT *,
+       |    CASE WHEN ($docCleanPredSql)
+       |          AND EXISTS (SELECT 1 FROM main.embeddings e
+       |                      WHERE e.vec_id = corpus.doc_id)
+       |         THEN 0 ELSE 1 END AS dirty
+       |  FROM corpus),
+       |rk AS (SELECT *, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY dirty) AS rn FROM flg),
+       |quar AS (SELECT doc_id, COALESCE(source, '') AS source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    'quarantined' AS stage,
+       |    CASE WHEN ${Sketches.phash60Sql("doc_id")} % 100 < 90 THEN 'train'
+       |         WHEN ${Sketches.phash60Sql("doc_id")} % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CAST(0 AS BIGINT) AS n_copies
+       |  FROM rk WHERE dirty = 1 OR rn > 1)
+       |SELECT * FROM cur UNION ALL SELECT * FROM quar
+       |ORDER BY doc_id, stage""".stripMargin
 
   private def gatedReleaseOracleSql: String =
     s"""WITH cur AS ($releaseExportOracleSql),
@@ -2544,6 +2744,9 @@ object Curation {
     "q154_diverted_release" -> divertedReleaseOracleSql,
     // q155: q154's SQL VERBATIM — stream==batch is the contract
     "q155_streaming_diverted_release" -> divertedReleaseOracleSql,
+    "q159_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,
+    // q160: q159's SQL VERBATIM — stream==batch is the contract
+    "q160_streaming_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,
     // q158: the q132 statement gated by the drift row's verdict (the
     // gatedReleaseOracleSql shape with the drift fragment as the gate)
     "q158_drift_gated_release" ->

@@ -378,6 +378,17 @@ object Expectations {
     }
   }
 
+  /** The DISTINCT key set a single-column key-count store holds below
+    * batch `below` (exclusive) — the referenced-key relation a
+    * [[RefStream]] rule resolves against, exposed for the release
+    * ingest's keyed gate ([[ReleaseStream]] reads the reference stream's
+    * store at the fact batch's own frontier so a replayed fact batch
+    * re-reads the same reference set). (distinct-key)-sized, bucketed.
+    */
+  private[operators] def refKeySet(spark: SparkSession, refStore: String,
+                                   below: Long): DataFrame =
+    readStore(spark, refStore, below, None, 1).select("k0").distinct()
+
   /** One micro-batch of the keyed audit (the foreachBatch body, factored
     * out for the replay/equality specs): scalar partials + per-rule key
     * stores + the live uniqueness delta, all written under `batch=<id>`

@@ -126,10 +126,40 @@ object ReleaseStream {
     * a doc_id-keyed split and zero mixture weight, equal to the batch
     * [[Curation.divertedReleaseExport]] over everything ingested
     * (stream==batch spec-pinned with planted dirty rows + replay).
+    *
+    * `gateUnique`/`gateRefs` extend the gate to the KEYED rule classes
+    * (round-17 rung — the q152 complete-route semantics at the ingest):
+    *
+    *  - `gateUnique`: the second-and-later COPIES of a duplicated
+    *    doc_id divert. Cross-batch, a key is CLAIMED once a copy folds
+    *    (the fact store is the claim set — probed by the batch keys'
+    *    buckets, the `ex`-store idiom; a diverted copy claims nothing,
+    *    so a later clean re-crawl of a dirty doc still folds — the
+    *    cleanest-copy-folds rule). Within a batch, copies rank by
+    *    (dirty, phash60(text)) and only the best folds. Copies of one
+    *    key that are equally clean but textually different resolve by
+    *    arrival order across batches (the fold cannot re-rank folded
+    *    history) — the stream==batch contract covers copies that are
+    *    identical or differ in dirtiness, the honest bound documented
+    *    at [[keyedGatedReleaseState]].
+    *  - `gateRefs`: a row whose `col` has no match in the reference
+    *    stream's accumulated key store diverts (NULL fails). The store
+    *    is read at the fact batch's own frontier (below batchId+1), so
+    *    a replayed batch re-reads the same reference set; a reference
+    *    arriving AFTER its fact does not retro-fold the diverted row
+    *    (ingest-time verdicts stand — the fold's general LWW posture,
+    *    spec-pinned).
+    *
+    * Both are decided BEFORE the fold hashes anything, so a diverted
+    * copy never perturbs exact minima, clusters, eval or caps. Read a
+    * keyed-gated root with [[keyedGatedReleaseState]] (per-copy
+    * accounting), not [[releaseState]].
     */
   def streamingReleaseIngest(docs: DataFrame, root: String,
                              checkpoint: String, compactEvery: Int = 0,
-                             gateChecks: Seq[Expectations.Check] = Nil)
+                             gateChecks: Seq[Expectations.Check] = Nil,
+                             gateUnique: Boolean = false,
+                             gateRefs: Seq[Expectations.RefStream] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 0, "compactEvery: 0 disables, else every K batches")
     docs.writeStream
@@ -137,7 +167,7 @@ object ReleaseStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         releaseIngestWithPolicy(batch, batchId, root, compactEvery,
-          gateChecks)
+          gateChecks, gateUnique, gateRefs)
         ()
       }
       .start()
@@ -150,11 +180,13 @@ object ReleaseStream {
   private[graft] def releaseIngestWithPolicy(batch: DataFrame, batchId: Long,
                                              root: String,
                                              compactEvery: Int,
-                                             gateChecks: Seq[Expectations.Check] = Nil)
+                                             gateChecks: Seq[Expectations.Check] = Nil,
+                                             gateUnique: Boolean = false,
+                                             gateRefs: Seq[Expectations.RefStream] = Nil)
       : ReadPaths = {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compactReleaseState(batch.sparkSession, root, below = batchId)
-    releaseIngestBatch(batch, batchId, root, gateChecks)
+    releaseIngestBatch(batch, batchId, root, gateChecks, gateUnique, gateRefs)
   }
 
   /** One micro-batch of the fold (the foreachBatch body, factored out so
@@ -165,18 +197,59 @@ object ReleaseStream {
     */
   private[graft] def releaseIngestBatch(batch: DataFrame, batchId: Long,
                                         root: String,
-                                        gateChecks: Seq[Expectations.Check] = Nil)
+                                        gateChecks: Seq[Expectations.Check] = Nil,
+                                        gateUnique: Boolean = false,
+                                        gateRefs: Seq[Expectations.RefStream] = Nil)
       : ReadPaths = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    val prior = latestManifest(spark, root, batchId)
+      .map(_._2).getOrElse(Map.empty[String, Seq[Long]])
     // the ingest gate: divert failing rows (NULL fails — the strict
     // q145/q146 semantics) to the bucketed quar store BEFORE the fold
-    // sees them; both filters are row-local flags on the batch scan
+    // sees them. Scalar and RefIn verdicts are row-local flags on the
+    // batch scan (refs via one join per rule on the reference stream's
+    // accumulated distinct keys); the Unique verdict adds one claim
+    // probe of the fact store's touched buckets plus a doc_id window
+    // over the batch — both delta-bounded.
+    val gated = gateChecks.nonEmpty || gateUnique || gateRefs.nonEmpty
+    var gatePersisted: Option[DataFrame] = None
     val (rows, qWritten) =
-      if (gateChecks.isEmpty) (batch, Set.empty[Long])
+      if (!gated) (batch, Set.empty[Long])
       else {
-        val allOk = gateChecks.map(_.ok).reduce(_ && _)
-        val qOut = batch.filter(!coalesce(allOk, lit(false)))
+        val withRef = gateRefs.zipWithIndex.foldLeft(batch) {
+          case (acc, (r, i)) =>
+            val rk = Expectations.refKeySet(spark, r.refStore, batchId + 1)
+              .select(col("k0").as(s"__rk$i")).withColumn(s"__rp$i", lit(1))
+            acc.join(rk, acc(r.col) === col(s"__rk$i"), "left")
+              .drop(s"__rk$i")
+        }
+        val ok = (gateChecks.map(_.ok) ++
+            gateRefs.indices.map(i => col(s"__rp$i").isNotNull))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val flagged0 = withRef.withColumn("__dirty",
+          when(coalesce(ok, lit(false)), lit(0L)).otherwise(lit(1L)))
+        val flagged =
+          if (!gateUnique) flagged0.withColumn("__dup", lit(0L))
+          else {
+            val bkeys = flagged0.select("doc_id").distinct()
+            val touchedD = bucketVals(bkeys.select(bkt(col("doc_id")).as("b")))
+            val claimed = readOr(spark,
+                storePaths(root, prior, "doc", touchedD), DOC_SCHEMA)
+              .select("doc_id")
+              .join(bkeys, Seq("doc_id"), "left_semi").distinct()
+              .withColumn("__cl", lit(1L))
+            val w = Window.partitionBy("doc_id")
+              .orderBy(col("__dirty"), Sketches.phash60(col("text")))
+            flagged0.join(claimed, Seq("doc_id"), "left")
+              .withColumn("__dup",
+                when(col("__cl").isNotNull || row_number().over(w) > 1,
+                  lit(1L)).otherwise(lit(0L)))
+              .drop("__cl")
+          }
+        val fl = flagged.persist()
+        gatePersisted = Some(fl)
+        val qOut = fl.filter(col("__dirty") === 1L || col("__dup") === 1L)
           .select(col("doc_id"),
             coalesce(col("source"), lit("")).as("source"),
             Curation.nTokensWs.as("n_tokens"))
@@ -186,7 +259,7 @@ object ReleaseStream {
           .parquet(s"$root/batch=$batchId/quar")
         val w = bucketVals(qOut.select(col("qbkt").as("b")))
         qOut.unpersist()
-        (batch.filter(allOk), w)
+        (fl.filter(col("__dirty") === 0L && col("__dup") === 0L), w)
       }
     val d = rows.select(col("doc_id"),
         coalesce(col("source"), lit("")).as("source"),
@@ -197,8 +270,6 @@ object ReleaseStream {
         concat(lit("sc42|"), col("doc_id").cast("string"))))
       .withColumn("hsmp", Sketches.phash60(col("doc_id")))
       .persist()
-    val prior = latestManifest(spark, root, batchId)
-      .map(_._2).getOrElse(Map.empty[String, Seq[Long]])
     // the quar store appends like ex/sh/src: this batch's buckets join
     // the prior owner lists
     val priorQ = qWritten.foldLeft(prior) { (m, b) =>
@@ -208,6 +279,7 @@ object ReleaseStream {
     if (d.isEmpty) { // no clean rows: fold state unchanged, commit quar
       writeManifest(spark, root, batchId, priorQ)
       d.unpersist()
+      gatePersisted.foreach(_.unpersist())
       return ReadPaths(Nil, Nil, Nil, Nil)
     }
     // labels constituent: the existing cluster-label stream, reused whole
@@ -368,6 +440,7 @@ object ReleaseStream {
     Seq(d, bsh, bmin, exCombined, flips, priorEvals, newEvals, priorEvalsh,
       newEvalsh, newSet, dSh, adj, affected, docOut, shOut, exOut, srcOut,
       capn, deltaSources, overDelta).foreach(_.unpersist())
+    gatePersisted.foreach(_.unpersist())
     ReadPaths(exPaths, shPaths, docPaths, srcPaths)
   }
 
@@ -416,21 +489,14 @@ object ReleaseStream {
     // the ingest-time decisions (the fold's general LWW posture); only
     // the row-level verdict reconciles here — ungated roots have no quar
     // store and skip all of this.
-    val quarPaths = man.collect { case (k, owners) if k.startsWith("quar/") =>
-      val b = k.stripPrefix("quar/")
-      owners.map(o => s"$root/batch=$o/quar/qbkt=$b")
-    }.flatten.toSeq
+    val quarPaths = manPaths(root, man, "quar")
     val gated = quarPaths.nonEmpty
     val quarAll = latestRows(readOr(spark, quarPaths, QUAR_SCHEMA))
     val quarWinners =
       if (!gated) quarAll.select("doc_id") // empty; never joined below
       else {
-        val docPaths = man.collect {
-          case (k, owners) if k.startsWith("doc/") =>
-            val b = k.stripPrefix("doc/")
-            owners.map(o => s"$root/batch=$o/doc/dbkt=$b")
-        }.flatten.toSeq
-        val fv = latestRows(readOr(spark, docPaths, DOC_SCHEMA))
+        val fv = latestRows(readOr(spark, manPaths(root, man, "doc"),
+            DOC_SCHEMA))
           .select(col("doc_id"), col("ver").as("fver"))
         quarAll.select(col("doc_id"), col("ver"))
           .join(fv, Seq("doc_id"), "left")
@@ -447,20 +513,36 @@ object ReleaseStream {
     // no facts): the readout is the quarantined relation alone, not a
     // man("tiny") lookup throw.
     if (!man.contains("tiny")) return quar.orderBy("doc_id")
-    // The mixture plan is pinned BY VALUE: its #langs-row relation is
-    // computed in its OWN fixed-shape action (a bounded-driver-state
-    // collect, like the k×dim centroids) and re-enters the readout as a
-    // literal. Leaving it lazy made the readout's n_copies a function of
-    // whatever plan a CONSUMER built on top: under the q135/q136 churn
-    // join + aggregate, Catalyst's rewrite of the doubled readout tree
-    // permuted per-doc n_copies across docs (budget and cell counts
-    // conserved, per-doc values wrong — caught by the q136 cross-pin
-    // and pinned by ReleaseStreamSpec's stats==rollup assertion). A
-    // value literal is immune to consumer plan shape by construction;
-    // the assignment arithmetic itself stays in the one shared kernel
-    // ([[TextAnalysis.mixtureAssign]]). The plan aggregate and the
-    // assignment read independently re-derived staged trees (no shared
-    // lineage for the analyzer to conflate).
+    val base = foldedExport(spark, root, man, batchId)
+    val out =
+      if (!gated) base
+      else base.join(quarWinners, Seq("doc_id"), "left_anti") // quar wins
+        .unionByName(quar)
+    out.orderBy("doc_id")
+  }
+
+  /** The staged-plus-mixture export of the FOLDED documents off a
+    * resolved manifest — the shared readout core of [[releaseStateAt]]
+    * and [[keyedGatedReleaseState]].
+    *
+    * The mixture plan is pinned BY VALUE: its #langs-row relation is
+    * computed in its OWN fixed-shape action (a bounded-driver-state
+    * collect, like the k×dim centroids) and re-enters the readout as a
+    * literal. Leaving it lazy made the readout's n_copies a function of
+    * whatever plan a CONSUMER built on top: under the q135/q136 churn
+    * join + aggregate, Catalyst's rewrite of the doubled readout tree
+    * permuted per-doc n_copies across docs (budget and cell counts
+    * conserved, per-doc values wrong — caught by the q136 cross-pin
+    * and pinned by ReleaseStreamSpec's stats==rollup assertion). A
+    * value literal is immune to consumer plan shape by construction;
+    * the assignment arithmetic itself stays in the one shared kernel
+    * ([[TextAnalysis.mixtureAssign]]). The plan aggregate and the
+    * assignment read independently re-derived staged trees (no shared
+    * lineage for the analyzer to conflate).
+    */
+  private def foldedExport(spark: SparkSession, root: String,
+                           man: Map[String, Seq[Long]],
+                           batchId: Long): DataFrame = {
     val keptStats = stagedRelation(spark, root, man, batchId)
       .filter(col("stage") === "kept")
       .select("doc_id", "lang", "n_tokens")
@@ -479,14 +561,42 @@ object ReleaseStream {
           .filter(col("stage") === "kept")
           .select("doc_id", "lang", "n_tokens"), planLit)
       .select(col("doc_id"), col("n_copies"))
-    val base = staged.join(mix, Seq("doc_id"), "left")
+    staged.join(mix, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("stage"),
         col("split"), coalesce(col("n_copies"), lit(0L)).as("n_copies"))
-    val out =
-      if (!gated) base
-      else base.join(quarWinners, Seq("doc_id"), "left_anti") // quar wins
-        .unionByName(quar)
-    out.orderBy("doc_id")
+  }
+
+  /** The release relation off a KEYED-GATED root (a
+    * [[streamingReleaseIngest]] run with `gateUnique`/`gateRefs`) — the
+    * stream==batch twin of [[Curation.keyedDivertedReleaseExport]]:
+    * PER-COPY accounting, the q152 complete-route semantics. Every
+    * physical row ever ingested is exactly one output row: the folded
+    * copy of each key staged by the cascade, every diverted copy (a
+    * scalar/ref-failing row, or a second-and-later copy of a duplicated
+    * key) a `quarantined` row with a doc_id-keyed split and zero
+    * mixture weight. Unlike [[releaseStateAt]]'s gated branch there is
+    * NO latest-wins reconciliation: copies are not re-arrivals of one
+    * logical row but individually-accounted physical rows (the relation
+    * an ingest pipeline owes its audit — rows in == rows out).
+    *
+    * Honest bound (shared with the gate): same-key copies that are
+    * equally clean but textually different resolve by arrival order,
+    * so stream==batch holds for copies that are identical or differ in
+    * dirtiness — the re-crawl cases that occur; the spec pins both.
+    */
+  def keyedGatedReleaseState(spark: SparkSession, root: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val manOpt = latestManifest(spark, root, Long.MaxValue)
+    if (manOpt.isEmpty) return emptyDf(spark, OUT_SCHEMA)
+    val man = manOpt.get._2
+    val quar = readOr(spark, manPaths(root, man, "quar"), QUAR_SCHEMA)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        lit("quarantined").as("stage"),
+        Dedup.hashSplitOf(col("doc_id")).as("split"),
+        lit(0L).as("n_copies"))
+    if (!man.contains("tiny")) return quar.orderBy("doc_id", "stage")
+    foldedExport(spark, root, man, Long.MaxValue).unionByName(quar)
+      .orderBy("doc_id", "stage")
   }
 
   /** The per-doc staged relation (facts + stage + split) off a resolved
@@ -496,11 +606,8 @@ object ReleaseStream {
   private def stagedRelation(spark: SparkSession, root: String,
                              man: Map[String, Seq[Long]],
                              batchId: Long): DataFrame = {
-    val docPaths = man.collect { case (k, owners) if k.startsWith("doc/") =>
-      val b = k.stripPrefix("doc/")
-      owners.map(o => s"$root/batch=$o/doc/dbkt=$b")
-    }.flatten.toSeq
-    val docs = latestRows(readOr(spark, docPaths, DOC_SCHEMA))
+    val docs = latestRows(readOr(spark, manPaths(root, man, "doc"),
+      DOC_SCHEMA))
     val tinyO = man("tiny").head
     val evals = spark.read.parquet(s"$root/batch=$tinyO/tiny/evals")
       .select(col("doc_id"), lit(1L).as("is_eval"))
@@ -580,6 +687,51 @@ object ReleaseStream {
           releaseIngestBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === b),
             b, dir, Expectations.corpusDocChecks)
         }
+      }
+    }
+
+  /** Build-once KEYED-GATED release-state artifact for the q160 catalog
+    * entry: the RE-CRAWLED corpus ([[Curation.recrawledCorpus]] — the
+    * base docs in three doc_id-residue batches, then a fourth batch
+    * carrying the re-crawl copies and the embedding-less late docs)
+    * folded through the COMPLETE q152-semantics gate: the q139 scalar
+    * rules, `unique:doc_id` (the re-crawl copies divert — cross-batch
+    * duplicates are the catalog case itself), and
+    * `ref:doc_id->embeddings.vec_id` resolved against a keyed-audit
+    * reference ingest of the embeddings stream folded ALONGSIDE
+    * (reference batch b lands before fact batch b — the paired-ingest
+    * convention). The readout's oracle is
+    * [[Curation.keyedDivertedReleaseExport]]'s SQL: stream==batch for
+    * the per-copy diverted semantics.
+    */
+  private[graft] def ensureKeyedGatedReleaseState(spark: SparkSession,
+                                                  sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relstreamkeyed") {
+      val corpus = Curation.recrawledCorpusTagged(spark, sfDir)
+      val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(
+        corpus.select("doc_id", "text"), "relstreamkeyed") +
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=4" +
+        "|gate=docv1+uniq+refemb|v=1"
+      DedupArtifacts.ensureTree(key) { dir =>
+        val refRoot = s"$dir/refembs"
+        val refs = Seq(Expectations.RefStream(
+          "ref:doc_id->embeddings.vec_id", "doc_id",
+          Expectations.keyStoreDir(refRoot, Seq("vec_id"))))
+        (0L until 3L).foreach { b =>
+          Expectations.keyedAuditIngestBatch(
+            embs.filter(pmod(col("vec_id"), lit(3L)) === b), b, refRoot,
+            Nil, Seq(Expectations.Unique("unique:vec_id", Seq("vec_id"))),
+            Nil)
+          releaseIngestBatch(
+            corpus.filter(col("rc") === 0L &&
+              pmod(col("doc_id"), lit(3L)) === b).drop("rc"),
+            b, dir, Expectations.corpusDocChecks, gateUnique = true,
+            gateRefs = refs)
+        }
+        releaseIngestBatch(corpus.filter(col("rc") === 1L).drop("rc"),
+          3L, dir, Expectations.corpusDocChecks, gateUnique = true,
+          gateRefs = refs)
       }
     }
 
@@ -904,6 +1056,14 @@ object ReleaseStream {
 
   private def bucketVals(df: DataFrame): Set[Long] =
     df.distinct().collect().map(_.getLong(0)).toSet // ≤32: bounded driver state
+
+  /** Every leaf directory a manifest names for one store. */
+  private def manPaths(root: String, man: Map[String, Seq[Long]],
+                       store: String): Seq[String] =
+    man.collect { case (k, owners) if k.startsWith(s"$store/") =>
+      val b = k.stripPrefix(s"$store/")
+      owners.map(o => s"$root/batch=$o/$store/${PCOL(store)}=$b")
+    }.flatten.toSeq
 
   private def storePaths(root: String, man: Map[String, Seq[Long]],
                          store: String, buckets: Set[Long]): Seq[String] =
