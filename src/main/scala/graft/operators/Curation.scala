@@ -1093,6 +1093,26 @@ object Curation {
       }
     }
 
+  /** The q163 centroid index: [[ensureCentroidBatchState]] over the
+    * PLANTED corpus ([[Expectations.shiftedEmbeddings]] — the latest
+    * crawl batch drifted), so the streaming gate's drift row reads off
+    * per-batch partials the ingest already maintains, exactly as q149
+    * does for the monitor.
+    */
+  private[graft] def ensureShiftedCentroidState(spark: SparkSession,
+                                                sfDir: String): String =
+    DedupArtifacts.cachedDir(s"centdriftshift|$sfDir") {
+      val embs = Expectations.shiftedEmbeddings(spark, sfDir)
+      val key = DedupArtifacts.embeddingsKey(embs,
+        s"centdriftshift|$sfDir") + "|v=1"
+      DedupArtifacts.ensureTree(key) { stage =>
+        (0 until 3).foreach { i =>
+          centroidIngestBatch(
+            embs.filter(pmod(col("vec_id"), lit(3L)) === i), i.toLong, stage)
+        }
+      }
+    }
+
   /** Retire unreferenced label-state directories left by
     * [[streamingClusterIngest]]. Buckets carry forward by manifest
     * reference, so an OLD batch directory stays live for as long as any

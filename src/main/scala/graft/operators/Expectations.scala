@@ -1320,6 +1320,15 @@ object Expectations {
     * Scale shape: reads are (distinct-key)-sized partial relations, one
     * key shuffle to merge partials, one join per RefIn rule, and an
     * output-sized generate — never a corpus rescan.
+    *
+    * COMPOUND keys route too (round-17 rung): the key-count stores are
+    * multi-column already (`k0..kn`), so a Unique on e.g.
+    * `(l_partkey, l_suppkey)` reconstitutes its copies the same way —
+    * the output then carries the key's ORIGINAL column names instead of
+    * `row_key` (the row identity is the tuple). RefStream rules imply a
+    * single-column key set; a compound set routes its Unique rules
+    * alone. The COMPLETE scalar+keyed composition lives in
+    * [[routeFromStore]].
     */
   def keyedRouteFromStore(spark: SparkSession, table: String, root: String,
                           uniques: Seq[Unique],
@@ -1327,14 +1336,19 @@ object Expectations {
     require(uniques.nonEmpty || refs.nonEmpty,
       s"keyedRouteFromStore('$table'): no keyed rules")
     val keySets = (uniques.map(_.cols) ++ refs.map(r => Seq(r.col))).distinct
-    require(keySets.size == 1 && keySets.head.size == 1,
+    require(keySets.size == 1,
       s"keyedRouteFromStore('$table'): all keyed rules must share one " +
-        "single-column key set (the table's audited key) — rules on " +
+        "key set (the table's audited key) — rules on " +
         s"${keySets.mkString(", ")} have no shared row identity in the store")
     val cols = keySets.head
+    val n = cols.size
+    val ks = (0 until n).map(i => col(s"k$i"))
     val acc = readStore(spark, keyStoreDir(root, cols), Long.MaxValue,
-        None, 1)
-      .groupBy("k0").agg(sum(col("cnt")).as("cnt"))
+        None, n)
+      .groupBy(ks: _*).agg(sum(col("cnt")).as("cnt"))
+    // RefStream rules imply a single-column key set (Seq(r.col) must
+    // equal `cols` above), so the reference joins below only ever see
+    // n == 1 — a COMPOUND key set routes its Unique rules alone
     val withRefs = refs.zipWithIndex.foldLeft(acc) { case (a, (r, i)) =>
       val rk = readStore(spark, r.refStore, Long.MaxValue, None, 1)
         .select(col("k0").as(s"__rk$i")).distinct()
@@ -1349,16 +1363,22 @@ object Expectations {
         (r.name, when(col(s"__rp$i").isNull, lit(1L)).otherwise(lit(0L)))
       }).sortBy(_._1)
     val nFailed = pairs.map(_._2).reduce(_ + _)
-    val failed = concat_ws(",", pairs.map { case (n, f) =>
-      when(f === 1L, lit(n)).otherwise(lit(null).cast("string"))
+    val failed = concat_ws(",", pairs.map { case (n2, f) =>
+      when(f === 1L, lit(n2)).otherwise(lit(null).cast("string"))
     }: _*)
+    // output key naming: a single-column key keeps the established
+    // `row_key` shape (the q153 contract); a compound key emits its
+    // ORIGINAL column names — the row identity is the tuple
+    val keyNames = if (n == 1) Seq("row_key") else cols
+    val keyOut = keyNames.zipWithIndex.map { case (c, i) =>
+      col(s"k$i").as(c)
+    }
     copies
-      .select(col("k0").as("row_key"), nFailed.as("n_failed"),
-        failed.as("failed"))
-      .select(lit(table).as("table_name"), col("row_key"), col("n_failed"),
-        col("failed"),
+      .select(keyOut :+ nFailed.as("n_failed") :+ failed.as("failed"): _*)
+      .select(lit(table).as("table_name") +: keyNames.map(col) :+
+        col("n_failed") :+ col("failed") :+
         when(col("n_failed") === 0, lit("clean"))
-          .otherwise(lit("quarantined")).as("status"))
+          .otherwise(lit("quarantined")).as("status"): _*)
   }
 
   /** q138: the snapshot-gate audit over the warehouse tables — the
@@ -1489,6 +1509,243 @@ object Expectations {
             s"$stage/lineitem", Nil, lineitemUniques,
             Seq(RefStream(LI_REF_NAME, "l_orderkey",
               keyStoreDir(s"$stage/orders", Seq("o_orderkey")))))
+        }
+      }
+    }
+
+  private[graft] val PARTSUPP_RULE = "unique:l_partkey_l_suppkey"
+
+  /** q162: the keyed route over a COMPOUND key, read off streaming
+    * key-count stores — the q153 semantics with the
+    * single-column-key restriction lifted: lineitem audited for
+    * one-lineitem-per-(l_partkey, l_suppkey) (false on this data by
+    * construction — a part-supplier pair ships in many orders), folded
+    * in the `(4·l_orderkey + l_linenumber) mod 3` residue batches so a
+    * pair's copies land in different batches (cross-batch compound
+    * duplicates are the catalog case), then every physical copy
+    * reconstituted from the multi-column store alone. Output keys carry
+    * their original column names — the row identity is the tuple.
+    */
+  def streamingCompoundKeyedRoute(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    keyedRouteFromStore(spark, "lineitem",
+        ensurePartSuppKeyedState(spark, sfDir),
+        Seq(Unique(PARTSUPP_RULE, Seq("l_partkey", "l_suppkey"))), Nil)
+      .orderBy("table_name", "l_partkey", "l_suppkey", "n_failed")
+
+  private[graft] def ensurePartSuppKeyedState(spark: SparkSession,
+                                              sfDir: String): String =
+    DedupArtifacts.cachedDir(s"whpskaudit|$sfDir") {
+      val lineitem = Tables.lineitem(spark, sfDir)
+      val fp = {
+        val r = lineitem.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(l_partkey, l_suppkey))"), lit(0L)))
+          .collect()(0)
+        s"${r.getLong(0)}|${r.getLong(1)}"
+      }
+      DedupArtifacts.ensureTree(s"whpskaudit|$fp|v=1") { stage =>
+        (0 until 3).foreach { i =>
+          keyedAuditIngestBatch(
+            lineitem.filter(pmod(col("l_orderkey") * 4 + col("l_linenumber"),
+              lit(3L)) === i), i.toLong, stage, Nil,
+            Seq(Unique(PARTSUPP_RULE, Seq("l_partkey", "l_suppkey"))), Nil)
+        }
+      }
+    }
+
+  // ------------------------------------------------------------------
+  // COMPLETE streaming row-level route (round-17 rung) — q147 streams
+  // the scalar verdicts, q153 the keyed ones; nothing emitted the q152
+  // relation (scalar + Unique + RefIn per physical row) from stores
+  // alone. The ROUTE STORE closes that: each micro-batch appends one
+  // row per physical row holding ONLY its row key, its RefIn fact keys,
+  // and its scalar failure signature (count + name-sorted labels,
+  // almost always 0/''), so the readout can reconstitute every copy's
+  // complete verdict without ever rescanning the raw table. Row-level
+  // readouts need row-level state, but the width is keys+labels — never
+  // the payload: at 100 TB this is a few percent of the corpus, the
+  // same honesty class as the q147 violation channel. RefIn membership
+  // is decided at READOUT against the referenced table's accumulated
+  // route keys (exact under late reference arrivals — the
+  // keyedAuditFromStore rule); Unique ranks copies per key by their
+  // non-unique signature at readout, so the cleanest copy is kept
+  // exactly as the batch twin ranks them.
+  // ------------------------------------------------------------------
+
+  /** One micro-batch of the route-store ingest (factored out for the
+    * replay and stream==batch specs): writes
+    * `(k, <ref fact cols...>, nfo, sfo)` per physical row under
+    * `root/batch=<id>/kbkt=<b>` — append-only deltas, no probe of prior
+    * batches (a row's scalar signature depends on that row alone);
+    * replay overwrites its own dir deterministically. A referenced
+    * table ingests with empty rules: its store is then just the key
+    * relation its dependents resolve RefIn against.
+    */
+  private[graft] def routeIngestBatch(batch: DataFrame, batchId: Long,
+                                      root: String, keyCol: String,
+                                      checks: Seq[Check],
+                                      refCols: Seq[String]): Unit = {
+    val sorted = checks.sortBy(_.name)
+    val nfo = sorted.map(c => when(c.ok, lit(0L)).otherwise(lit(1L)))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val sfo = concat_ws(",", sorted.map(c =>
+      when(c.ok, lit(null).cast("string")).otherwise(lit(c.name))): _*)
+    val extra = refCols.filterNot(_ == keyCol).distinct
+    batch
+      .select(col(keyCol).as("k") +: extra.map(col) :+ nfo.as("nfo") :+
+        sfo.as("sfo"): _*)
+      .withColumn("kbkt", pmod(xxhash64(col("k")), lit(N_BUCKETS)))
+      .repartition(col("kbkt"))
+      .write.mode("overwrite").partitionBy("kbkt")
+      .parquet(s"$root/batch=$batchId")
+    ()
+  }
+
+  /** The long-running route-store ingest for one audited table. */
+  def streamingRouteIngest(docs: DataFrame, root: String,
+                           checkpoint: String, keyCol: String,
+                           checks: Seq[Check], refCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        routeIngestBatch(batch, batchId, root, keyCol, checks, refCols)
+      }
+      .start()
+
+  /** The COMPLETE row-level route off route stores alone — equals
+    * [[keyedQuarantineRoute]] (q152) over everything ingested so far,
+    * physical row for physical row. Uniques must key the table's own
+    * `keyCol` (their ranking defines which copy of a duplicated row key
+    * is kept); RefIn rules resolve each stored fact key against the
+    * referenced table's accumulated route keys.
+    *
+    * Scale shape: one scan of this table's route store collapsed to
+    * its distinct-verdict groups (`cnt` per (k, fact keys, signature) —
+    * duplicates compress), one distinct-key join per RefIn, ONE key
+    * window over the output-sized reconstituted copies when Unique
+    * rules exist, and an output-sized Generate — the raw table is never
+    * rescanned.
+    */
+  def routeFromStore(spark: SparkSession, table: String, root: String,
+                     keyCol: String, uniques: Seq[Unique],
+                     refs: Seq[RefStream]): DataFrame = {
+    uniques.foreach(u => require(u.cols == Seq(keyCol),
+      s"routeFromStore('$table'): Unique '${u.name}' keys ${u.cols}, but " +
+        s"the route store's row identity is '$keyCol' — a Unique on " +
+        "another key set has no per-copy rank here (use the compound " +
+        "key-store route for multi-column keys)"))
+    val store = spark.read.option("basePath", root).parquet(root)
+    val grp = store.groupBy(store.columns.filterNot(_ == "kbkt")
+        .map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val withRefs = refs.zipWithIndex.foldLeft(grp) { case (acc, (r, i)) =>
+      val rk = spark.read.option("basePath", r.refStore)
+        .parquet(r.refStore).select(col("k").as(s"__rk$i")).distinct()
+        .withColumn(s"__rp$i", lit(1))
+      val factKey = if (r.col == keyCol) acc("k") else acc(r.col)
+      acc.join(rk, factKey === rk(s"__rk$i"), "left").drop(s"__rk$i")
+    }
+    val refPairs = refs.zipWithIndex.map { case (r, i) =>
+      (r.name, when(col(s"__rp$i").isNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val nfoAll = refPairs.map(_._2).foldLeft(col("nfo"))(_ + _)
+    val refLabels = refPairs.map { case (n, f) =>
+      when(f === 1L, lit(n)).otherwise(lit(null).cast("string"))
+    }
+    // name-sorted merge of the stored scalar labels with the readout's
+    // ref/unique labels (general, not concat-order-dependent)
+    def mergeLabels(extra: Seq[Column]): Column =
+      array_join(array_sort(filter(
+        concat(split(col("sfo"), ","), array(extra: _*)),
+        x => x.isNotNull && x =!= lit(""))), ",")
+    val copies = withRefs
+      .withColumn("__sfoAll", mergeLabels(refLabels))
+      .withColumn("__nfoAll", nfoAll)
+      .withColumn("__copy", explode(sequence(lit(1L), col("cnt"))))
+    val ranked =
+      if (uniques.isEmpty) copies.withColumn("__uf", lit(0L))
+      else copies.withColumn("__uf", (row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("__nfoAll"), col("__sfoAll"), col("__copy"))) > 1)
+        .cast("long"))
+    val uLabels = uniques.map(u =>
+      when(col("__uf") === 1L, lit(u.name)).otherwise(lit(null).cast("string")))
+    val nFailed = col("__nfoAll") + col("__uf") * lit(uniques.size.toLong)
+    val failed =
+      if (uniques.isEmpty) col("__sfoAll")
+      else array_join(array_sort(filter(
+        concat(split(col("__sfoAll"), ","), array(uLabels: _*)),
+        x => x.isNotNull && x =!= lit(""))), ",")
+    ranked
+      .select(lit(table).as("table_name"), col("k").as("row_key"),
+        nFailed.as("n_failed"), failed.as("failed"))
+      .select(col("table_name"), col("row_key"), col("n_failed"),
+        col("failed"),
+        when(col("n_failed") === 0, lit("clean"))
+          .otherwise(lit("quarantined")).as("status"))
+  }
+
+  /** q161: the q152 COMPLETE row-level gate route read off STREAMING
+    * route stores — orders, lineitem, customer and nation each folded
+    * in three residue batches (lineitem on the
+    * `(4·l_orderkey + l_linenumber) mod 3` split, so one order's copies
+    * land in different batches — the cross-batch case is the catalog
+    * case), then the q152 relation reconstituted from the stores alone:
+    * scalar signatures stored per row at ingest, RefIn resolved against
+    * the referenced stores' keys at readout, Unique ranked per key by
+    * the stored signatures (cleanest copy kept — the batch twin's
+    * rule). The oracle is q152's SQL VERBATIM — the stream==batch
+    * contract for the complete route.
+    */
+  def streamingWarehouseRowGateRoute(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val root = ensureWarehouseRouteState(spark, sfDir)
+    routeFromStore(spark, "orders", s"$root/orders", "o_orderkey",
+        ordersUniques, Nil)
+      .unionByName(routeFromStore(spark, "lineitem", s"$root/lineitem",
+        "l_orderkey", lineitemUniques,
+        Seq(RefStream(LI_REF_NAME, "l_orderkey", s"$root/orders"))))
+      .unionByName(routeFromStore(spark, "customer", s"$root/customer",
+        "c_custkey", Nil,
+        Seq(RefStream(CUST_REF_NAME, "c_nationkey", s"$root/nation"))))
+      .orderBy("table_name", "row_key", "n_failed", "failed")
+  }
+
+  private[graft] def ensureWarehouseRouteState(spark: SparkSession,
+                                               sfDir: String): String =
+    DedupArtifacts.cachedDir(s"whroute|$sfDir") {
+      val orders = Tables.orders(spark, sfDir)
+      val lineitem = Tables.lineitem(spark, sfDir)
+      val customer = Tables.customer(spark, sfDir)
+      val nation = Tables.nation(spark, sfDir)
+      def fp(df: DataFrame, k: String, k2: String): String = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(col(k)), lit(0L)),
+          coalesce(expr(s"bit_xor(xxhash64($k, $k2))"), lit(0L))).collect()(0)
+        s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+      }
+      val key = s"whroute|${fp(orders, "o_orderkey", "o_custkey")}|" +
+        s"${fp(lineitem, "l_orderkey", "l_linenumber")}|" +
+        s"${fp(customer, "c_custkey", "c_nationkey")}|v=1"
+      DedupArtifacts.ensureTree(key) { stage =>
+        (0 until 3).foreach { i =>
+          routeIngestBatch(
+            orders.filter(pmod(col("o_orderkey"), lit(3L)) === i), i.toLong,
+            s"$stage/orders", "o_orderkey", ordersChecks, Nil)
+          routeIngestBatch(
+            lineitem.filter(pmod(col("l_orderkey") * 4 + col("l_linenumber"),
+              lit(3L)) === i), i.toLong,
+            s"$stage/lineitem", "l_orderkey", lineitemChecks,
+            Seq("l_orderkey"))
+          routeIngestBatch(
+            customer.filter(pmod(col("c_custkey"), lit(3L)) === i), i.toLong,
+            s"$stage/customer", "c_custkey", customerChecks,
+            Seq("c_nationkey"))
+          routeIngestBatch(
+            nation.filter(pmod(col("n_nationkey"), lit(3L)) === i), i.toLong,
+            s"$stage/nation", "n_nationkey", Nil, Nil)
         }
       }
     }
@@ -1628,6 +1885,30 @@ object Expectations {
       .orderBy("table_name", "constraint")
   }
 
+  /** q163: the STREAMING corpus gate covering all three signal families
+    * — q141's scalar+keyed rows read off the keyed-audit stores, plus
+    * the `drift:embedding` row read off a streaming CENTROID INDEX of
+    * the planted corpus ([[Curation.ensureShiftedCentroidState]]): the
+    * dim-sized per-batch partials the q149 monitor ingest already
+    * maintains feed [[driftAudit]] through
+    * [[Curation.embeddingDriftFromIndex]], so the drift verdict costs a
+    * #batches×dim readout — the corpus is never rescanned, and the
+    * uncompacted-index contract is enforced (a compacted index refuses
+    * loudly rather than reporting one merged batch with ~zero drift).
+    * The oracle is q157's SQL VERBATIM — the streaming verdict equals
+    * the batch gate-with-drift, with the planted drifting batch
+    * flipping the gate on the drift row alone (the scalar/keyed rows
+    * are shift-invariant).
+    */
+  def streamingCorpusGateWithDrift(spark: SparkSession,
+                                   sfDir: String): DataFrame =
+    streamingCorpusGate(spark, sfDir)
+      .unionByName(driftAudit("embeddings",
+        Curation.embeddingDriftFromIndex(spark,
+          Curation.ensureShiftedCentroidState(spark, sfDir)),
+        DRIFT_RULE_NAME, DRIFT_MAX_L1_X1E6))
+      .orderBy("table_name", "constraint")
+
   /** q143: the GATE TIMELINE — per (crawl batch, constraint), the rows
     * audited and the violations that batch CONTRIBUTED, read entirely
     * off the keyed-audit stores (the q137 trend posture applied to
@@ -1765,13 +2046,99 @@ object Expectations {
     // [[streamingWarehouseKeyedRoute]]); stream==batch is the contract.
     "q153_streaming_keyed_route" -> ((s, d) =>
       streamingWarehouseKeyedRoute(s, d)),
+    // Q161: the COMPLETE q152 route off streaming route stores (see
+    // [[streamingWarehouseRowGateRoute]]); oracle is q152's SQL
+    // VERBATIM — stream==batch for scalar+Unique+RefIn per physical row.
+    "q161_streaming_row_gate_route" -> ((s, d) =>
+      streamingWarehouseRowGateRoute(s, d)),
+    // Q162: the keyed route over a COMPOUND key off streaming stores
+    // (see [[streamingCompoundKeyedRoute]]).
+    "q162_compound_keyed_route" -> ((s, d) =>
+      streamingCompoundKeyedRoute(s, d)),
     // Q156: the gate timeline over a ROLLED history (see
     // [[corpusGateTimelineEpochs]] / [[rollupAuditHistory]]).
     "q156_gate_timeline_epochs" -> ((s, d) =>
       corpusGateTimelineEpochs(s, ensureRolledAuditState(s, d))),
     // Q157: the gate + the Drift rule over the planted drifting corpus
     // (see [[corpusAuditWithDrift]]).
-    "q157_drift_expectations" -> ((s, d) => corpusAuditWithDrift(s, d)))
+    "q157_drift_expectations" -> ((s, d) => corpusAuditWithDrift(s, d)),
+    // Q163: the STREAMING gate covering scalar+keyed+drift, the drift
+    // row off the planted centroid index (see
+    // [[streamingCorpusGateWithDrift]]); oracle is q157's SQL VERBATIM.
+    "q163_streaming_gate_with_drift" -> ((s, d) =>
+      streamingCorpusGateWithDrift(s, d)))
+
+  /** The q157 gate-with-drift twin, shared VERBATIM by q163
+    * (stream==batch).
+    */
+  private lazy val gateWithDriftOracleSql: String =
+    s"""WITH g AS ($corpusGateOracleSql),
+       |dr AS ($driftGateOracleSql)
+       |SELECT * FROM g UNION ALL SELECT * FROM dr
+       |ORDER BY table_name, "constraint"""".stripMargin
+
+  /** The q152 route twin, shared VERBATIM by q161 (stream==batch). */
+  private def rowGateRouteOracleSql: String =
+    s"""WITH o1 AS (
+         |  SELECT o_orderkey AS row_key,
+         |    CASE WHEN (o_orderstatus IN ('O','F','P')) IS NOT TRUE THEN 1 ELSE 0 END AS f_in,
+         |    CASE WHEN (o_custkey IS NOT NULL) IS NOT TRUE THEN 1 ELSE 0 END AS f_nn,
+         |    CASE WHEN (o_totalprice >= 0.0 AND o_totalprice <= 400000.0) IS NOT TRUE THEN 1 ELSE 0 END AS f_rg
+         |  FROM orders),
+         |o2 AS (
+         |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY row_key
+         |      ORDER BY f_in + f_nn + f_rg,
+         |        CONCAT_WS(',', CASE WHEN f_in = 1 THEN 'in_set:o_orderstatus' END,
+         |                       CASE WHEN f_nn = 1 THEN 'not_null:o_custkey' END,
+         |                       CASE WHEN f_rg = 1 THEN 'range:o_totalprice' END)) > 1
+         |    THEN 1 ELSE 0 END AS f_u
+         |  FROM o1),
+         |ot AS (
+         |  SELECT 'orders' AS table_name, row_key,
+         |    CAST(f_in + f_nn + f_rg + f_u AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',', CASE WHEN f_in = 1 THEN 'in_set:o_orderstatus' END,
+         |                   CASE WHEN f_nn = 1 THEN 'not_null:o_custkey' END,
+         |                   CASE WHEN f_rg = 1 THEN 'range:o_totalprice' END,
+         |                   CASE WHEN f_u = 1 THEN 'unique:o_orderkey' END) AS failed
+         |  FROM o2),
+         |l1 AS (
+         |  SELECT l_orderkey AS row_key,
+         |    CASE WHEN (l_quantity >= 1.0 AND l_quantity <= 50.0) IS NOT TRUE THEN 1 ELSE 0 END AS f_rg,
+         |    CASE WHEN l.l_orderkey IS NULL OR NOT EXISTS
+         |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END AS f_ref
+         |  FROM lineitem l),
+         |l2 AS (
+         |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY row_key
+         |      ORDER BY f_rg + f_ref,
+         |        CONCAT_WS(',', CASE WHEN f_rg = 1 THEN 'range:l_quantity' END,
+         |                       CASE WHEN f_ref = 1 THEN 'ref:l_orderkey->orders.o_orderkey' END)) > 1
+         |    THEN 1 ELSE 0 END AS f_u
+         |  FROM l1),
+         |lt AS (
+         |  SELECT 'lineitem' AS table_name, row_key,
+         |    CAST(f_rg + f_ref + f_u AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',', CASE WHEN f_rg = 1 THEN 'range:l_quantity' END,
+         |                   CASE WHEN f_ref = 1 THEN 'ref:l_orderkey->orders.o_orderkey' END,
+         |                   CASE WHEN f_u = 1 THEN 'unique:l_orderkey' END) AS failed
+         |  FROM l2),
+         |c1 AS (
+         |  SELECT c_custkey AS row_key,
+         |    CASE WHEN (c_mktsegment IS NOT NULL) IS NOT TRUE THEN 1 ELSE 0 END AS f_nn,
+         |    CASE WHEN c.c_nationkey IS NULL OR NOT EXISTS
+         |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) THEN 1 ELSE 0 END AS f_ref
+         |  FROM customer c),
+         |ct AS (
+         |  SELECT 'customer' AS table_name, row_key,
+         |    CAST(f_nn + f_ref AS BIGINT) AS n_failed,
+         |    CONCAT_WS(',', CASE WHEN f_nn = 1 THEN 'not_null:c_mktsegment' END,
+         |                   CASE WHEN f_ref = 1 THEN 'ref:c_nationkey->nation.n_nationkey' END) AS failed
+         |  FROM c1),
+         |rows_all AS (SELECT * FROM ot UNION ALL SELECT * FROM lt
+         |             UNION ALL SELECT * FROM ct)
+         |SELECT table_name, row_key, n_failed, failed,
+         |       CASE WHEN n_failed = 0 THEN 'clean' ELSE 'quarantined' END AS status
+         |FROM rows_all
+         |ORDER BY table_name, row_key, n_failed, failed""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q138_data_expectations" ->
@@ -1886,67 +2253,27 @@ object Expectations {
     // row_number per key ordered by the non-unique failure signature
     // (cleanest copy kept) — the multiset is deterministic because
     // equal-signature copies are indistinguishable rows
-    "q152_row_gate_route" ->
-      s"""WITH o1 AS (
-         |  SELECT o_orderkey AS row_key,
-         |    CASE WHEN (o_orderstatus IN ('O','F','P')) IS NOT TRUE THEN 1 ELSE 0 END AS f_in,
-         |    CASE WHEN (o_custkey IS NOT NULL) IS NOT TRUE THEN 1 ELSE 0 END AS f_nn,
-         |    CASE WHEN (o_totalprice >= 0.0 AND o_totalprice <= 400000.0) IS NOT TRUE THEN 1 ELSE 0 END AS f_rg
-         |  FROM orders),
-         |o2 AS (
-         |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY row_key
-         |      ORDER BY f_in + f_nn + f_rg,
-         |        CONCAT_WS(',', CASE WHEN f_in = 1 THEN 'in_set:o_orderstatus' END,
-         |                       CASE WHEN f_nn = 1 THEN 'not_null:o_custkey' END,
-         |                       CASE WHEN f_rg = 1 THEN 'range:o_totalprice' END)) > 1
-         |    THEN 1 ELSE 0 END AS f_u
-         |  FROM o1),
-         |ot AS (
-         |  SELECT 'orders' AS table_name, row_key,
-         |    CAST(f_in + f_nn + f_rg + f_u AS BIGINT) AS n_failed,
-         |    CONCAT_WS(',', CASE WHEN f_in = 1 THEN 'in_set:o_orderstatus' END,
-         |                   CASE WHEN f_nn = 1 THEN 'not_null:o_custkey' END,
-         |                   CASE WHEN f_rg = 1 THEN 'range:o_totalprice' END,
-         |                   CASE WHEN f_u = 1 THEN 'unique:o_orderkey' END) AS failed
-         |  FROM o2),
-         |l1 AS (
-         |  SELECT l_orderkey AS row_key,
-         |    CASE WHEN (l_quantity >= 1.0 AND l_quantity <= 50.0) IS NOT TRUE THEN 1 ELSE 0 END AS f_rg,
-         |    CASE WHEN l.l_orderkey IS NULL OR NOT EXISTS
-         |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END AS f_ref
-         |  FROM lineitem l),
-         |l2 AS (
-         |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY row_key
-         |      ORDER BY f_rg + f_ref,
-         |        CONCAT_WS(',', CASE WHEN f_rg = 1 THEN 'range:l_quantity' END,
-         |                       CASE WHEN f_ref = 1 THEN 'ref:l_orderkey->orders.o_orderkey' END)) > 1
-         |    THEN 1 ELSE 0 END AS f_u
-         |  FROM l1),
-         |lt AS (
-         |  SELECT 'lineitem' AS table_name, row_key,
-         |    CAST(f_rg + f_ref + f_u AS BIGINT) AS n_failed,
-         |    CONCAT_WS(',', CASE WHEN f_rg = 1 THEN 'range:l_quantity' END,
-         |                   CASE WHEN f_ref = 1 THEN 'ref:l_orderkey->orders.o_orderkey' END,
-         |                   CASE WHEN f_u = 1 THEN 'unique:l_orderkey' END) AS failed
-         |  FROM l2),
-         |c1 AS (
-         |  SELECT c_custkey AS row_key,
-         |    CASE WHEN (c_mktsegment IS NOT NULL) IS NOT TRUE THEN 1 ELSE 0 END AS f_nn,
-         |    CASE WHEN c.c_nationkey IS NULL OR NOT EXISTS
-         |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) THEN 1 ELSE 0 END AS f_ref
-         |  FROM customer c),
-         |ct AS (
-         |  SELECT 'customer' AS table_name, row_key,
-         |    CAST(f_nn + f_ref AS BIGINT) AS n_failed,
-         |    CONCAT_WS(',', CASE WHEN f_nn = 1 THEN 'not_null:c_mktsegment' END,
-         |                   CASE WHEN f_ref = 1 THEN 'ref:c_nationkey->nation.n_nationkey' END) AS failed
-         |  FROM c1),
-         |rows_all AS (SELECT * FROM ot UNION ALL SELECT * FROM lt
-         |             UNION ALL SELECT * FROM ct)
-         |SELECT table_name, row_key, n_failed, failed,
-         |       CASE WHEN n_failed = 0 THEN 'clean' ELSE 'quarantined' END AS status
-         |FROM rows_all
-         |ORDER BY table_name, row_key, n_failed, failed""".stripMargin,
+    "q152_row_gate_route" -> rowGateRouteOracleSql,
+    // q161: q152's SQL VERBATIM — stream==batch for the COMPLETE route
+    "q161_streaming_row_gate_route" -> rowGateRouteOracleSql,
+
+    // q162 twin: every physical lineitem row ranked within its compound
+    // (l_partkey, l_suppkey) key — copies past the first fail the rule
+    "q162_compound_keyed_route" ->
+      s"""WITH rk AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CASE WHEN row_number() OVER
+         |      (PARTITION BY l_partkey, l_suppkey ORDER BY l_partkey) > 1
+         |      THEN 1 ELSE 0 END AS f_u
+         |  FROM lineitem)
+         |SELECT 'lineitem' AS table_name, l_partkey, l_suppkey,
+         |  CAST(f_u AS BIGINT) AS n_failed,
+         |  CONCAT_WS(',', CASE WHEN f_u = 1
+         |    THEN 'unique:l_partkey_l_suppkey' END) AS failed,
+         |  CASE WHEN f_u = 0 THEN 'clean' ELSE 'quarantined' END AS status
+         |FROM rk
+         |ORDER BY table_name, l_partkey, l_suppkey, n_failed""".stripMargin,
+
 
     // q153 twin: the keyed-only route (Unique + RefIn) over orders +
     // lineitem — what the store readout must reconstitute without ever
@@ -1990,11 +2317,10 @@ object Expectations {
 
     // q157 twin: the q139 gate rows + the Drift row over the planted
     // corpus, re-sorted together
-    "q157_drift_expectations" ->
-      s"""WITH g AS ($corpusGateOracleSql),
-         |dr AS ($driftGateOracleSql)
-         |SELECT * FROM g UNION ALL SELECT * FROM dr
-         |ORDER BY table_name, "constraint"""".stripMargin,
+    "q157_drift_expectations" -> gateWithDriftOracleSql,
+    // q163: q157's SQL VERBATIM — the streaming scalar+keyed+drift
+    // verdict equals the batch gate-with-drift
+    "q163_streaming_gate_with_drift" -> gateWithDriftOracleSql,
 
     // q156 twin: the q143 statement aggregated by the rollup's epoch
     // mapping (batches 0-1 -> one epoch; batch 2 stays per-batch) —

@@ -636,6 +636,42 @@ class ExpectationsSpec extends AnyFunSuite {
       r.getLong(7) == 0L), "an undrifted corpus must ship clear")
   }
 
+  test("q163: the streaming gate-with-drift equals the batch q157 " +
+    "relation row for row, the planted batch alone flips it, an " +
+    "unshifted index leaves the gate clean, and a compacted index is " +
+    "refused in the streaming path") {
+    val got = rows(Expectations.streamingCorpusGateWithDrift(spark, D))
+    val want = rows(Expectations.corpusAuditWithDrift(spark, D))
+    assert(got === want, "stream==batch for the three-family gate")
+    assert(got.exists(r => r._2 == Expectations.DRIFT_RULE_NAME &&
+      r._5 == "fail"), "the planted drifting batch must flip the gate")
+    // the same store readout over the UNSHIFTED q149 index passes — the
+    // flip is the plant's, not the machinery's
+    val cleanDrift = rows(Expectations.driftAudit("embeddings",
+      Curation.embeddingDriftFromIndex(spark,
+        Curation.ensureCentroidBatchState(spark, D)),
+      Expectations.DRIFT_RULE_NAME, Expectations.DRIFT_MAX_L1_X1E6))
+    assert(cleanDrift.head._5 === "pass",
+      "the unshifted index must leave the drift row passing")
+    // the uncompacted-index contract holds INSIDE the streaming gate
+    // path: a compacted copy of the planted index refuses loudly
+    val embsS = Expectations.shiftedEmbeddings(spark, D)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q163-compacted").toString
+    (0 until 3).foreach { i =>
+      Curation.centroidIngestBatch(
+        embsS.filter(pmod(col("vec_id"), lit(3L)) === i), i.toLong, tmp)
+    }
+    Curation.compactCentroidIndex(spark, tmp, upToBatch = 3)
+    val ex = intercept[IllegalArgumentException] {
+      Expectations.driftAudit("embeddings",
+        Curation.embeddingDriftFromIndex(spark, tmp),
+        Expectations.DRIFT_RULE_NAME, Expectations.DRIFT_MAX_L1_X1E6)
+    }
+    assert(ex.getMessage.contains("compacted"),
+      s"expected the compacted-index refusal, got: $ex")
+  }
+
   test("coded retention: compact-every-K + rollup-every-K fire inside " +
     "the keyed ingest, dirs stay bounded in BOTH store families, the " +
     "gate readout stays exact, and replaying a policy batch is " +
@@ -793,6 +829,122 @@ class ExpectationsSpec extends AnyFunSuite {
       Nil, uq, refStream)
     assert(routeRows(Expectations.keyedRouteFromStore(spark, "t", fRoot,
       uq, refStream)) === got, "replay must be idempotent")
+  }
+
+  test("compound-key store route: a multi-column Unique reconstitutes " +
+    "every copy from the store exactly as the batch window ranks them, " +
+    "cross-batch compound duplicates included, and replay is idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-compound-route").toString
+    val uq = Seq(Expectations.Unique("u:ab", Seq("a", "b")))
+    // (1,1) duplicated ACROSS batches; (2,1) within one batch; (1,2)
+    // shares a's value with (1,1) but is a distinct tuple — a
+    // single-column encoding would conflate it
+    val b0 = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L))
+    val b1 = Seq((1L, 1L), (3L, 3L))
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      Expectations.keyedAuditIngestBatch(b.toDF("a", "b"), i.toLong, root,
+        Nil, uq, Nil)
+    }
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    val got = rowsOf(Expectations.keyedRouteFromStore(spark, "t", root,
+      uq, Nil))
+    // the batch twin: rank every physical row within its tuple
+    import org.apache.spark.sql.expressions.Window
+    val twin = rowsOf((b0 ++ b1).toDF("a", "b")
+      .withColumn("f_u", (row_number().over(
+        Window.partitionBy("a", "b").orderBy("a")) > 1).cast("long"))
+      .select(lit("t").as("table_name"), col("a"), col("b"),
+        col("f_u").as("n_failed"),
+        when(col("f_u") === 1L, lit("u:ab")).otherwise(lit("")).as("failed")))
+    assert(got === twin, "compound store route == the batch window rank")
+    assert(got.count(r => r._1 == 1L && r._2 == 1L && r._3 == 1L) === 1 &&
+      got.count(r => r._1 == 1L && r._2 == 1L) === 2,
+      "the cross-batch compound duplicate diverted exactly one copy")
+    assert(got.filter(r => r._1 == 1L && r._2 == 2L)
+      .forall(_._3 === 0L),
+      "a tuple sharing one column's value is NOT conflated")
+    Expectations.keyedAuditIngestBatch(b1.toDF("a", "b"), 1L, root, Nil,
+      uq, Nil)
+    assert(rowsOf(Expectations.keyedRouteFromStore(spark, "t", root, uq,
+      Nil)) === got, "replay must be idempotent")
+  }
+
+  test("q162 catalog coherence: the compound route's per-pair copy " +
+    "counts equal the raw lineitem group sizes and its violation mass " +
+    "equals the audit arithmetic") {
+    val route = Expectations.streamingCompoundKeyedRoute(spark, D)
+    val perPair = route.groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("status") === "quarantined", 1L).otherwise(0L))
+          .as("nq"))
+    val raw = graft.sources.Tables.lineitem(spark, D)
+      .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("rn"))
+    val joined = perPair.join(raw, Seq("l_partkey", "l_suppkey"), "full")
+    assert(joined.filter(col("n").isNull || col("rn").isNull ||
+      col("n") =!= col("rn") ||
+      col("nq") =!= greatest(col("rn") - 1L, lit(0L))).count() === 0L,
+      "per-pair copies == raw group size; quarantined == copies - 1")
+  }
+
+  test("route store: the COMPLETE route (scalar + Unique + RefIn per " +
+    "physical row) off stores equals keyedQuarantineRoute, the " +
+    "signature-ranked kept copy wins over arrival order, a row can fail " +
+    "all three rule classes at once, and replay is idempotent") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-route-store").toString
+    val (fRoot, rRoot) = (s"$base/facts", s"$base/refs")
+    val checks = Seq(Expectations.Check("range:v", col("v").between(0, 100)))
+    val uq = Seq(Expectations.Unique("unique:k", Seq("k")))
+    val refStream = Seq(Expectations.RefStream("ref:fk->r", "fk", rRoot))
+    // batch 0 carries the DIRTY copy of key 20 (range fail) BEFORE the
+    // clean copy arrives in batch 1 — the kept copy must be the
+    // signature-cleanest, not the first arrival; key 30's copies each
+    // fail range AND ref, and the second-ranked one adds unique — one
+    // physical row failing all three rule classes at once
+    val b0 = Seq((10L, 5L, 1L), (20L, 500L, 1L), (30L, 700L, 99L))
+    val b1 = Seq((20L, 5L, 1L), (30L, 800L, 99L), (40L, 5L, 2L))
+    Seq(Seq(1L), Seq(2L)).zipWithIndex.foreach { case (ids, i) =>
+      Expectations.routeIngestBatch(ids.toDF("r"), i.toLong, rRoot, "r",
+        Nil, Nil)
+    }
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      Expectations.routeIngestBatch(b.toDF("k", "v", "fk"), i.toLong,
+        fRoot, "k", checks, Seq("fk"))
+    }
+    def routeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    val got = routeRows(Expectations.routeFromStore(spark, "t", fRoot, "k",
+      uq, refStream))
+    val want = routeRows(Expectations.keyedQuarantineRoute("t",
+      (b0 ++ b1).toDF("k", "v", "fk"), "k", checks, uq,
+      Seq(Expectations.RefIn("ref:fk->r", "fk", Seq(1L, 2L).toDF("rr"),
+        "rr"))))
+    assert(got === want, "store route must equal the complete batch route")
+    assert(got.filter(_._1 == 20L).map(r => (r._2, r._3)).sorted ===
+      Seq((0L, ""), (2L, "range:v,unique:k")),
+      "key 20: the clean later copy is kept, the dirty first arrival " +
+        "diverts with its scalar AND unique labels")
+    assert(got.filter(_._1 == 30L).map(r => (r._2, r._3)).sorted ===
+      Seq((2L, "range:v,ref:fk->r"), (3L, "range:v,ref:fk->r,unique:k")),
+      "key 30: one copy fails all three rule classes at once")
+    // replay: re-running the last batches overwrites their own dirs
+    Expectations.routeIngestBatch(b1.toDF("k", "v", "fk"), 1L, fRoot, "k",
+      checks, Seq("fk"))
+    Expectations.routeIngestBatch(Seq(2L).toDF("r"), 1L, rRoot, "r", Nil,
+      Nil)
+    assert(routeRows(Expectations.routeFromStore(spark, "t", fRoot, "k",
+      uq, refStream)) === got, "replay must be idempotent")
+    // a Unique keyed off anything but the store's row identity refuses
+    intercept[IllegalArgumentException] {
+      Expectations.routeFromStore(spark, "t", fRoot, "k",
+        Seq(Expectations.Unique("unique:v", Seq("v"))), Nil)
+    }
   }
 
   test("q152/q153 catalog coherence: per-rule route flags reconcile with " +
