@@ -1542,6 +1542,7 @@ object Curation {
       : DataFrame = {
     require(checks.nonEmpty || refs.nonEmpty,
       "keyedDivertedReleaseExport: empty gate suite")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val baseCols = docs.columns.toSeq
     val withRef = refs.zipWithIndex.foldLeft(docs) { case (acc, (r, i)) =>
