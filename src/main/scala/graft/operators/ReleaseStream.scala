@@ -979,9 +979,18 @@ object ReleaseStream {
     *    info (prune candidate; crash-mid-prune leaves these by design).
     *  - `dup-fact` (deep only): duplicate (doc_id, ver) rows in the
     *    live fact store — error (last-writer-wins would be ambiguous).
+    *  - `quar-winner-residue` (deep only, LWW-gated roots): docs whose
+    *    latest verdict is quarantined but whose earlier clean fold left
+    *    cascade state behind (the documented re-arrival bound) — warn,
+    *    with the count a maintenance alert can refold on. Pass
+    *    `perCopyGate = true` for KEYED-gated roots
+    *    ([[keyedGatedReleaseState]] accounting), where a doc in both
+    *    stores is the NORMAL diverted-later-copy state, not residue —
+    *    the check is skipped there.
     */
   def fsckReleaseState(spark: SparkSession, root: String,
-                       deep: Boolean = false): DataFrame = {
+                       deep: Boolean = false,
+                       perCopyGate: Boolean = false): DataFrame = {
     import spark.implicits._
     val findings = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     val base = new org.apache.hadoop.fs.Path(root)
@@ -1026,11 +1035,7 @@ object ReleaseStream {
           .foreach(b => findings += (("unreferenced", "info",
             s"batch=$b is referenced by no live manifest (prune candidate)")))
         if (deep) {
-          val docPaths = m.collect {
-            case (k, owners) if k.startsWith("doc/") =>
-              val b = k.stripPrefix("doc/")
-              owners.map(o => s"$root/batch=$o/doc/dbkt=$b")
-          }.flatten.toSeq
+          val docPaths = manPaths(root, m, "doc")
           val dups = readOr(spark, docPaths, DOC_SCHEMA)
             .groupBy("doc_id", "ver").count()
             .filter(col("count") > 1).count()
@@ -1038,6 +1043,31 @@ object ReleaseStream {
             findings += (("dup-fact", "error",
               s"$dups duplicate (doc_id, ver) fact rows — " +
                 "last-writer-wins is ambiguous"))
+          // the re-arrival bound, SURFACED instead of only documented: a
+          // doc whose LATEST verdict is quarantined (clean-then-dirty
+          // re-crawl) still holds the cascade state its earlier clean
+          // fold built — it may own an exact-hash keeper slot, a cluster
+          // membership, an eval seat or a cap rank that suppresses OTHER
+          // docs. The readout verdict is right (quar wins); the residue
+          // is the documented ingest-time-decision posture. A
+          // maintenance window alerting on this count can refold if
+          // re-crawl flows make it matter.
+          val quarPaths = manPaths(root, m, "quar")
+          if (quarPaths.nonEmpty && !perCopyGate) {
+            val fv = latestRows(readOr(spark, docPaths, DOC_SCHEMA))
+              .select(col("doc_id"), col("ver").as("fver"))
+            val residue = latestRows(readOr(spark, quarPaths, QUAR_SCHEMA))
+              .select(col("doc_id"), col("ver"))
+              .join(fv, Seq("doc_id"))
+              .filter(col("ver") >= col("fver")).count()
+            if (residue > 0)
+              findings += (("quar-winner-residue", "warn",
+                s"$residue quarantine-winning docs still hold cascade " +
+                  "state from an earlier clean fold (exact keeper slots, " +
+                  "cluster/eval/cap membership) — re-arrival bound: the " +
+                  "readout verdict reconciles, cascade state follows " +
+                  "ingest-time decisions"))
+          }
         }
       }
     }

@@ -458,6 +458,16 @@ class ReleaseStreamSpec extends AnyFunSuite {
       "dirty-then-clean must re-enter the cascade")
     assert(stages(9L) === "quarantined",
       "a same-batch clean/dirty tie goes to quarantine (gate precedence)")
+    // the re-arrival BOUND is surfaced, not just documented: doc 5's
+    // clean-then-dirty flip left its clean fold's cascade state behind —
+    // deep fsck reports it as the quar-winner-residue warning
+    val fsck = ReleaseStream.fsckReleaseState(spark, root, deep = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val residue = fsck.filter(_._1 == "quar-winner-residue")
+    assert(residue.length === 1 && residue.head._2 === "warn" &&
+      residue.head._3.startsWith("2 "),
+      s"docs 5 and 9 hold cascade residue (5 flipped, 9 tied): " +
+        fsck.mkString("; "))
   }
 
   test("keyed-gated ingest (q152 semantics at the fold): a dirty copy " +
@@ -535,6 +545,14 @@ class ReleaseStreamSpec extends AnyFunSuite {
       gateUnique = true, gateRefs = refs)
     assert(bagOf(ReleaseStream.keyedGatedReleaseState(spark, root)) === out,
       "keyed-gated replay is idempotent")
+    // per-copy roots: a doc in both stores is the NORMAL diverted-later-
+    // copy state — deep fsck with perCopyGate must NOT flag residue
+    val fsck = ReleaseStream.fsckReleaseState(spark, root, deep = true,
+      perCopyGate = true).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!fsck.exists(_._1 == "quar-winner-residue") &&
+      !fsck.exists(_._2 == "error"),
+      s"keyed-gated root must fsck clean under per-copy accounting: " +
+        fsck.mkString("; "))
   }
 
   test("MemoryStream end-to-end: the keyed gate rides " +
