@@ -712,7 +712,7 @@ object ReleaseStream {
       val key = DedupArtifacts.corpusKey(
         corpus.select("doc_id", "text"), "relstreamkeyed") +
         s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=4" +
-        "|gate=docv1+uniq+refemb|v=1"
+        "|gate=docv1+uniq+refemb|v=2"
       DedupArtifacts.ensureTree(key) { dir =>
         val refRoot = s"$dir/refembs"
         val refs = Seq(Expectations.RefStream(
@@ -732,6 +732,13 @@ object ReleaseStream {
         releaseIngestBatch(corpus.filter(col("rc") === 1L).drop("rc"),
           3L, dir, Expectations.corpusDocChecks, gateUnique = true,
           gateRefs = refs)
+        // the coded maintenance posture: the stream quiesced at its
+        // committed frontier, the retention window ran — the catalog
+        // then measures the POST-COMPACTION readout (one generation per
+        // store; q134/q155 keep the uncompacted merge-on-read posture,
+        // so both maintenance states stay measured). Per-copy quar rows
+        // survive compaction by contract (spec-pinned).
+        compactReleaseState(spark, dir)
       }
     }
 
@@ -932,11 +939,14 @@ object ReleaseStream {
     newMan ++= consolidate("src",
       readOr(spark, live("src"), "source STRING, doc_id BIGINT, hcap BIGINT"),
       bkt(Sketches.phash60(col("source"))))
-    // the gated ingest's quarantine store: latest row per doc survives
-    // (same merge-on-read rule the readout applies)
+    // the gated ingest's quarantine store: EVERY row survives — the
+    // per-copy readout ([[keyedGatedReleaseState]]) owes one row per
+    // diverted copy, so compaction must not collapse duplicates; the
+    // LWW readout ([[releaseStateAt]]) applies its latest-row merge at
+    // READ time either way, so keeping history costs only bytes there
     if (man.keys.exists(_.startsWith("quar/")))
       newMan ++= consolidate("quar",
-        latestRows(readOr(spark, live("quar"), QUAR_SCHEMA)),
+        readOr(spark, live("quar"), QUAR_SCHEMA),
         bkt(col("doc_id")))
     // Only empty batches committed => no tiny store to carry forward; the
     // compacted manifest stays tiny-less and the readout guard handles it.

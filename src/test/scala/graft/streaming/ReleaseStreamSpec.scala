@@ -553,6 +553,12 @@ class ReleaseStreamSpec extends AnyFunSuite {
       !fsck.exists(_._2 == "error"),
       s"keyed-gated root must fsck clean under per-copy accounting: " +
         fsck.mkString("; "))
+    // compaction must preserve the PER-COPY quar relation — every
+    // diverted copy's row survives the generation rewrite (no
+    // latest-row collapse: copies are physical rows, not versions)
+    ReleaseStream.compactReleaseState(spark, root)
+    assert(bagOf(ReleaseStream.keyedGatedReleaseState(spark, root)) === out,
+      "compaction must preserve per-copy accounting")
   }
 
   test("MemoryStream end-to-end: the keyed gate rides " +
