@@ -1601,18 +1601,87 @@ object Expectations {
     ()
   }
 
-  /** The long-running route-store ingest for one audited table. */
+  /** The long-running route-store ingest for one audited table.
+    * `compactEvery` > 0 codes the retention policy (the q156
+    * convention): every K-th batch consolidates the accumulated
+    * per-batch dirs below its own id via [[compactRouteStore]], so the
+    * readout enumerates ≤ K+1 dirs instead of one per batch ever
+    * ingested — same replay rule as every policy here (a replayed
+    * policy batch re-consolidates the same prefix its first attempt
+    * did).
+    */
   def streamingRouteIngest(docs: DataFrame, root: String,
                            checkpoint: String, keyCol: String,
-                           checks: Seq[Check], refCols: Seq[String] = Nil)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                           checks: Seq[Check], refCols: Seq[String] = Nil,
+                           compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, "compactEvery: 0 disables, else every K batches")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        routeIngestBatch(batch, batchId, root, keyCol, checks, refCols)
+        routeIngestWithPolicy(batch, batchId, root, keyCol, checks,
+          refCols, compactEvery)
       }
       .start()
+  }
+
+  private[graft] def routeIngestWithPolicy(batch: DataFrame, batchId: Long,
+                                           root: String, keyCol: String,
+                                           checks: Seq[Check],
+                                           refCols: Seq[String],
+                                           compactEvery: Int): Unit = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactRouteStore(batch.sparkSession, root, below = batchId)
+    routeIngestBatch(batch, batchId, root, keyCol, checks, refCols)
+  }
+
+  /** Consolidate a route store's eligible per-batch dirs below `below`
+    * into ONE generation under the shared `_GEN` pointer protocol
+    * ([[publishGeneration]] — publish-the-pointer is the commit). Route
+    * rows are per-physical-row FACTS, so consolidation is a rewrite,
+    * not an aggregation: every row survives verbatim (the per-copy
+    * contract — the same rule the release compactor follows for quar
+    * rows), re-bucketed one file per kbkt dir.
+    */
+  def compactRouteStore(spark: SparkSession, root: String,
+                        below: Long = Long.MaxValue): Unit = {
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    val batches = eligibleBatches(fs, root, below)
+    if (batches.size > 1) {
+      val allDirs = fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      val gen = math.min(allDirs.min, 0L) - 1L
+      val covered = batches.filter(_ >= 0).max
+      val out = spark.read.option("basePath", root)
+        .parquet(batches.map(b => s"$root/batch=$b"): _*)
+        .drop("batch")
+      publishGeneration(spark, fs, root, gen, covered, allDirs,
+        out.repartition(col("kbkt")).write.partitionBy("kbkt"))
+    }
+  }
+
+  /** Pointer-aware whole-store read of a route store: without a `_GEN`
+    * pointer every visible dir is eligible and ONE parallel partition
+    * discovery beats per-leaf enumeration (the readStore fast path);
+    * with one, the named generation plus the batches above its
+    * coverage.
+    */
+  private def readRouteStore(spark: SparkSession, root: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val neverCompacted = fs.exists(base) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/$GEN_MARKER"))
+    if (neverCompacted) spark.read.option("basePath", root).parquet(root)
+    else {
+      val dirs = storeLeafDirs(spark, root, Long.MaxValue, None)
+      require(dirs.nonEmpty, s"route store $root has no eligible batches")
+      spark.read.option("basePath", root).parquet(dirs: _*)
+    }
+  }
 
   /** The COMPLETE row-level route off route stores alone — equals
     * [[keyedQuarantineRoute]] (q152) over everything ingested so far,
@@ -1636,13 +1705,13 @@ object Expectations {
         s"the route store's row identity is '$keyCol' — a Unique on " +
         "another key set has no per-copy rank here (use the compound " +
         "key-store route for multi-column keys)"))
-    val store = spark.read.option("basePath", root).parquet(root)
-    val grp = store.groupBy(store.columns.filterNot(_ == "kbkt")
-        .map(col): _*)
+    val store = readRouteStore(spark, root)
+    val grp = store.groupBy(store.columns
+        .filterNot(c => c == "kbkt" || c == "batch").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
     val withRefs = refs.zipWithIndex.foldLeft(grp) { case (acc, (r, i)) =>
-      val rk = spark.read.option("basePath", r.refStore)
-        .parquet(r.refStore).select(col("k").as(s"__rk$i")).distinct()
+      val rk = readRouteStore(spark, r.refStore)
+        .select(col("k").as(s"__rk$i")).distinct()
         .withColumn(s"__rp$i", lit(1))
       val factKey = if (r.col == keyCol) acc("k") else acc(r.col)
       acc.join(rk, factKey === rk(s"__rk$i"), "left").drop(s"__rk$i")

@@ -945,6 +945,66 @@ class ExpectationsSpec extends AnyFunSuite {
       Expectations.routeFromStore(spark, "t", fRoot, "k",
         Seq(Expectations.Unique("unique:v", Seq("v"))), Nil)
     }
+    // coded retention: compaction consolidates the per-batch dirs into
+    // ONE generation under the _GEN pointer, every physical row
+    // surviving verbatim (per-copy facts, not aggregates) — the readout
+    // is unchanged, dirs are bounded, and further batches fold on top
+    Expectations.compactRouteStore(spark, fRoot)
+    Expectations.compactRouteStore(spark, rRoot)
+    assert(routeRows(Expectations.routeFromStore(spark, "t", fRoot, "k",
+      uq, refStream)) === got, "compaction must preserve the route")
+    val fs = new org.apache.hadoop.fs.Path(fRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(fRoot)).toSeq
+      .count(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch=")) <= 2,
+      "compaction must bound the batch dirs")
+    val b2 = Seq((50L, 5L, 1L), (20L, 5L, 1L))
+    Expectations.routeIngestBatch(b2.toDF("k", "v", "fk"), 2L, fRoot, "k",
+      checks, Seq("fk"))
+    val got2 = routeRows(Expectations.routeFromStore(spark, "t", fRoot,
+      "k", uq, refStream))
+    val want2 = routeRows(Expectations.keyedQuarantineRoute("t",
+      (b0 ++ b1 ++ b2).toDF("k", "v", "fk"), "k", checks, uq,
+      Seq(Expectations.RefIn("ref:fk->r", "fk", Seq(1L, 2L).toDF("rr"),
+        "rr"))))
+    assert(got2 === want2, "post-compaction batches fold on top exactly")
+  }
+
+  test("route-store coded retention: compact-every-K fires inside the " +
+    "ingest, dirs stay bounded, the readout equals the batch route, " +
+    "and replaying the policy batch is idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-route-policy").toString
+    val checks = Seq(Expectations.Check("range:v", col("v").between(0, 100)))
+    val uq = Seq(Expectations.Unique("unique:k", Seq("k")))
+    val batches = (0 until 5).map(i =>
+      Seq((i.toLong * 10, 5L), (7L, if (i == 3) 500L else 5L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Expectations.routeIngestWithPolicy(b.toDF("k", "v"), i.toLong, root,
+        "k", checks, Nil, compactEvery = 2)
+    }
+    def rowsOf() = Expectations.routeFromStore(spark, "t", root, "k", uq,
+        Nil).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    val got = rowsOf()
+    val want = Expectations.keyedQuarantineRoute("t",
+        batches.flatten.toDF("k", "v"), "k", checks, uq, Nil).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(got === want, "policy-compacted route == the batch route")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def nDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    assert(nDirs() <= 4, s"dirs must stay bounded under the policy: ${nDirs()}")
+    // replay the policy batch itself: re-compacts the same prefix, then
+    // re-folds deterministically on top
+    Expectations.routeIngestWithPolicy(batches(4).toDF("k", "v"), 4L, root,
+      "k", checks, Nil, compactEvery = 2)
+    assert(rowsOf() === got, "replaying the policy batch is idempotent")
   }
 
   test("q152/q153 catalog coherence: per-rule route flags reconcile with " +
