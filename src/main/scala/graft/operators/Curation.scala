@@ -2250,6 +2250,19 @@ object Curation {
         Expectations.corpusDriftGate(s, d))
     }),
 
+    // Q164: q158's STREAMING twin — the release relation read off the
+    // incremental fold state (q134's artifact) blocked by the drift
+    // verdict read off the PLANTED streaming centroid index (q163's
+    // artifact): the whole drift-gated release is store-driven end to
+    // end — the corpus is scanned by neither the export nor the gate.
+    // Oracle shared VERBATIM with q158 (stream==batch on both sides).
+    "q164_streaming_drift_gated_release" -> ((s, d) =>
+      gatedReleaseExport(
+        ReleaseStream.releaseState(s, ReleaseStream.ensureReleaseState(s, d)),
+        Expectations.driftAudit("embeddings",
+          embeddingDriftFromIndex(s, ensureShiftedCentroidState(s, d)),
+          Expectations.DRIFT_RULE_NAME, Expectations.DRIFT_MAX_L1_X1E6))),
+
     // Q134: the release relation read off INCREMENTALLY-maintained state
     // (see [[ReleaseStream]]) — the corpus folded in as three interleaved
     // doc_id-residue batches into the content-keyed state artifact; the
@@ -2529,6 +2542,20 @@ object Curation {
        |SELECT * FROM cur UNION ALL SELECT * FROM quar
        |ORDER BY doc_id, stage""".stripMargin
 
+  /** The q158 drift-gated release twin, shared VERBATIM by q164. */
+  private def driftGatedReleaseOracleSql: String =
+    s"""WITH cur AS ($releaseExportOracleSql),
+       |gate AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gate_failed
+       |         FROM (${Expectations.driftGateOracleSql}) g
+       |         WHERE g.status = 'fail')
+       |SELECT cur.doc_id, cur.source, cur.n_tokens, cur.stage, cur.split,
+       |       cur.n_copies,
+       |       CASE WHEN n_gate_failed > 0 THEN 'blocked' ELSE 'clear' END
+       |         AS gate_status,
+       |       n_gate_failed
+       |FROM cur CROSS JOIN gate
+       |ORDER BY cur.doc_id""".stripMargin
+
   private def gatedReleaseOracleSql: String =
     s"""WITH cur AS ($releaseExportOracleSql),
        |gate AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gate_failed
@@ -2770,18 +2797,10 @@ object Curation {
     "q160_streaming_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,
     // q158: the q132 statement gated by the drift row's verdict (the
     // gatedReleaseOracleSql shape with the drift fragment as the gate)
-    "q158_drift_gated_release" ->
-      s"""WITH cur AS ($releaseExportOracleSql),
-         |gate AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gate_failed
-         |         FROM (${Expectations.driftGateOracleSql}) g
-         |         WHERE g.status = 'fail')
-         |SELECT cur.doc_id, cur.source, cur.n_tokens, cur.stage, cur.split,
-         |       cur.n_copies,
-         |       CASE WHEN n_gate_failed > 0 THEN 'blocked' ELSE 'clear' END
-         |         AS gate_status,
-         |       n_gate_failed
-         |FROM cur CROSS JOIN gate
-         |ORDER BY cur.doc_id""".stripMargin,
+    "q158_drift_gated_release" -> driftGatedReleaseOracleSql,
+    // q164: q158's SQL VERBATIM — the streaming export and the streaming
+    // drift verdict equal their batch twins, so the composition does too
+    "q164_streaming_drift_gated_release" -> driftGatedReleaseOracleSql,
 
     // q135 twin: see releaseChurnOracleSql (the composed release
     // statement evaluated twice, per-doc diffed).

@@ -670,6 +670,20 @@ class ExpectationsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("compacted"),
       s"expected the compacted-index refusal, got: $ex")
+    // q164's composition: the STORE-DRIVEN drift verdict flips a gated
+    // release blocked/clear exactly like the batch q158 gate does
+    import spark.implicits._
+    val export = Seq((1L, "s", 3L, "kept", "train", 1L))
+      .toDF("doc_id", "source", "n_tokens", "stage", "split", "n_copies")
+    def gateOff(dir: String) = Curation.gatedReleaseExport(export,
+      Expectations.driftAudit("embeddings",
+        Curation.embeddingDriftFromIndex(spark, dir),
+        Expectations.DRIFT_RULE_NAME, Expectations.DRIFT_MAX_L1_X1E6))
+      .collect().map(r => (r.getString(6), r.getLong(7))).toSeq
+    assert(gateOff(Curation.ensureShiftedCentroidState(spark, D)) ===
+      Seq(("blocked", 1L)), "the planted index must block the release")
+    assert(gateOff(Curation.ensureCentroidBatchState(spark, D)) ===
+      Seq(("clear", 0L)), "the unshifted index must ship clear")
   }
 
   test("coded retention: compact-every-K + rollup-every-K fire inside " +
