@@ -314,6 +314,61 @@ object Curation {
     }
   }
 
+  /** EXCISE a doc set from a bucketed incremental index: rewrite every
+    * relation minus the given docs' rows, through [[compactIncrementalIndex]]'s
+    * own write-tmp / commit-marker / delete / publish protocol (the one
+    * crash-safe rewrite this index format has — [[recoverCompaction]]
+    * finishes either side of a crash). Used by the release residue
+    * repair ([[graft.operators.ReleaseStream.refoldQuarResidue]]): a
+    * quarantine-winning doc left in the index would keep minting pairs,
+    * re-entering CC as a cluster node and skewing future roots/splits
+    * away from the final-verdict batch twin.
+    *
+    * Cost posture: this is an index-SIZED rewrite, not delta-sized — a
+    * leaf-level rewrite would be cheaper but this format has no
+    * per-leaf commit protocol, and the repair runs at a quiesced
+    * maintenance frontier where a consolidating rewrite (it also
+    * compacts the batch dirs, bounding future probe enumeration) is the
+    * posture compaction already pays. A 100 TB deployment shards its
+    * index per corpus partition, making the rewrite shard-local.
+    */
+  private[operators] def exciseFromIncrementalIndex(spark: SparkSession,
+                                                    indexDir: String,
+                                                    docIds: DataFrame): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val ids = docIds.select("doc_id")
+    for (rel <- Seq("docs", "bands", "post", "pbands")) {
+      val base = new org.apache.hadoop.fs.Path(s"$indexDir/$rel")
+      val fs = base.getFileSystem(hconf)
+      if (fs.exists(base)) {
+        recoverCompaction(fs, base)
+        val bkCol = rel match {
+          case "docs" => "dbkt"; case "bands" => "bb"; case "post" => "sbkt"
+          case "pbands" => "pb"
+        }
+        val batches = fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        if (batches.nonEmpty) {
+          val upTo = batches.map(
+            _.getPath.getName.stripPrefix("batch=").toLong).max + 1L
+          val tmp = new org.apache.hadoop.fs.Path(base, COMPACT_TMP)
+          spark.read.option("basePath", base.toString)
+            .parquet(batches.map(_.getPath.toString): _*)
+            .drop("batch")
+            .join(ids, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").partitionBy(bkCol).parquet(tmp.toString)
+          val marker = new org.apache.hadoop.fs.Path(base, COMPACT_MARKER)
+          val out = fs.create(marker, true)
+          try out.write(s"$upTo\n".getBytes("UTF-8")) finally out.close()
+          batches.foreach(s => fs.delete(s.getPath, true))
+          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
+            s"could not publish $tmp under $base")
+          fs.delete(marker, false)
+        }
+      }
+    }
+  }
+
   /** Read the pruned subset of a bucketed incremental index, with
     * `schemaLike`'s columns; empty (zero paths) reads come back as an
     * empty frame of the same shape.
@@ -653,12 +708,38 @@ object Curation {
       s"END ${man.labels.size + man.docs.size}\n"
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    // rename refuses an existing destination on HDFS; a replayed batch's
-    // prior manifest is deterministically identical, so dropping it first
-    // is safe (a crash between the two steps reverts the batch to
-    // "uncommitted", which replay handles)
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"could not publish manifest $p")
+    // ATOMIC overwrite (the ReleaseStream.writeManifest protocol): the
+    // ingest's own replay only ever re-publishes an IDENTICAL body, but
+    // the residue repair ([[exciseDocsFromClusterState]]) REWRITES the
+    // frontier manifest with a different one — a delete-then-rename
+    // window there would leave no frontier manifest, silently regressing
+    // readers to the previous batch's labels. file:// gets rename(2) via
+    // nio; elsewhere FileContext's OVERWRITE rename (atomic on HDFS),
+    // with the delete+rename fallback only for object-store connectors
+    // that register no AbstractFileSystem.
+    Seq(p, tmp).foreach(f => fs.delete(
+      new org.apache.hadoop.fs.Path(f.getParent, s".${f.getName}.crc"),
+      false))
+    val conf = spark.sessionState.newHadoopConf()
+    val qp = fs.makeQualified(p)
+    if (qp.toUri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(qp.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else
+      try
+        org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
+          .rename(fs.makeQualified(tmp), qp,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(qp, false)
+          if (!fs.rename(fs.makeQualified(tmp), qp))
+            sys.error(s"label manifest publication failed: rename($tmp -> " +
+              s"$qp) returned false after delete — frontier manifest is " +
+              "missing")
+      }
   }
 
   /** The newest COMMITTED manifest strictly below `batchId` (replay
@@ -759,6 +840,125 @@ object Curation {
       latestLabelManifest(spark, labelsDir,
           if (batchId == Long.MaxValue) batchId else batchId + 1)
         .map(_._2.labels).getOrElse(Map.empty))
+
+  /** EXCISE a doc set from the streaming cluster-label state: re-derive
+    * the affected components WITHOUT those docs and commit the result
+    * under the label-manifest protocol. The residue-repair constituent
+    * of [[graft.operators.ReleaseStream.refoldQuarResidue]]: a
+    * quarantine-winning doc is not just an inert label row (the release
+    * readout drops label rows with no fact), it can be the BRIDGE that
+    * merged two components — its final verdict splits them back, which
+    * moves OTHER docs' roots, survivors and hash-splits.
+    *
+    * Store-driven and delta-sized: the docs resolve to their components
+    * through the docmap mirror (the ingest's own endpoint path), the
+    * components' internal edges re-read from the PAIRS LOG — an
+    * append-only observation record whose entries stay true (the pair
+    * WAS a verified near-dup); the repair only re-quotients the graph
+    * without the excised nodes (edges incident to them drop with the
+    * nodes). CC re-runs over those delta-sized edges only; every
+    * untouched bucket carries forward by manifest reference. Data lands
+    * in a fresh NEGATIVE generation dir (the compaction convention — it
+    * can never shadow a stream batch id and its absence from the
+    * below-id manifest resolution is harmless because the FRONTIER
+    * manifest is atomically rewritten to own it).
+    *
+    * Members left edge-less become singletons and lose their label +
+    * docmap rows (the ingest's own convention: only paired docs carry
+    * labels). Idempotent: once the docs have no label rows, the repair
+    * resolves zero components and no-ops.
+    */
+  private[operators] def exciseDocsFromClusterState(spark: SparkSession,
+                                                    pairsDir: String,
+                                                    labelsDir: String,
+                                                    docIds: DataFrame): Unit = {
+    val manOpt = latestLabelManifest(spark, labelsDir, Long.MaxValue)
+    if (manOpt.isEmpty) return
+    val (frontier, man) = manOpt.get
+    val ids = docIds.select("doc_id").distinct().persist()
+    // 1. resolve the excised docs' components through the docmap mirror
+    val rDbkts = bucketSet(ids.select(bucketOf(col("doc_id")).as("b")), "b")
+    val dmPaths = docmapBucketPaths(labelsDir,
+      man.docs.filter(kv => rDbkts.contains(kv._1)))
+    val rCbkts = bucketSet(readDocMapPaths(spark, dmPaths)
+      .join(ids, Seq("doc_id"), "left_semi").select("cbkt"), "cbkt")
+    val compPaths = labelBucketPaths(labelsDir,
+      man.labels.filter(kv => rCbkts.contains(kv._1)))
+    val compRows = readLabelPaths(spark, compPaths).persist()
+    val oldRoots = compRows.join(ids, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().persist()
+    if (oldRoots.isEmpty) {
+      Seq(ids, compRows, oldRoots).foreach(_.unpersist()); return
+    }
+    val members = compRows.join(oldRoots, Seq("cluster_id"), "left_semi")
+      .persist()
+    // 2. surviving internal edges off the pairs log (components are
+    // edge-closed, so both-endpoints-in-members == all their edges)
+    val base = new org.apache.hadoop.fs.Path(pairsDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val pairDirs =
+      if (!fs.exists(base)) Seq.empty[String]
+      else fs.listStatus(base).toSeq.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString)
+    val keep = members.select("doc_id").join(ids, Seq("doc_id"), "left_anti")
+    val edges =
+      if (pairDirs.isEmpty)
+        spark.range(0).selectExpr("id AS d1", "id AS d2")
+      else spark.read.option("basePath", pairsDir).parquet(pairDirs: _*)
+        .select("d1", "d2")
+        .join(keep.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+        .join(keep.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+    // 3. re-quotient: pure CC over the surviving edges (q49's min-root
+    // convention — the batch twin's labels for these components)
+    val relab = Dedup.foldClusterLabels(
+      spark.range(0).selectExpr("id AS doc_id", "id AS cluster_id"), edges)
+      .persist()
+    // 4. rewrite the touched label buckets (old roots' residues plus the
+    // new roots'); untouched buckets carry forward by reference
+    val touched = rCbkts ++
+      bucketSet(relab.select(bucketOf(col("cluster_id")).as("b")), "b")
+    val carryPaths = labelBucketPaths(labelsDir,
+      man.labels.filter(kv => touched.contains(kv._1)))
+    val gen = {
+      val existing = fs.listStatus(new org.apache.hadoop.fs.Path(labelsDir))
+        .toSeq.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      math.min(existing.min, 0L) - 1L
+    }
+    val outL = readLabelPaths(spark, carryPaths)
+      .join(oldRoots, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+      .unionByName(relab.select("doc_id", "cluster_id"))
+      .withColumn("cbkt", bucketOf(col("cluster_id"))).persist()
+    outL.write.mode("overwrite").partitionBy("cbkt")
+      .parquet(s"$labelsDir/batch=$gen")
+    val writtenL = bucketSet(outL.select("cbkt"), "cbkt")
+    // 5. docmap: every member either re-labels (new cbkt) or drops
+    // (excised, or now a singleton); rewrite exactly their dbkt buckets
+    val docDelta = relab
+      .select(col("doc_id"), bucketOf(col("cluster_id")).as("cbkt")).persist()
+    val touchedD = bucketSet(
+      members.select(bucketOf(col("doc_id")).as("b")), "b")
+    val dPaths = docmapBucketPaths(labelsDir,
+      man.docs.filter(kv => touchedD.contains(kv._1)))
+    val outD = readDocMapPaths(spark, dPaths)
+      .join(members.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(docDelta)
+      .withColumn("dbkt", bucketOf(col("doc_id"))).persist()
+    outD.write.mode("overwrite").partitionBy("dbkt")
+      .parquet(s"$labelsDir/batch=$gen/docmap")
+    val writtenD = bucketSet(outD.select("dbkt"), "dbkt")
+    // 6. commit: the FRONTIER manifest atomically rewritten to own the
+    // generation (touched-but-empty buckets drop — partitionBy writes no
+    // directory for them)
+    writeLabelManifest(spark, labelsDir, frontier, LabelManifest(
+      (man.labels -- touched) ++ writtenL.map(_ -> gen),
+      (man.docs -- touchedD) ++ writtenD.map(_ -> gen)))
+    Seq(ids, compRows, oldRoots, members, relab, outL, docDelta, outD)
+      .foreach(_.unpersist())
+  }
 
   /** Streaming BURST monitoring — q110 as a long-running stream: each
     * micro-batch reduces to its (event_type, hour, n) PARTIAL counts
@@ -2209,6 +2409,19 @@ object Curation {
       ReleaseStream.releaseState(s,
         ReleaseStream.ensureGatedReleaseState(s, d))),
 
+    // Q165: the FINAL-VERDICT REFOLD — the q155 gated fold hit by a
+    // corrupting re-crawl wave (doc_id % 13 == 4 re-arrives with NULL
+    // text, flipping previously-clean docs dirty), then repaired by
+    // [[ReleaseStream.refoldQuarResidue]]: quarantine-winning docs are
+    // excised from the fact store, the claim ledger, the cluster state,
+    // the probe index, the eval seats and the cap ranks, so the readout
+    // equals q154's statement over the FINAL corpus — the stream==batch
+    // contract upgraded from row-verdict reconciliation (q155) to full
+    // cascade equivalence.
+    "q165_refolded_release" -> ((s, d) =>
+      ReleaseStream.releaseState(s,
+        ReleaseStream.ensureRefoldedReleaseState(s, d))),
+
     // Q159: the diverted release under the COMPLETE q152 rule suite
     // (scalar + unique:doc_id + ref:doc_id->embeddings.vec_id) over the
     // re-crawled corpus multiset (see [[keyedDivertedReleaseExport]]) —
@@ -2481,10 +2694,15 @@ object Curation {
       |      AND (len(text) = n_chars)
       |      AND (len(string_split(text, ' ')) BETWEEN 1 AND 64)""".stripMargin
 
-  private def divertedReleaseOracleSql: String = {
+  /** The q154 statement parameterized over the corpus the verdicts run
+    * on — q154 passes the raw table, q165 the FINAL (latest-version)
+    * corpus after the corrupting re-crawl wave.
+    */
+  private def divertedReleaseOracleSqlOver(corpusSql: String): String = {
     val cleanPred = docCleanPredSql
-    s"""WITH cur AS (WITH RECURSIVE documents AS
-       |    (SELECT * FROM main.documents WHERE $cleanPred),
+    s"""WITH fcorp AS ($corpusSql),
+       |cur AS (WITH RECURSIVE documents AS
+       |    (SELECT * FROM fcorp WHERE $cleanPred),
        |  $releaseExportOracleBody),
        |quar AS (SELECT doc_id, COALESCE(source, '') AS source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -2493,11 +2711,27 @@ object Curation {
        |         WHEN ${Sketches.phash60Sql("doc_id")} % 100 < 95 THEN 'val'
        |         ELSE 'test' END AS split,
        |    CAST(0 AS BIGINT) AS n_copies
-       |  FROM documents
+       |  FROM fcorp
        |  WHERE ($cleanPred) IS NOT TRUE)
        |SELECT * FROM cur UNION ALL SELECT * FROM quar
        |ORDER BY doc_id""".stripMargin
   }
+
+  private def divertedReleaseOracleSql: String =
+    divertedReleaseOracleSqlOver(
+      "SELECT doc_id, text, lang, source, n_chars FROM main.documents")
+
+  /** q165 twin: q154's statement over the FINAL corpus — the latest
+    * version of every doc after the corrupting re-crawl (`doc_id % 13
+    * == 4` re-arrived with NULL text). The repaired stream state must
+    * equal the batch cascade computed as if the excised docs had never
+    * folded — full final-verdict equivalence.
+    */
+  private def refoldedReleaseOracleSql: String =
+    divertedReleaseOracleSqlOver(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 13 = 4 THEN NULL ELSE text END AS text,
+        |       lang, source, n_chars FROM main.documents""".stripMargin)
 
   /** q159/q160 twin: the q154 statement under the COMPLETE q152 rule
     * suite over the re-crawled corpus MULTISET. The clean corpus the
@@ -2792,6 +3026,10 @@ object Curation {
     "q154_diverted_release" -> divertedReleaseOracleSql,
     // q155: q154's SQL VERBATIM — stream==batch is the contract
     "q155_streaming_diverted_release" -> divertedReleaseOracleSql,
+    // q165: q154's statement over the FINAL corpus — the repaired state
+    // equals the batch cascade computed as if the excised docs had never
+    // folded (full final-verdict equivalence).
+    "q165_refolded_release" -> refoldedReleaseOracleSql,
     "q159_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,
     // q160: q159's SQL VERBATIM — stream==batch is the contract
     "q160_streaming_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,

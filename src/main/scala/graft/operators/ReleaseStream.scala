@@ -81,6 +81,7 @@ object ReleaseStream {
     " stage STRING, split STRING, n_copies BIGINT"
   private val QUAR_SCHEMA = "doc_id BIGINT, source STRING," +
     " n_tokens BIGINT, ver BIGINT"
+  private val EX_SCHEMA = "h STRING, doc_id BIGINT, ver BIGINT"
 
   /** Partition-column name per store (the manifest keys buckets as
     * `<store>/<bucket>`; paths are `batch=<owner>/<store>/<pcol>=<bucket>`).
@@ -292,7 +293,7 @@ object ReleaseStream {
     val bmin = d.groupBy("h").agg(min(col("doc_id")).as("bdoc")).persist()
     val touchedX = bucketVals(bmin.select(bkt(xxhash64(col("h"))).as("b")))
     val exPaths = storePaths(root, prior, "ex", touchedX)
-    val pmin = readOr(spark, exPaths, "h STRING, doc_id BIGINT")
+    val pmin = readOr(spark, exPaths, EX_SCHEMA)
       .join(bmin.select("h"), Seq("h"), "left_semi")
       .groupBy("h").agg(min(col("doc_id")).as("pdoc"))
     val exCombined = bmin.join(pmin, Seq("h"), "left")
@@ -386,7 +387,16 @@ object ReleaseStream {
     shOut.write.mode("overwrite").partitionBy("gbkt")
       .parquet(s"$root/batch=$batchId/sh")
     val shWritten = bucketVals(shOut.select(col("gbkt").as("b")))
-    val exOut = bmin.select(col("h"), col("bdoc").as("doc_id"))
+    // CLAIM LEDGER (round-17): one (h, doc_id, ver) row per folded doc
+    // VERSION, not per-batch minima. The minima compression was lossy in
+    // exactly the way [[refoldQuarResidue]] cannot afford: a same-batch
+    // copy shadowed by its batch's min went unrecorded, so a repair
+    // excising a residue keeper's claim could not find the next keeper.
+    // pmin above still reads min-over-claims (identical value); the
+    // ledger costs ~40 bytes per folded doc-version — the price of
+    // final-verdict repairability.
+    val exOut = d.select(col("h"), col("doc_id"))
+      .withColumn("ver", lit(batchId))
       .withColumn("xbkt", bkt(xxhash64(col("h")))).persist()
     exOut.write.mode("overwrite").partitionBy("xbkt")
       .parquet(s"$root/batch=$batchId/ex")
@@ -658,7 +668,7 @@ object ReleaseStream {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
         "relstream") +
-        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=3|v=1"
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=3|v=2"
       DedupArtifacts.ensureTree(key) { dir =>
         (0L until 3L).foreach { b =>
           releaseIngestBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === b),
@@ -681,12 +691,49 @@ object ReleaseStream {
       val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
         "relstreamgated") +
         s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=3" +
-        "|gate=docv1|v=1"
+        "|gate=docv1|v=2"
       DedupArtifacts.ensureTree(key) { dir =>
         (0L until 3L).foreach { b =>
           releaseIngestBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === b),
             b, dir, Expectations.corpusDocChecks)
         }
+      }
+    }
+
+  /** Build-once REFOLDED release-state artifact for the q165 catalog
+    * entry: the q155 gated fold (three doc_id-residue batches through
+    * the q139 document rules), then a CORRUPTING re-crawl wave — batch
+    * 3 re-arrives every `doc_id % 13 == 4` doc with NULL text, flipping
+    * the previously-clean ones dirty — then the FINAL-VERDICT REFOLD
+    * ([[refoldQuarResidue]]) against the crawl archive (all four batch
+    * inputs with their batch ids). What q165 measures per call is the
+    * production readout off repaired state; its oracle — q154's
+    * statement over the FINAL corpus — proves the repair converged to
+    * the batch semantics at every scale.
+    */
+  private[graft] def ensureRefoldedReleaseState(spark: SparkSession,
+                                                sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relstreamrefold") {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
+        "relstreamrefold") +
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=3" +
+        "|gate=docv1|recrawl=nullmod13|v=1"
+      DedupArtifacts.ensureTree(key) { dir =>
+        (0L until 3L).foreach { b =>
+          releaseIngestBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            b, dir, Expectations.corpusDocChecks)
+        }
+        val recrawl = docs.withColumn("text", lit(null).cast("string"))
+          .filter(pmod(col("doc_id"), lit(13L)) === 4)
+        releaseIngestBatch(recrawl, 3L, dir, Expectations.corpusDocChecks)
+        val archive = docs
+          .withColumn("ver", pmod(col("doc_id"), lit(3L)))
+          .select("doc_id", "ver", "text")
+          .unionByName(recrawl.withColumn("ver", lit(3L))
+            .select("doc_id", "ver", "text"))
+        refoldQuarResidue(spark, dir, archive)
+        ()
       }
     }
 
@@ -712,7 +759,7 @@ object ReleaseStream {
       val key = DedupArtifacts.corpusKey(
         corpus.select("doc_id", "text"), "relstreamkeyed") +
         s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=4" +
-        "|gate=docv1+uniq+refemb|v=2"
+        "|gate=docv1+uniq+refemb|v=3"
       DedupArtifacts.ensureTree(key) { dir =>
         val refRoot = s"$dir/refembs"
         val refs = Seq(Expectations.RefStream(
@@ -929,9 +976,11 @@ object ReleaseStream {
     var newMan = Map.empty[String, Seq[Long]]
     newMan ++= consolidate("doc",
       latestRows(readOr(spark, live("doc"), DOC_SCHEMA)), bkt(col("doc_id")))
-    newMan ++= consolidate("ex",
-      readOr(spark, live("ex"), "h STRING, doc_id BIGINT")
-        .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+    // the claim LEDGER consolidates verbatim — collapsing to min-per-h
+    // would re-lose exactly the shadowed-copy claims the ledger exists
+    // to retain (see [[refoldQuarResidue]]); the post-compaction repair
+    // spec pins it
+    newMan ++= consolidate("ex", readOr(spark, live("ex"), EX_SCHEMA),
       bkt(xxhash64(col("h"))))
     newMan ++= consolidate("sh",
       readOr(spark, live("sh"), "shingle BIGINT, doc_id BIGINT"),
@@ -1090,6 +1139,338 @@ object ReleaseStream {
       findings += (("ok", "info", s"all invariants hold at frontier " +
         s"batch=${withMan.maxOption.getOrElse(-1L)}"))
     findings.toSeq.toDF("check", "severity", "detail").orderBy("check", "detail")
+  }
+
+  /** FINAL-VERDICT REFOLD — the repair [[fsckReleaseState]]'s
+    * `quar-winner-residue` finding alerts on (round-17; closes VERDICT
+    * r16 #5 as code). On an LWW-gated root, a doc whose verdict flipped
+    * clean→dirty on re-arrival keeps the cascade state its clean fold
+    * built: an exact-hash keeper slot suppressing other copies, a
+    * near-dup cluster membership (possibly the BRIDGE that merged two
+    * components), an eval seat whose shingles contaminate other docs,
+    * and a per-source cap rank. The readout reconciles only the row
+    * verdict; this operation excises the residue docs from every store
+    * so the state converges to the batch twin over FINAL verdicts
+    * ([[Curation.divertedReleaseExport]] on the latest version of every
+    * doc) — the stream==batch contract upgraded from "row verdicts
+    * reconcile" to full cascade equivalence (spec-pinned).
+    *
+    * `archive` is the crawl archive: every row ever fed to the ingest,
+    * as `(doc_id, ver, text)` with `ver` = the batch id. The repair
+    * reads it ONLY for the residue docs and the handful of promotion /
+    * eval-admission candidates (doc_id-pushdown, delta-sized); verdicts
+    * are NEVER re-evaluated — the stores are the verdict record. The
+    * claim LEDGER (`ex` holding every folded version's `(h, doc_id,
+    * ver)`) is what makes the repair exact: the archived versions of a
+    * doc hash into the ledger buckets holding its claims, and a doc's
+    * OPERATIVE hash (its max-ver claim) guards promotions against
+    * stale claims from earlier clean versions. A residue doc none of
+    * whose archived versions matches a claim fails fast — the archive
+    * does not cover its folded history.
+    *
+    * What moves, per store (all delta-sized except where noted):
+    *  - `doc`: residue fact rows deleted; promoted keepers flip
+    *    `exact_rm` to 0; nhit adjusted by exact set arithmetic. `ver`
+    *    is PRESERVED on every surviving row (the generation id is
+    *    negative; the quar-vs-fact LWW compare must keep ranking).
+    *  - `ex`: residue claims excised; per affected hash the next
+    *    OPERATIVE claimant is promoted.
+    *  - tiny `evals`/`evalsh`: lost seats re-seated by re-running the
+    *    per-lang tournament over the post-excision doc set (ONE fact
+    *    -store scan, only when a seat was actually lost); admitted
+    *    docs' shingles come from their operative archived text; every
+    *    doc's nhit moves by the Δ-shingle probe of the `sh` index —
+    *    the fold's own machinery, so incremental == batch stays exact.
+    *  - tiny `capn`/`capkeep` + `src`: residue rows excised, affected
+    *    over-cap sources re-ranked from their src-mirror buckets.
+    *  - cluster labels: [[Curation.exciseDocsFromClusterState]]
+    *    re-quotients the affected components from the pairs log (a
+    *    residue bridge un-merges its components).
+    *  - near-dup index: [[Curation.exciseFromIncrementalIndex]] — the
+    *    one index-sized rewrite (no per-leaf commit protocol exists);
+    *    without it a future near-dup of a residue doc would cluster
+    *    against it and inherit a root the batch twin never saw.
+    *  - `sh` postings of residue docs stay — INERT residue bytes: an
+    *    adjustment row they generate targets a fact row that no longer
+    *    exists and drops in the update join (documented, not repaired).
+    *  - `quar` stays whole — it IS the final-verdict record.
+    *
+    * Commit order closes the crash windows: label excision and index
+    * excision first (each self-committing — atomic frontier-manifest
+    * rewrite / marker protocol), the release stores as data under a
+    * fresh negative generation (invisible until committed), the
+    * FRONTIER manifest rewritten atomically LAST. The residue set stays
+    * detectable until that last commit, so a crashed repair re-runs
+    * end-to-end: the cluster excision no-ops (residue docs have no
+    * label rows), the index excision and store rewrites are
+    * deterministic overwrites — idempotent, spec-pinned by running the
+    * repair twice. The pivot is NON-destructive: replaced leaves stay
+    * referenced by older manifests (as-of reads below the frontier show
+    * the pre-repair state, which is what history means here); the
+    * retention policy reclaims them at the next compaction. Like
+    * compaction, the repair MUST run at a quiesced committed frontier —
+    * a replay of the frontier batch resolves manifests strictly below
+    * its own id and would fold on pre-repair state, silently shadowing
+    * the repaired frontier manifest.
+    *
+    * Returns an fsck-style findings relation `(check, severity,
+    * detail)` summarizing what moved.
+    */
+  def refoldQuarResidue(spark: SparkSession, root: String,
+                        archive: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def report(rows: (String, String, String)*): DataFrame =
+      rows.toSeq.toDF("check", "severity", "detail")
+    val manOpt = latestManifest(spark, root, Long.MaxValue)
+    if (manOpt.isEmpty)
+      return report(("refold", "info", s"no committed state under $root"))
+    val (frontier, man) = manOpt.get
+    val quarPaths = manPaths(root, man, "quar")
+    if (quarPaths.isEmpty || !man.contains("tiny"))
+      return report(("refold", "info",
+        "no quarantine store or no folded facts — nothing to repair"))
+    val arc = archive.select(col("doc_id"), col("ver"), col("text"))
+
+    // ---- 1. the residue set: quarantine-winning docs holding fact rows
+    val quarLatest = latestRows(readOr(spark, quarPaths, QUAR_SCHEMA))
+      .select(col("doc_id"), col("ver").as("qver")).persist()
+    val qDbkts = bucketVals(quarLatest.select(bkt(col("doc_id")).as("b")))
+    val residue = latestRows(readOr(spark,
+        storePaths(root, man, "doc", qDbkts), DOC_SCHEMA))
+      .join(quarLatest, Seq("doc_id"))
+      .filter(col("qver") >= col("ver"))
+      .drop("qver").persist()
+    if (residue.isEmpty) {
+      Seq(quarLatest, residue).foreach(_.unpersist())
+      return report(("refold", "info", "no quar-winner residue — state " +
+        "already reflects final verdicts"))
+    }
+    val rIds = residue.select("doc_id").persist()
+    val nResidue = rIds.count()
+
+    // ---- 2. residue docs' archived versions -> their claim buckets
+    val arcR = arc.join(rIds, Seq("doc_id"), "left_semi")
+      .withColumn("h", sha2(col("text"), 256))
+      .filter(col("h").isNotNull).persist()
+
+    // ---- 3. cluster + index excision FIRST (self-committing; the
+    // residue set stays detectable in the release stores until the final
+    // manifest rewrite, so a crash anywhere re-runs the whole repair)
+    Curation.exciseDocsFromClusterState(spark, s"$root/cpairs",
+      s"$root/clabels", rIds)
+    Curation.exciseFromIncrementalIndex(spark, s"$root/cidx", rIds)
+
+    // ---- 4. claim ledger: excise residue claims, promote next keepers
+    val hBkts = bucketVals(arcR.select(bkt(xxhash64(col("h"))).as("b")))
+    val claims = readOr(spark, storePaths(root, man, "ex", hBkts), EX_SCHEMA)
+      .persist()
+    val removed = claims.join(rIds, Seq("doc_id"), "left_semi").persist()
+    val uncovered = rIds
+      .join(removed.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    require(uncovered == 0L,
+      s"refoldQuarResidue: $uncovered residue doc(s) have no claim under " +
+        "any archived version's hash — the archive does not cover their " +
+        "folded history; repair refused (a partial excision would leave " +
+        "ghost keeper slots)")
+    val remaining = claims.join(rIds, Seq("doc_id"), "left_anti").persist()
+    // hashes whose MINIMUM claim was a residue doc need a new keeper
+    val needKeeper = claims
+      .join(removed.select("h").distinct(), Seq("h"), "left_semi")
+      .groupBy("h").agg(min(col("doc_id")).as("omin"))
+      .join(rIds.withColumnRenamed("doc_id", "omin"), Seq("omin"), "left_semi")
+      .select("h").persist()
+    // candidate claimants for those hashes, filtered to docs whose
+    // OPERATIVE hash (max-ver claim) is that hash — a stale claim from
+    // an earlier clean version must neither win nor block
+    val candClaims = remaining.join(needKeeper, Seq("h"), "left_semi")
+      .persist()
+    val candIds = candClaims.select("doc_id").distinct()
+    val arcC = arc.join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("h", sha2(col("text"), 256)).filter(col("h").isNotNull)
+    val cBkts = bucketVals(arcC.select(bkt(xxhash64(col("h"))).as("b")))
+    val operative = readOr(spark, storePaths(root, man, "ex", cBkts),
+        EX_SCHEMA)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("ver").desc, col("h"))))
+      .filter(col("rn") === 1).select(col("doc_id"), col("h").as("oph"))
+    val promoted = candClaims.join(operative, Seq("doc_id"))
+      .filter(col("h") === col("oph"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").distinct().persist()
+    val nPromoted = promoted.count()
+
+    // ---- 5. eval seats: re-run the tournament iff a seat was lost
+    val tinyO = man("tiny").head
+    def tinyRead(rel: String): DataFrame =
+      spark.read.parquet(s"$root/batch=$tinyO/tiny/$rel")
+    val evals = tinyRead("evals").persist()
+    val evalsh = tinyRead("evalsh").persist()
+    val seatsLost = evals.join(rIds, Seq("doc_id"), "left_semi").count()
+    val (newEvals, newEvalsh, adj) =
+      if (seatsLost == 0L)
+        (evals, evalsh,
+          emptyDf(spark, "doc_id BIGINT, dn BIGINT"))
+      else {
+        val survivors = latestRows(readOr(spark,
+            manPaths(root, man, "doc"), DOC_SCHEMA))
+          .join(rIds, Seq("doc_id"), "left_anti")
+        val ne = survivors.select(col("lang"), col("doc_id"),
+            Sketches.phash60(col("doc_id")).as("hsmp"))
+          .withColumn("rnk", row_number().over(Window.partitionBy("lang")
+            .orderBy(col("hsmp"), col("doc_id"))))
+          .filter(col("rnk") <= PER_LANG)
+          .select("lang", "doc_id", "hsmp").persist()
+        val dropped = evals
+          .join(ne.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select("doc_id")
+        val admitted = ne
+          .join(evals.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select("doc_id").persist()
+        // admitted docs' shingles from their OPERATIVE archived text
+        val arcA = arc.join(admitted, Seq("doc_id"), "left_semi")
+          .withColumn("h", sha2(col("text"), 256))
+          .filter(col("h").isNotNull).persist()
+        val aBkts = bucketVals(arcA.select(bkt(xxhash64(col("h"))).as("b")))
+        val opA = readOr(spark, storePaths(root, man, "ex", aBkts),
+            EX_SCHEMA)
+          .join(admitted, Seq("doc_id"), "left_semi")
+          .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("ver").desc, col("h"))))
+          .filter(col("rn") === 1).select(col("doc_id"), col("h").as("oph"))
+        val admText = arcA.join(opA, Seq("doc_id"))
+          .filter(col("h") === col("oph"))
+          .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("ver").desc)))
+          .filter(col("rn") === 1).select("doc_id", "text")
+        val admCovered = admitted
+          .join(admText.select("doc_id"), Seq("doc_id"), "left_anti").count()
+        require(admCovered == 0L,
+          s"refoldQuarResidue: $admCovered admitted eval doc(s) have no " +
+            "archived version matching their operative claim — archive " +
+            "coverage contract violated")
+        val nsh = evalsh
+          .join(dropped, Seq("doc_id"), "left_anti")
+          .unionByName(Dedup.hashedShingles(admText)
+            .select("doc_id", "shingle")).persist()
+        val oldSet = evalsh.select("shingle").distinct()
+        val newSet = nsh.select("shingle").distinct()
+        val dSh = newSet.except(oldSet).withColumn("dn", lit(1L))
+          .unionByName(oldSet.except(newSet).withColumn("dn", lit(-1L)))
+          .persist()
+        val touchedG = bucketVals(dSh.select(bkt(col("shingle")).as("b")))
+        val adjusted = readOr(spark,
+            storePaths(root, man, "sh", touchedG),
+            "shingle BIGINT, doc_id BIGINT")
+          .join(broadcast(dSh), Seq("shingle"))
+          .groupBy("doc_id").agg(sum("dn").as("dn"))
+          .filter(col("dn") =!= 0)
+          .join(rIds, Seq("doc_id"), "left_anti").persist()
+        (ne, nsh, adjusted)
+      }
+
+    // ---- 6. caps: decrement affected sources, re-rank the over-cap ones
+    val rSrc = residue.groupBy("source").agg(count(lit(1)).as("nr")).persist()
+    val capn = tinyRead("capn")
+    val newCapn = capn.join(rSrc, Seq("source"), "left")
+      .select(col("source"), (col("n") - coalesce(col("nr"), lit(0L)))
+        .as("n"))
+      .filter(col("n") > 0).persist()
+    val affSources = rSrc.select("source").persist()
+    val overAff = newCapn.join(affSources, Seq("source"), "left_semi")
+      .filter(col("n") > CAP).select("source").persist()
+    val sBkts = bucketVals(
+      affSources.select(bkt(Sketches.phash60(col("source"))).as("b")))
+    val srcRows = readOr(spark, storePaths(root, man, "src", sBkts),
+      "source STRING, doc_id BIGINT, hcap BIGINT")
+    val keepSrc = srcRows.join(rIds, Seq("doc_id"), "left_anti").persist()
+    val newKeep = keepSrc.join(overAff, Seq("source"), "left_semi")
+      .withColumn("rnk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("hcap"), col("doc_id"))))
+      .filter(col("rnk") <= CAP).select("source", "doc_id")
+    val newCapkeep = tinyRead("capkeep")
+      .join(affSources, Seq("source"), "left_anti")
+      .unionByName(newKeep).persist()
+
+    // ---- 7. fact-store rewrite: delete residue, apply promotions +
+    // nhit adjustments, PRESERVE ver
+    val updDbkts = qDbkts ++
+      bucketVals(promoted.select(bkt(col("doc_id")).as("b"))) ++
+      bucketVals(adj.select(bkt(col("doc_id")).as("b")))
+    val docOut = latestRows(readOr(spark,
+        storePaths(root, man, "doc", updDbkts), DOC_SCHEMA))
+      .join(rIds, Seq("doc_id"), "left_anti")
+      .join(promoted.withColumn("pr", lit(1L)), Seq("doc_id"), "left")
+      .join(adj, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        when(col("pr").isNotNull, lit(0L)).otherwise(col("exact_rm"))
+          .as("exact_rm"),
+        col("n_shingles"),
+        (col("nhit") + coalesce(col("dn"), lit(0L))).as("nhit"),
+        col("ver"))
+      .withColumn("dbkt", bkt(col("doc_id"))).persist()
+
+    // ---- 8. publish everything under one fresh negative generation,
+    // then the frontier manifest, atomically, LAST
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val gen = math.min(fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).min, 0L) - 1L
+    docOut.write.mode("overwrite").partitionBy("dbkt")
+      .parquet(s"$root/batch=$gen/doc")
+    val docWritten = bucketVals(docOut.select(col("dbkt").as("b")))
+    val exOut = remaining.withColumn("xbkt", bkt(xxhash64(col("h"))))
+      .persist()
+    exOut.write.mode("overwrite").partitionBy("xbkt")
+      .parquet(s"$root/batch=$gen/ex")
+    val exWritten = bucketVals(exOut.select(col("xbkt").as("b")))
+    val srcOut = keepSrc
+      .withColumn("sbkt", bkt(Sketches.phash60(col("source")))).persist()
+    srcOut.write.mode("overwrite").partitionBy("sbkt")
+      .parquet(s"$root/batch=$gen/src")
+    val srcWritten = bucketVals(srcOut.select(col("sbkt").as("b")))
+    newEvals.write.mode("overwrite").parquet(s"$root/batch=$gen/tiny/evals")
+    newEvalsh.write.mode("overwrite")
+      .parquet(s"$root/batch=$gen/tiny/evalsh")
+    newCapn.write.mode("overwrite").parquet(s"$root/batch=$gen/tiny/capn")
+    newCapkeep.write.mode("overwrite")
+      .parquet(s"$root/batch=$gen/tiny/capkeep")
+    def retarget(m: Map[String, Seq[Long]], store: String,
+                 affected: Set[Long],
+                 written: Set[Long]): Map[String, Seq[Long]] =
+      affected.foldLeft(m) { (acc, b) =>
+        // a rewritten-empty bucket DROPS from the manifest (partitionBy
+        // writes no directory for it)
+        if (written.contains(b)) acc + (s"$store/$b" -> Seq(gen))
+        else acc - s"$store/$b"
+      }
+    var newMan = man
+    newMan = retarget(newMan, "doc", updDbkts, docWritten)
+    newMan = retarget(newMan, "ex", hBkts, exWritten)
+    newMan = retarget(newMan, "src", sBkts, srcWritten)
+    newMan += ("tiny" -> Seq(gen))
+    writeManifest(spark, root, frontier, newMan)
+    // deliberately NO prune: the replaced leaves stay referenced by the
+    // OLDER manifests, so as-of reads below the frontier keep working
+    // (they show the PRE-repair state — the repair rewrites the present,
+    // not history); the standard retention policy (compaction) reclaims
+    // them wholesale at the next window
+
+    val out = report(
+      ("residue", "info", s"$nResidue quarantine-winning doc(s) excised " +
+        "from facts, claims, clusters, index, eval and caps"),
+      ("promoted", "info", s"$nPromoted next-operative-claimant keeper(s) " +
+        "promoted"),
+      ("eval", "info", s"$seatsLost eval seat(s) re-run"),
+      ("generation", "info", s"published as batch=$gen at frontier " +
+        s"batch=$frontier"))
+    Seq(quarLatest, residue, rIds, arcR, claims, removed, remaining,
+      needKeeper, candClaims, promoted, evals, evalsh, rSrc, newCapn,
+      affSources, overAff, keepSrc, newCapkeep, docOut, exOut, srcOut)
+      .foreach(_.unpersist())
+    out
   }
 
   // ------------------------------------------------------------ plumbing --
