@@ -334,7 +334,9 @@ object Curation {
     */
   private[operators] def exciseFromIncrementalIndex(spark: SparkSession,
                                                     indexDir: String,
-                                                    docIds: DataFrame): Unit = {
+                                                    docIds: DataFrame,
+                                                    below: Long = Long.MaxValue)
+      : Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val ids = docIds.select("doc_id")
     for (rel <- Seq("docs", "bands", "post", "pbands")) {
@@ -347,7 +349,8 @@ object Curation {
           case "pbands" => "pb"
         }
         val batches = fs.listStatus(base).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=")
+            && s.getPath.getName.stripPrefix("batch=").toLong < below)
         if (batches.nonEmpty) {
           val upTo = batches.map(
             _.getPath.getName.stripPrefix("batch=").toLong).max + 1L
@@ -871,8 +874,10 @@ object Curation {
   private[operators] def exciseDocsFromClusterState(spark: SparkSession,
                                                     pairsDir: String,
                                                     labelsDir: String,
-                                                    docIds: DataFrame): Unit = {
-    val manOpt = latestLabelManifest(spark, labelsDir, Long.MaxValue)
+                                                    docIds: DataFrame,
+                                                    below: Long = Long.MaxValue)
+      : Unit = {
+    val manOpt = latestLabelManifest(spark, labelsDir, below)
     if (manOpt.isEmpty) return
     val (frontier, man) = manOpt.get
     val ids = docIds.select("doc_id").distinct().persist()
@@ -899,7 +904,8 @@ object Curation {
     val pairDirs =
       if (!fs.exists(base)) Seq.empty[String]
       else fs.listStatus(base).toSeq.filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch="))
+        s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          s.getPath.getName.stripPrefix("batch=").toLong < below)
         .map(_.getPath.toString)
     val keep = members.select("doc_id").join(ids, Seq("doc_id"), "left_anti")
     val edges =
@@ -2422,6 +2428,31 @@ object Curation {
       ReleaseStream.releaseState(s,
         ReleaseStream.ensureRefoldedReleaseState(s, d))),
 
+    // Q166: q165 driven END TO END by the coded policies — the gated
+    // ingest tees its own crawl archive (`archiveDir`) and repairs on a
+    // cadence (`refoldEvery = 2`): the batch-3 corruption wave's residue
+    // is excised by the policy firing before batch 4, and the late
+    // re-keyed wave (doc_id % 11 == 5 at +1000000) folds on top of
+    // repaired state. No maintenance call anywhere; oracle = q154's
+    // statement over the final corpus + the late wave.
+    "q166_policy_refolded_release" -> ((s, d) =>
+      ReleaseStream.releaseState(s,
+        ReleaseStream.ensurePolicyRefoldedReleaseState(s, d))),
+
+    // Q167: RE-CRAWL UPDATE SEMANTICS — the gated ingest with
+    // `updateKeys`: a re-arrived doc's whole first-version cascade
+    // footprint (stale exact-hash claim, doubled shingle postings,
+    // doubled cap count, stale cluster membership and probe-index
+    // entry, old-text eval shingles) is excised in-line BEFORE the new
+    // version folds, so the state equals the batch cascade over the
+    // LATEST version of every doc with no repair cadence at all. The
+    // corpus re-crawls every `doc_id % 9 == 2` doc with changed text
+    // (`text || ' rev2'`); oracle = q154's statement over the updated
+    // corpus.
+    "q167_updated_release" -> ((s, d) =>
+      ReleaseStream.releaseState(s,
+        ReleaseStream.ensureUpdatedReleaseState(s, d))),
+
     // Q159: the diverted release under the COMPLETE q152 rule suite
     // (scalar + unique:doc_id + ref:doc_id->embeddings.vec_id) over the
     // re-crawled corpus multiset (see [[keyedDivertedReleaseExport]]) —
@@ -2733,6 +2764,35 @@ object Curation {
         |       CASE WHEN doc_id % 13 = 4 THEN NULL ELSE text END AS text,
         |       lang, source, n_chars FROM main.documents""".stripMargin)
 
+  /** q166 twin: q165's final corpus PLUS the late re-keyed wave —
+    * post-repair folds must compose with the repaired state.
+    */
+  private def policyRefoldedReleaseOracleSql: String =
+    divertedReleaseOracleSqlOver(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 13 = 4 THEN NULL ELSE text END AS text,
+        |       lang, source, n_chars FROM main.documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |FROM main.documents WHERE doc_id % 11 = 5""".stripMargin)
+
+  /** q167 twin: q154's statement over the UPDATED corpus — the latest
+    * version of every doc after the changed-text re-crawl (`doc_id %
+    * 9 == 2` re-arrived with `text || ' rev2'`). The update-mode
+    * stream state must equal the batch cascade computed as if only the
+    * final versions had ever existed — stale-claim, posting, eval, cap
+    * and cluster residue all retired in-line.
+    */
+  private def updatedReleaseOracleSql: String =
+    divertedReleaseOracleSqlOver(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 9 = 2 THEN text || ' rev2' ELSE text END
+        |         AS text,
+        |       lang, source,
+        |       CASE WHEN doc_id % 9 = 2 THEN n_chars + 5 ELSE n_chars END
+        |         AS n_chars
+        |FROM main.documents""".stripMargin)
+
   /** q159/q160 twin: the q154 statement under the COMPLETE q152 rule
     * suite over the re-crawled corpus MULTISET. The clean corpus the
     * cascade shadows is the base documents passing every scalar rule
@@ -3030,6 +3090,12 @@ object Curation {
     // equals the batch cascade computed as if the excised docs had never
     // folded (full final-verdict equivalence).
     "q165_refolded_release" -> refoldedReleaseOracleSql,
+    // q166: q165's final corpus plus the late re-keyed wave — the
+    // policy-driven repair composes with post-repair folds.
+    "q166_policy_refolded_release" -> policyRefoldedReleaseOracleSql,
+    // q167: the q154 statement over the UPDATED corpus — re-crawl
+    // update semantics, stale cascade residue excised in-line.
+    "q167_updated_release" -> updatedReleaseOracleSql,
     "q159_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,
     // q160: q159's SQL VERBATIM — stream==batch is the contract
     "q160_streaming_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,

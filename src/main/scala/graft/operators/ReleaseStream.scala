@@ -156,11 +156,34 @@ object ReleaseStream {
     * keyed-gated root with [[keyedGatedReleaseState]] (per-copy
     * accounting), not [[releaseState]].
     */
+  /** `archiveDir`/`refoldEvery` (round-17 second wave) make the refold a
+    * CODED POLICY: with `archiveDir` set, every micro-batch TEEs its
+    * input rows to `archiveDir/batch=<id>` (the crawl archive as an
+    * ingest-owned, replay-overwritten store — the coverage contract
+    * [[refoldQuarResidue]] requires is now maintained by the ingest
+    * itself, not promised by a caller); with `refoldEvery` K > 0, every
+    * K-th batch runs the final-verdict repair BEFORE its own fold,
+    * bounded strictly below its own id — the [[compactReleaseState]]
+    * replay rule: a replayed policy batch re-repairs the same frontier
+    * its first attempt repaired (a no-op) and re-folds deterministically
+    * on top. Between policy firings, fresh flips accumulate as residue
+    * (the deep fsck surfaces the count) — K trades repair latency
+    * against repair frequency exactly like `compactEvery` trades read
+    * fan-out against write amplification. `updateKeys` (round-17 third
+    * wave) switches the ingest to RE-CRAWL UPDATE semantics: a batch
+    * key already holding fact rows has its earlier version's whole
+    * cascade footprint excised BEFORE the fold ([[exciseRearrivals]]),
+    * so the latest version REPLACES in-line — mutually exclusive with
+    * `gateUnique`, whose claims make later copies DIVERT instead.
+    */
   def streamingReleaseIngest(docs: DataFrame, root: String,
                              checkpoint: String, compactEvery: Int = 0,
                              gateChecks: Seq[Expectations.Check] = Nil,
                              gateUnique: Boolean = false,
-                             gateRefs: Seq[Expectations.RefStream] = Nil)
+                             gateRefs: Seq[Expectations.RefStream] = Nil,
+                             archiveDir: Option[String] = None,
+                             refoldEvery: Int = 0,
+                             updateKeys: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 0, "compactEvery: 0 disables, else every K batches")
     docs.writeStream
@@ -168,26 +191,73 @@ object ReleaseStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         releaseIngestWithPolicy(batch, batchId, root, compactEvery,
-          gateChecks, gateUnique, gateRefs)
+          gateChecks, gateUnique, gateRefs, archiveDir, refoldEvery,
+          updateKeys)
         ()
       }
       .start()
   }
 
   /** [[releaseIngestBatch]] under the compact-every-K retention policy
-    * (factored out so the growth smoke and replay specs drive the POLICY
-    * itself, not a hand-placed compaction call).
+    * and the refold-every-K repair policy (factored out so the growth
+    * smoke and replay specs drive the POLICIES themselves, not
+    * hand-placed maintenance calls).
     */
   private[graft] def releaseIngestWithPolicy(batch: DataFrame, batchId: Long,
                                              root: String,
                                              compactEvery: Int,
                                              gateChecks: Seq[Expectations.Check] = Nil,
                                              gateUnique: Boolean = false,
-                                             gateRefs: Seq[Expectations.RefStream] = Nil)
+                                             gateRefs: Seq[Expectations.RefStream] = Nil,
+                                             archiveDir: Option[String] = None,
+                                             refoldEvery: Int = 0,
+                                             updateKeys: Boolean = false)
       : ReadPaths = {
+    require(refoldEvery == 0 || archiveDir.isDefined,
+      "refoldEvery needs archiveDir: the repair reads residue texts from " +
+        "the ingest-maintained crawl archive")
+    require(!updateKeys || archiveDir.isDefined,
+      "updateKeys needs archiveDir: the excision reads a re-arrived " +
+        "doc's stale version texts from the ingest-maintained crawl archive")
+    require(!(updateKeys && gateUnique),
+      "updateKeys (re-crawl updates: latest version REPLACES) and " +
+        "gateUnique (first-writer-wins key claims: later copies DIVERT) " +
+        "are mutually exclusive key policies for one ingest")
+    val spark = batch.sparkSession
+    // the archive tee, FIRST (deterministic overwrite keyed by the
+    // checkpointed batchId — the store convention; a replayed batch
+    // rewrites its own dir byte-for-byte)
+    archiveDir.foreach { ad =>
+      batch.withColumn("ver", lit(batchId))
+        .write.mode("overwrite").parquet(s"$ad/batch=$batchId")
+    }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      compactReleaseState(batch.sparkSession, root, below = batchId)
+      compactReleaseState(spark, root, below = batchId)
+    if (refoldEvery > 0 && batchId > 0 && batchId % refoldEvery == 0)
+      refoldQuarResidue(spark, root,
+        readArchive(spark, archiveDir.get, below = batchId),
+        below = batchId)
+    if (updateKeys)
+      exciseRearrivals(spark, root, batch.select("doc_id"), batchId,
+        readArchive(spark, archiveDir.get, below = batchId))
     releaseIngestBatch(batch, batchId, root, gateChecks, gateUnique, gateRefs)
+  }
+
+  /** The ingest-maintained crawl archive below a batch cutoff —
+    * `(doc_id, ver, text, ...)` rows of every batch the stream consumed.
+    */
+  private def readArchive(spark: SparkSession, archiveDir: String,
+                          below: Long): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(archiveDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs =
+      if (!fs.exists(base)) Seq.empty[String]
+      else fs.listStatus(base).toSeq.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          s.getPath.getName.stripPrefix("batch=").toLong < below)
+        .map(_.getPath.toString)
+    if (dirs.isEmpty) emptyDf(spark, "doc_id BIGINT, ver BIGINT, text STRING")
+    else spark.read.option("basePath", archiveDir).parquet(dirs: _*)
   }
 
   /** One micro-batch of the fold (the foreachBatch body, factored out so
@@ -737,6 +807,79 @@ object ReleaseStream {
       }
     }
 
+  /** Build-once POLICY-REFOLDED release-state artifact for the q166
+    * catalog entry: the q165 scenario driven END TO END by the coded
+    * policies — the gated ingest with `archiveDir` (the stream tees its
+    * own crawl archive) and `refoldEvery = 2`, so the batch-3
+    * corrupting re-crawl's residue is repaired by the POLICY firing
+    * before batch 4, and batch 4 (the `doc_id % 11 == 5` late re-keyed
+    * wave) folds on top of repaired state. No maintenance call appears
+    * anywhere — the ingest owns its archive and its repair cadence.
+    */
+  private[graft] def ensurePolicyRefoldedReleaseState(spark: SparkSession,
+                                                      sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relstreamrefoldpol") {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
+        "relstreamrefoldpol") +
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=5" +
+        "|gate=docv1|recrawl=nullmod13+late11|refold=2|v=1"
+      DedupArtifacts.ensureTree(key) { dir =>
+        val arch = s"$dir/archive"
+        def step(b: Long, rows: DataFrame): Unit = {
+          releaseIngestWithPolicy(rows, b, dir, compactEvery = 0,
+            gateChecks = Expectations.corpusDocChecks,
+            archiveDir = Some(arch), refoldEvery = 2)
+          ()
+        }
+        (0L until 3L).foreach { b =>
+          step(b, docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+        }
+        step(3L, docs.withColumn("text", lit(null).cast("string"))
+          .filter(pmod(col("doc_id"), lit(13L)) === 4))
+        step(4L, docs.filter(pmod(col("doc_id"), lit(11L)) === 5)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      }
+    }
+
+  /** Build-once UPDATED release-state artifact for the q167 catalog
+    * entry: the corpus in three doc_id-residue batches through the
+    * gated ingest with `updateKeys` (re-crawl update semantics:
+    * [[exciseRearrivals]]), then a fourth batch RE-CRAWLING every
+    * `doc_id % 9 == 2` doc with CHANGED text (`text || ' rev2'`,
+    * `n_chars` grown to match — both gate rules keep holding for docs
+    * that were clean, while docs already over the 64-token rule stay
+    * dirty with their NEW token count). The readout must equal the
+    * batch cascade over the LATEST version of every doc — stale claims
+    * retired, postings deduplicated, eval seats re-shingled, caps
+    * re-counted — with no repair cadence: the excision runs in-line at
+    * the re-arrival batch.
+    */
+  private[graft] def ensureUpdatedReleaseState(spark: SparkSession,
+                                               sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relstreamupd") {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
+        "relstreamupd") +
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=4" +
+        "|gate=docv1|recrawl=rev2mod9|upd=1|v=1"
+      DedupArtifacts.ensureTree(key) { dir =>
+        val arch = s"$dir/archive"
+        def step(b: Long, rows: DataFrame): Unit = {
+          releaseIngestWithPolicy(rows, b, dir, compactEvery = 0,
+            gateChecks = Expectations.corpusDocChecks,
+            archiveDir = Some(arch), updateKeys = true)
+          ()
+        }
+        (0L until 3L).foreach { b =>
+          step(b, docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+        }
+        step(3L, docs.filter(pmod(col("doc_id"), lit(9L)) === 2)
+          .withColumn("text", concat(col("text"), lit(" rev2")))
+          .withColumn("n_chars", col("n_chars") + lit(5L)))
+      }
+    }
+
   /** Build-once KEYED-GATED release-state artifact for the q160 catalog
     * entry: the RE-CRAWLED corpus ([[Curation.recrawledCorpus]] — the
     * base docs in three doc_id-residue batches, then a fourth batch
@@ -1216,13 +1359,21 @@ object ReleaseStream {
     * Returns an fsck-style findings relation `(check, severity,
     * detail)` summarizing what moved.
     */
+  /** `below` bounds every frontier resolution strictly below that batch
+    * id — the [[compactReleaseState]] convention that lets the refold
+    * run as an in-stream POLICY ([[releaseIngestWithPolicy]]): a
+    * replayed policy batch re-resolves the same already-repaired
+    * frontier its first attempt repaired (finding no residue, a no-op)
+    * instead of repairing its own first attempt's fold output.
+    */
   def refoldQuarResidue(spark: SparkSession, root: String,
-                        archive: DataFrame): DataFrame = {
+                        archive: DataFrame,
+                        below: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     def report(rows: (String, String, String)*): DataFrame =
       rows.toSeq.toDF("check", "severity", "detail")
-    val manOpt = latestManifest(spark, root, Long.MaxValue)
+    val manOpt = latestManifest(spark, root, below)
     if (manOpt.isEmpty)
       return report(("refold", "info", s"no committed state under $root"))
     val (frontier, man) = manOpt.get
@@ -1246,8 +1397,47 @@ object ReleaseStream {
       return report(("refold", "info", "no quar-winner residue — state " +
         "already reflects final verdicts"))
     }
+    val (nResidue, nPromoted, seatsLost, gen) =
+      exciseResidue(spark, root, frontier, man, residue, arc, below,
+        exciseSh = false)
+    val out = report(
+      ("residue", "info", s"$nResidue quarantine-winning doc(s) excised " +
+        "from facts, claims, clusters, index, eval and caps"),
+      ("promoted", "info", s"$nPromoted next-operative-claimant keeper(s) " +
+        "promoted"),
+      ("eval", "info", s"$seatsLost eval seat(s) re-run"),
+      ("generation", "info", s"published as batch=$gen at frontier " +
+        s"batch=$frontier"))
+    Seq(quarLatest, residue).foreach(_.unpersist())
+    out
+  }
+
+  /** The shared excision core of [[refoldQuarResidue]] (residue = docs
+    * whose final verdict is quarantine) and [[exciseRearrivals]]
+    * (residue = re-crawled docs about to re-fold): remove `residue`'s
+    * fact rows, ledger claims (promoting next OPERATIVE claimants),
+    * eval seats (re-running the per-lang tournament over survivors,
+    * nhit moved by exact Δ-shingle arithmetic), cap counts/ranks and —
+    * when `exciseSh` — shingle postings, publishing everything under
+    * one fresh negative generation and the atomically-rewritten
+    * frontier manifest LAST. `exciseSh` is the difference between the
+    * two callers: a quarantine-winner's postings are INERT (its fact
+    * row is gone, so adjustment rows they generate drop in the update
+    * join), but a re-crawled doc's fact row RETURNS when the new
+    * version folds — stale postings would double-count every future
+    * eval Δ-shingle adjustment against it, so the update path must
+    * excise them (touched buckets = the shingles of every archived
+    * version, delta-sized). Returns (nResidue, nPromoted, seatsLost,
+    * generation id).
+    */
+  private def exciseResidue(spark: SparkSession, root: String,
+                            frontier: Long, man: Map[String, Seq[Long]],
+                            residue: DataFrame, arc: DataFrame,
+                            below: Long,
+                            exciseSh: Boolean): (Long, Long, Long, Long) = {
     val rIds = residue.select("doc_id").persist()
     val nResidue = rIds.count()
+    val rDbkts = bucketVals(rIds.select(bkt(col("doc_id")).as("b")))
 
     // ---- 2. residue docs' archived versions -> their claim buckets
     val arcR = arc.join(rIds, Seq("doc_id"), "left_semi")
@@ -1258,8 +1448,8 @@ object ReleaseStream {
     // residue set stays detectable in the release stores until the final
     // manifest rewrite, so a crash anywhere re-runs the whole repair)
     Curation.exciseDocsFromClusterState(spark, s"$root/cpairs",
-      s"$root/clabels", rIds)
-    Curation.exciseFromIncrementalIndex(spark, s"$root/cidx", rIds)
+      s"$root/clabels", rIds, below)
+    Curation.exciseFromIncrementalIndex(spark, s"$root/cidx", rIds, below)
 
     // ---- 4. claim ledger: excise residue claims, promote next keepers
     val hBkts = bucketVals(arcR.select(bkt(xxhash64(col("h"))).as("b")))
@@ -1395,7 +1585,7 @@ object ReleaseStream {
 
     // ---- 7. fact-store rewrite: delete residue, apply promotions +
     // nhit adjustments, PRESERVE ver
-    val updDbkts = qDbkts ++
+    val updDbkts = rDbkts ++
       bucketVals(promoted.select(bkt(col("doc_id")).as("b"))) ++
       bucketVals(adj.select(bkt(col("doc_id")).as("b")))
     val docOut = latestRows(readOr(spark,
@@ -1437,6 +1627,25 @@ object ReleaseStream {
     newCapn.write.mode("overwrite").parquet(s"$root/batch=$gen/tiny/capn")
     newCapkeep.write.mode("overwrite")
       .parquet(s"$root/batch=$gen/tiny/capkeep")
+    // ---- 8b. shingle postings (update path only — see Scaladoc):
+    // touched buckets from every archived version's shingles, rewritten
+    // minus the residue docs' rows
+    val shExcise: Option[(Set[Long], Set[Long])] =
+      if (!exciseSh) None
+      else {
+        val shBkts = bucketVals(
+          Dedup.hashedShingles(arcR.select("doc_id", "text"))
+            .select(bkt(col("shingle")).as("b")))
+        val shOut = readOr(spark, storePaths(root, man, "sh", shBkts),
+            "shingle BIGINT, doc_id BIGINT")
+          .join(rIds, Seq("doc_id"), "left_anti")
+          .withColumn("gbkt", bkt(col("shingle"))).persist()
+        shOut.write.mode("overwrite").partitionBy("gbkt")
+          .parquet(s"$root/batch=$gen/sh")
+        val shWritten = bucketVals(shOut.select(col("gbkt").as("b")))
+        shOut.unpersist()
+        Some((shBkts, shWritten))
+      }
     def retarget(m: Map[String, Seq[Long]], store: String,
                  affected: Set[Long],
                  written: Set[Long]): Map[String, Seq[Long]] =
@@ -1450,6 +1659,9 @@ object ReleaseStream {
     newMan = retarget(newMan, "doc", updDbkts, docWritten)
     newMan = retarget(newMan, "ex", hBkts, exWritten)
     newMan = retarget(newMan, "src", sBkts, srcWritten)
+    shExcise.foreach { case (shBkts, shWritten) =>
+      newMan = retarget(newMan, "sh", shBkts, shWritten)
+    }
     newMan += ("tiny" -> Seq(gen))
     writeManifest(spark, root, frontier, newMan)
     // deliberately NO prune: the replaced leaves stay referenced by the
@@ -1458,19 +1670,61 @@ object ReleaseStream {
     // not history); the standard retention policy (compaction) reclaims
     // them wholesale at the next window
 
-    val out = report(
-      ("residue", "info", s"$nResidue quarantine-winning doc(s) excised " +
-        "from facts, claims, clusters, index, eval and caps"),
-      ("promoted", "info", s"$nPromoted next-operative-claimant keeper(s) " +
-        "promoted"),
-      ("eval", "info", s"$seatsLost eval seat(s) re-run"),
-      ("generation", "info", s"published as batch=$gen at frontier " +
-        s"batch=$frontier"))
-    Seq(quarLatest, residue, rIds, arcR, claims, removed, remaining,
+    Seq(rIds, arcR, claims, removed, remaining,
       needKeeper, candClaims, promoted, evals, evalsh, rSrc, newCapn,
       affSources, overAff, keepSrc, newCapkeep, docOut, exOut, srcOut)
       .foreach(_.unpersist())
-    out
+    (nResidue, nPromoted, seatsLost, gen)
+  }
+
+  /** RE-CRAWL UPDATE EXCISION (round-17 third wave) — the in-line twin
+    * of [[refoldQuarResidue]] for CLEAN re-arrivals, closing the last
+    * documented re-arrival bound: under the fold's plain LWW posture a
+    * doc re-crawled with CHANGED text keeps its earlier version's whole
+    * cascade footprint (a stale exact-hash claim that can keep
+    * suppressing other copies of text it no longer has, doubled shingle
+    * postings that double every future eval Δ-adjustment against it, a
+    * doubled per-source cap count, a stale cluster membership and probe
+    * index entry, an eval seat still contaminating with the old text's
+    * shingles). With `updateKeys` on the gated ingest, every batch key
+    * already holding fact rows is excised from ALL state FIRST — the
+    * [[exciseResidue]] machinery, sh postings included — and the batch
+    * then folds normally: a clean new version re-inserts everything
+    * (cluster ingest at the batch's own id, eval re-admission through
+    * the fold's own tournament, fresh claim and postings), a dirty new
+    * version diverts over state that no longer carries its old self —
+    * so the state converges to the batch twin over LATEST versions
+    * in-line, with no repair cadence and no residue window. Replay-safe
+    * by the same rule as the policies: the excision resolves the
+    * manifest strictly below the batch's own id, so a replayed batch
+    * re-excises the same pre-batch state and re-folds
+    * deterministically.
+    *
+    * Returns the number of re-arrived keys excised (0 = no-op).
+    */
+  private[graft] def exciseRearrivals(spark: SparkSession, root: String,
+                                      batchKeys: DataFrame, batchId: Long,
+                                      archive: DataFrame): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val manOpt = latestManifest(spark, root, batchId)
+    if (manOpt.isEmpty) return 0L
+    val (frontier, man) = manOpt.get
+    if (!man.contains("tiny")) return 0L
+    val bkeys = batchKeys.select("doc_id").distinct().persist()
+    val touched = bucketVals(bkeys.select(bkt(col("doc_id")).as("b")))
+    val residue = latestRows(readOr(spark,
+        storePaths(root, man, "doc", touched), DOC_SCHEMA))
+      .join(bkeys, Seq("doc_id"), "left_semi").persist()
+    val n =
+      if (residue.isEmpty) 0L
+      else {
+        val arc = archive.select(col("doc_id"), col("ver"), col("text"))
+        val (nResidue, _, _, _) = exciseResidue(spark, root, frontier,
+          man, residue, arc, batchId, exciseSh = true)
+        nResidue
+      }
+    Seq(bkeys, residue).foreach(_.unpersist())
+    n
   }
 
   // ------------------------------------------------------------ plumbing --

@@ -196,6 +196,44 @@ class RefoldSpec extends AnyFunSuite {
       s"got: ${e.getMessage}")
   }
 
+  test("refold POLICY: the ingest tees its own archive, the K-th batch " +
+    "repairs below its own id before folding, post-repair batches " +
+    "compose, and REPLAYING the policy batch is idempotent") {
+    val root = Files.createTempDirectory("graft-refoldpol").toString
+    val arch = s"$root/archive"
+    def step(b: Long, rows: Seq[(Long, String, String, String)]): Unit = {
+      ReleaseStream.releaseIngestWithPolicy(df(rows), b, root,
+        compactEvery = 0, gateChecks = checks,
+        archiveDir = Some(arch), refoldEvery = 2)
+      ()
+    }
+    step(0L, b0)
+    step(1L, b1)
+    // the policy batch: fires the repair (below id 2) THEN folds two new
+    // docs — one of them near-dup of ONLY the excised bridge text
+    val b2 = Seq((50L, "s2", "de", textD + " z1"),
+      (60L, "s1", "en", "t u v w x y z"))
+    step(2L, b2)
+    val got = rowsOf(ReleaseStream.releaseState(spark, root))
+    assert(got === finalTwin(finalRows ++ b2),
+      "policy-repaired state + post-repair fold must equal the " +
+        "final-verdict twin")
+    val fsck = ReleaseStream.fsckReleaseState(spark, root, deep = true)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!fsck.exists(_._1 == "quar-winner-residue") &&
+      !fsck.exists(_._2 == "error"), fsck.mkString("; "))
+    // the archive store: one dir per batch, replay-overwritten
+    val dirs = new java.io.File(arch).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs === Set("batch=0", "batch=1", "batch=2"),
+      s"the ingest must own its archive, got $dirs")
+    // replay the POLICY batch: the repair re-resolves the already-
+    // repaired frontier (no-op) and the fold converges
+    step(2L, b2)
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) === got,
+      "replaying the policy batch must be idempotent")
+  }
+
   test("refold no-ops loudly on roots with nothing to repair: ungated " +
     "roots, and gated roots whose flips all went dirty->clean") {
     import spark.implicits._
