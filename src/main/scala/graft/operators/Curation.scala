@@ -2453,6 +2453,18 @@ object Curation {
       ReleaseStream.releaseState(s,
         ReleaseStream.ensureUpdatedReleaseState(s, d))),
 
+    // Q168: the SELF-MAINTAINING ingest — every coded policy composed
+    // on one root (archive tee, compact-every-K retention,
+    // refold-every-K repair cadence, re-crawl update semantics): a
+    // corrupting NULL-text wave is retired in-line by the update
+    // excision, a later clean update wave excises against the ledger
+    // the batch-4 compaction just CONSOLIDATED, and the refold cadence
+    // stays a live no-op because residue never accumulates. Oracle =
+    // q154's statement over the final corpus.
+    "q168_self_maintaining_release" -> ((s, d) =>
+      ReleaseStream.releaseState(s,
+        ReleaseStream.ensureSelfMaintainingReleaseState(s, d))),
+
     // Q159: the diverted release under the COMPLETE q152 rule suite
     // (scalar + unique:doc_id + ref:doc_id->embeddings.vec_id) over the
     // re-crawled corpus multiset (see [[keyedDivertedReleaseExport]]) —
@@ -2793,6 +2805,23 @@ object Curation {
         |         AS n_chars
         |FROM main.documents""".stripMargin)
 
+  /** q168 twin: q154's statement over the final corpus after BOTH
+    * re-crawl waves — the NULL-text corruption (`doc_id % 13 == 4`,
+    * batch 3) and the clean update (`doc_id % 9 == 2`, batch 4, which
+    * also repairs any doc the corruption hit first — the update branch
+    * takes precedence).
+    */
+  private def selfMaintainingReleaseOracleSql: String =
+    divertedReleaseOracleSqlOver(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 9 = 2 THEN text || ' rev2'
+        |            WHEN doc_id % 13 = 4 THEN NULL
+        |            ELSE text END AS text,
+        |       lang, source,
+        |       CASE WHEN doc_id % 9 = 2 THEN n_chars + 5 ELSE n_chars END
+        |         AS n_chars
+        |FROM main.documents""".stripMargin)
+
   /** q159/q160 twin: the q154 statement under the COMPLETE q152 rule
     * suite over the re-crawled corpus MULTISET. The clean corpus the
     * cascade shadows is the base documents passing every scalar rule
@@ -3096,6 +3125,9 @@ object Curation {
     // q167: the q154 statement over the UPDATED corpus — re-crawl
     // update semantics, stale cascade residue excised in-line.
     "q167_updated_release" -> updatedReleaseOracleSql,
+    // q168: the q154 statement over the final corpus after both
+    // re-crawl waves — every maintenance policy composed on one root.
+    "q168_self_maintaining_release" -> selfMaintainingReleaseOracleSql,
     "q159_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,
     // q160: q159's SQL VERBATIM — stream==batch is the contract
     "q160_streaming_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,

@@ -880,6 +880,50 @@ object ReleaseStream {
       }
     }
 
+  /** Build-once SELF-MAINTAINING release-state artifact for the q168
+    * catalog entry: every maintenance policy the ingest owns, composed
+    * on one root — the archive tee, `compactEvery = 2` (retention),
+    * `refoldEvery = 2` (final-verdict repair cadence — a LIVE NO-OP
+    * here, because `updateKeys` retires re-arrival state in-line before
+    * residue can accumulate; composing them proves harmlessness) and
+    * `updateKeys` (re-crawl update semantics). The corpus folds in
+    * three thirds, then a CORRUPTING re-crawl (batch 3: `doc_id % 13 ==
+    * 4` re-arrives with NULL text — the dirty-update path: prior state
+    * excised in-line, the new version diverts), then a CLEAN update
+    * wave (batch 4: `doc_id % 9 == 2` re-arrives with `text || '
+    * rev2'`) whose excision reads the ledger AFTER the batch-4
+    * compaction consolidated it — the policy-composition coverage the
+    * separate artifacts cannot exercise. Docs in both waves end at
+    * their batch-4 version (clean, updated). Oracle = q154's statement
+    * over the final corpus.
+    */
+  private[graft] def ensureSelfMaintainingReleaseState(spark: SparkSession,
+                                                       sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relstreamself") {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
+        "relstreamself") +
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=5" +
+        "|gate=docv1|null13|rev2mod9|upd=1|ce=2|re=2|v=1"
+      DedupArtifacts.ensureTree(key) { dir =>
+        val arch = s"$dir/archive"
+        def step(b: Long, rows: DataFrame): Unit = {
+          releaseIngestWithPolicy(rows, b, dir, compactEvery = 2,
+            gateChecks = Expectations.corpusDocChecks,
+            archiveDir = Some(arch), refoldEvery = 2, updateKeys = true)
+          ()
+        }
+        (0L until 3L).foreach { b =>
+          step(b, docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+        }
+        step(3L, docs.withColumn("text", lit(null).cast("string"))
+          .filter(pmod(col("doc_id"), lit(13L)) === 4))
+        step(4L, docs.filter(pmod(col("doc_id"), lit(9L)) === 2)
+          .withColumn("text", concat(col("text"), lit(" rev2")))
+          .withColumn("n_chars", col("n_chars") + lit(5L)))
+      }
+    }
+
   /** Build-once KEYED-GATED release-state artifact for the q160 catalog
     * entry: the RE-CRAWLED corpus ([[Curation.recrawledCorpus]] — the
     * base docs in three doc_id-residue batches, then a fourth batch

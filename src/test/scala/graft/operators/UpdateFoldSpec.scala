@@ -158,6 +158,37 @@ class UpdateFoldSpec extends AnyFunSuite {
         "near-dup pair is removed")
   }
 
+  test("updateKeys composes with the compaction and refold policies: the " +
+    "policy batch compacts FIRST, so the update excision reads the " +
+    "CONSOLIDATED ledger (the shadowed copy's claim must survive " +
+    "consolidation for the promotion), the refold cadence stays a live " +
+    "no-op, and the state equals the latest-version twin") {
+    val root = Files.createTempDirectory("graft-updcomp").toString
+    def pstep(b: Long, rows: Seq[(Long, String, String, String)]): Unit = {
+      ReleaseStream.releaseIngestWithPolicy(df(rows), b, root,
+        compactEvery = 2, gateChecks = checks,
+        archiveDir = Some(s"$root/archive"), refoldEvery = 2,
+        updateKeys = true)
+      ()
+    }
+    pstep(0L, b0)
+    val mid = Seq((200L, "s5", "en", "another doc entirely new words"))
+    pstep(1L, mid)
+    // batch 2 fires ALL the policies before its own fold: compaction
+    // (below 2), refold (no residue — a live no-op), then the update
+    // excision against the consolidated ledger, then the fold
+    pstep(2L, b1)
+    val got = rowsOf(ReleaseStream.releaseState(spark, root))
+    assert(got === finalTwin(finalRows ++ mid),
+      "all-policies state must equal the latest-version twin")
+    assert(got.find(_._1 == 20L).get._4 !== "exact",
+      "the promotion must work off the CONSOLIDATED claim ledger")
+    val fsck = ReleaseStream.fsckReleaseState(spark, root, deep = true)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!fsck.exists(_._1 == "quar-winner-residue") &&
+      !fsck.exists(_._2 == "error"), fsck.mkString("; "))
+  }
+
   test("updateKeys refusals: without archiveDir (the excision needs the " +
     "stale version texts), and combined with gateUnique (REPLACE vs " +
     "DIVERT are mutually exclusive key policies)") {
