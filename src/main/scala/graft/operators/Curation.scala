@@ -2465,6 +2465,33 @@ object Curation {
       ReleaseStream.releaseState(s,
         ReleaseStream.ensureSelfMaintainingReleaseState(s, d))),
 
+    // Q169: UPDATE CHURN — "what did the re-crawl change in the
+    // release?": the q135 churn diff across the q167 update wave. Both
+    // sides are build-once published exports: the q155 gated root IS
+    // the pre-update state (the same corpus through the same gate —
+    // the fold is deterministic), the q167 update root the post-update
+    // one. Update semantics is what makes the report meaningful: text
+    // changes flow through dedup/eval/caps/mixture, so the diff shows
+    // the wave's true blast radius (re-staged docs, moved mixture
+    // weights, clean→dirty flips), not just row-verdict noise.
+    "q169_update_churn" -> ((s, d) =>
+      ReleaseStream.releaseChurnFrom(
+        ReleaseStream.releaseState(s,
+          ReleaseStream.ensureUpdatedReleaseState(s, d)),
+        ReleaseStream.releaseState(s,
+          ReleaseStream.ensureGatedReleaseState(s, d)))),
+
+    // Q170: the update wave's transition matrix — q136's rollup over
+    // the q169 churn relation (per (prev_stage → stage) edge, docs
+    // moved + net mixture-copy delta): the one-screen blast-radius
+    // summary a release pipeline alerts on after a re-crawl.
+    "q170_update_churn_stats" -> ((s, d) =>
+      ReleaseStream.releaseChurnStats(ReleaseStream.releaseChurnFrom(
+        ReleaseStream.releaseState(s,
+          ReleaseStream.ensureUpdatedReleaseState(s, d)),
+        ReleaseStream.releaseState(s,
+          ReleaseStream.ensureGatedReleaseState(s, d))))),
+
     // Q159: the diverted release under the COMPLETE q152 rule suite
     // (scalar + unique:doc_id + ref:doc_id->embeddings.vec_id) over the
     // re-crawled corpus multiset (see [[keyedDivertedReleaseExport]]) —
@@ -2760,9 +2787,11 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val baseCorpusSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM main.documents"
+
   private def divertedReleaseOracleSql: String =
-    divertedReleaseOracleSqlOver(
-      "SELECT doc_id, text, lang, source, n_chars FROM main.documents")
+    divertedReleaseOracleSqlOver(baseCorpusSql)
 
   /** q165 twin: q154's statement over the FINAL corpus — the latest
     * version of every doc after the corrupting re-crawl (`doc_id % 13
@@ -2795,15 +2824,33 @@ object Curation {
     * final versions had ever existed — stale-claim, posting, eval, cap
     * and cluster residue all retired in-line.
     */
+  private val updatedCorpusSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 9 = 2 THEN text || ' rev2' ELSE text END
+      |         AS text,
+      |       lang, source,
+      |       CASE WHEN doc_id % 9 = 2 THEN n_chars + 5 ELSE n_chars END
+      |         AS n_chars
+      |FROM main.documents""".stripMargin
+
   private def updatedReleaseOracleSql: String =
-    divertedReleaseOracleSqlOver(
-      """SELECT doc_id,
-        |       CASE WHEN doc_id % 9 = 2 THEN text || ' rev2' ELSE text END
-        |         AS text,
-        |       lang, source,
-        |       CASE WHEN doc_id % 9 = 2 THEN n_chars + 5 ELSE n_chars END
-        |         AS n_chars
-        |FROM main.documents""".stripMargin)
+    divertedReleaseOracleSqlOver(updatedCorpusSql)
+
+  /** q169 twin: the q135 churn statement across the UPDATE wave — the
+    * diverted release statement evaluated over the base corpus and over
+    * the updated corpus, per-doc diffed (stage or mixture-copy moves).
+    */
+  private def updateChurnOracleSql: String =
+    s"""WITH curx AS (${divertedReleaseOracleSqlOver(updatedCorpusSql)}),
+       |prevx AS (${divertedReleaseOracleSqlOver(baseCorpusSql)})
+       |SELECT curx.doc_id, COALESCE(prevx.stage, 'absent') AS prev_stage,
+       |       curx.stage,
+       |       CAST(COALESCE(prevx.n_copies, 0) AS BIGINT) AS prev_copies,
+       |       curx.n_copies
+       |FROM curx LEFT JOIN prevx ON curx.doc_id = prevx.doc_id
+       |WHERE COALESCE(prevx.stage, 'absent') <> curx.stage
+       |   OR COALESCE(prevx.n_copies, 0) <> curx.n_copies
+       |ORDER BY curx.doc_id""".stripMargin
 
   /** q168 twin: q154's statement over the final corpus after BOTH
     * re-crawl waves — the NULL-text corruption (`doc_id % 13 == 4`,
@@ -3128,6 +3175,16 @@ object Curation {
     // q168: the q154 statement over the final corpus after both
     // re-crawl waves — every maintenance policy composed on one root.
     "q168_self_maintaining_release" -> selfMaintainingReleaseOracleSql,
+    // q169: the q135 churn statement across the update wave (base vs
+    // updated corpus, per-doc diff).
+    "q169_update_churn" -> updateChurnOracleSql,
+    // q170: q169 wrapped in the q136 transition-matrix aggregate.
+    "q170_update_churn_stats" ->
+      s"""SELECT prev_stage, stage, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_copies - prev_copies) AS BIGINT) AS copies_delta
+         |FROM ($updateChurnOracleSql)
+         |GROUP BY prev_stage, stage
+         |ORDER BY prev_stage, stage""".stripMargin,
     "q159_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,
     // q160: q159's SQL VERBATIM — stream==batch is the contract
     "q160_streaming_keyed_diverted_release" -> keyedDivertedReleaseOracleSql,
