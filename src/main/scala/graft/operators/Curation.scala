@@ -314,6 +314,57 @@ object Curation {
     }
   }
 
+  /** Compact a FLAT batch-dir store — the crawl-archive layout
+    * ([[graft.operators.ReleaseStream.streamingReleaseIngest]]'s
+    * `archiveDir` tee): merge every `batch=<id>` dir with id <
+    * `upToBatch` into ONE `batch=0` dir through the same write-tmp /
+    * commit-marker / delete / publish protocol as
+    * [[compactIncrementalIndex]] (shared recovery —
+    * [[recoverFlatBatchStore]] must run before every read; every crash
+    * state is recoverable). Consolidation is ROW-preserving and rows
+    * carry their own `ver` column, so as-of reads stay exact with a
+    * row-level `ver < below` filter — unlike the per-batch centroid
+    * index, whose consumers need batch identity from DIRECTORY names
+    * and must refuse a compacted tree. Same quiesced-frontier contract
+    * as the index compactor: no batch < upToBatch may be replayed
+    * afterwards.
+    */
+  private[operators] def compactFlatBatchStore(spark: SparkSession,
+                                               dir: String,
+                                               upToBatch: Long): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    recoverCompaction(fs, base)
+    val batches = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        s.getPath.getName.stripPrefix("batch=").toLong < upToBatch)
+    if (batches.size > 1) {
+      val tmp = new org.apache.hadoop.fs.Path(base, COMPACT_TMP)
+      spark.read.option("basePath", base.toString)
+        .parquet(batches.map(_.getPath.toString): _*)
+        .drop("batch")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val marker = new org.apache.hadoop.fs.Path(base, COMPACT_MARKER)
+      val out = fs.create(marker, true)
+      try out.write(s"$upToBatch\n".getBytes("UTF-8")) finally out.close()
+      batches.foreach(s => fs.delete(s.getPath, true))
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(base, "batch=0")),
+        s"could not publish $tmp under $base")
+      fs.delete(marker, false)
+    }
+  }
+
+  /** Run [[recoverCompaction]] on a flat batch-dir store — the
+    * read-side half of [[compactFlatBatchStore]]'s crash protocol.
+    */
+  private[operators] def recoverFlatBatchStore(spark: SparkSession,
+                                               dir: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(base)) recoverCompaction(fs, base)
+  }
+
   /** EXCISE a doc set from a bucketed incremental index: rewrite every
     * relation minus the given docs' rows, through [[compactIncrementalIndex]]'s
     * own write-tmp / commit-marker / delete / publish protocol (the one
@@ -2465,6 +2516,17 @@ object Curation {
       ReleaseStream.releaseState(s,
         ReleaseStream.ensureSelfMaintainingReleaseState(s, d))),
 
+    // Q171: ARCHIVE RETENTION — the crawl archive was round 17's new
+    // unbounded-growth store (one dir per batch, forever); the
+    // `archiveEvery` policy closes it: per-batch dirs consolidate
+    // through the index compactor's marker protocol, repairs read the
+    // consolidated store with the as-of cut on the rows' own `ver`.
+    // The q168 scenario re-run with retention on; oracle = q168's
+    // statement VERBATIM (retention must not move a single output row).
+    "q171_archived_release" -> ((s, d) =>
+      ReleaseStream.releaseState(s,
+        ReleaseStream.ensureArchivedReleaseState(s, d))),
+
     // Q169: UPDATE CHURN — "what did the re-crawl change in the
     // release?": the q135 churn diff across the q167 update wave. Both
     // sides are build-once published exports: the q155 gated root IS
@@ -3175,6 +3237,9 @@ object Curation {
     // q168: the q154 statement over the final corpus after both
     // re-crawl waves — every maintenance policy composed on one root.
     "q168_self_maintaining_release" -> selfMaintainingReleaseOracleSql,
+    // q171: q168's statement VERBATIM — archive retention must not
+    // move a single output row.
+    "q171_archived_release" -> selfMaintainingReleaseOracleSql,
     // q169: the q135 churn statement across the update wave (base vs
     // updated corpus, per-doc diff).
     "q169_update_churn" -> updateChurnOracleSql,

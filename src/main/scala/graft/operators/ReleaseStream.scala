@@ -183,7 +183,8 @@ object ReleaseStream {
                              gateRefs: Seq[Expectations.RefStream] = Nil,
                              archiveDir: Option[String] = None,
                              refoldEvery: Int = 0,
-                             updateKeys: Boolean = false)
+                             updateKeys: Boolean = false,
+                             archiveEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 0, "compactEvery: 0 disables, else every K batches")
     docs.writeStream
@@ -192,7 +193,7 @@ object ReleaseStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         releaseIngestWithPolicy(batch, batchId, root, compactEvery,
           gateChecks, gateUnique, gateRefs, archiveDir, refoldEvery,
-          updateKeys)
+          updateKeys, archiveEvery)
         ()
       }
       .start()
@@ -211,11 +212,14 @@ object ReleaseStream {
                                              gateRefs: Seq[Expectations.RefStream] = Nil,
                                              archiveDir: Option[String] = None,
                                              refoldEvery: Int = 0,
-                                             updateKeys: Boolean = false)
+                                             updateKeys: Boolean = false,
+                                             archiveEvery: Int = 0)
       : ReadPaths = {
     require(refoldEvery == 0 || archiveDir.isDefined,
       "refoldEvery needs archiveDir: the repair reads residue texts from " +
         "the ingest-maintained crawl archive")
+    require(archiveEvery == 0 || archiveDir.isDefined,
+      "archiveEvery compacts the crawl archive — it needs archiveDir")
     require(!updateKeys || archiveDir.isDefined,
       "updateKeys needs archiveDir: the excision reads a re-arrived " +
         "doc's stale version texts from the ingest-maintained crawl archive")
@@ -231,6 +235,14 @@ object ReleaseStream {
       batch.withColumn("ver", lit(batchId))
         .write.mode("overwrite").parquet(s"$ad/batch=$batchId")
     }
+    // archive retention: the tee otherwise accumulates one dir per
+    // batch forever (the small-files problem the store compactors exist
+    // for, re-created on the archive). Row-preserving consolidation —
+    // repairs and excisions keep reading every archived VERSION, the
+    // as-of cut moves from directory names to the rows' own `ver`.
+    if (archiveEvery > 0 && batchId > 0 && batchId % archiveEvery == 0)
+      Curation.compactFlatBatchStore(spark, archiveDir.get,
+        upToBatch = batchId)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compactReleaseState(spark, root, below = batchId)
     if (refoldEvery > 0 && batchId > 0 && batchId % refoldEvery == 0)
@@ -244,10 +256,17 @@ object ReleaseStream {
   }
 
   /** The ingest-maintained crawl archive below a batch cutoff —
-    * `(doc_id, ver, text, ...)` rows of every batch the stream consumed.
+    * `(doc_id, ver, text, ...)` rows of every batch the stream
+    * consumed. Consolidation-transparent: recovery runs first
+    * ([[Curation.recoverFlatBatchStore]] — the archive compactor's
+    * crash protocol), the directory-name cut is only pruning, and the
+    * as-of cut is the rows' own `ver` (a consolidated `batch=0` dir
+    * holds many versions, the ones at or above `below` filtered out
+    * row-level).
     */
-  private def readArchive(spark: SparkSession, archiveDir: String,
-                          below: Long): DataFrame = {
+  private[graft] def readArchive(spark: SparkSession, archiveDir: String,
+                                 below: Long): DataFrame = {
+    Curation.recoverFlatBatchStore(spark, archiveDir)
     val base = new org.apache.hadoop.fs.Path(archiveDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val dirs =
@@ -258,6 +277,7 @@ object ReleaseStream {
         .map(_.getPath.toString)
     if (dirs.isEmpty) emptyDf(spark, "doc_id BIGINT, ver BIGINT, text STRING")
     else spark.read.option("basePath", archiveDir).parquet(dirs: _*)
+      .filter(col("ver") < below)
   }
 
   /** One micro-batch of the fold (the foreachBatch body, factored out so
@@ -911,6 +931,44 @@ object ReleaseStream {
           releaseIngestWithPolicy(rows, b, dir, compactEvery = 2,
             gateChecks = Expectations.corpusDocChecks,
             archiveDir = Some(arch), refoldEvery = 2, updateKeys = true)
+          ()
+        }
+        (0L until 3L).foreach { b =>
+          step(b, docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+        }
+        step(3L, docs.withColumn("text", lit(null).cast("string"))
+          .filter(pmod(col("doc_id"), lit(13L)) === 4))
+        step(4L, docs.filter(pmod(col("doc_id"), lit(9L)) === 2)
+          .withColumn("text", concat(col("text"), lit(" rev2")))
+          .withColumn("n_chars", col("n_chars") + lit(5L)))
+      }
+    }
+
+  /** Build-once ARCHIVED-RETENTION release-state artifact for the q171
+    * catalog entry: the q168 self-maintaining scenario with the LAST
+    * unbounded-growth store closed — `archiveEvery = 2` consolidates
+    * the crawl archive's per-batch dirs through the index compactor's
+    * marker protocol, and the batch-4 repairs (refold cadence + the
+    * update excision) read their stale-version texts off the
+    * CONSOLIDATED archive with the as-of cut on the rows' own `ver`.
+    * Oracle = q168's statement VERBATIM: retention must not move a
+    * single output row.
+    */
+  private[graft] def ensureArchivedReleaseState(spark: SparkSession,
+                                                sfDir: String): String =
+    DedupArtifacts.cachedDir(s"$sfDir|relstreamselfarc") {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val key = DedupArtifacts.corpusKey(docs.select("doc_id", "text"),
+        "relstreamselfarc") +
+        s"|cap=$CAP|pl=$PER_LANG|ct=$CONTAM_T|t=$THRESHOLD|nb=5" +
+        "|gate=docv1|null13|rev2mod9|upd=1|ce=2|re=2|ae=2|v=1"
+      DedupArtifacts.ensureTree(key) { dir =>
+        val arch = s"$dir/archive"
+        def step(b: Long, rows: DataFrame): Unit = {
+          releaseIngestWithPolicy(rows, b, dir, compactEvery = 2,
+            gateChecks = Expectations.corpusDocChecks,
+            archiveDir = Some(arch), refoldEvery = 2, updateKeys = true,
+            archiveEvery = 2)
           ()
         }
         (0L until 3L).foreach { b =>

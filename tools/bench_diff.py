@@ -96,7 +96,7 @@ def family(q):
         return "text"
     if i in (42, 46, 47, 48, 50, 53, 55, 56, 71, 76, 81, 85, 91, 92, 93, 94, 103, 104, 111, 120, 127):
         return "prep"
-    if i in (32, 57, 117, 126, 132, 134, 135, 136, 137, 142, 150, 154, 155, 158, 159, 160, 164, 165, 166, 167, 168, 169, 170):
+    if i in (32, 57, 117, 126, 132, 134, 135, 136, 137, 142, 150, 154, 155, 158, 159, 160, 164, 165, 166, 167, 168, 169, 170, 171):
         return "curation"
     if i in (138, 139, 141, 143, 145, 146, 147, 151, 152, 153, 156, 157, 161, 162, 163):
         return "expectations"
