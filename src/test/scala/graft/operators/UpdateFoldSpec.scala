@@ -189,6 +189,32 @@ class UpdateFoldSpec extends AnyFunSuite {
       !fsck.exists(_._2 == "error"), fsck.mkString("; "))
   }
 
+  test("MemoryStream end-to-end: update semantics rides " +
+    "streamingReleaseIngest — the re-crawl wave excises inside " +
+    "foreachBatch (archive retention on) and the streamed state equals " +
+    "the latest-version twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-updmem").toString
+    val in = MemoryStream[(Long, String, String, String)](spark)
+    val q = ReleaseStream.streamingReleaseIngest(
+      in.toDF().toDF("doc_id", "source", "lang", "text"), root,
+      Files.createTempDirectory("graft-updmemck").toString,
+      gateChecks = checks, archiveDir = Some(s"$root/archive"),
+      updateKeys = true, archiveEvery = 2)
+    // batch 2 (the update wave) fires the archive consolidation AND the
+    // in-line excision inside the same foreachBatch invocation
+    val late = Seq((60L, "s1", "en", "t u v w x y z"))
+    try {
+      in.addData(b0); q.processAllAvailable()
+      in.addData(late); q.processAllAvailable()
+      in.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    assert(rowsOf(ReleaseStream.releaseState(spark, root)) ===
+      finalTwin(finalRows ++ late),
+      "streamed update-mode state == the latest-version twin")
+  }
+
   test("updateKeys refusals: without archiveDir (the excision needs the " +
     "stale version texts), and combined with gateUnique (REPLACE vs " +
     "DIVERT are mutually exclusive key policies)") {
